@@ -1,13 +1,145 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (queries, oracleSql) pair:
+  *  - identical column aliases on both sides (driver sorts columns by name
+  *    before hashing);
+  *  - fully deterministic output: total ORDER BY with unique tie-breakers
+  *    before any LIMIT;
+  *  - double aggregates go through exact DECIMAL(18,2) per-row casts, are cast
+  *    back to double *before* any division, and rounded last — making Spark's
+  *    parallel sums bit-identical to DuckDB's sequential ones;
+  *  - integer-ish outputs are LongType (DuckDB aggregates/rank functions yield
+  *    BIGINT; HUGEINT sums are cast down in the SQL).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreOps.priorityAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregations (A1-A8) -------------------------------------------------
+    "q01_pricing_summary"   -> ((s, d) => CoreOps.pricingSummary(s, d)),
+    "q02_priority_agg"      -> ((s, d) => CoreOps.priorityAgg(s, d)),
+    "q03_revenue_by_nation" -> ((s, d) => CoreOps.revenueByNation(s, d)),
+    "q04_market_share"      -> ((s, d) => CoreOps.marketShare(s, d)),
+    "q05_topk_brand_pct"    -> ((s, d) => CoreOps.topkBrandPercent(s, d)),
+    "q06_conditional_rate"  -> ((s, d) => CoreOps.conditionalRate(s, d)),
+    "q07_failing_examples"  -> ((s, d) => CoreOps.failingExamples(s, d)),
+    "q08_rollup_counts"     -> ((s, d) => CoreOps.rollupCounts(s, d)),
+    // -- set ops / dedup / distinct (U1, D1-D5) -------------------------------
+    "q09_union_dedup"       -> ((s, d) => CoreOps.unionDedup(s, d)),
+    "q10_dedup_by_key"      -> ((s, d) => CoreOps.dedupByKeyDeterministic(s, d)),
+    "q11_distinct_keys"     -> ((s, d) => CoreOps.distinctKeys(s, d)),
+    // -- joins (J1-J3 + star joins) -------------------------------------------
+    "q12_semi_join"         -> ((s, d) => CoreOps.semiJoinOrders(s, d)),
+    "q13_anti_join"         -> ((s, d) => CoreOps.antiJoinCustomers(s, d)),
+    // -- windows / sorts / top-k (O1-O4) --------------------------------------
+    "q14_top_per_priority"  -> ((s, d) => CoreOps.topOrdersPerPriority(s, d)),
+    // -- events: JSON + time windows (F5, streaming twin) ---------------------
+    "q15_events_json"       -> ((s, d) => EventOps.jsonPropsAgg(s, d)),
+    "q16_hourly_by_type"    -> ((s, d) => EventOps.hourlyByType(s, d)),
+    "q17_user_activity"     -> ((s, d) => EventOps.userActivity(s, d)),
+    "q18_session_counts"    -> ((s, d) => EventOps.sessionCounts(s, d)),
+  )
+
+  /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_priority_agg" ->
+      """SELECT o_orderpriority, count(*) AS vacancy_count,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 0) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY vacancy_count DESC, o_orderpriority LIMIT 20""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY n_items DESC, n_name""".stripMargin,
+    "q04_market_share" ->
+      """SELECT o_orderpriority, vacancy_count,
+        | round(vacancy_count * CAST(100.0 AS DOUBLE) / sum(vacancy_count) OVER (), 1) AS market_share_pct
+        |FROM (SELECT o_orderpriority, count(*) AS vacancy_count FROM orders
+        |      WHERE o_orderpriority NOT IN ('4-NOT SPECIFIED') GROUP BY 1)
+        |ORDER BY vacancy_count DESC, o_orderpriority""".stripMargin,
+    "q05_topk_brand_pct" ->
+      """SELECT p_brand, cnt, round(cnt * CAST(100.0 AS DOUBLE) / total, 1) AS pct
+        |FROM (SELECT p_brand, count(*) AS cnt, sum(count(*)) OVER () AS total FROM part GROUP BY 1)
+        |ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin,
+    "q06_conditional_rate" ->
+      """SELECT o_orderstatus, count(*) AS total,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 ELSE 0 END) AS BIGINT) AS classified,
+        | round(sum(CASE WHEN o_orderpriority NOT IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 ELSE 0 END) * CAST(100.0 AS DOUBLE) / count(*), 1) AS success_rate_pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_failing_examples" ->
+      """SELECT p_partkey,
+        | CASE WHEN length(p_name) > 8 THEN substring(p_name, 1, 8) || '...' ELSE p_name END AS example
+        |FROM part WHERE p_type = 'ECONOMY' ORDER BY p_partkey LIMIT 10""".stripMargin,
+    "q08_rollup_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q09_union_dedup" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM (SELECT DISTINCT * FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_dedup_by_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        | SELECT l_orderkey, l_linenumber, l_partkey,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q11_distinct_keys" ->
+      """SELECT DISTINCT trim(p_name) AS key FROM part WHERE trim(p_name) <> '' ORDER BY key""",
+    "q12_semi_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_top_per_priority" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q15_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * CAST(1.0 AS DOUBLE) / count(*), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_hourly_by_type" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q17_user_activity" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        | date_trunc('minute', min(ts)) AS first_minute,
+        | date_trunc('minute', max(ts)) AS last_minute
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_session_counts" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, date_trunc('minute', ts) AS m,
+        |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators (SURVEY.md §2.2–§2.7), re-expressed Spark-first
+  * over the driver testdata.
+  *
+  * Oracle-parity conventions (the driver hash-compares against DuckDB):
+  *  - Money/double aggregations go through `DecimalType(18,2)` per-row casts so
+  *    the sum is exact and independent of partition/accumulation order (a raw
+  *    double sum differs in the last ulps between 32-partition Spark and
+  *    single-threaded DuckDB). The decimal sum is cast back to double and
+  *    `round`ed only at the outermost step.
+  *  - Every query output is fully ordered with a unique tie-breaker so LIMIT
+  *    boundaries are deterministic.
+  *  - Column names are aliased identically here and in the oracle SQL.
+  *
+  * Scale notes (100 TB): every aggregation below is a partial+final hash
+  * aggregate (map-side combine) with one shuffle on the group keys; joins
+  * against dimension tables are explicit `broadcast()`; fact⋈fact joins are
+  * sort-merge on the shuffle keys and benefit from AQE skew handling.
+  */
+object CoreOps {
+
+  /** Exact-sum helper: per-row cast to decimal so Σ is order-independent. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Scale-4 variant for price×(1−discount) products: 2dp × 2dp is exactly a
+    * 4dp decimal, so this cast is lossless and can never hit a rounding tie
+    * (rounding a 4dp-exact value at scale 2 ties on .xx50 ~1% of rows, and
+    * Spark/DuckDB resolve those ties differently — observed in testing).
+    */
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Final presentation: decimal → double, rounded. */
+  private def d2(c: Column, s: Int = 2): Column = round(c.cast("double"), s)
+  /** Average computed as exact decimal sum → double, *then* divided — the
+    * same double division DuckDB performs, so results are bit-comparable.
+    */
+  private def avgOf(c: Column, s: Int): Column =
+    round(sum(dec(c)).cast("double") / count(lit(1)), s)
+
+  // ---------------------------------------------------------------------------
+  // A1/A7-family aggregations
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary — the A7 "GROUP BY + COUNT + AVG" shape
+    * (reference: datalens_dashboard/sql_queries/vacancy_analysis.sql:11-19) at
+    * fact-table scale. One shuffle; partial aggregation map-side.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"),
+        avgOf(col("l_quantity"), 4).as("avg_qty"),
+        avgOf(col("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Flagship (SURVEY §7.2): dedup by key then GROUP BY + COUNT + ROUND(AVG) +
+    * ORDER BY cnt DESC LIMIT — A7 over `orders`, with D2 key-dedup in front.
+    * `o_orderkey` is unique in the data, so the dedup is deterministic; the
+    * general deterministic-survivor variant is [[dedupByKeyDeterministic]].
+    */
+  def priorityAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .dropDuplicates("o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("vacancy_count"),
+        avgOf(col("o_totalprice"), 0).as("avg_price"))
+      .orderBy(desc("vacancy_count"), col("o_orderpriority"))
+      .limit(20)
+
+  /** A8: market share via an aggregate nested in an unpartitioned window —
+    * `COUNT(*) * 100.0 / SUM(COUNT(*)) OVER ()` (vacancy_analysis.sql:23-31).
+    * The empty window frame plans as a single-partition exchange over the
+    * *aggregated* rows (5 here, tiny at any scale) — not over the fact table.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .filter(!col("o_orderpriority").isin("4-NOT SPECIFIED"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("vacancy_count"))
+    counts
+      .withColumn("market_share_pct",
+        round(col("vacancy_count") * lit(100.0) / sum(col("vacancy_count")).over(Window.partitionBy()), 1))
+      .orderBy(desc("vacancy_count"), col("o_orderpriority"))
+  }
+
+  /** A3+A4: top-K frequency with percent-of-total (reference `most_common(k)`
+    * + pct, dag:405-410). Total comes from the same single aggregation via an
+    * unpartitioned window over the small grouped result.
+    */
+  def topkBrandPercent(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(spark, dir)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("pct", round(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 1))
+      .orderBy(desc("cnt"), col("p_brand"))
+      .limit(10)
+  }
+
+  /** A5/P8: conditional success-rate — `sum(when(...))` over a NOT-IN
+    * predicate, as the reference's success metrics (dag:413-416, 781-784).
+    */
+  def conditionalRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(!col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), 1L).otherwise(0L)).as("classified"))
+      .withColumn("success_rate_pct", round(col("classified") * lit(100.0) / col("total"), 1))
+      .orderBy(col("o_orderstatus"))
+
+  /** A6: first-N failing examples with truncation+ellipsis (dag:424-432, F2).
+    * Deterministic: ordered by key before the limit.
+    */
+  def failingExamples(spark: SparkSession, dir: String): DataFrame = {
+    val name = col("p_name")
+    Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY")
+      .select(
+        col("p_partkey"),
+        when(length(name) > 8, concat(substring(name, 1, 8), lit("..."))).otherwise(name).as("example"))
+      .orderBy(col("p_partkey"))
+      .limit(10)
+  }
+
+  /** A2-extension: one pass computing counts for two independent dimensions
+    * via ROLLUP (status, priority) — replaces the reference's two separate
+    * Counter passes (dag:767-769) with a single shuffle.
+    */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  // ---------------------------------------------------------------------------
+  // Set ops / dedup / distinct (D1-D5, U1)
+  // ---------------------------------------------------------------------------
+
+  /** U1+D1: union-all then full-row dedup (`pd.concat` + `drop_duplicates()`,
+    * dag:111-122), summarized per returnflag so the output is small. The
+    * distinct is one hash-partition shuffle on all columns; at 100 TB prefer
+    * the key-dedup below on a real key.
+    */
+  def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.unionByName(li)
+      .dropDuplicates()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** D2 with a deterministic survivor: `row_number() OVER (PARTITION BY key
+    * ORDER BY tiebreak) = 1` instead of pandas' positional keep-first, which
+    * has no stable meaning after a shuffle (SURVEY §2.3 caveat).
+    */
+  def dedupByKeyDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** D3/D4: distinct-key extraction with the trim + non-empty guard the
+    * reference applies before classification (dag:147-159). This exact shape
+    * feeds the enrichment engine — it is the reference's defining
+    * optimization (classify O(distinct) not O(rows)).
+    */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(trim(col("p_name")).as("key"))
+      .filter(col("key") =!= "")
+      .distinct()
+      .orderBy(col("key"))
+
+  // ---------------------------------------------------------------------------
+  // Joins (J1-J3 shapes + real fact⋈fact joins)
+  // ---------------------------------------------------------------------------
+
+  /** Multi-table star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * Dimensions are explicitly broadcast (no shuffle for them); the
+    * lineitem⋈orders join is a shuffle (sort-merge / shuffled-hash chosen by
+    * the planner + AQE). Revenue per nation of customers in one region.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("n_items"), col("n_name"))
+  }
+
+  /** J3 semi-join guard shape: keep left rows whose key exists on the right
+    * (reference drops classifier outputs not in the batch, dag:590-603).
+    * Planned as a broadcast/shuffled left-semi — right side never duplicated.
+    */
+  def semiJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49.0)
+      .select(col("l_orderkey").as("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(big, Seq("o_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J3's complement (the logged/dropped side): anti join — customers that
+    * placed no orders.
+    */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Window functions beyond the reference (capability breadth)
+  // ---------------------------------------------------------------------------
+
+  /** Ranked-within-group: top-3 most expensive orders per priority via
+    * row_number over a partitioned window (deterministic tie-break on key).
+    */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long")) // long: DuckDB row_number() is BIGINT
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+}

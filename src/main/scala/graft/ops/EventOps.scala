@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics: JSON props extraction (SURVEY F5/F6) and
+  * time-window aggregation — the batch twin of the Structured Streaming path
+  * in [[graft.streaming.EventsStream]].
+  *
+  * `events.ts` is nanosecond parquet; [[Tables.events]] normalizes to
+  * micro-precision TimestampType, and every oracle-compared value is
+  * `date_trunc`'d so nanos-vs-micros can never differ (FIXTURES.md caveat).
+  */
+object EventOps {
+
+  /** F5: JSON property extraction + aggregation. `props` is a JSON object
+    * string (e.g. {"k": 87}); `get_json_object` runs codegen'd, no UDF.
+    */
+  def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")) * lit(1.0) / count(lit(1)), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling-hour aggregation per event type (batch). One shuffle on
+    * (hour, type); partial aggregation map-side. At 100 TB the input would be
+    * date-partitioned parquet and the hour filter prunes partitions.
+    */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Per-user activity profile using min/max + distinct count. Timestamps are
+    * minute-truncated before min/max so the oracle compare is
+    * precision-stable (truncation is monotone, so min/max commute with it).
+    */
+  def userActivity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        date_trunc("minute", min(col("ts"))).as("first_minute"),
+        date_trunc("minute", max(col("ts"))).as("last_minute"))
+      .orderBy(col("user_id"))
+
+  /** Sessionization-style window: for each user, order events by time and
+    * count session starts (gap > 30 min from previous event). `lag` over a
+    * per-user window; the minute-truncated gap keeps oracle parity.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("m"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), date_trunc("minute", col("ts")).as("m"))
+      .withColumn("prev_m", lag(col("m"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_m").isNull
+          || unix_timestamp(col("m")) - unix_timestamp(col("prev_m")) > 1800L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+}
