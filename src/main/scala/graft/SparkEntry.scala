@@ -47,6 +47,13 @@ object SparkEntry {
     "q16_hourly_by_type"    -> ((s, d) => EventOps.hourlyByType(s, d)),
     "q17_user_activity"     -> ((s, d) => EventOps.userActivity(s, d)),
     "q18_session_counts"    -> ((s, d) => EventOps.sessionCounts(s, d)),
+    // -- enrichment engine (§2.8: batched classify + retry + guard + map-back)
+    "q19_enrich_part_names" -> ((s, d) => EnrichOps.enrichPartNames(s, d)),
+    "q20_enrich_part_types" -> ((s, d) => EnrichOps.enrichPartTypes(s, d)),
+    "q21_enrich_stats"      -> ((s, d) => EnrichOps.enrichmentStats(s, d)),
+    // -- end-to-end pipeline (S2-S5: discover → latest-K → CSV → dedup →
+    //    enrich ×2 → meta) --------------------------------------------------
+    "q22_pipeline_e2e"      -> ((s, d) => graft.pipeline.Pipeline.pipelineQuery(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -141,5 +148,7 @@ object SparkEntry {
         |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
         |  FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) ++ EnrichOps.oracle ++ Map(
+    "q22_pipeline_e2e" -> graft.pipeline.Pipeline.pipelineOracleSql,
   )
 }
