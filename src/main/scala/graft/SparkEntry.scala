@@ -54,6 +54,28 @@ object SparkEntry {
     // -- end-to-end pipeline (S2-S5: discover → latest-K → CSV → dedup →
     //    enrich ×2 → meta) --------------------------------------------------
     "q22_pipeline_e2e"      -> ((s, d) => graft.pipeline.Pipeline.pipelineQuery(s, d)),
+    // -- text analysis (north star) -------------------------------------------
+    "q30_token_stats"       -> ((s, d) => TextOps.tokenStats(s, d)),
+    "q31_lang_id"           -> ((s, d) => TextOps.langId(s, d)),
+    "q32_quality_score"     -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q33_fingerprint"       -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q34_word_freq"         -> ((s, d) => TextOps.wordFreq(s, d)),
+    // -- dedup family (north star) --------------------------------------------
+    "q35_dedup_exact"       -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "q36_dedup_wordset"     -> ((s, d) => DedupOps.dedupWordSet(s, d)),
+    "q37_minhash_sigs"      -> ((s, d) => DedupOps.minhashSignatures(s, d)),
+    "q38_neardup_jaccard"   -> ((s, d) => DedupOps.nearDupJaccard(s, d)),
+    "q39_lsh_neardup"       -> ((s, d) => DedupOps.lshNearDupPairs(s, d)),   // approx recall: rows-check
+    "q40_simhash"           -> ((s, d) => DedupOps.simhash(s, d)),           // rows-check
+    // -- similarity search (north star) ---------------------------------------
+    "q41_knn_cosine"        -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
+    "q42_embed_neardup"     -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
+    "q43_centroids"         -> ((s, d) => SimilarityOps.centroids(s, d)),
+    "q45_ann_buckets"       -> ((s, d) => SimilarityOps.annBuckets(s, d)),   // rows-check
+    // -- multimodal columns (north star) --------------------------------------
+    "q44_media_features"    -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
+    // -- structured streaming (G3) --------------------------------------------
+    "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -150,5 +172,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) ++ EnrichOps.oracle ++ Map(
     "q22_pipeline_e2e" -> graft.pipeline.Pipeline.pipelineOracleSql,
+  ) ++ TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
+    MultimodalOps.oracle ++ Map(
+    "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
   )
 }

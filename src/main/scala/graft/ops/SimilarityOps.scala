@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>[64]`) — brute-force cosine top-k as the exact baseline, an
+  * LSH-bucketed variant as the scale path, embedding-cosine near-dup pairs,
+  * and per-label centroids (the IVF coarse-quantizer building block).
+  *
+  * All vector math runs through the native codegen'd
+  * [[graft.functions.DotProduct]] kernel — double precision, fixed
+  * left-to-right fold, so DuckDB's sequential sums reproduce Spark's results
+  * bit-for-bit while staying inside whole-stage codegen (the
+  * higher-order-function formulation was ~20× slower: interpreted lambdas
+  * per element).
+  *
+  * Scale notes: brute-force kNN is a broadcast of the query vector + one
+  * narrow pass + TakeOrderedAndProject — embarrassingly parallel, the right
+  * answer up to huge N for a single query. For query *batches* at 100 TB the
+  * LSH/IVF path bounds candidates per query by bucket size; centroids give
+  * the IVF partitioning.
+  */
+object SimilarityOps {
+  import graft.functions.VectorFunctions.dotp
+
+  /** cosine via the native [[graft.functions.DotProduct]] kernel (same
+    * left-to-right double fold as the SQL oracle, codegen'd).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
+
+  /** Exact top-k nearest neighbours (cosine) of one query vector. The query
+    * row is a 1-row broadcast crossJoin; plan = scan → project → topK.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by semantic similarity):
+    * all pairs with cosine ≥ `threshold`. Exact; the N² pair space is fine at
+    * this table's size — at 100 TB-scale embedding counts you'd gate it with
+    * [[annBuckets]]-style blocking first (same verify step, smaller candidate
+    * set).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    // threshold calibrated to the testdata: the synthetic embeddings have no
+    // true duplicate pairs (max pairwise cosine ≈ 0.44), so 0.35 selects the
+    // "most similar" tail — in a real corpus this is 0.9+.
+    // Norms are computed once per vector BEFORE the pair join (N sqrt+dot
+    // instead of N² recomputation); the per-pair work is one codegen'd dot.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-hyperplane LSH signatures: bit i = sign(⟨v, g_i⟩) with
+    * deterministic pseudo-random planes g_i[j] = frac((i·64+j)·φ) − 0.5
+    * (Weyl sequence — reproducible without RNG state). Vectors in the same
+    * bucket are ANN candidates; k-bit signatures → 2^k buckets.
+    * Demonstrated as bucket histogram (rows-check; the bucketing is the
+    * scale path for [[embeddingNearDup]]).
+    */
+  def annBuckets(spark: SparkSession, dir: String, bits: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val phi = 0.6180339887498949
+    def plane(i: Int): Column = {
+      // g_i as an array<double> literal, same for every row
+      val g = (0 until 64).map { j => val x = (i * 64 + j + 1) * phi; x - math.floor(x) - 0.5 }
+      array(g.map(lit): _*)
+    }
+    val sigBits = (0 until bits).map { i =>
+      when(dotp(col("embedding"), plane(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), sigBits.reduce(_ + _).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-label centroids (IVF coarse quantizer / class prototypes):
+    * posexplode the vector, average per (label, dim). One shuffle on
+    * (label, dim) — 640 cells regardless of N.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  // ---------------------------------------------------------------------------
+
+  private def cosSql(a: String, b: String): String = {
+    def dotS(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1,64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q41_knn_cosine" ->
+      s"""SELECT e.vec_id, e.label, round(${cosSql("e.embedding", "q.q_emb")}, 6) AS sim
+         |FROM embeddings e, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q42_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q43_centroids" ->
+      """SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+  )
+}

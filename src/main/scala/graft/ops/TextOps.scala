@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the language-ID / quality /
+  * token-statistics / fingerprinting layer a large-scale training-data
+  * pipeline needs (north-star extension; no counterpart in the reference,
+  * which delegates all text understanding to the external LLM).
+  *
+  * Everything here is built from codegen'd built-ins and higher-order array
+  * functions — zero UDFs — so whole-stage codegen spans the entire pipeline
+  * and each query is one parquet scan + narrow projections (shuffle only
+  * where an aggregation needs it). Cross-engine determinism: the only
+  * primitives are integer arithmetic mod P and IEEE double ops in a fixed
+  * fold order, which DuckDB reproduces exactly (see [[TextFunctions]]).
+  */
+object TextFunctions {
+  /** Modulus keeping every intermediate < 2^63 without overflow. */
+  val P = 1000003L
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Polynomial char hash: fold chars, (acc*31 + ascii) % P. Matches the SQL
+    * `list_reduce(list_prepend(0, list_transform(string_split(w,''), ascii)))`
+    * fold exactly (verified bit-identical on both engines).
+    */
+  def wordHash(w: Column): Column =
+    aggregate(
+      transform(split(w, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % P)
+
+  /** Per-word hashes of the distinct word set (set semantics for MinHash). */
+  def wordSetHashes(text: Column): Column =
+    transform(array_distinct(words(text)), wordHash(_))
+
+  /** SQL twin of [[wordHash]] for an expression `w`. */
+  def wordHashSql(w: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($w,''), c -> CAST(ascii(c) AS BIGINT))), (acc,c) -> (acc*31+c) % ${P})"
+}
+
+object TextOps {
+  import TextFunctions._
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val esStop = Seq("el", "la", "los", "de", "que", "es")
+
+  /** Token statistics: counts, type-token ratio, mean word length. One scan,
+    * no shuffle (per-row arrays only).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"),
+        round(
+          aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _).cast("double") / size(ws),
+          4).as("mean_wlen"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID via stopword-profile scoring (n-gram-heuristic family):
+    * score = stopword hits per language, argmax with a fixed tie order.
+    * On real multilingual corpora the profiles would be char n-grams; the
+    * operator shape (per-row scoring → argmax, no shuffle) is identical.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    def score(stop: Seq[String]): Column =
+      size(filter(ws, w => w.isInCollection(stop))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        score(enStop).as("s_en"), score(deStop).as("s_de"), score(esStop).as("s_es"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: composite of length, stopword ratio and word-shape
+    * signals (the filter stage of a training-data pipeline). Fixed double
+    * arithmetic order for oracle parity.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _).cast("double") / nTok
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        round(swRatio, 4).as("stopword_ratio"),
+        round(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 + least(meanLen / 8.0, lit(1.0)) * 0.3,
+          4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Order-sensitive document fingerprint (rolling hash over the word
+    * sequence): fold words, (acc*131 + wordHash(w)) % P. Reordered-but-equal
+    * documents get different fingerprints (vs the set-based dedup keys in
+    * [[DedupOps]]); identical prefixes share hash prefixes — the usual
+    * content-defined-chunking building block.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(words(col("text")), lit(0L), (acc, w) => (acc * 131 + wordHash(w)) % P).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Term frequency across the corpus: explode → count. The one genuinely
+    * shuffling text op (partial-agg map-side; ~vocabulary-size result).
+    */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+      .limit(100)
+
+  // ---------------------------------------------------------------------------
+
+  def oracle: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
+        | round(CAST(list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(string_split(text,' ')), 4) AS mean_wlen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_lang_id" ->
+      s"""SELECT doc_id, lang,
+         | CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_en,
+         | CAST(len(list_filter(string_split(text,' '), w -> w IN (${deStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_de,
+         | CAST(len(list_filter(string_split(text,' '), w -> w IN (${esStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_es,
+         | CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_quality_score" ->
+      s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         | round(sw / CAST(n_tok AS DOUBLE), 4) AS stopword_ratio,
+         | round(least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3, 4) AS quality
+         |FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+         |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+         |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text,' '), w -> ${TextFunctions.wordHashSql("w")})), (acc,h) -> (acc*131+h) % ${P}) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_word_freq" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+  )
+}

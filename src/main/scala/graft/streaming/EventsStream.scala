@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch event analytics: the same
+  * hourly-by-type aggregation as [[graft.ops.EventOps.hourlyByType]], but
+  * executed as a streaming query over the events parquet with a watermark —
+  * the incremental analog of the reference's `@daily` batch schedule
+  * (SURVEY.md G3: `Trigger.AvailableNow` ≈ "process what's there, then
+  * stop").
+  *
+  * In production the source is a directory that keeps receiving files (or
+  * Kafka); `AvailableNow` + checkpoint gives exactly-once incremental runs.
+  * Here the memory sink materializes the complete aggregation so the result
+  * is comparable against the same DuckDB oracle as the batch query — a
+  * batch/streaming consistency check, not just a smoke test.
+  */
+object EventsStream {
+
+  /** Raw schema of the events parquet with nanosecond `ts` read as long
+    * (streaming sources need an explicit schema).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Run the streaming hourly aggregation to completion and return the
+    * final (static) result. Unique sink name per invocation so repeated
+    * calls in one session don't collide.
+    */
+  /** FileStreamSource requires a *directory*; the testdata ships one parquet
+    * file per table, so stage a per-sf scratch directory containing (a copy
+    * of) the events file — the shape a streaming ingest dir would have.
+    */
+  private def stageStreamDir(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+    val base = sys.props("java.io.tmpdir") + s"/graft_stream_${math.abs(dir.hashCode)}"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(conf)
+    val dst = new Path(base + "/events.parquet")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(new Path(base))
+      FileUtil.copy(fs, new Path(s"$dir/events.parquet"), fs, dst, false, conf)
+    }
+    base
+  }
+
+  def hourlyByTypeStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(stageStreamDir(spark, dir))
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_value"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Oracle: identical to the batch hourly query — streaming and batch must
+    * agree exactly.
+    */
+  val oracleSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

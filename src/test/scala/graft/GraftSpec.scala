@@ -1,0 +1,216 @@
+package graft
+
+import graft.enrich._
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, one SparkSession). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Per-operator specs (SURVEY.md §5): golden checks of quirk semantics kept
+  * from the reference, plus property-style invariants of the new operators.
+  */
+class CoreOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup is idempotent and bounded by input (D1)") {
+    val li = Tables.lineitem(spark, sf)
+    val once = li.unionByName(li).dropDuplicates()
+    assert(once.count() === li.dropDuplicates().count())
+    assert(once.dropDuplicates().count() === once.count())
+  }
+
+  test("deterministic key-dedup keeps exactly one row per key (D2)") {
+    val d = CoreOps.dedupByKeyDeterministic(spark, sf)
+    assert(d.count() === d.select("l_orderkey").distinct().count())
+  }
+
+  test("market share sums to ~100% (A8)") {
+    val total = CoreOps.marketShare(spark, sf)
+      .agg(sum(col("market_share_pct"))).head.getDouble(0)
+    assert(math.abs(total - 100.0) < 0.5)
+  }
+
+  test("top-k is a prefix of the full sort (A3/O2)") {
+    val full = CoreOps.priorityAgg(spark, sf).collect().toSeq
+    val k = full.take(3)
+    assert(full.startsWith(k))
+  }
+
+  test("semi and anti join partition the left relation (J3)") {
+    val semi = CoreOps.semiJoinOrders(spark, sf).count()
+    val orders = Tables.orders(spark, sf).count()
+    val anti = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter(col("l_quantity") >= 49.0)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_anti").count()
+    assert(semi + anti === orders)
+  }
+}
+
+class EnrichmentSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("reference field rules: keyword hits and compound splitting (dag:493-524)") {
+    val c = RuleBasedClassifier(Rules.referenceFieldRules, splitCompound = true)
+    assert(c.classifyOne("SaaS платформа").category === "IT")
+    assert(c.classifyOne("Финтех").category === "Финансы")
+    assert(c.classifyOne("EdTech стартап").category === "Образование")
+    assert(c.classifyOne("Маркетинг / Реклама").category === "Маркетинг")
+    // compound: first segment decides
+    assert(c.classifyOne("Образование. Развлечения").category === "Образование")
+    assert(c.classifyOne("видеоигры и гейминг").category === "Развлечения")
+    assert(c.classifyOne("сельское хозяйство").category === Defaults.Unclassified)
+  }
+
+  test("reference title rules: closed category set (dag:187-209)") {
+    val c = RuleBasedClassifier(Rules.referenceTitleRules)
+    assert(c.classifyOne("Senior Python разработчик").category === "Python разработчик")
+    assert(c.classifyOne("Маркетолог-аналитик").category === "Маркетолог")
+    assert(c.classifyOne("Водитель").category === Defaults.Unclassified)
+  }
+
+  test("enrichment totality: every row classified, empty keys -> 'Не указано' (dag:750-753)") {
+    val df = Seq((1L, "blue rod"), (2L, ""), (3L, "  "), (4L, "weird thing"))
+      .toDF("id", "title")
+    val out = Enrichment.enrich(df, "title", Rules.partNameClassifier, "cat")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) === "Rod")
+    assert(m(2L) === Defaults.NotSpecified)
+    assert(m(3L) === Defaults.NotSpecified)
+    assert(m(4L) === Defaults.Unclassified)
+    assert(out.filter(col("cat").isNull).count() === 0)
+  }
+
+  test("retry recovers dropped keys; hallucinated keys are guarded out (dag:283-318, 590-603)") {
+    val flaky = new FlakyClassifier(Rules.partNameClassifier, dropEveryNth = 2)
+    val out = Enrichment.classifyBatchWithRetry(flaky, Seq("blue rod", "old gear", "new bolt"),
+      maxRetries = 1, retryOther = false)
+    assert(out.map(_.original).toSet === Set("blue rod", "old gear", "new bolt"))
+    assert(!out.exists(_.original == "__hallucinated_key__"))
+    assert(out.forall(_.category != Defaults.Unclassified))
+  }
+
+  test("retry exhaustion stubs with the default, never drops rows (dag:310-326)") {
+    val alwaysFail = new Classifier { def classify(b: Seq[String]) = Nil }
+    val out = Enrichment.classifyBatchWithRetry(alwaysFail, Seq("a", "b"), 2, retryOther = false)
+    assert(out.map(_.original) === Seq("a", "b"))
+    assert(out.forall(_.category === Defaults.Unclassified))
+  }
+
+  test("'Другое' retried only in field mode (asymmetric semantics, dag:286-291 vs 623-628)") {
+    var calls = 0
+    val other = new Classifier {
+      def classify(b: Seq[String]) = { calls += 1; b.map(Classified(_, Defaults.Other, "")) }
+    }
+    Enrichment.classifyBatchWithRetry(other, Seq("x"), maxRetries = 2, retryOther = false)
+    assert(calls === 1) // title mode: Другое accepted first try
+    calls = 0
+    Enrichment.classifyBatchWithRetry(other, Seq("x"), maxRetries = 2, retryOther = true)
+    assert(calls === 3) // field mode: retried until budget exhausted
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("latest-K discovery: filter, lexicographic sort, take right (S4/O1/P1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
+    Seq("vacancies_001.csv", "vacancies_003.csv", "vacancies_002.csv", "notes.txt", "x.csv")
+      .foreach(f => java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, f), "id\n"))
+    // the len>10 guard is on the full path, matching the reference's check on
+    // full S3 keys (dag:82) — so short *names* under a long dir still qualify,
+    // and lexicographic order puts "x.csv" last
+    val got = graft.pipeline.Pipeline.discoverLatestCsvs(spark, dir, k = 2)
+    assert(got.map(_.split('/').last) === Seq("vacancies_003.csv", "x.csv"))
+    assert(!got.exists(_.endsWith("notes.txt")))
+    val all = graft.pipeline.Pipeline.discoverLatestCsvs(spark, dir, k = 10)
+    assert(all.map(_.split('/').last) ===
+      Seq("vacancies_001.csv", "vacancies_002.csv", "vacancies_003.csv", "x.csv"))
+  }
+
+  test("pipeline CSV sink round-trips (S5)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val df = graft.pipeline.Pipeline.pipelineQuery(spark, sf)
+    graft.pipeline.Pipeline.writeCsv(df.limit(10), out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === 10)
+    assert(back.columns.contains("normalized_title"))
+  }
+}
+
+class ExtensionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("prefix-filtered Jaccard join equals brute force (lossless filter)") {
+    val smart = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+    val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+        size(array_union(col("a.ws"), col("b.ws"))))
+      .filter(col("j") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smart === brute)
+  }
+
+  test("LSH near-dup is a high-recall subset of the exact join") {
+    val exact = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.lshNearDupPairs(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, "LSH must not invent pairs (precision exact)")
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("native dot kernel equals the higher-order-function fold bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val diff = e.select(
+        graft.functions.VectorFunctions.dotp(col("embedding"), col("embedding")).as("k"),
+        aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff === 0)
+  }
+
+  test("kNN self-consistency: query's own label among top neighbours' labels") {
+    val top = SimilarityOps.knnBruteForce(spark, sf, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.map(_.getDouble(2)).toSeq === top.map(_.getDouble(2)).toSeq.sorted.reverse)
+  }
+
+  test("streaming hourly aggregation equals the batch plan") {
+    val stream = graft.streaming.EventsStream.hourlyByTypeStreaming(spark, sf)
+    val batch = EventOps.hourlyByType(spark, sf)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("simhash of near-identical word sets has small hamming distance") {
+    val sh = DedupOps.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupPair = DedupOps.nearDupJaccard(spark, sf, 0.99).collect().headOption
+    dupPair.foreach { r =>
+      val d = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      assert(d <= 4, s"hamming $d too large for J>=0.99 pair")
+    }
+  }
+}
