@@ -74,6 +74,8 @@ object SparkEntry {
     "q45_ann_buckets"       -> ((s, d) => SimilarityOps.annBuckets(s, d)),   // rows-check
     // -- multimodal columns (north star) --------------------------------------
     "q44_media_features"    -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
+    // -- safe JSON parse chain (F4-F6) ----------------------------------------
+    "q46_safe_json_chain"   -> ((s, d) => EventOps.safeJsonChain(s, d)),
     // -- structured streaming (G3) --------------------------------------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
   )
@@ -174,6 +176,11 @@ object SparkEntry {
     "q22_pipeline_e2e" -> graft.pipeline.Pipeline.pipelineOracleSql,
   ) ++ TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     MultimodalOps.oracle ++ Map(
+    "q46_safe_json_chain" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(2 * count(*) AS BIGINT) AS n_parsed,
+        | CAST(2 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
   )
 }

@@ -1,0 +1,65 @@
+package graft.enrich
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Production classifier shape: batched HTTP completion calls against an
+  * LLM endpoint, mirroring the reference's YandexGPT integration
+  * (dag/vacancy_pipline_gpt_rerty.py:224-240: POST completion API,
+  * temperature 0.3, maxTokens 4000, 60 s timeout; batch prompt at :185-219).
+  *
+  * Compiled but never exercised in this environment (zero egress — SURVEY.md
+  * §7.1); the deterministic [[RuleBasedClassifier]] stands in everywhere
+  * results are verified. Kept because the engine's public surface must let a
+  * reference user switch over: they configure endpoint+model+apiKey and the
+  * whole retry/guard/map-back machinery in [[Enrichment]] is unchanged —
+  * classifier choice is orthogonal to the plan.
+  *
+  * Prompt building is the reference's F3 join-with-separator over the batch
+  * (dag:185, :488); reply parsing is [[SafeJsonParse.parseScala]] (F4-F6).
+  */
+final case class HttpClassifierConfig(
+    endpoint: String,
+    model: String,
+    apiKey: String,
+    temperature: Double = 0.3,
+    maxTokens: Int = 4000,
+    timeoutSeconds: Int = 60,
+    promptHeader: String = "Classify each item; reply ONLY with a JSON array of " +
+      "{\"original\":…, \"category\":…, \"specialization\":…}.")
+
+final class HttpClassifier(cfg: HttpClassifierConfig) extends Classifier {
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(cfg.timeoutSeconds)).build()
+
+  /** F3: the batch travels as one joined prompt (', '-separated, dag:185). */
+  private[enrich] def buildPrompt(batch: Seq[String]): String =
+    s"${cfg.promptHeader}\nItems: ${batch.mkString(", ")}"
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  private[enrich] def buildBody(batch: Seq[String]): String =
+    s"""{"modelUri":"${esc(cfg.model)}",
+       |"completionOptions":{"stream":false,"temperature":${cfg.temperature},"maxTokens":"${cfg.maxTokens}"},
+       |"messages":[{"role":"user","text":"${esc(buildPrompt(batch))}"}]}""".stripMargin
+
+  override def classify(batch: Seq[String]): Seq[Classified] = {
+    val req = HttpRequest.newBuilder(URI.create(cfg.endpoint))
+      .timeout(Duration.ofSeconds(cfg.timeoutSeconds))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Api-Key ${cfg.apiKey}")
+      .POST(HttpRequest.BodyPublishers.ofString(buildBody(batch)))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // Non-2xx or junk → Nil; Enrichment's retry/stub layer handles it
+    // (dag:302-307 treats transport errors as an empty reply).
+    if (resp.statusCode() / 100 != 2) Nil
+    else SafeJsonParse.parseScala(resp.body())
+  }
+}

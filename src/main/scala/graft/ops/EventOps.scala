@@ -54,6 +54,27 @@ object EventOps {
         date_trunc("minute", max(col("ts"))).as("last_minute"))
       .orderBy(col("user_id"))
 
+  /** The reference's safe-JSON-parse chain (F4→F5→F6) exercised in-plan:
+    * deterministically junk-wrap each row's `props` the way LLM replies come
+    * back (markdown fence + `json` tag + a two-element array), then recover
+    * through [[graft.enrich.SafeJsonParse.parsedArray]] and aggregate the
+    * parsed structs. Parsed counts/sums are exactly 2× the clean values —
+    * the oracle checks the parser did real work, not an identity pass.
+    */
+  def safeJsonChain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(StructField("k", LongType))))
+    val junk = concat(lit("```json\n[ "), col("props"), lit(" , "), col("props"), lit(" ]\n```"))
+    Tables.events(spark, dir)
+      .withColumn("parsed", graft.enrich.SafeJsonParse.parsedArray(junk, schema))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(size(col("parsed"))).cast("long").as("n_parsed"),
+        sum(aggregate(col("parsed"), lit(0L), (acc, s) => acc + s.getField("k"))).cast("long").as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sessionization-style window: for each user, order events by time and
     * count session starts (gap > 30 min from previous event). `lag` over a
     * per-user window; the minute-truncated gap keeps oracle parity.
