@@ -95,21 +95,30 @@ object DedupOps {
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
 
     val prefixLen = (floor(col("sz") * (1.0 - threshold)) + 1).cast("int")
-    val prefixes = ids.select(col("doc_id"), explode(slice(col("ws"), lit(1), prefixLen)).as("tok"))
+    val prefixes = ids.select(col("doc_id"), col("sz"),
+      explode(slice(col("ws"), lit(1), prefixLen)).as("tok"))
 
-    // candidate pairs share >=1 prefix token (lossless for J >= t); verify exactly
-    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("tok"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    // Candidate pairs share >=1 prefix token (lossless for J >= t), with the
+    // PPJoin length filter applied at the join: J >= t forces
+    // t·|B| <= |A| <= |B|/t, pruning size-mismatched pairs before any work.
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+          && col("a.sz") >= col("b.sz") * threshold
+          && col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
 
+    // Verify FIRST (cheap codegen kernel on broadcast-joined arrays — no
+    // shuffle), dedupe the multiplicity only on the small passing set: a
+    // shared-k-prefix-tokens pair costs k kernel calls but avoids shuffling
+    // the full candidate multiset, which dominated the wall clock.
     val docA = ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
     val docB = ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
-    cands.join(docA, "doc_a").join(docB, "doc_b")
+    cands.join(broadcast(docA), "doc_a").join(broadcast(docB), "doc_b")
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
       .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -135,7 +144,12 @@ object DedupOps {
       .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"), sig.as("sig"))
       .withColumn("sz", size(col("ws")))
 
-    // 4 bands × 2 rows: band key = (band index, the 2 signature values)
+    // 4 bands × 2 rows: band key = (band index, the 2 signature values).
+    // Candidates stay SKINNY (two longs) through the band self-join; arrays
+    // attach afterwards via broadcast map-joins. An exactly-once-emission
+    // variant (per-band joins guarded by "earlier bands differ", arrays
+    // carried through the join) was measured 2× slower on this
+    // collision-dense data — array materialization at the join dominates.
     val banded = docs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(MinhashK / 2 - 1)),
           b => concat_ws("_", b, element_at(col("sig"), b * 2 + 1), element_at(col("sig"), b * 2 + 2)))).as("band"))
@@ -143,15 +157,18 @@ object DedupOps {
     val cands = banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
 
+    // verify-then-dedupe: at most 4 duplicate verifications per pair, and the
+    // kernel verify is cheaper than shuffling the candidate multiset for an
+    // early distinct
     val docA = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
     val docB = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
-    cands.join(docA, "doc_a").join(docB, "doc_b")
+    cands.join(broadcast(docA), "doc_a").join(broadcast(docB), "doc_b")
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
       .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
