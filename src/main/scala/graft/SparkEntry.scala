@@ -76,8 +76,9 @@ object SparkEntry {
     "q44_media_features"    -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     // -- safe JSON parse chain (F4-F6) ----------------------------------------
     "q46_safe_json_chain"   -> ((s, d) => EventOps.safeJsonChain(s, d)),
-    // -- structured streaming (G3) --------------------------------------------
+    // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
+    "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -182,5 +183,13 @@ object SparkEntry {
         | CAST(2 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
+    // stateful streaming must agree with the batch sessionization oracle
+    "q51_streaming_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, date_trunc('minute', ts) AS m,
+        |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -40,7 +40,7 @@ object EventsStream {
     * file per table, so stage a per-sf scratch directory containing (a copy
     * of) the events file — the shape a streaming ingest dir would have.
     */
-  private def stageStreamDir(spark: SparkSession, dir: String): String = {
+  private[streaming] def stageStreamDirShared(spark: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
     val base = sys.props("java.io.tmpdir") + s"/graft_stream_${math.abs(dir.hashCode)}"
     val conf = spark.sparkContext.hadoopConfiguration
@@ -59,7 +59,7 @@ object EventsStream {
 
     val stream = spark.readStream
       .schema(rawSchema)
-      .parquet(stageStreamDir(spark, dir))
+      .parquet(stageStreamDirShared(spark, dir))
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

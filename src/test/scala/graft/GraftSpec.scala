@@ -205,6 +205,13 @@ class ExtensionSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() === 0)
   }
 
+  test("stateful streaming sessionization (mapGroupsWithState) equals the batch window plan") {
+    val stream = graft.streaming.SessionStream.sessionsStreaming(spark, sf)
+    val batch = EventOps.sessionCounts(spark, sf)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
   test("simhash of near-identical word sets has small hamming distance") {
     val sh = DedupOps.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dupPair = DedupOps.nearDupJaccard(spark, sf, 0.99).collect().headOption
