@@ -76,6 +76,9 @@ object SparkEntry {
     "q44_media_features"    -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     // -- safe JSON parse chain (F4-F6) ----------------------------------------
     "q46_safe_json_chain"   -> ((s, d) => EventOps.safeJsonChain(s, d)),
+    // -- custom aggregate + skew technique ------------------------------------
+    "q47_topk_per_label"    -> ((s, d) => SimilarityOps.topkPerLabel(s, d)),
+    "q48_salted_agg"        -> ((s, d) => CoreOps.saltedAgg(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -182,6 +185,10 @@ object SparkEntry {
         | CAST(2 * count(*) AS BIGINT) AS n_parsed,
         | CAST(2 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_salted_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->

@@ -106,6 +106,8 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
   }
 
   /** Column API (requires [[register]] on the session first — the graft.ops

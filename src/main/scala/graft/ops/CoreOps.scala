@@ -241,6 +241,22 @@ object CoreOps {
   // Window functions beyond the reference (capability breadth)
   // ---------------------------------------------------------------------------
 
+  /** Skew-resilient two-phase aggregation: salt the group key, partially
+    * aggregate on (key, salt), then re-aggregate on the key. Result is
+    * identical to a plain groupBy (the oracle computes it that way) but a
+    * hot key's rows spread over `salt` buckets in the first shuffle — the
+    * manual counterpart of AQE skew handling, for aggregations AQE doesn't
+    * split. Exact decimal sums keep the two-phase total bit-identical.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(saltBuckets)))
+      .groupBy(col("o_orderpriority"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(dec(col("o_totalprice"))).as("s"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("cnt"), sum(col("s")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** Ranked-within-group: top-3 most expensive orders per priority via
     * row_number over a partitioned window (deterministic tie-break on key).
     */

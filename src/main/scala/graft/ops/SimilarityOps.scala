@@ -95,6 +95,27 @@ object SimilarityOps {
       .orderBy(col("bucket"))
   }
 
+  /** Top-k per group via the custom [[graft.functions.TopKByScore]]
+    * `TypedImperativeAggregate`: nearest neighbours of the query vector
+    * within each label, WITHOUT a full sort — each partition keeps a size-k
+    * buffer per group and partial-merges, vs row_number's shuffle-everything
+    * + sort-per-group (the oracle computes it that way; results match).
+    */
+  def topkPerLabel(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("label"), col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .groupBy(col("label"))
+      .agg(call_function("graft_topk", col("sim"), col("vec_id"), lit(k)).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("rank", "vec_id")))
+      .withColumn("rank", col("rank").cast("long") + 1)
+      .select(col("label"), col("rank"), col("vec_id"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** Per-label centroids (IVF coarse quantizer / class prototypes):
     * posexplode the vector, average per (label, dim). One shuffle on
     * (label, dim) — 640 cells regardless of N.
@@ -125,6 +146,13 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q47_topk_per_label" ->
+      s"""SELECT label, CAST(rn AS BIGINT) AS rank, vec_id FROM (
+         | SELECT e.label, e.vec_id,
+         |  row_number() OVER (PARTITION BY e.label ORDER BY round(${cosSql("e.embedding", "q.q_emb")}, 6) DESC, e.vec_id) AS rn
+         | FROM embeddings e, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+         | WHERE e.vec_id <> 0)
+         |WHERE rn <= 3 ORDER BY label, rank""".stripMargin,
     "q43_centroids" ->
       """SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) t(i)

@@ -205,6 +205,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() === 0)
   }
 
+  test("heap top-k aggregate equals row_number ranking; ties break by payload") {
+    import TestSpark.spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((1, 5.0, 10L), (1, 5.0, 11L), (1, 7.0, 12L), (1, 3.0, 13L), (2, 1.0, 20L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("score"), col("id"), lit(2)).as("top"))
+      .orderBy(col("g")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1))
+    // g=1: 7.0->12 first, then tie at 5.0 -> smaller payload 10; g=2: k>size -> all
+    assert(got.toSeq === Seq(1 -> Seq(12L, 10L), 2 -> Seq(20L)))
+  }
+
+  test("salted two-phase aggregation equals plain groupBy exactly") {
+    val salted = CoreOps.saltedAgg(spark, sf)
+    val plain = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("stateful streaming sessionization (mapGroupsWithState) equals the batch window plan") {
     val stream = graft.streaming.SessionStream.sessionsStreaming(spark, sf)
     val batch = EventOps.sessionCounts(spark, sf)
