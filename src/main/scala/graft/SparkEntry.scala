@@ -91,13 +91,13 @@ object SparkEntry {
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        | CAST(floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_qty,
+        | CAST(floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_priority_agg" ->
       """SELECT o_orderpriority, count(*) AS vacancy_count,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 0) AS avg_price
+        | CAST(floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) + 0.5) AS DOUBLE) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY vacancy_count DESC, o_orderpriority LIMIT 20""".stripMargin,
     "q03_revenue_by_nation" ->
       """SELECT n_name,
@@ -110,18 +110,18 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n_items DESC, n_name""".stripMargin,
     "q04_market_share" ->
       """SELECT o_orderpriority, vacancy_count,
-        | round(vacancy_count * CAST(100.0 AS DOUBLE) / sum(vacancy_count) OVER (), 1) AS market_share_pct
+        | CAST(floor((vacancy_count * CAST(100.0 AS DOUBLE) / sum(vacancy_count) OVER ()) * 10.0 + 0.5) AS DOUBLE) / 10.0 AS market_share_pct
         |FROM (SELECT o_orderpriority, count(*) AS vacancy_count FROM orders
         |      WHERE o_orderpriority NOT IN ('4-NOT SPECIFIED') GROUP BY 1)
         |ORDER BY vacancy_count DESC, o_orderpriority""".stripMargin,
     "q05_topk_brand_pct" ->
-      """SELECT p_brand, cnt, round(cnt * CAST(100.0 AS DOUBLE) / total, 1) AS pct
+      """SELECT p_brand, cnt, CAST(floor((cnt * CAST(100.0 AS DOUBLE) / total) * 10.0 + 0.5) AS DOUBLE) / 10.0 AS pct
         |FROM (SELECT p_brand, count(*) AS cnt, sum(count(*)) OVER () AS total FROM part GROUP BY 1)
         |ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin,
     "q06_conditional_rate" ->
       """SELECT o_orderstatus, count(*) AS total,
         | CAST(sum(CASE WHEN o_orderpriority NOT IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 ELSE 0 END) AS BIGINT) AS classified,
-        | round(sum(CASE WHEN o_orderpriority NOT IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 ELSE 0 END) * CAST(100.0 AS DOUBLE) / count(*), 1) AS success_rate_pct
+        | CAST(floor((sum(CASE WHEN o_orderpriority NOT IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 ELSE 0 END) * CAST(100.0 AS DOUBLE) / count(*)) * 10.0 + 0.5) AS DOUBLE) / 10.0 AS success_rate_pct
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q07_failing_examples" ->
       """SELECT p_partkey,
@@ -158,7 +158,7 @@ object SparkEntry {
     "q15_events_json" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * CAST(1.0 AS DOUBLE) / count(*), 4) AS avg_k
+        | CAST(floor((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * CAST(1.0 AS DOUBLE) / count(*)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_hourly_by_type" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

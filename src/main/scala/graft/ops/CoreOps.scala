@@ -40,7 +40,7 @@ object CoreOps {
     * same double division DuckDB performs, so results are bit-comparable.
     */
   private def avgOf(c: Column, s: Int): Column =
-    round(sum(dec(c)).cast("double") / count(lit(1)), s)
+    OracleMath.stableRound(sum(dec(c)).cast("double") / count(lit(1)), s)
 
   // ---------------------------------------------------------------------------
   // A1/A7-family aggregations
@@ -89,7 +89,7 @@ object CoreOps {
       .agg(count(lit(1)).as("vacancy_count"))
     counts
       .withColumn("market_share_pct",
-        round(col("vacancy_count") * lit(100.0) / sum(col("vacancy_count")).over(Window.partitionBy()), 1))
+        OracleMath.stableRound(col("vacancy_count") * lit(100.0) / sum(col("vacancy_count")).over(Window.partitionBy()), 1))
       .orderBy(desc("vacancy_count"), col("o_orderpriority"))
   }
 
@@ -101,7 +101,7 @@ object CoreOps {
     val counts = Tables.part(spark, dir)
       .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
     counts
-      .withColumn("pct", round(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 1))
+      .withColumn("pct", OracleMath.stableRound(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 1))
       .orderBy(desc("cnt"), col("p_brand"))
       .limit(10)
   }
@@ -115,7 +115,7 @@ object CoreOps {
       .agg(
         count(lit(1)).as("total"),
         sum(when(!col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), 1L).otherwise(0L)).as("classified"))
-      .withColumn("success_rate_pct", round(col("classified") * lit(100.0) / col("total"), 1))
+      .withColumn("success_rate_pct", OracleMath.stableRound(col("classified") * lit(100.0) / col("total"), 1))
       .orderBy(col("o_orderstatus"))
 
   /** A6: first-N failing examples with truncation+ellipsis (dag:424-432, F2).

@@ -94,7 +94,15 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
 
-    val prefixLen = (floor(col("sz") * (1.0 - threshold)) + 1).cast("int")
+    // EXACT integer arithmetic for the filter bounds — float forms are wrong
+    // at boundaries: 1-0.9 = 0.0999…8 makes floor(sz·0.1)+1 one too short for
+    // sz divisible by 10 (lossy prefix!), and sz >= 0.9·other fails for
+    // exactly-boundary pairs (18 >= 18.000000000000004). Found as 5 missing
+    // pairs vs the brute-force oracle at sf0.1. Threshold t = tNum/tDen;
+    // prefix length = sz - ceil(t·sz) + 1, length filter tDen·a >= tNum·b.
+    val tNum = math.round(threshold * 1000).toInt
+    val tDen = 1000
+    val prefixLen = (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1).cast("int")
     val prefixes = ids.select(col("doc_id"), col("sz"),
       explode(slice(col("ws"), lit(1), prefixLen)).as("tok"))
 
@@ -103,8 +111,8 @@ object DedupOps {
     // t·|B| <= |A| <= |B|/t, pruning size-mismatched pairs before any work.
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
-          && col("a.sz") >= col("b.sz") * threshold
-          && col("b.sz") >= col("a.sz") * threshold)
+          && col("a.sz") * tDen >= col("b.sz") * tNum
+          && col("b.sz") * tDen >= col("a.sz") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
 
     // Verify FIRST (cheap codegen kernel on broadcast-joined arrays — no
@@ -117,7 +125,7 @@ object DedupOps {
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
       .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -167,7 +175,7 @@ object DedupOps {
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
       .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -210,8 +218,8 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin
     },
     "q38_neardup_jaccard" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws)))", 4)} AS jaccard
         |FROM (SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) ws FROM documents) a
         |JOIN (SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) ws FROM documents) b
         |  ON a.doc_id < b.doc_id

@@ -50,7 +50,7 @@ object EnrichOps {
       categoryCol = "normalized_name")
     val counts = enriched.groupBy(col("normalized_name")).agg(count(lit(1)).as("cnt"))
     counts
-      .withColumn("pct", round(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 1))
+      .withColumn("pct", OracleMath.stableRound(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 1))
       .withColumn("is_success",
         !col("normalized_name").isin(Defaults.Unclassified, Defaults.NotSpecified, Defaults.Other))
       .orderBy(desc("cnt"), col("normalized_name"))
@@ -66,7 +66,7 @@ object EnrichOps {
          | ${Rules.partTypeCaseSql("p_type", spec = true)} AS specialization
          |FROM part ORDER BY p_partkey""".stripMargin,
     "q21_enrich_stats" ->
-      s"""SELECT normalized_name, cnt, round(cnt * CAST(100.0 AS DOUBLE) / total, 1) AS pct,
+      s"""SELECT normalized_name, cnt, ${graft.ops.OracleMath.stableRoundSql("cnt * CAST(100.0 AS DOUBLE) / total", 1)} AS pct,
          | normalized_name NOT IN ('${Defaults.Unclassified}','${Defaults.NotSpecified}','${Defaults.Other}') AS is_success
          |FROM (SELECT ${Rules.partNameCaseSql("p_name")} AS normalized_name, count(*) AS cnt,
          |       sum(count(*)) OVER () AS total

@@ -25,7 +25,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
-        round(sum(col("k")) * lit(1.0) / count(lit(1)), 4).as("avg_k"))
+        OracleMath.stableRound(sum(col("k")) * lit(1.0) / count(lit(1)), 4).as("avg_k"))
       .orderBy(col("event_type"))
 
   /** Tumbling-hour aggregation per event type (batch). One shuffle on

@@ -41,7 +41,7 @@ object SimilarityOps {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+        OracleMath.stableRound(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
@@ -66,7 +66,7 @@ object SimilarityOps {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .select(col("id_a"), col("id_b"), OracleMath.stableRound(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -107,7 +107,7 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0L)
-      .select(col("label"), col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .select(col("label"), col("vec_id"), OracleMath.stableRound(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
       .groupBy(col("label"))
       .agg(call_function("graft_topk", col("sim"), col("vec_id"), lit(k)).as("top"))
       .select(col("label"), posexplode(col("top")).as(Seq("rank", "vec_id")))
@@ -137,19 +137,19 @@ object SimilarityOps {
 
   def oracle: Map[String, String] = Map(
     "q41_knn_cosine" ->
-      s"""SELECT e.vec_id, e.label, round(${cosSql("e.embedding", "q.q_emb")}, 6) AS sim
+      s"""SELECT e.vec_id, e.label, ${OracleMath.stableRoundSql(cosSql("e.embedding", "q.q_emb"), 6)} AS sim
          |FROM embeddings e, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "q42_embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${OracleMath.stableRoundSql(cosSql("a.embedding", "b.embedding"), 6)} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q47_topk_per_label" ->
       s"""SELECT label, CAST(rn AS BIGINT) AS rank, vec_id FROM (
          | SELECT e.label, e.vec_id,
-         |  row_number() OVER (PARTITION BY e.label ORDER BY round(${cosSql("e.embedding", "q.q_emb")}, 6) DESC, e.vec_id) AS rn
+         |  row_number() OVER (PARTITION BY e.label ORDER BY ${OracleMath.stableRoundSql(cosSql("e.embedding", "q.q_emb"), 6)} DESC, e.vec_id) AS rn
          | FROM embeddings e, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
          | WHERE e.vec_id <> 0)
          |WHERE rn <= 3 ORDER BY label, rank""".stripMargin,

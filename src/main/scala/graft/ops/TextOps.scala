@@ -58,8 +58,8 @@ object TextOps {
         col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
         size(array_distinct(ws)).cast("long").as("n_distinct"),
-        round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"),
-        round(
+        OracleMath.stableRound(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"),
+        OracleMath.stableRound(
           aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _).cast("double") / size(ws),
           4).as("mean_wlen"))
       .orderBy(col("doc_id"))
@@ -97,8 +97,8 @@ object TextOps {
       .select(
         col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
-        round(swRatio, 4).as("stopword_ratio"),
-        round(
+        OracleMath.stableRound(swRatio, 4).as("stopword_ratio"),
+        OracleMath.stableRound(
           least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 + least(meanLen / 8.0, lit(1.0)) * 0.3,
           4).as("quality"))
       .orderBy(col("doc_id"))
@@ -131,11 +131,11 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "q30_token_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
-        | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
-        | round(CAST(list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(string_split(text,' ')), 4) AS mean_wlen
+        | ${OracleMath.stableRoundSql("CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))", 4)} AS ttr,
+        | ${OracleMath.stableRoundSql("CAST(list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(string_split(text,' '))", 4)} AS mean_wlen
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_lang_id" ->
       s"""SELECT doc_id, lang,
@@ -146,8 +146,8 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_quality_score" ->
       s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-         | round(sw / CAST(n_tok AS DOUBLE), 4) AS stopword_ratio,
-         | round(least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3, 4) AS quality
+         | ${OracleMath.stableRoundSql("sw / CAST(n_tok AS DOUBLE)", 4)} AS stopword_ratio,
+         | ${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS quality
          |FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
          |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
          |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
