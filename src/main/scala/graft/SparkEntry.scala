@@ -79,6 +79,11 @@ object SparkEntry {
     // -- custom aggregate + skew technique ------------------------------------
     "q47_topk_per_label"    -> ((s, d) => SimilarityOps.topkPerLabel(s, d)),
     "q48_salted_agg"        -> ((s, d) => CoreOps.saltedAgg(s, d)),
+    // -- breadth: percentiles, calendar, set ops, fuzzy matching --------------
+    "q52_quantiles"         -> ((s, d) => CoreOps.quantiles(s, d)),
+    "q53_fuzzy_pairs"       -> ((s, d) => DedupOps.fuzzyKeyPairs(s, d)),
+    "q54_monthly_orders"    -> ((s, d) => CoreOps.monthlyOrders(s, d)),
+    "q55_customer_set_ops"  -> ((s, d) => CoreOps.customerSetOps(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -189,6 +194,30 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_quantiles" ->
+      s"""SELECT l_returnflag,
+         | ${graft.ops.OracleMath.stableRoundSql("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty,
+         | ${graft.ops.OracleMath.stableRoundSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90_price,
+         | count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_fuzzy_pairs" ->
+      """SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM (SELECT DISTINCT p_name FROM part) a
+        |JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q54_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_customer_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->

@@ -241,6 +241,43 @@ object CoreOps {
   // Window functions beyond the reference (capability breadth)
   // ---------------------------------------------------------------------------
 
+  /** Interpolated percentiles (median / p90) per group — exact
+    * `percentile()` (sort-based within group); DuckDB's `quantile_cont` uses
+    * the same type-7 linear interpolation, and [[OracleMath.stableRound]]
+    * absorbs the one-ulp formula differences. At 100 TB the approximate
+    * sketch (`approx_percentile`, KLL/GK) replaces this; the exact form is
+    * the verifiable baseline.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        OracleMath.stableRound(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        OracleMath.stableRound(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Calendar aggregation: monthly order counts + exact revenue. The month
+    * column prunes date-partitioned parquet at scale.
+    */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+
+  /** Set operators (INTERSECT / EXCEPT) — absent from the reference but part
+    * of a complete relational surface: customers with both F- and O-status
+    * orders, minus those with P-status orders.
+    */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def byStatus(s: String) = o.filter(col("o_orderstatus") === s).select(col("o_custkey")).distinct()
+    byStatus("F").intersect(byStatus("O")).except(byStatus("P"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Skew-resilient two-phase aggregation: salt the group key, partially
     * aggregate on (key, salt), then re-aggregate on the key. Result is
     * identical to a plain groupBy (the oracle computes it that way) but a

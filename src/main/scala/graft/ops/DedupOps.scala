@@ -180,6 +180,23 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Fuzzy key matching: distinct-key pairs within a small edit distance —
+    * the typo-dedup cousin of the set-based near-dup joins (classic for
+    * normalizing user-entered titles before enrichment). Quadratic over
+    * *distinct keys* only (the reference's own distinct-first optimization
+    * keeps this tiny even when the fact table is 100 TB).
+    */
+  def fuzzyKeyPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** SimHash (16-bit) over the distinct word set: bit i of the fingerprint is
     * the sign of Σ_w (±1 by bit i of a scrambled word hash). Near-duplicates
     * land at small Hamming distance; the fingerprint is one long per doc so
