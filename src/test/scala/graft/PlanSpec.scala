@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality guards: the physical plans that make these operators scale
+  * are asserted, not just hoped for — a regression that turns a broadcast
+  * join into a shuffle join or loses parquet pushdown fails CI, not the
+  * 1000-executor cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts dimensions and pushes filters to parquet (q03)") {
+    val p = plan(CoreOps.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters"))
+  }
+
+  test("pricing summary is a partial+final hash aggregate (q01)") {
+    val p = plan(CoreOps.pricingSummary(spark, sf))
+    assert(p.split("HashAggregate").length - 1 >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("column pruning reaches the scan: single-column projection reads one column") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(Tables.lineitem(spark, sf).select(col("l_orderkey")))
+    val readSchema = p.split("ReadSchema: ")(1)
+    assert(readSchema.startsWith("struct<l_orderkey:bigint>"))
+  }
+
+  test("enrichment map-back is a broadcast join, not a shuffle join (q19)") {
+    val p = plan(EnrichOps.enrichPartNames(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semi join plans as LeftSemi (q12)") {
+    assert(plan(CoreOps.semiJoinOrders(spark, sf)).contains("LeftSemi"))
+  }
+
+  test("native kernels run inside whole-stage codegen (dotproduct in a *(n) stage)") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = SimilarityOps.knnBruteForce(spark, sf)
+    df.collect() // AQE: codegen markers only exist in the post-execution final plan
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct")))
+  }
+
+  test("exact similarity join attaches doc arrays via broadcast (q38)") {
+    val p = plan(DedupOps.nearDupJaccard(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
