@@ -84,6 +84,8 @@ object SparkEntry {
     "q53_fuzzy_pairs"       -> ((s, d) => DedupOps.fuzzyKeyPairs(s, d)),
     "q54_monthly_orders"    -> ((s, d) => CoreOps.monthlyOrders(s, d)),
     "q55_customer_set_ops"  -> ((s, d) => CoreOps.customerSetOps(s, d)),
+    "q56_ivf_assign"        -> ((s, d) => SimilarityOps.ivfAssign(s, d)),
+    "q57_subword_tokens"    -> ((s, d) => TextOps.subwordTokens(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),

@@ -38,6 +38,14 @@ object VectorKernels {
     acc
   }
 
+  /** dot(double[], double[]) — centroid-vs-centroid etc. */
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** |A ∩ B| for two ascending-sorted int arrays (set semantics). */
   def intersectSizeSortedInt(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -64,14 +72,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   private lazy val kernel: String =
     (elemType(left), elemType(right)) match {
-      case (FloatType, FloatType)  => "dotFF"
-      case (FloatType, DoubleType) => "dotFD"
+      case (FloatType, FloatType)   => "dotFF"
+      case (FloatType, DoubleType)  => "dotFD"
+      case (DoubleType, DoubleType) => "dotDD"
       case (l, r) => throw new IllegalArgumentException(s"DotProduct: unsupported ($l, $r)")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = kernel match {
     case "dotFF" => VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     case "dotFD" => VectorKernels.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "dotDD" => VectorKernels.dotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -127,6 +127,40 @@ object SimilarityOps {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  /** IVF-style coarse assignment: each vector goes to its highest-cosine
+    * label centroid. The centroid table is tiny (10 rows) and broadcast; the
+    * per-vector argmax is a window over 10 candidate rows — this is the
+    * partition-then-search-within-cell structure that makes ANN sub-linear
+    * at 100 TB (probe only the assigned cell ± neighbors). Output also
+    * scores the assignment against the true label.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("c_label"), col("dim"))
+      // stable-round the centroid components: Spark's parallel avg and the
+      // oracle's sequential avg differ in last ulps; rounding at 1e-8 makes
+      // every downstream sim computation start from identical doubles
+      .agg(OracleMath.stableRound(avg(col("v").cast("double")), 8).as("cv"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+
+    val scored = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        OracleMath.stableRound(cosine(col("embedding"), col("centroid")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("sim"), col("c_label"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("assigned"), col("label"),
+        (col("c_label") === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   private def cosSql(a: String, b: String): String = {
@@ -157,5 +191,20 @@ object SimilarityOps {
       """SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "q56_ivf_assign" ->
+      s"""WITH cent AS (
+         |  SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
+         |    SELECT label AS c_label, i - 1 AS dim,
+         |      ${OracleMath.stableRoundSql("avg(CAST(embedding[i] AS DOUBLE))", 8)} AS cv
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, c.c_label,
+         |    ${OracleMath.stableRoundSql(cosSql("e.embedding", "c.centroid"), 6)} AS sim
+         |  FROM embeddings e, cent c)
+         |SELECT vec_id, c_label AS assigned, label, c_label = label AS correct FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+         |  FROM scored)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

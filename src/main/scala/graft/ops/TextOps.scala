@@ -116,6 +116,17 @@ object TextOps {
         aggregate(words(col("text")), lit(0L), (acc, w) => (acc * 131 + wordHash(w)) % P).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Subword token counting (BPE-ish): vowel-group chunks via a regex —
+    * the cheap deterministic stand-in for a learned BPE vocabulary, giving
+    * a per-document "LLM token" estimate alongside the whitespace count.
+    */
+  def subwordTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[^aeiou ]*[aeiou]+")).cast("long").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
   /** Term frequency across the corpus: explode → count. The one genuinely
     * shuffling text op (partial-agg map-side; ~vocabulary-size result).
     */
@@ -161,5 +172,10 @@ object TextOps {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q57_subword_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[^aeiou ]*[aeiou]+')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
