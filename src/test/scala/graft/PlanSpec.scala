@@ -54,4 +54,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(DedupOps.nearDupJaccard(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
+    import org.apache.spark.sql.functions.col
+    Bucketing.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "lo_key"),
+      "lineitem_b", "lo_key", 4)
+    // force SMJ so the assertion is about bucketing, not broadcast; plan must
+    // be materialized inside the conf window (it's resolved lazily)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p =
+      try Bucketing.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey", "lo_key")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p.take(800))
+  }
 }
