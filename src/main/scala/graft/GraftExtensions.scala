@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectOptimizerRule(_ => graft.functions.IntersectKernelRule)
   }
 }

@@ -118,6 +118,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_intersect_size", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
+    // idempotently install the kernel-rewrite optimizer rule
+    if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectKernelRule
   }
 
   /** Column API (requires [[register]] on the session first — the graft.ops

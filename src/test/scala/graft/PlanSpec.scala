@@ -55,8 +55,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("optimizer rule rewrites built-in intersect-count to the kernel, same results") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    // parquet-backed so ConvertToLocalRelation can't constant-fold the plan away
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule").toString
+    Seq((Seq(3, 1, 2, 2), Seq(2, 3, 5)), (Seq(7, 8), Seq(9))).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).orderBy(size(col("x")).desc)
+    val rewritten = df.select(
+      size(array_intersect(
+        sort_array(array_distinct(col("x"))), sort_array(array_distinct(col("y"))))).as("n"))
+    assert(rewritten.queryExecution.executedPlan.toString.toLowerCase.contains("sortedintersectsize"),
+      "rule should fire on the guarded pattern")
+    assert(rewritten.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
+    // guard: unsorted inputs must NOT be rewritten (duplicates/order unsafe)
+    val untouched = df.select(size(array_intersect(col("x"), col("y"))).as("n"))
+    assert(!untouched.queryExecution.executedPlan.toString.toLowerCase.contains("sortedintersectsize"))
+    assert(untouched.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
+    // stale warehouse dirs from a previous JVM collide with the fresh
+    // in-memory catalog — clear locations before writing
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Bucketing.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
     Bucketing.writeBucketed(
       Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "lo_key"),
