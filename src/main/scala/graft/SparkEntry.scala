@@ -86,6 +86,8 @@ object SparkEntry {
     "q55_customer_set_ops"  -> ((s, d) => CoreOps.customerSetOps(s, d)),
     "q56_ivf_assign"        -> ((s, d) => SimilarityOps.ivfAssign(s, d)),
     "q57_subword_tokens"    -> ((s, d) => TextOps.subwordTokens(s, d)),
+    "q58_stats_agg"         -> ((s, d) => CoreOps.statsAgg(s, d)),
+    "q59_simhash_neardup"   -> ((s, d) => DedupOps.simhashNearDup(s, d)), // rows-check (bit sketch)
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -220,6 +222,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
+    "q58_stats_agg" ->
+      s"""SELECT l_returnflag,
+         | ${graft.ops.OracleMath.stableRoundSql("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,
+         | ${graft.ops.OracleMath.stableRoundSql("stddev_samp(l_discount)", 6)} AS discount_stddev,
+         | count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->

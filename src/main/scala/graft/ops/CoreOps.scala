@@ -241,6 +241,19 @@ object CoreOps {
   // Window functions beyond the reference (capability breadth)
   // ---------------------------------------------------------------------------
 
+  /** Statistical aggregates: Pearson correlation and sample stddev per
+    * group. Both engines accumulate in doubles with different orders, so the
+    * drift (~1e-12 relative) is absorbed by stable rounding at 1e-6.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        OracleMath.stableRound(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        OracleMath.stableRound(stddev_samp(col("l_discount")), 6).as("discount_stddev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Interpolated percentiles (median / p90) per group — exact
     * `percentile()` (sort-based within group); DuckDB's `quantile_cont` uses
     * the same type-7 linear interpolation, and [[OracleMath.stableRound]]

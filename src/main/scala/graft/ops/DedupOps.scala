@@ -214,6 +214,31 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs via bit-band blocking: split the 16-bit
+    * fingerprint into 4 nibbles; pairs within Hamming distance ≤ 3 must agree
+    * on at least one nibble (pigeonhole — lossless blocking), so candidates
+    * come from 4 nibble-bucket self-joins, then exact popcount verification.
+    * The whole pipeline runs on one long per doc — the cheapest near-dup
+    * operator at 100 TB (no arrays shuffled at all). Rows-check (bit-level
+    * sketch, no SQL twin).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir) // (doc_id, simhash)
+    val nibbled = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        concat_ws("_", lit(i), shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xFL)))): _*)).as("nib"))
+    val cands = nibbled.as("a").join(nibbled.as("b"), Seq("nib"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    cands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
