@@ -224,18 +224,25 @@ object DedupOps {
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(spark, dir) // (doc_id, simhash)
-    val nibbled = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        concat_ws("_", lit(i), shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xFL)))): _*)).as("nib"))
-    val cands = nibbled.as("a").join(nibbled.as("b"), Seq("nib"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-    cands
+    def nib(c: Column, i: Int): Column = shiftright(c, i * 4).bitwiseAND(lit(0xFL))
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    // Exactly-once emission: join per nibble index k with the static guard
+    // "all earlier nibbles differ" — works here (unlike the MinHash band
+    // join, where it measured 2x slower) because candidate rows are two
+    // longs, so no array materialization cost and no dedup shuffle at all.
+    val perNib = (0 until 4).map { k =>
+      val earlierDiffer = (0 until k)
+        .map(i => nib(col("sh_a"), i) =!= nib(col("sh_b"), i))
+        .foldLeft(lit(true))(_ && _)
+      a.join(broadcast(b),
+        nib(col("sh_a"), k) === nib(col("sh_b"), k)
+          && col("doc_a") < col("doc_b") && earlierDiffer)
+    }
+    perNib.reduce(_ unionByName _)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
