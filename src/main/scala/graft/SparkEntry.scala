@@ -88,6 +88,7 @@ object SparkEntry {
     "q57_subword_tokens"    -> ((s, d) => TextOps.subwordTokens(s, d)),
     "q58_stats_agg"         -> ((s, d) => CoreOps.statsAgg(s, d)),
     "q59_simhash_neardup"   -> ((s, d) => DedupOps.simhashNearDup(s, d)), // rows-check (bit sketch)
+    "q60_json_roundtrip"    -> ((s, d) => EventOps.jsonRoundTrip(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -222,6 +223,10 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
+    "q60_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_stats_agg" ->
       s"""SELECT l_returnflag,
          | ${graft.ops.OracleMath.stableRoundSql("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,

@@ -75,6 +75,35 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** JSON-lines source/sink round trip: stage the events table as
+    * newline-delimited JSON (the third format besides parquet and CSV), read
+    * it back with an explicit schema, aggregate. Staged once per sf dir;
+    * the oracle runs on the original parquet — matching proves the format
+    * round trip is lossless for the projected columns.
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = sys.props("java.io.tmpdir") + s"/graft_json_${math.abs(dir.hashCode)}"
+    val done = new Path(base + "/_STAGED")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(base + "/events_json")
+      fs.createNewFile(done)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.read.schema(schema).json(base + "/events_json")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sessionization-style window: for each user, order events by time and
     * count session starts (gap > 30 min from previous event). `lag` over a
     * per-user window; the minute-truncated gap keeps oracle parity.
