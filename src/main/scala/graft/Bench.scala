@@ -10,14 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (driver never sets it): SPARK_GRAFT_ONLY=q38,q59
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
+      case None        => SparkEntry.queries
+    }
+    // sorted execution: deterministic per-query attribution (q01 takes the
+    // one-time session warmup, not whichever key hashes first)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

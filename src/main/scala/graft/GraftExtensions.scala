@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
     e.injectOptimizerRule(_ => graft.functions.IntersectKernelRule)
+    // whole-operator extension (SURVEY §7.4 path c): AS-OF join strategy
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scratch main for timing experiments (not part of the driver
+  * contract; Bench/Verify are the real entry points).
+  */
+object Probe {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption.getOrElse("all") match {
+      case q => Steps.run(spark, sfDir, q)
+    }
+    spark.stop()
+  }
+}
+
+/** Editable playground — keep experiments here. */
+object Steps {
+  import org.apache.spark.sql.functions._
+  import Probe.time
+
+  def run(spark: SparkSession, dir: String, what: String): Unit = what match {
+    case "q38" =>
+      time("q38 full")(ops.DedupOps.nearDupJaccard(spark, dir).count())
+    case "q39" =>
+      time("q39 full")(ops.DedupOps.lshNearDupPairs(spark, dir).count())
+    case "q39parts" =>
+      graft.functions.VectorFunctions.register(spark)
+      import graft.functions.VectorFunctions.minhashSigs
+      import ops.TextFunctions._
+      import ops.DedupOps.{LshBands, LshRows}
+      val hs = wordSetHashes(col("text"))
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"),
+          minhashSigs(hs, LshBands * LshRows).as("sig"))
+        .withColumn("sz", size(col("ws")))
+      time("docs+sigs")(docs.count())
+      val banded = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * LshRows + 1, lit(LshRows))))).as("band"))
+      time("banded")(banded.count())
+      val cands = banded.as("a").join(banded.as("b"), Seq("band"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      time("cands")(println("n_cands=" + cands.count()))
+      time("q39 full")(ops.DedupOps.lshNearDupPairs(spark, dir).count())
+    case "q38parts" =>
+      import ops.TextFunctions._
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
+      val vocab = time("vocab collect")(
+        docs.select(explode(col("ws0")).as("word")).distinct()
+          .collect().map(_.getString(0)).sorted)
+      val bitMap = map(vocab.zipWithIndex.flatMap {
+        case (w, i) => Seq(lit(w), lit(1L << i))
+      }: _*)
+      val masks = docs.select(col("doc_id"),
+        aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
+          lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"))
+      time("masks")(masks.count())
+      val groups = masks.groupBy(col("mask"))
+        .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      time("groups")(groups.count())
+      val par = spark.sparkContext.defaultParallelism
+      val a = groups.repartition(par)
+        .select(col("mask").as("mask_a"), col("ids").as("ids_a"))
+      val b = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
+      val j = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+        bit_count(col("mask_a").bitwiseOR(col("mask_b")))
+      val crossG = a.join(broadcast(b), col("mask_a") < col("mask_b") && j >= lit(0.9))
+      time("cross group pairs")(println("n=" + crossG.count()))
+      val crossPairs = crossG
+        .select(col("ids_a"), col("ids_b"), j.as("j"))
+        .select(explode(col("ids_a")).as("x"), col("ids_b"), col("j"))
+        .select(col("x"), explode(col("ids_b")).as("y"), col("j"))
+      time("expanded")(println("n=" + crossPairs.count()))
+      time("q38 full")(ops.DedupOps.nearDupJaccard(spark, dir).count())
+      time("q38 again")(ops.DedupOps.nearDupJaccard(spark, dir).count())
+    case "asof" =>
+      val df = ops.EventOps.asofAttribution(spark, dir)
+      df.explain("formatted")
+      println("rows=" + df.count())
+      df.show(5, false)
+    case "all" =>
+      time("q38")(ops.DedupOps.nearDupJaccard(spark, dir).count())
+      time("q39")(ops.DedupOps.lshNearDupPairs(spark, dir).count())
+      time("q59")(ops.DedupOps.simhashNearDup(spark, dir).count())
+  }
+}

@@ -89,6 +89,12 @@ object SparkEntry {
     "q58_stats_agg"         -> ((s, d) => CoreOps.statsAgg(s, d)),
     "q59_simhash_neardup"   -> ((s, d) => DedupOps.simhashNearDup(s, d)), // rows-check (bit sketch)
     "q60_json_roundtrip"    -> ((s, d) => EventOps.jsonRoundTrip(s, d)),
+    // -- custom whole-operator path: LogicalPlan + Strategy + SparkPlan ------
+    "q61_asof_join"         -> ((s, d) => EventOps.asofAttribution(s, d)),
+    // -- breadth: pivot, running windows, interval range join -----------------
+    "q62_pivot_counts"      -> ((s, d) => CoreOps.pivotCounts(s, d)),
+    "q63_running_window"    -> ((s, d) => CoreOps.runningCustomerSpend(s, d)),
+    "q64_range_join_months" -> ((s, d) => CoreOps.rangeJoinMonthly(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -227,6 +233,34 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_pivot_counts" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER w AS BIGINT) AS seq,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+        | coalesce(CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE), 0.0) AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
+    "q64_range_join_months" ->
+      """SELECT m AS month, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
+        |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB has a native ASOF JOIN — a rare direct oracle for a custom op
+    "q61_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS click_id,
+        | date_diff('second', v.ts, p.ts) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q58_stats_agg" ->
       s"""SELECT l_returnflag,
          | ${graft.ops.OracleMath.stableRoundSql("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,

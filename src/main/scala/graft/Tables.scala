@@ -34,7 +34,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = p(spark, dir, "events")
-    // nanos since epoch (long) -> micros -> TimestampType
-    raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    // nanos since epoch (long) -> micros -> TimestampType. Integer DIV, not
+    // `/`: Spark's `/` on longs is double division, and 2024-epoch nanos
+    // (~1.7e18) exceed double's 53-bit mantissa — truncating the quotient
+    // can land up to ~256 ns off, i.e. occasionally in the WRONG microsecond,
+    // which breaks raw-ts comparisons against engines that truncate exactly.
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
   }
 }

@@ -118,6 +118,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_intersect_size", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sigs",
+      exprs => MinhashSigs(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     // idempotently install the kernel-rewrite optimizer rule
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
       spark.experimental.extraOptimizations =
@@ -131,4 +135,9 @@ object VectorFunctions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_intersect_size", a, b)
+
+  def simhash64(hashes: Column): Column = call_function("graft_simhash64", hashes)
+
+  def minhashSigs(hashes: Column, k: Int): Column =
+    call_function("graft_minhash_sigs", hashes, org.apache.spark.sql.functions.lit(k))
 }

@@ -319,4 +319,61 @@ object CoreOps {
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rk"))
   }
+
+  /** Pivot (cross-tab): order counts by priority × status, statuses as
+    * columns. One shuffle on the group key; the pivot value list is explicit
+    * so no extra distinct-values job runs. Empty cells coalesce to 0, the
+    * relational (conditional-count) semantics the oracle uses.
+    */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Running-window suite per customer: sequence number, cumulative spend,
+    * previous order price — row_number / sum / lag over one partitioned
+    * ordered window (single shuffle on the partition key; unique (date, key)
+    * ordering makes RANGE and ROWS frames agree, so both engines' default
+    * frames match). Money folds through exact decimals.
+    */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("seq"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+        coalesce(lag(dec(col("o_totalprice")), 1).over(w).cast("double"), lit(0.0)).as("prev_price"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  /** Range join against a generated month dimension: each order lands in the
+    * month interval containing its date. A true non-equi interval join —
+    * planned as a broadcast nested-loop against the tiny dimension, the
+    * scalable shape (fact side never shuffles; at 100 TB the same plan holds
+    * with the dimension broadcast to every executor). Results equal the
+    * date_trunc formulation (q54) by construction.
+    */
+  def rangeJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val months = spark.range(0, 80) // 1995-01 … 2001-08 covers the data
+      .select(add_months(to_date(lit("1995-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("month"), // timestamp: exact dtype parity with the oracle
+        add_months(to_date(lit("1995-01-01")), col("id").cast("int") + 1)
+          .cast("timestamp").as("month_end")) // precomputed: the nested-loop
+    // condition evaluates per (row × interval) — keep it to two comparisons
+    // on materialized dimension columns, no date arithmetic in the hot loop
+    Tables.orders(spark, dir)
+      .join(broadcast(months),
+        col("o_orderdate") >= col("month") && col("o_orderdate") < col("month_end"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
 }

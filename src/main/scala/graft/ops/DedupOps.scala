@@ -60,19 +60,97 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** EXACT near-duplicate pairs with word-set Jaccard ≥ `threshold`, via
-    * prefix filtering: order the vocabulary rarest-first (global term counts,
-    * ties by word), keep each document's first ⌊(1−t)·|set|⌋+1 tokens in that
-    * order as its *prefix*; any pair with J ≥ t must share a prefix token
-    * (lossless filter), so candidates come from a token-bucket self-join on
-    * prefixes only, then exact Jaccard verification. This is the scalable
-    * exact path; the oracle brute-forces all pairs.
+  /** EXACT near-duplicate pairs with word-set Jaccard ≥ `threshold`.
+    *
+    * Adaptive, statistics-driven physical choice (the word dictionary is
+    * computed for the prefix ordering anyway — its cardinality is free):
+    *
+    *  - **Dense-domain path** (vocabulary ≤ 64): dictionary-encode each word
+    *    set as ONE 64-bit mask; group identical masks; all-pairs join over
+    *    the distinct masks with a codegen `bit_count` Jaccard in the join
+    *    condition; expand group pairs back to doc pairs. Verification is two
+    *    popcounts on a long — no arrays are ever shuffled, and collapsing
+    *    identical sets first removes the duplicate-heavy corpus's quadratic
+    *    re-verification entirely. This is the bitmap-index/dictionary-encode
+    *    trick classical engines apply when a column's domain is tiny.
+    *  - **General path** (`forceGeneral` or vocabulary > 64): PPJoin-style
+    *    prefix filtering (lossless for J ≥ t), the 100 TB path when the
+    *    vocabulary is web-scale. See [[nearDupJaccardGeneral]].
+    *
+    * Both paths return identical results (spec-checked against brute force
+    * and against each other); the oracle brute-forces all pairs.
     */
-  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    import graft.functions.VectorFunctions.sortedIntersectSize
+  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                     forceGeneral: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
+    val vocab = docs.select(explode(col("ws0")).as("word")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (!forceGeneral && vocab.length <= 64) nearDupJaccardMask(docs, vocab, threshold)
+    else nearDupJaccardGeneral(spark, docs, threshold)
+  }
+
+  /** Dense-domain exact path: word sets as single-long bitmasks (vocabulary
+    * ≤ 64), identical-set grouping, popcount Jaccard over distinct masks.
+    */
+  private def nearDupJaccardMask(docs: DataFrame, vocab: Array[String],
+                                 threshold: Double): DataFrame = {
+    // dictionary as a literal map word → bit value (1L << index); the mask is
+    // an order-independent OR-fold, so no sort and no shuffle to build it
+    val bitMap = map(vocab.zipWithIndex.flatMap {
+      case (w, i) => Seq(lit(w), lit(1L << i))
+    }: _*)
+    val masks = docs.select(col("doc_id"),
+      aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"))
+    val groups = masks.groupBy(col("mask"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+
+    // all-pairs over DISTINCT masks only; Jaccard inline in the join
+    // condition (AND/OR + two popcounts, codegen) — the double division
+    // mirrors the oracle's CAST(len AS DOUBLE)/len compare exactly.
+    // The stream side is explicitly repartitioned: its shuffle output is a
+    // few KB, so AQE would coalesce it to ONE partition and run the
+    // quadratic nested-loop probe single-threaded; an explicit numbered
+    // repartition pins the parallelism (rows are the unit of quadratic work
+    // here, not bytes).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = groups.repartition(par)
+      .select(col("mask").as("mask_a"), col("ids").as("ids_a"))
+    val b = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
+    val j = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+      bit_count(col("mask_a").bitwiseOR(col("mask_b")))
+    val crossPairs = a.join(broadcast(b),
+        col("mask_a") < col("mask_b") && j >= lit(threshold))
+      .select(col("ids_a"), col("ids_b"), j.as("j"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("j"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("j"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("j"))
+
+    // identical-set groups contribute their internal pairs at J = 1 exactly
+    val withinPairs = groups.filter(col("n") > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1.0).as("j"))
+
+    crossPairs.unionByName(withinPairs)
+      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** General-vocabulary exact path: PPJoin prefix filtering: order the
+    * vocabulary rarest-first (global term counts, ties by word), keep each
+    * document's first ⌊(1−t)·|set|⌋+1 tokens in that order as its *prefix*;
+    * any pair with J ≥ t must share a prefix token (lossless filter), so
+    * candidates come from a token-bucket self-join on prefixes only, then
+    * exact Jaccard verification.
+    */
+  private def nearDupJaccardGeneral(spark: SparkSession, docs: DataFrame,
+                                    threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.sortedIntersectSize
 
     // Global rarity rank of every word (vocabulary-sized → broadcast). The
     // rank doubles as an integer token id: the verify step then merges sorted
@@ -130,45 +208,107 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Approximate near-dup pairs via MinHash-LSH banding (4 bands × 2 rows
-    * over the k=8 signature) + exact Jaccard verification of candidates.
-    * Same output shape as [[nearDupJaccard]] but the candidate set comes
-    * from band-bucket collisions (shuffle on band keys) — the 100 TB path
-    * when even prefix-filtered joins run hot. Approximate recall ⇒ no SQL
-    * oracle (driver rows-check); precision is exact because candidates are
-    * re-verified against true Jaccard.
+  /** LSH banding parameters for [[lshNearDupPairs]]: k = bands·rows MinHash
+    * permutations, 4 bands × 4 rows. More rows per band than the classic
+    * (4×2) config because the collision probability per band is J^rows —
+    * rows=2 admits 83% of J=0.6 pairs per band (on a corpus whose pair mass
+    * sits at J 0.4-0.9 that is nearly all pairs, measured as the round-1
+    * bench hot spot), rows=4 admits 13% while keeping 1−(1−t^4)^4 ≈ 98.6%
+    * recall at t=0.9.
+    */
+  val LshBands = 4
+  val LshRows = 4
+
+  /** Approximate near-dup pairs via MinHash-LSH banding + exact Jaccard
+    * verification of candidates. Same output shape as [[nearDupJaccard]] but
+    * the candidate set comes from band-bucket collisions (shuffle on band
+    * keys) — the 100 TB path when even prefix-filtered joins run hot.
+    * Approximate recall ⇒ no SQL oracle (driver rows-check); precision is
+    * exact because candidates are re-verified against true Jaccard.
+    *
+    * Banding itself needs no corpus statistics (its 100 TB selling point);
+    * the engine still probes dictionary cardinality (one cheap distinct) to
+    * pick the *verifier* representation, exactly like [[nearDupJaccard]]:
+    * on a dense domain (≤ 64 words) the token set travels as ONE long
+    * bitmask through the band join and verification is two inline popcounts
+    * — no array attach joins, no fat candidate rows. On this corpus the
+    * banding admits 27.6M candidate pairs (the pair mass sits at J 0.4–0.9
+    * where the 4×4 S-curve is not sharp), so the per-candidate row cost is
+    * everything.
     */
   def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val docsRaw = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
+    val vocab = docsRaw.select(explode(col("ws0")).as("word")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (vocab.length <= 64) lshNearDupMask(docsRaw, vocab, threshold)
+    else lshNearDupGeneral(docsRaw, threshold)
+  }
+
+  /** Band-key column for [[lshNearDupPairs]]: one long per band —
+    * xxhash64(band index, the band's `rows` signature values). The k
+    * signature values come from ONE codegen pass over the word-hash array
+    * ([[graft.functions.MinhashSigs]] kernel) instead of k interpreted
+    * array_min∘transform scans.
+    */
+  private def bandKeys(hashes: Column): Column = {
+    import graft.functions.VectorFunctions.minhashSigs
+    val sig = minhashSigs(hashes, LshBands * LshRows)
+    transform(sequence(lit(0), lit(LshBands - 1)),
+      b => xxhash64(b, slice(sig, b * LshRows + 1, lit(LshRows))))
+  }
+
+  /** Dense-domain LSH path: candidates AND verification in one self-join —
+    * rows are (doc_id, mask, band), Jaccard is popcount arithmetic evaluated
+    * inline at the join, so the 27.6M-candidate multiset never materializes
+    * anything wider than three longs.
+    */
+  private def lshNearDupMask(docsRaw: DataFrame, vocab: Array[String],
+                             threshold: Double): DataFrame = {
+    val bitMap = map(vocab.zipWithIndex.flatMap {
+      case (w, i) => Seq(lit(w), lit(1L << i))
+    }: _*)
+    val banded = docsRaw.select(col("doc_id"),
+      aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"),
+      explode(bandKeys(transform(col("ws0"), wordHash(_)))).as("band"))
+    val j = bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("double") /
+      bit_count(col("a.mask").bitwiseOR(col("b.mask")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id")
+          && j >= lit(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        OracleMath.stableRound(j, 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** General-vocabulary LSH path. Word hashes double as integer token ids
+    * (hash collisions would perturb Jaccard by < 1e-3 at realistic vocabulary
+    * sizes; acceptable for an approximate operator). Candidates stay SKINNY
+    * (two longs) through the band self-join; arrays attach afterwards via
+    * broadcast map-joins. An exactly-once-emission variant (per-band joins
+    * guarded by "earlier bands differ", arrays carried through the join) was
+    * measured 2× slower on collision-dense data — array materialization at
+    * the join dominates.
+    */
+  private def lshNearDupGeneral(docsRaw: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.sortedIntersectSize
-    // Word hashes double as integer token ids (no global dictionary pass —
-    // unlike the exact prefix join, LSH needs no corpus statistics, which is
-    // its 100 TB selling point). Hash collisions would perturb Jaccard by
-    // < 1e-3 at this vocabulary size; acceptable for an approximate operator.
-    val hs = wordSetHashes(col("text"))
-    val sig = transform(sequence(lit(0L), lit(MinhashK - 1L)),
-      i => array_min(transform(hs, h => ((lit(2L) * i + lit(3L)) * h + (lit(7L) * i + lit(1L))) % P)))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"), sig.as("sig"))
+    val hs = transform(col("ws0"), wordHash(_))
+    val docs = docsRaw
+      .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"),
+        bandKeys(hs).as("bands"))
       .withColumn("sz", size(col("ws")))
 
-    // 4 bands × 2 rows: band key = (band index, the 2 signature values).
-    // Candidates stay SKINNY (two longs) through the band self-join; arrays
-    // attach afterwards via broadcast map-joins. An exactly-once-emission
-    // variant (per-band joins guarded by "earlier bands differ", arrays
-    // carried through the join) was measured 2× slower on this
-    // collision-dense data — array materialization at the join dominates.
-    val banded = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(MinhashK / 2 - 1)),
-          b => concat_ws("_", b, element_at(col("sig"), b * 2 + 1), element_at(col("sig"), b * 2 + 2)))).as("band"))
-
+    val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
     val cands = banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
 
-    // verify-then-dedupe: at most 4 duplicate verifications per pair, and the
-    // kernel verify is cheaper than shuffling the candidate multiset for an
-    // early distinct
+    // verify-then-dedupe: at most `LshBands` duplicate verifications per
+    // pair, and the kernel verify is cheaper than shuffling the candidate
+    // multiset for an early distinct
     val docA = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
     val docB = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
     cands.join(broadcast(docA), "doc_a").join(broadcast(docB), "doc_b")
@@ -197,52 +337,60 @@ object DedupOps {
       .orderBy(col("name_a"), col("name_b"))
   }
 
-  /** SimHash (16-bit) over the distinct word set: bit i of the fingerprint is
-    * the sign of Σ_w (±1 by bit i of a scrambled word hash). Near-duplicates
-    * land at small Hamming distance; the fingerprint is one long per doc so
-    * dedup at scale is a cheap groupBy/band on fingerprint prefixes.
+  /** SimHash (64-bit, Charikar) over the distinct word set: bit i of the
+    * fingerprint is the sign of Σ_w (±1 by bit i of mix64(word hash)),
+    * computed by the one-pass [[graft.functions.SimHash64]] codegen kernel.
+    * Near-duplicates land at small Hamming distance; the fingerprint is one
+    * long per doc so dedup at scale is a cheap groupBy/band on fingerprint
+    * prefixes. 64 bits (the web-crawl-dedup standard) rather than 16: on a
+    * 16-bit fingerprint this corpus's dense similarity put 60% of ALL pairs
+    * within Hamming ≤ 3 — a degenerate sketch whose pair query cost the
+    * round-1 bench ~16 s for meaningless output.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = transform(wordSetHashes(col("text")), h => (h * 48271L) % 2147483647L)
-    val bitCols = (0 until 16).map { i =>
-      when(aggregate(h2, lit(0L),
-        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBase(spark, dir).orderBy(col("doc_id"))
+
+  private def simhashBase(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(wordSetHashes(col("text"))).as("simhash"))
   }
 
-  /** SimHash near-dup pairs via bit-band blocking: split the 16-bit
-    * fingerprint into 4 nibbles; pairs within Hamming distance ≤ 3 must agree
-    * on at least one nibble (pigeonhole — lossless blocking), so candidates
-    * come from 4 nibble-bucket self-joins, then exact popcount verification.
-    * The whole pipeline runs on one long per doc — the cheapest near-dup
-    * operator at 100 TB (no arrays shuffled at all). Rows-check (bit-level
-    * sketch, no SQL twin).
+  /** SimHash near-dup pairs via bit-band blocking: split the 64-bit
+    * fingerprint into 4 × 16-bit bands; pairs within Hamming distance ≤ 3
+    * must agree on at least one band (pigeonhole — lossless blocking), so
+    * candidates come from 4 band-bucket self-joins, then exact popcount
+    * verification. The whole pipeline runs on one long per doc — the
+    * cheapest near-dup operator at 100 TB (no arrays shuffled at all).
+    * Rows-check (bit-level sketch, no SQL twin); spec-checked lossless
+    * against the brute-force Hamming join.
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(spark, dir) // (doc_id, simhash)
-    def nib(c: Column, i: Int): Column = shiftright(c, i * 4).bitwiseAND(lit(0xFL))
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    // Exactly-once emission: join per nibble index k with the static guard
-    // "all earlier nibbles differ" — works here (unlike the MinHash band
-    // join, where it measured 2x slower) because candidate rows are two
-    // longs, so no array materialization cost and no dedup shuffle at all.
-    val perNib = (0 until 4).map { k =>
-      val earlierDiffer = (0 until k)
-        .map(i => nib(col("sh_a"), i) =!= nib(col("sh_b"), i))
-        .foldLeft(lit(true))(_ && _)
-      a.join(broadcast(b),
-        nib(col("sh_a"), k) === nib(col("sh_b"), k)
-          && col("doc_a") < col("doc_b") && earlierDiffer)
-    }
-    perNib.reduce(_ unionByName _)
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+    val sh = simhashBase(spark, dir) // (doc_id, simhash)
+    def band(c: Column, i: Int): Column = shiftright(c, i * 16).bitwiseAND(lit(0xFFFFL))
+    // ONE equi self-join on the exploded (band index, band value) key —
+    // every row is three longs, the shuffle moves |docs|·4 of them, and
+    // there is no broadcast machinery to pay for (an earlier 4-separate-
+    // broadcast-join formulation showed multi-second wall-clock variance in
+    // long sessions). Exactly-once emission via the "all earlier bands
+    // differ" guard, computed from the carried fingerprints — no dedup
+    // shuffle of the candidate multiset.
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), k -> struct(k AS bk, shiftright(simhash, CAST(16*k AS INT)) & 65535 AS bv))")).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val earlierDiffer = (0 until 3).map { i =>
+      when(col("a.bk") > i, band(col("a.simhash"), i) =!= band(col("b.simhash"), i))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id") && earlierDiffer)
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

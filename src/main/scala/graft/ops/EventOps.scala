@@ -121,4 +121,28 @@ object EventOps {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
   }
+
+  /** AS-OF attribution: every purchase matched to the user's latest click at
+    * or before the purchase time, via the custom [[graft.plans.AsOfJoin]]
+    * operator (logical node + strategy + merge-pass physical exec). Output is
+    * ids + whole-second lag, which both engines compute identically at
+    * microsecond precision (per-side floor to seconds = DuckDB's
+    * boundary-counting `date_diff`); the test data has no duplicate
+    * (user, ts) pairs, so the as-of match is unique and deterministic.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    // alias the right side: a self-as-of-join must not share attribute ids
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq(purchases("user_id")), Seq(clicks("click_user")),
+        purchases("ts"), clicks("click_ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(ts) DIV 1000000 - unix_micros(click_ts) DIV 1000000")
+          .as("lag_seconds"))
+      .orderBy(col("purchase_id"))
+  }
 }

@@ -53,6 +53,45 @@ object EventsStream {
     base
   }
 
+  /** Multi-file staging: the events table split into `nFiles` time-ordered
+    * parquet files with strictly increasing modification times — the shape of
+    * a landing directory receiving periodic drops (the reference's daily CSV
+    * arrivals). `FileStreamSource` + `maxFilesPerTrigger=1` then processes
+    * them as separate microbatches in arrival order, so stateful operators
+    * genuinely carry state across batches instead of seeing one batch of
+    * everything.
+    */
+  private[streaming] def stageStreamDirMulti(spark: SparkSession, dir: String,
+                                             nFiles: Int = 3): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_stream_multi_${math.abs(dir.hashCode)}_$nFiles"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(conf)
+    val done = new Path(base + "/_STAGED")
+    if (!fs.exists(done)) {
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(base))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val bounds = ev.stat.approxQuantile("ts",
+        (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
+      val edges = (Long.MinValue +: bounds.map(_.toLong)) :+ Long.MaxValue
+      (0 until nFiles).foreach { k =>
+        val scratch = base + s"/_tmp$k"
+        ev.filter(col("ts") >= edges(k) && col("ts") < edges(k + 1))
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = fs.globStatus(new Path(scratch + "/part-*.parquet"))(0).getPath
+        val dst = new Path(base + f"/events_$k%02d.parquet")
+        fs.rename(part, dst)
+        fs.delete(new Path(scratch), true)
+        fs.setTimes(dst, 1000L * (k + 1), -1) // strict arrival order for the source
+      }
+      fs.create(done).close()
+    }
+    base
+  }
+
   def hourlyByTypeStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -60,7 +99,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(rawSchema)
       .parquet(stageStreamDirShared(spark, dir))
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L"))) // exact, see Tables.events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(

@@ -53,18 +53,28 @@ object SessionStream {
 
   /** Run the stateful sessionization to completion over the events dir and
     * return the final per-user counts.
+    *
+    * The source is a MULTI-file landing directory processed one file per
+    * microbatch ([[EventsStream.stageStreamDirMulti]]): the per-user
+    * `GroupState` genuinely survives across microbatches (a user's session
+    * can straddle a batch boundary), which a single-batch run never
+    * exercises. Files are time-split, so per-user event-time order across
+    * batches matches arrival order — the well-formed landing-dir contract;
+    * late cross-file data would need `flatMapGroupsWithState` + event-time
+    * timeout to hold open sessions until the watermark passes.
     */
   def sessionsStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val srcDir = EventsStream.stageStreamDirShared(spark, dir)
+    val srcDir = EventsStream.stageStreamDirMulti(spark, dir)
 
     val evs: Dataset[Ev] = spark.readStream
       .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
       .parquet(srcDir)
       .select(col("user_id"),
-        unix_timestamp(date_trunc("minute", timestamp_micros((col("ts") / 1000L).cast("long")))).as("minute"),
+        unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
         col("event_id"))
       .as[Ev]
 

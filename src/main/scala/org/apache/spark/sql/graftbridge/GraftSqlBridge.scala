@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal `private[sql]` bridge for the graft extension operators.
+  *
+  * Spark 4's unified `Column` API no longer exposes the Catalyst expression,
+  * and `classic.Dataset.ofRows` (logical plan → DataFrame) is `private[sql]`.
+  * Both are required to offer a DataFrame-level API over a custom
+  * `LogicalPlan` node ([[graft.plans.AsOfJoinPlan]]). Declaring this one tiny
+  * object inside the `org.apache.spark.sql` namespace is the established
+  * technique for Spark-native extension libraries that ship custom plans;
+  * everything else in graft stays on public API.
+  */
+object GraftSqlBridge {
+  /** Catalyst expression behind a Column (classic sessions). */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a hand-built logical plan (the `Dataset.ofRows` that
+    * extension points like injected rules use internally).
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

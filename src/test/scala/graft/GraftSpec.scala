@@ -158,8 +158,12 @@ class PipelineSpec extends AnyFunSuite {
 class ExtensionSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("prefix-filtered Jaccard join equals brute force (lossless filter)") {
-    val smart = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
+  test("exact Jaccard join equals brute force on BOTH physical paths") {
+    // adaptive choice lands on the dense-domain bitmask path here (vocab ≤ 64)
+    val mask = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // forced general path = PPJoin prefix filtering (lossless for J ≥ t)
+    val general = DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ws"))
@@ -169,7 +173,19 @@ class ExtensionSpec extends AnyFunSuite {
       .filter(col("j") >= 0.9)
       .select(col("a.doc_id"), col("b.doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(smart === brute)
+    assert(mask === brute)
+    assert(general === brute)
+  }
+
+  test("simhash band blocking is lossless for hamming <= 3 (equals brute force)") {
+    val blocked = DedupOps.simhashNearDup(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = DedupOps.simhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh if ida < idb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ida, idb, d.toLong)).toSet
+    assert(blocked === brute)
   }
 
   test("LSH near-dup is a high-recall subset of the exact join") {
@@ -233,6 +249,38 @@ class ExtensionSpec extends AnyFunSuite {
     val batch = EventOps.sessionCounts(spark, sf)
     assert(stream.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("as-of join equals the window-composed encoding (custom SparkPlan)") {
+    import org.apache.spark.sql.expressions.Window
+    val asof = EventOps.asofAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // composable encoding: range join + keep latest click per purchase
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val w = Window.partitionBy(col("purchase_id")).orderBy(col("cts").desc)
+    val brute = p.join(c, col("user_id") === col("cu") && col("ts") >= col("cts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(ts) DIV 1000000 - unix_micros(cts) DIV 1000000").as("lag"))
+      .orderBy(col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(asof === brute)
+  }
+
+  test("as-of join handles left rows with no prior right row (inner semantics)") {
+    import TestSpark.spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 6L, "x"), (1L, 9L, "y"), (2L, 8L, "z"), (4L, 1L, "w"))
+      .toDF("rk", "rt", "rtag")
+    val got = graft.plans.AsOfJoin.asof(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select(col("tag"), col("rtag")).collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // a(k=1,t=10) -> y(rt=9); b(k=1,t=5) -> none; c(k=2,t=7) -> none (rt=8 later); d -> none
+    assert(got === Set(("a", "y")))
   }
 
   test("simhash of near-identical word sets has small hamming distance") {

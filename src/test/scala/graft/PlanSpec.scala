@@ -50,9 +50,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct")))
   }
 
-  test("exact similarity join attaches doc arrays via broadcast (q38)") {
-    val p = plan(DedupOps.nearDupJaccard(spark, sf))
-    assert(p.contains("BroadcastHashJoin"))
+  test("exact similarity join physical shape per path (q38)") {
+    // dense-domain path: all-pairs over distinct masks = broadcast nested loop
+    val maskP = plan(DedupOps.nearDupJaccard(spark, sf))
+    assert(maskP.contains("BroadcastNestedLoopJoin"))
+    // general PPJoin path: doc arrays attach via broadcast hash joins
+    val genP = plan(DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true))
+    assert(genP.contains("BroadcastHashJoin"))
   }
 
   test("optimizer rule rewrites built-in intersect-count to the kernel, same results") {
@@ -74,6 +78,19 @@ class PlanSpec extends AnyFunSuite {
     val untouched = df.select(size(array_intersect(col("x"), col("y"))).as("n"))
     assert(!untouched.queryExecution.executedPlan.toString.toLowerCase.contains("sortedintersectsize"))
     assert(untouched.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
+  }
+
+  test("as-of join plans with exactly one shuffle+sort per side (q61)") {
+    val df = EventOps.asofAttribution(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("AsOfJoin"))
+    // two hash exchanges (one per child); the only other exchange is the
+    // final orderBy's range partitioning. AQE plan strings repeat the tree
+    // under "== Initial Plan ==" — count the final section only.
+    val finalP = p.split("== Initial Plan ==").head
+    val hashEx = "hashpartitioning".r.findAllIn(finalP).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$finalP")
   }
 
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
