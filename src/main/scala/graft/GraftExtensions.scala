@@ -31,6 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "graft_simhash64"),
+      exprs => graft.functions.SimHash64(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinhashSigs].getName, "graft_minhash_sigs"),
+      exprs => graft.functions.MinhashSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NGrams].getName, "graft_ngrams"),
+      exprs => graft.functions.NGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => graft.functions.IntersectKernelRule)
     // whole-operator extension (SURVEY §7.4 path c): AS-OF join strategy
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

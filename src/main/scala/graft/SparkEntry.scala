@@ -95,6 +95,11 @@ object SparkEntry {
     "q62_pivot_counts"      -> ((s, d) => CoreOps.pivotCounts(s, d)),
     "q63_running_window"    -> ((s, d) => CoreOps.runningCustomerSpend(s, d)),
     "q64_range_join_months" -> ((s, d) => CoreOps.rangeJoinMonthly(s, d)),
+    // -- custom Generator (UDTF), cube, ORC source, outer as-of ---------------
+    "q65_bigram_freq"       -> ((s, d) => TextOps.bigramFreq(s, d)),
+    "q66_cube_counts"       -> ((s, d) => CoreOps.cubeCounts(s, d)),
+    "q67_orc_roundtrip"     -> ((s, d) => EventOps.orcRoundTrip(s, d)),
+    "q68_asof_outer"        -> ((s, d) => EventOps.asofAttributionOuter(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -259,6 +264,22 @@ object SparkEntry {
         | date_diff('second', v.ts, p.ts) AS lag_seconds
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q66_cube_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q67_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_asof_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | coalesce(v.event_id, -1) AS click_id,
+        | coalesce(date_diff('second', v.ts, p.ts), -1) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
     "q58_stats_agg" ->

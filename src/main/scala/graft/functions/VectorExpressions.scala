@@ -122,6 +122,8 @@ object VectorFunctions {
       exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       exprs => MinhashSigs(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngrams",
+      exprs => NGrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     // idempotently install the kernel-rewrite optimizer rule
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
       spark.experimental.extraOptimizations =
@@ -140,4 +142,7 @@ object VectorFunctions {
 
   def minhashSigs(hashes: Column, k: Int): Column =
     call_function("graft_minhash_sigs", hashes, org.apache.spark.sql.functions.lit(k))
+
+  def ngrams(words: Column, n: Int): Column =
+    call_function("graft_ngrams", words, org.apache.spark.sql.functions.lit(n))
 }

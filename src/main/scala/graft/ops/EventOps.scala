@@ -104,6 +104,31 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** ORC source/sink round trip (fourth format besides parquet, CSV and
+    * JSON-lines — Spark's native columnar alternative): stage the projected
+    * events table as ORC, read it back, aggregate. The oracle runs on the
+    * original parquet — matching proves the format round trip is lossless
+    * for the projected columns. Staged once per sf dir.
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = sys.props("java.io.tmpdir") + s"/graft_orc_${math.abs(dir.hashCode)}"
+    val done = new Path(base + "/_STAGED")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(base + "/events_orc")
+      fs.createNewFile(done)
+    }
+    spark.read.orc(base + "/events_orc")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sessionization-style window: for each user, order events by time and
     * count session starts (gap > 30 min from previous event). `lag` over a
     * per-user window; the minute-truncated gap keeps oracle parity.
@@ -143,6 +168,28 @@ object EventOps {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
         expr("unix_micros(ts) DIV 1000000 - unix_micros(click_ts) DIV 1000000")
           .as("lag_seconds"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Outer variant of [[asofAttribution]]: keep purchases with NO prior
+    * click (user's first purchase precedes any click). Unmatched right
+    * columns coalesce to -1 so the oracle compare never faces null-vs-NaN
+    * dtype drift.
+    */
+  def asofAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq(purchases("user_id")), Seq(clicks("click_user")),
+        purchases("ts"), clicks("click_ts"), outer = true)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(
+          expr("unix_micros(ts) DIV 1000000 - unix_micros(click_ts) DIV 1000000"),
+          lit(-1L)).as("lag_seconds"))
       .orderBy(col("purchase_id"))
   }
 }

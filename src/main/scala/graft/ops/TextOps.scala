@@ -138,9 +138,30 @@ object TextOps {
       .orderBy(desc("cnt"), col("word"))
       .limit(100)
 
+  /** Top bigrams by frequency, via the custom [[graft.functions.NGrams]]
+    * generator (UDTF): order-preserving shingles that `explode` over the
+    * distinct word set cannot produce. One generate + one shuffle on the
+    * n-gram — at 100 TB the n-gram is the derived small key the count
+    * aggregates on, with map-side partial aggregation.
+    */
+  def bigramFreq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(graft.functions.VectorFunctions.ngrams(words(col("text")), 2).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("bigram"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q65_bigram_freq" ->
+      """SELECT ngram AS bigram, count(*) AS cnt
+        |FROM (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS ngram
+        |      FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q30_token_stats" ->
       s"""SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

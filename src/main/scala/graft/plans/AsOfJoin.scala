@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** AS-OF join: for every left row, the single right row with matching keys
-  * and the greatest right time ≤ the left time (inner semantics — left rows
-  * with no eligible right row are dropped).
+  * and the greatest right time ≤ the left time (inner semantics by default;
+  * `outer` keeps unmatched left rows with a null-filled right side).
   *
   * The reference pipeline has no such operator; a training-data/analytics
   * engine needs it constantly (attribute an event to the latest prior
@@ -37,9 +37,12 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    outer: Boolean) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -53,8 +56,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,10 +67,13 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // same contract as SortMergeJoinExec: co-cluster children on the keys …
   override def requiredChildDistribution: Seq[Distribution] =
@@ -87,7 +93,9 @@ case class AsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val emitUnmatched = outer
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = InternalRow.fromSeq(Seq.fill(rOut.length)(null))
       // (key, time) projections drive the merge order; key-only projections
       // decide match equality. Distinct projection instances — each reuses
       // its own UnsafeRow buffer.
@@ -122,6 +130,8 @@ case class AsOfJoinExec(
             }
             if (held != null && keyOrd.compare(heldKey, lK(lRow)) == 0) {
               nextOut = outProj(joined(lRow, held))
+            } else if (emitUnmatched) {
+              nextOut = outProj(joined(lRow, nullRight))
             }
           }
         }
@@ -150,14 +160,17 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-  /** `left ASOF JOIN right ON leftKey = rightKey AND leftTime >= rightTime`.
+  /** `left ASOF [LEFT] JOIN right ON leftKey = rightKey AND leftTime >=
+    * rightTime`. `outer = true` keeps unmatched left rows with nulls on the
+    * right (DuckDB's `ASOF LEFT JOIN`).
     *
     * The caller must ensure the two plans share no attribute ids (alias the
     * right side's columns when self-joining — see [[graft.ops.EventOps]]).
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
-           leftTime: Column, rightTime: Column): DataFrame = {
+           leftTime: Column, rightTime: Column,
+           outer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val spark = left.sparkSession
     install(spark)
@@ -165,7 +178,8 @@ object AsOfJoin {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       leftKeys.map(GraftSqlBridge.expression),
       rightKeys.map(GraftSqlBridge.expression),
-      GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime))
+      GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
+      outer)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -283,6 +283,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === Set(("a", "y")))
   }
 
+  test("as-of outer join keeps unmatched left rows with nulls") {
+    import TestSpark.spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 5L, "b"), (3L, 1L, "d")).toDF("k", "t", "tag")
+    val r = Seq((1L, 9L, "y"), (4L, 1L, "w")).toDF("rk", "rt", "rtag")
+    val got = graft.plans.AsOfJoin.asof(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"),
+        outer = true)
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.get(1)))).toSet
+    assert(got === Set(("a", Some("y")), ("b", None), ("d", None)))
+  }
+
+  test("ngram generator emits order-preserving shingles; short docs emit none") {
+    import TestSpark.spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq("a b c", "x", "p q").toDF("text")
+    val got = df.select(graft.functions.VectorFunctions.ngrams(split(col("text"), " "), 2)
+        .as("g")).collect().map(_.getString(0)).toSeq.sorted
+    assert(got === Seq("a b", "b c", "p q"))
+  }
+
   test("simhash of near-identical word sets has small hamming distance") {
     val sh = DedupOps.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dupPair = DedupOps.nearDupJaccard(spark, sf, 0.99).collect().headOption
