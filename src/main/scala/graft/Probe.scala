@@ -89,6 +89,39 @@ object Steps {
       time("expanded")(println("n=" + crossPairs.count()))
       time("q38 full")(ops.DedupOps.nearDupJaccard(spark, dir).count())
       time("q38 again")(ops.DedupOps.nearDupJaccard(spark, dir).count())
+    case "q71parts" =>
+      import ops.TextFunctions._
+      val ws = words(col("text"))
+      val bigrams = array_distinct(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      val docs = Tables.documents(spark, dir)
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"), bigrams.as("ws0"))
+      time("docs")(docs.count())
+      val ranks = docs
+        .select(explode(col("ws0")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .select(col("word"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("df"), col("word"))).as("tok"))
+      time("ranks")(ranks.count())
+      val ids = docs
+        .select(col("doc_id"), explode(col("ws0")).as("word"))
+        .join(broadcast(ranks), "word")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
+      time("ids")(ids.count())
+      val prefixLen = (col("sz") - floor((col("sz") * 800 + 999) / 1000) + 1).cast("int")
+      val prefixes = ids.select(col("doc_id"), col("sz"),
+        explode(slice(col("ws"), lit(1), prefixLen)).as("tok"))
+      time("prefixes")(prefixes.count())
+      val cands = prefixes.as("a").join(prefixes.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+            && col("a.sz") * 1000 >= col("b.sz") * 800
+            && col("b.sz") * 1000 >= col("a.sz") * 800)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      time("cands")(println("n=" + cands.count()))
+      time("q71 full")(ops.DedupOps.ngramJaccard(spark, dir).count())
     case "asof" =>
       val df = ops.EventOps.asofAttribution(spark, dir)
       df.explain("formatted")

@@ -100,6 +100,11 @@ object SparkEntry {
     "q66_cube_counts"       -> ((s, d) => CoreOps.cubeCounts(s, d)),
     "q67_orc_roundtrip"     -> ((s, d) => EventOps.orcRoundTrip(s, d)),
     "q68_asof_outer"        -> ((s, d) => EventOps.asofAttributionOuter(s, d)),
+    // -- multimodal frame sampling + partition-pruned layout ------------------
+    "q69_frame_sample"      -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    "q70_partitioned_scan"  -> ((s, d) => EventOps.partitionedScan(s, d)),
+    // -- n-gram (shingle) Jaccard: order-sensitive dedup, general PPJoin path -
+    "q71_ngram_jaccard"     -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
@@ -282,6 +287,11 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q70_partitioned_scan" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_stats_agg" ->
       s"""SELECT l_returnflag,
          | ${graft.ops.OracleMath.stableRoundSql("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,

@@ -378,8 +378,12 @@ object CoreOps {
         add_months(to_date(lit("1995-01-01")), col("id").cast("int") + 1)
           .cast("timestamp").as("month_end")) // precomputed: the nested-loop
     // condition evaluates per (row × interval) — keep it to two comparisons
-    // on materialized dimension columns, no date arithmetic in the hot loop
+    // on materialized dimension columns, no date arithmetic in the hot loop.
+    // The fact side is one small parquet split, but the nested-loop work is
+    // rows × intervals — repartition to spread it across cores (same lesson
+    // as the mask join: quadratic work is counted in rows, not bytes).
     Tables.orders(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(months),
         col("o_orderdate") >= col("month") && col("o_orderdate") < col("month_end"))
       .groupBy(col("month"))

@@ -140,6 +140,33 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** N-gram (shingle) Jaccard near-dup pairs: the order-sensitive member of
+    * the dedup family — word-set Jaccard calls two docs with the same words
+    * in different order identical; bigram-set Jaccard does not. Shingle sets
+    * come from the same windows as the [[graft.functions.NGrams]] generator
+    * (array form, no explode/regroup round trip), and the join runs the
+    * general PPJoin path: the bigram vocabulary is quadratically larger than
+    * the word vocabulary, so the dense-domain bitmask shortcut correctly
+    * does not apply — this query keeps the general path oracle-covered.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    // Shingle sets via the generator + regroup, NOT a per-index lambda:
+    // `transform(sequence(...), i -> concat(element_at(split(text),i), ...))`
+    // re-evaluates the split inside every element_at (interpreted lambdas
+    // don't CSE across the lambda boundary) — O(n²) splits per row, and the
+    // subplan is re-derived three times downstream. The generator evaluates
+    // its child array once per input row; the regroup is one 110k-skinny-row
+    // shuffle. Docs with <2 words emit no shingles and drop out, as a
+    // shingle join semantically should.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.ngrams(words(col("text")), 2).as("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(array_distinct(collect_list(col("bigram"))).as("ws0"))
+    nearDupJaccardGeneral(spark, docs, threshold)
+  }
+
   /** General-vocabulary exact path: PPJoin prefix filtering: order the
     * vocabulary rarest-first (global term counts, ties by word), keep each
     * document's first ⌊(1−t)·|set|⌋+1 tokens in that order as its *prefix*;
@@ -165,12 +192,17 @@ object DedupOps {
           .orderBy(col("df"), col("word"))).as("tok"))
 
     // int-ified ascending word-set: rarest tokens get the smallest ids, so a
-    // doc's prefix (PPJoin) is simply the first ⌊(1-t)·sz⌋+1 array elements
+    // doc's prefix (PPJoin) is simply the first ⌊(1-t)·sz⌋+1 array elements.
+    // Persisted: three consumers (prefix explode + both verify sides) would
+    // otherwise re-derive the explode→join→regroup chain — and with it the
+    // upstream tokenization — once each. A few MB per 10^6 docs; at 100 TB
+    // this is the classic cache-the-dictionary-encoded-view step.
     val ids = docs
       .select(col("doc_id"), explode(col("ws0")).as("word"))
       .join(broadcast(ranks), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // EXACT integer arithmetic for the filter bounds — float forms are wrong
     // at boundaries: 1-0.9 = 0.0999…8 makes floor(sz·0.1)+1 one too short for
@@ -459,6 +491,16 @@ object DedupOps {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "q71_ngram_jaccard" ->
+      s"""WITH bs AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(list_concat(a.bg, b.bg)))", 4)} AS jaccard
+         |FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q38_neardup_jaccard" ->
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws)))", 4)} AS jaccard

@@ -66,7 +66,33 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: one output row per sampled "frame" — every 4th frame
+    * index of a payload whose frame count derives from its byte length
+    * (stub: 40 bytes/frame; a real video column would read the container
+    * index). The explode is the row-amplification pattern a video pipeline
+    * needs — per-frame rows feeding the relational layer — with
+    * amplification bounded by the stride. Per-frame feature (stub luma) is
+    * deterministic from payload bytes + index.
+    */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    val nf = expr("octet_length(encode(text, 'UTF-8')) DIV 40") // frames per payload
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ascii(substring(col("text"), 1, 1)).cast("long").as("fb"), nf.as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("fb"),
+        explode(sequence(lit(0L), col("nf") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("fb") + col("frame_idx") * 31) % 256).as("luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q69_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        | CAST((ascii(substring(text, 1, 1)) + f * 31) % 256 AS BIGINT) AS luma
+        |FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)) // 40, 4)) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q44_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$finalP")
   }
 
+  test("hive-partitioned layout prunes partitions at the scan (q70)") {
+    val df = EventOps.partitionedScan(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter must resolve against directory names:\n" + p.take(600))
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
     // stale warehouse dirs from a previous JVM collide with the fresh
