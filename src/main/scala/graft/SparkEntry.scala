@@ -18,9 +18,13 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full reference pipeline T1→T5 as one lazy plan — discover → latest-K →
+    * CSV → dedup ×2 → classify-enrich ×2 (distinct → batched rule classifier
+    * → broadcast map-back) → metadata columns.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreOps.priorityAgg(spark, "/root/testdata/sf0.001")
+    graft.pipeline.Pipeline.pipelineQuery(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,6 +112,8 @@ object SparkEntry {
     // -- structured streaming (G3): windowed agg + custom state ---------------
     "q50_streaming_hourly"  -> ((s, d) => graft.streaming.EventsStream.hourlyByTypeStreaming(s, d)),
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
+    "q72_streaming_late"    -> ((s, d) => graft.streaming.LateSessionStream.sessionsLateStreaming(s, d)),
+    "q73_rank_functions"    -> ((s, d) => CoreOps.rankFunctions(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -271,6 +277,16 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q73_rank_functions" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        | percent_rank() OVER w AS prk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | first_value(o_orderkey) OVER w AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY drk <= 5
+        |ORDER BY o_orderpriority, drk, o_orderkey""".stripMargin,
     "q66_cube_counts" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -299,6 +315,14 @@ object SparkEntry {
          | count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
+    // out-of-order ingestion must still converge to the batch sessionization
+    "q72_streaming_late" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, date_trunc('minute', ts) AS m,
+        |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (

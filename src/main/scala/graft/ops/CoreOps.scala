@@ -320,6 +320,24 @@ object CoreOps {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Ranking-function suite over one partitioned window: dense_rank (gap-
+    * free), percent_rank (exact (r−1)/(n−1) double — both engines divide the
+    * same ints), ntile quartiles, and a running first_value. One shuffle on
+    * the partition key serves all four.
+    */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("o_orderkey")).over(w).as("top_key"))
+      .filter(col("drk") <= 5)
+      .orderBy(col("o_orderpriority"), col("drk"), col("o_orderkey"))
+  }
+
   /** CUBE: counts over every grouping-set combination of (status, priority)
     * — the all-combinations sibling of q08's ROLLUP (together they cover the
     * GROUPING SETS family). One expand + one shuffle, partial aggregation

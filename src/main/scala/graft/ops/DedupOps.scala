@@ -164,6 +164,9 @@ object DedupOps {
         graft.functions.VectorFunctions.ngrams(words(col("text")), 2).as("bigram"))
       .groupBy(col("doc_id"))
       .agg(array_distinct(collect_list(col("bigram"))).as("ws0"))
+      // two consumers downstream (dictionary build + token-id build) — cache
+      // the shingle sets so generation+regroup runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nearDupJaccardGeneral(spark, docs, threshold)
   }
 

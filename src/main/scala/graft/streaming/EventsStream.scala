@@ -62,10 +62,12 @@ object EventsStream {
     * everything.
     */
   private[streaming] def stageStreamDirMulti(spark: SparkSession, dir: String,
-                                             nFiles: Int = 3): String = {
+                                             nFiles: Int = 3,
+                                             byTime: Boolean = true): String = {
     import org.apache.hadoop.fs.{FileSystem, Path}
+    val mode = if (byTime) "time" else "hash"
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_stream_multi_${math.abs(dir.hashCode)}_$nFiles"
+      s"/graft_stream_multi_${math.abs(dir.hashCode)}_${nFiles}_$mode"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(conf)
     val done = new Path(base + "/_STAGED")
@@ -74,13 +76,22 @@ object EventsStream {
       fs.mkdirs(new Path(base))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$dir/events.parquet")
-      val bounds = ev.stat.approxQuantile("ts",
-        (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
-      val edges = (Long.MinValue +: bounds.map(_.toLong)) :+ Long.MaxValue
-      (0 until nFiles).foreach { k =>
+      // byTime: in-order arrival (well-formed landing dir). byHash: events of
+      // every user scattered across files regardless of time — deliberately
+      // OUT-OF-ORDER arrival for the late-data operator.
+      val splits: Seq[org.apache.spark.sql.DataFrame] =
+        if (byTime) {
+          val bounds = ev.stat.approxQuantile("ts",
+            (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
+          val edges = (Long.MinValue +: bounds.map(_.toLong)) :+ Long.MaxValue
+          (0 until nFiles).map(k =>
+            ev.filter(col("ts") >= edges(k) && col("ts") < edges(k + 1)))
+        } else {
+          (0 until nFiles).map(k => ev.filter(pmod(col("event_id"), lit(nFiles)) === k))
+        }
+      splits.zipWithIndex.foreach { case (df, k) =>
         val scratch = base + s"/_tmp$k"
-        ev.filter(col("ts") >= edges(k) && col("ts") < edges(k + 1))
-          .coalesce(1).write.mode("overwrite").parquet(scratch)
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
         val part = fs.globStatus(new Path(scratch + "/part-*.parquet"))(0).getPath
         val dst = new Path(base + f"/events_$k%02d.parquet")
         fs.rename(part, dst)

@@ -24,7 +24,7 @@ object SessionStream {
   final case class SessionState(lastMinute: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
-  private val rawSchema = StructType(Seq(
+  private[streaming] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) as long)
     StructField("user_id", LongType),

@@ -283,6 +283,13 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === Set(("a", "y")))
   }
 
+  test("out-of-order streaming sessionization (flatMapGroupsWithState buffer) equals batch") {
+    val late = graft.streaming.LateSessionStream.sessionsLateStreaming(spark, sf)
+    val batch = EventOps.sessionCounts(spark, sf)
+    assert(late.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(late).count() === 0)
+  }
+
   test("as-of outer join keeps unmatched left rows with nulls") {
     import TestSpark.spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 5L, "b"), (3L, 1L, "d")).toDF("k", "t", "tag")

@@ -41,3 +41,39 @@ object EnrichmentProps extends Properties("Enrichment") {
       SafeJsonParse.parseScala(wrapped) == Seq(Classified("k", "IT", ""))
     }
 }
+
+/** Pure-JVM invariants of the sketch kernels (no Spark session needed). */
+object SketchProps extends Properties("SketchKernels") {
+  import graft.functions.SketchKernels
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+
+  property("simHash64 of a single word IS the mixed word hash") =
+    forAll { (h: Long) =>
+      // one +/-1 vote per bit: the sign of bit i is exactly bit i of mix64(h)
+      SketchKernels.simHash64(arr(Seq(h))) == SketchKernels.mix64(h)
+    }
+
+  property("simHash64 is permutation-invariant (set semantics)") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      SketchKernels.simHash64(arr(hs)) == SketchKernels.simHash64(arr(hs.reverse))
+    }
+
+  property("minhashSigs equals the per-permutation formula") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000002L)), Gen.chooseNum(1, 24)) { (hs, k) =>
+      val sig = SketchKernels.minhashSigs(arr(hs), k).toLongArray()
+      (0 until k).forall { i =>
+        sig(i) == hs.map(h => ((2L * i + 3) * h + (7L * i + 1)) % 1000003L).min
+      }
+    }
+
+  property("minhashSigs is monotone under set union (min can only decrease)") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000002L)),
+           Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000002L))) { (a, b) =>
+      val k = 8
+      val sa = SketchKernels.minhashSigs(arr(a), k).toLongArray()
+      val sab = SketchKernels.minhashSigs(arr(a ++ b), k).toLongArray()
+      (0 until k).forall(i => sab(i) <= sa(i))
+    }
+}
