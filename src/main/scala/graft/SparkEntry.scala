@@ -114,6 +114,8 @@ object SparkEntry {
     "q51_streaming_sessions"-> ((s, d) => graft.streaming.SessionStream.sessionsStreaming(s, d)),
     "q72_streaming_late"    -> ((s, d) => graft.streaming.LateSessionStream.sessionsLateStreaming(s, d)),
     "q73_rank_functions"    -> ((s, d) => CoreOps.rankFunctions(s, d)),
+    "q74_full_outer"        -> ((s, d) => CoreOps.fullOuterCustomerOrders(s, d)),
+    "q75_multiset_ops"      -> ((s, d) => CoreOps.multisetOps(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -277,6 +279,20 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q74_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | CASE WHEN c_custkey IS NULL THEN 'missing' ELSE c_mktsegment END AS segment,
+        | coalesce(n_orders, 0) AS n_orders
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q75_multiset_ops" ->
+      """SELECT o_custkey, count(*) AS n_surplus FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_rank_functions" ->
       """SELECT o_orderpriority, o_orderkey,
         | CAST(dense_rank() OVER w AS BIGINT) AS drk,

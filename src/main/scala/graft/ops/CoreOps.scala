@@ -320,6 +320,38 @@ object CoreOps {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** FULL OUTER join shape: customers ⋈ a per-customer order aggregate,
+    * keeping both customer-less orders (none in this data) and order-less
+    * customers (real). Plans as a sort-merge FullOuter — the one join type
+    * the library didn't exercise yet; coalesce gives the relational
+    * "0 orders" reading.
+    */
+  def fullOuterCustomerOrders(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, lit("missing")).otherwise(col("c_mktsegment")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL preserve
+    * duplicity — the bag semantics DISTINCT-based set ops (q55) erase.
+    * Spark plans these as aggregate+generate replication rather than joins.
+    */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    f.exceptAll(o)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_surplus"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Ranking-function suite over one partitioned window: dense_rank (gap-
     * free), percent_rank (exact (r−1)/(n−1) double — both engines divide the
     * same ints), ntile quartiles, and a running first_value. One shuffle on

@@ -97,7 +97,7 @@ object DedupOps {
                                  threshold: Double): DataFrame = {
     // dictionary as a literal map word → bit value (1L << index); the mask is
     // an order-independent OR-fold, so no sort and no shuffle to build it
-    val bitMap = map(vocab.zipWithIndex.flatMap {
+    val bitMap = map(vocab.zipWithIndex.toIndexedSeq.flatMap {
       case (w, i) => Seq(lit(w), lit(1L << i))
     }: _*)
     val masks = docs.select(col("doc_id"),
@@ -312,7 +312,7 @@ object DedupOps {
     */
   private def lshNearDupMask(docsRaw: DataFrame, vocab: Array[String],
                              threshold: Double): DataFrame = {
-    val bitMap = map(vocab.zipWithIndex.flatMap {
+    val bitMap = map(vocab.zipWithIndex.toIndexedSeq.flatMap {
       case (w, i) => Seq(lit(w), lit(1L << i))
     }: _*)
     val groups = docsRaw.select(col("doc_id"),
@@ -324,7 +324,7 @@ object DedupOps {
     // MinHash signatures recomputed from the mask: reconstruct the word-hash
     // set from precomputed vocabulary hashes (array literal + bit test), then
     // the same one-pass kernel. Runs once per DISTINCT mask.
-    val vocabHashes = array(vocab.map(w => lit(wordHashScala(w))): _*)
+    val vocabHashes = array(vocab.toIndexedSeq.map(w => lit(wordHashScala(w))): _*)
     val vocabBits = array(vocab.indices.map(i => lit(1L << i)): _*)
     val hsFromMask = filter(
       zip_with(vocabHashes, vocabBits,

@@ -101,6 +101,31 @@ class PlanSpec extends AnyFunSuite {
       "partition filter must resolve against directory names:\n" + p.take(600))
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // synthetic skew: ~90% of the left side lands on one key; with the skew
+    // thresholds lowered, AQE must split that partition at runtime
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(pmod(col("id"), lit(10)) =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("rk"))
+      val j = left.join(right, col("k") === col("rk"))
+      j.collect()
+      assert(plan(j).contains("skew=true"), "AQE should mark the skewed side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
     // stale warehouse dirs from a previous JVM collide with the fresh
