@@ -16,6 +16,9 @@ object Bench {
     // whichever query runs first absorbs ~4-5 s of one-time session setup.
     try {
       import org.apache.spark.sql.functions._
+      // events is TIMESTAMP(NANOS) parquet — set the legacy flag up front or
+      // the raw warmup read throws (see Tables.events)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())

@@ -116,6 +116,8 @@ object SparkEntry {
     "q73_rank_functions"    -> ((s, d) => CoreOps.rankFunctions(s, d)),
     "q74_full_outer"        -> ((s, d) => CoreOps.fullOuterCustomerOrders(s, d)),
     "q75_multiset_ops"      -> ((s, d) => CoreOps.multisetOps(s, d)),
+    // -- IVF-probed approximate kNN: the sub-linear ANN search path -----------
+    "q76_ivf_knn"           -> ((s, d) => SimilarityOps.ivfKnn(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

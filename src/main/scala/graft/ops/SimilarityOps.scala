@@ -134,21 +134,24 @@ object SimilarityOps {
     * at 100 TB (probe only the assigned cell ± neighbors). Output also
     * scores the assignment against the true label.
     */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val cents = Tables.embeddings(spark, dir)
+  /** The IVF coarse-quantizer codebook: one centroid vector per label.
+    * Stable-rounded components: Spark's parallel avg and the oracle's
+    * sequential avg differ in last ulps; rounding at 1e-8 makes every
+    * downstream sim computation start from identical doubles.
+    */
+  private def centroidTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("c_label"), col("dim"))
-      // stable-round the centroid components: Spark's parallel avg and the
-      // oracle's sequential avg differ in last ulps; rounding at 1e-8 makes
-      // every downstream sim computation start from identical doubles
       .agg(OracleMath.stableRound(avg(col("v").cast("double")), 8).as("cv"))
       .groupBy(col("c_label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
 
+  /** Every vector's nearest-centroid assignment (vec_id, label, assigned). */
+  private def assignTable(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroidTable(spark, dir)))
       .select(col("vec_id"), col("label"), col("c_label"),
         OracleMath.stableRound(cosine(col("embedding"), col("centroid")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -156,9 +159,46 @@ object SimilarityOps {
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("assigned"), col("label"),
-        (col("c_label") === col("label")).as("correct"))
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"))
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    assignTable(spark, dir)
+      .select(col("vec_id"), col("assigned"), col("label"),
+        (col("assigned") === col("label")).as("correct"))
       .orderBy(col("vec_id"))
+  }
+
+  /** IVF-probed approximate kNN — the full sub-linear ANN search: score the
+    * query against the 10-entry codebook, probe only the `nprobe`
+    * highest-scoring cells, then run exact cosine top-k INSIDE the probed
+    * cells. At 100 TB the cell assignment is the storage partition key, so
+    * the scan touches nprobe/ncells of the data; everything downstream of
+    * the probe decision is [[knnBruteForce]] on the shrunken candidate set.
+    * Deterministic (stable-rounded sims, label tie-breaks) ⇒ full SQL twin,
+    * unlike sketch-based ANN.
+    */
+  def ivfKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+             k: Int = 10, nprobe: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    // arg order (float, double): the kernel's supported type-cases; per-index
+    // products commute, so this equals the oracle's centroid-first form
+    val probed = centroidTable(spark, dir).crossJoin(broadcast(q))
+      .select(col("c_label"),
+        OracleMath.stableRound(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+      .orderBy(desc("csim"), col("c_label")).limit(nprobe)
+      .select(col("c_label").as("probe_label"))
+    e.join(assignTable(spark, dir).select(col("vec_id"), col("assigned")), "vec_id")
+      .join(broadcast(probed), col("assigned") === col("probe_label"), "left_semi")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        OracleMath.stableRound(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
   }
 
   // ---------------------------------------------------------------------------
@@ -191,6 +231,32 @@ object SimilarityOps {
       """SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "q76_ivf_knn" ->
+      s"""WITH cent AS (
+         |  SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
+         |    SELECT label AS c_label, i - 1 AS dim,
+         |      ${OracleMath.stableRoundSql("avg(CAST(embedding[i] AS DOUBLE))", 8)} AS cv
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT c_label FROM (
+         |    SELECT c.c_label, ${OracleMath.stableRoundSql(cosSql("c.centroid", "q.q_emb"), 6)} AS csim
+         |    FROM cent c, q)
+         |  ORDER BY csim DESC, c_label LIMIT 3),
+         |assign AS (
+         |  SELECT vec_id, c_label AS assigned FROM (
+         |    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+         |    FROM (SELECT e.vec_id, c.c_label,
+         |            ${OracleMath.stableRoundSql(cosSql("e.embedding", "c.centroid"), 6)} AS sim
+         |          FROM embeddings e, cent c) s)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id, e.label, ${OracleMath.stableRoundSql(cosSql("e.embedding", "q.q_emb"), 6)} AS sim
+         |FROM embeddings e
+         |JOIN assign a ON e.vec_id = a.vec_id
+         |CROSS JOIN q
+         |WHERE a.assigned IN (SELECT c_label FROM probe) AND e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "q56_ivf_assign" ->
       s"""WITH cent AS (
          |  SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
