@@ -118,6 +118,14 @@ object SparkEntry {
     "q75_multiset_ops"      -> ((s, d) => CoreOps.multisetOps(s, d)),
     // -- IVF-probed approximate kNN: the sub-linear ANN search path -----------
     "q76_ivf_knn"           -> ((s, d) => SimilarityOps.ivfKnn(s, d)),
+    // -- sliding + session windows (time-window operator family) --------------
+    "q77_sliding_hourly"    -> ((s, d) => EventOps.slidingHourly(s, d)),
+    "q78_session_windows"   -> ((s, d) => EventOps.sessionWindows(s, d)),
+    // -- grouping sets + correlated subqueries (SQL surface) ------------------
+    "q79_grouping_sets"     -> ((s, d) => CoreOps.groupingSetsCounts(s, d)),
+    "q81_correlated_subq"   -> ((s, d) => CoreOps.correlatedSubqueries(s, d)),
+    // -- event-time-timeout sessionization (state finalization + cleanup) -----
+    "q80_streaming_timeout" -> ((s, d) => graft.streaming.TimeoutSessionStream.sessionsTimeoutStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -281,6 +289,52 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q77_sliding_hourly" ->
+      """SELECT s AS wstart, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_session_windows" ->
+      """SELECT user_id, CAST(min(us) AS BIGINT) AS s_start_us, count(*) AS n_events FROM (
+        | SELECT user_id, us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sid FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM events))
+        |GROUP BY user_id, sid ORDER BY user_id, s_start_us""".stripMargin,
+    "q79_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q80_streaming_timeout" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, date_trunc('minute', ts) AS m,
+        |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_correlated_subq" ->
+      """SELECT c_mktsegment,
+        | count(*) AS n_customers,
+        | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_custkey = c.c_custkey
+        |                              AND o.o_orderpriority = '1-URGENT')
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+        | CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |                                WHERE o.o_custkey = c.c_custkey)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+        | CAST(sum((SELECT count(*) FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey
+        |             AND o.o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)))
+        |   AS BIGINT) AS n_big_orders
+        |FROM customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q74_full_outer" ->
       """SELECT coalesce(c_custkey, o_custkey) AS custkey,
         | CASE WHEN c_custkey IS NULL THEN 'missing' ELSE c_mktsegment END AS segment,

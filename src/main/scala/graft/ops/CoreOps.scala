@@ -142,6 +142,51 @@ object CoreOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** GROUPING SETS ((status), (priority)): two independent per-column
+    * frequency distributions in ONE scan of orders — the engine form of the
+    * reference's pair of separate Counter passes over `category` and
+    * `specialization` (SURVEY §2.5 A2/A1; dag:767-769), which re-read the
+    * data once per distribution. Expansion happens after the partial
+    * aggregate, so the scan and map-side combine are shared.
+    */
+  def groupingSetsCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Correlated-subquery family through the SQL surface: EXISTS, NOT EXISTS,
+    * and a correlated scalar `count(*)` per customer, aggregated per market
+    * segment. Catalyst decorrelates all three (`RewritePredicateSubquery`,
+    * `RewriteCorrelatedScalarSubquery`) into semi/anti/outer joins — the plan
+    * is three aggregated joins over customer⇄orders, not a per-row loop. The
+    * price threshold is an uncorrelated scalar subquery on `max()` — exact in
+    * both engines (no float accumulation), so the predicate can't flip on an
+    * ulp.
+    */
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_mktsegment,
+        | count(*) AS n_customers,
+        | sum(CASE WHEN EXISTS (SELECT 1 FROM graft_orders o
+        |                       WHERE o.o_custkey = c.c_custkey
+        |                         AND o.o_orderpriority = '1-URGENT')
+        |     THEN 1 ELSE 0 END) AS n_with_urgent,
+        | sum(CASE WHEN NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                           WHERE o.o_custkey = c.c_custkey)
+        |     THEN 1 ELSE 0 END) AS n_no_orders,
+        | sum((SELECT count(*) FROM graft_orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM graft_orders)))
+        |   AS n_big_orders
+        |FROM graft_customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------------
   // Set ops / dedup / distinct (D1-D5, U1)
   // ---------------------------------------------------------------------------

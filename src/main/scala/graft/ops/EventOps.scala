@@ -175,6 +175,36 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Sliding-window aggregation: 1-hour windows sliding every 30 minutes —
+    * each event lands in exactly two overlapping windows (the tumbling
+    * hourly query q16 is the slide == size special case). Spark expands the
+    * row per window then hash-aggregates; epoch-aligned starts make the
+    * oracle's `time_bucket` twin exact.
+    */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Gap-based session windows via the built-in `session_window` (the batch
+    * form of the streaming session operator; q51/q72 implement the same
+    * semantics with explicit state). A session extends while the next event
+    * starts strictly before previous-ts + gap; output keys are microsecond
+    * epoch longs — exact in both engines now that nanos→micros is integer
+    * division.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
   /** AS-OF attribution: every purchase matched to the user's latest click at
     * or before the purchase time, via the custom [[graft.plans.AsOfJoin]]
     * operator (logical node + strategy + merge-pass physical exec). Output is

@@ -290,6 +290,90 @@ class ExtensionSpec extends AnyFunSuite {
     assert(batch.exceptAll(late).count() === 0)
   }
 
+  test("event-time-timeout sessionization equals batch on the testdata") {
+    val result = graft.streaming.TimeoutSessionStream.sessionsTimeoutStreaming(spark, sf)
+    val batch = EventOps.sessionCounts(spark, sf)
+    assert(result.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(result).count() === 0)
+  }
+
+  test("event-time timeout fires for an idle key and a later event opens a new incarnation") {
+    import TestSpark.spark.implicits._
+    import graft.streaming.TimeoutSessionStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1700000000L - (1700000000L % 3600) // minute-aligned epoch
+    def min(k: Long): Long = base + k * 60L
+    val mem = MemoryStream[(Long, Long, Long)] // (user_id, event_id, epoch sec)
+    val name = "graft_timeout_unit"
+    val evs = mem.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("event_id"),
+        timestamp_seconds(col("_3")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("minute"),
+        col("event_id"), col("ts"))
+      .as[TimeoutSessionStream.TEv]
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(TimeoutSessionStream.updateWithTimeout)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    // b1: A@0,10m B@0m; b2: B@120m (watermark -> ~119m59s, past A's 41m timeout)
+    // b3: B@125m -> batch runs, A has no data, A's TIMEOUT fires (state removed)
+    // b4: A@180m -> fresh incarnation for A
+    mem.addData((1L, 1L, min(0)), (1L, 2L, min(10)), (2L, 3L, min(0)))
+    q.processAllAvailable()
+    mem.addData((2L, 4L, min(120)))
+    q.processAllAvailable()
+    mem.addData((2L, 5L, min(125)))
+    q.processAllAvailable()
+    mem.addData((1L, 6L, min(180)))
+    q.processAllAvailable()
+    q.stop()
+
+    val emits = spark.table(name)
+    val incsA = emits.filter(col("user_id") === 1L)
+      .select(col("inc_minute")).distinct().count()
+    assert(incsA === 2L, "timeout did not split user 1 into two incarnations")
+    val finals = emits
+      .groupBy(col("user_id"), col("inc_minute"))
+      .agg(max(col("n_sessions")).as("s"), max(col("n_events")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("s")).as("n_sessions"), sum(col("e")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // A: {0,10} one session + {180} one session = 2 sessions / 3 events
+    // B: {0} + {120,125} = 2 sessions / 3 events
+    assert(finals === Set((1L, 2L, 3L), (2L, 2L, 3L)))
+  }
+
+  test("grouping sets equals the two single-column aggregates (shared-scan form)") {
+    val gs = CoreOps.groupingSetsCounts(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+    val byStatus = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPrio = o.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotStatus = gs.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(2)).toMap
+    val gotPrio = gs.filter(!_.isNullAt(1)).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(gotStatus === byStatus)
+    assert(gotPrio === byPrio)
+    assert(gs.length === byStatus.size + byPrio.size)
+  }
+
+  test("correlated subqueries: per-segment counts are consistent") {
+    val r = CoreOps.correlatedSubqueries(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum === nCust)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1)) // EXISTS subset
+      assert(row.getLong(3) <= row.getLong(1)) // NOT EXISTS subset
+      assert(row.getLong(4) >= 0L)
+    }
+  }
+
   test("as-of outer join keeps unmatched left rows with nulls") {
     import TestSpark.spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 5L, "b"), (3L, 1L, "d")).toDF("k", "t", "tag")
