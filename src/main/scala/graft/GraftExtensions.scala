@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => graft.functions.IntersectKernelRule)
     // whole-operator extension (SURVEY §7.4 path c): AS-OF join strategy
+    // plus the pushdown rule Catalyst can't apply to a node it doesn't know
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

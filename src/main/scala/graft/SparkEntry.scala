@@ -126,6 +126,14 @@ object SparkEntry {
     "q81_correlated_subq"   -> ((s, d) => CoreOps.correlatedSubqueries(s, d)),
     // -- event-time-timeout sessionization (state finalization + cleanup) -----
     "q80_streaming_timeout" -> ((s, d) => graft.streaming.TimeoutSessionStream.sessionsTimeoutStreaming(s, d)),
+    // -- as-of join pushdown showcase (custom-node optimizer rule) ------------
+    "q82_asof_filtered"     -> ((s, d) => EventOps.asofAttributionFiltered(s, d)),
+    // -- training-data prep: deterministic split, TF-IDF ----------------------
+    "q83_train_test_split"  -> ((s, d) => SamplingOps.trainTestSplit(s, d)),
+    "q84_tfidf_topterm"     -> ((s, d) => SamplingOps.tfidfTopTerms(s, d)),
+    // -- reshape + time-range window frames -----------------------------------
+    "q85_unpivot_measures"  -> ((s, d) => CoreOps.unpivotMeasures(s, d)),
+    "q86_rolling_spend"     -> ((s, d) => CoreOps.rollingSpend(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -223,7 +231,7 @@ object SparkEntry {
   ) ++ EnrichOps.oracle ++ Map(
     "q22_pipeline_e2e" -> graft.pipeline.Pipeline.pipelineOracleSql,
   ) ++ TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-    MultimodalOps.oracle ++ Map(
+    MultimodalOps.oracle ++ SamplingOps.oracle ++ Map(
     "q46_safe_json_chain" ->
       """SELECT event_type, count(*) AS n_rows,
         | CAST(2 * count(*) AS BIGINT) AS n_parsed,
@@ -335,6 +343,33 @@ object SparkEntry {
         |FROM customer c
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q82_asof_filtered" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS click_id,
+        | date_diff('second', v.ts, p.ts) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |WHERE p.user_id IN (1, 3, 7, 11, 13)
+        |ORDER BY purchase_id""".stripMargin,
+    "q85_unpivot_measures" ->
+      """WITH a AS (SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |             max(o_totalprice) AS max_price
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, measure, value FROM (
+        | SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM a
+        | UNION ALL SELECT o_orderstatus, 'sum_price', sum_price FROM a
+        | UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM a)
+        |ORDER BY o_orderstatus, measure""".stripMargin,
+    "q86_rolling_spend" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM orders
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q74_full_outer" ->
       """SELECT coalesce(c_custkey, o_custkey) AS custkey,
         | CASE WHEN c_custkey IS NULL THEN 'missing' ELSE c_mktsegment END AS segment,

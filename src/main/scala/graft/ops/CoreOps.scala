@@ -187,6 +187,40 @@ object CoreOps {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** UNPIVOT (melt): the wide per-status aggregate turned into long
+    * (status, measure, value) rows — the inverse of q62's pivot and the
+    * standard reshape before a generic metric sink. `Dataset.unpivot` plans
+    * as an `Expand` (no shuffle beyond the aggregation's own).
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("sum_price"), col("max_price")),
+        "measure", "value")
+      .orderBy(col("o_orderstatus"), col("measure"))
+
+  /** Time-RANGE window frame: per-customer rolling 90-day spend. The frame
+    * is `RANGE BETWEEN 89 PRECEDING AND CURRENT ROW` over days-since-epoch —
+    * a value-range frame (calendar semantics: includes every order within
+    * the trailing window regardless of row count), not a row-count frame
+    * like q63's running total. Decimal per-row casts keep every frame sum
+    * exact under any intra-frame order.
+    */
+  def rollingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-89, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("spend_90d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("spend_90d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------------------
   // Set ops / dedup / distinct (D1-D5, U1)
   // ---------------------------------------------------------------------------

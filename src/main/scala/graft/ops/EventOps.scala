@@ -229,6 +229,20 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** [[asofAttribution]] restricted to a user subset — written the way an
+    * analyst would (filter AFTER the join), as the pushdown showcase for the
+    * custom operator: Catalyst's own `PushDownPredicates` stops at a node it
+    * doesn't know, so [[graft.plans.AsOfJoinFilterPushdown]] moves the IN
+    * through [[graft.plans.AsOfJoinPlan]] into the left child and MIRRORS it
+    * onto the right join key. Both scans prune before the shuffle
+    * (plan-asserted in the spec) — at 100 TB the predicate reaches the
+    * parquet row groups instead of filtering after two full shuffles.
+    */
+  def asofAttributionFiltered(spark: SparkSession, dir: String): DataFrame =
+    asofAttribution(spark, dir)
+      .filter(col("user_id").isin(1L, 3L, 7L, 11L, 13L))
+      .orderBy(col("purchase_id"))
+
   /** Outer variant of [[asofAttribution]]: keep purchases with NO prior
     * click (user's first purchase precedes any click). Unmatched right
     * columns coalesce to -1 so the oracle compare never faces null-vs-NaN

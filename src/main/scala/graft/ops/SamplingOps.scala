@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic dataset splitting and
+  * TF-IDF term weighting over the documents corpus.
+  *
+  * Both are 100 TB-shaped: the split is a pure per-row expression (no
+  * shuffle, no RNG state, reproducible across reruns/retries — a seeded
+  * `rand()` changes under task retry and partition count, a hash of the key
+  * never does), and TF-IDF is two shared-scan aggregations joined back with
+  * a broadcast (document frequency is vocabulary-sized, tiny next to the
+  * corpus).
+  */
+object SamplingOps {
+
+  /** Deterministic 80/20 train/test split by Knuth multiplicative hash of
+    * the stable document key, reported as per-(split, lang) counts + mean
+    * length — the reproducible alternative to `randomSplit` (whose sampling
+    * is seed+partition-dependent) for corpus curation.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100L < 80L, lit("train"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  /** Top TF-IDF term per document. TF and DF come from the same tokenized
+    * scan; the winner per document is chosen by the INTEGER ordering
+    * (tf desc, df asc, term asc) — rarest-heaviest term with a total
+    * tiebreak — so ranking never compares floats across engines; the float
+    * tf·ln(N/df) weight is computed only for the already-chosen row
+    * ([[OracleMath.stableRound]]ed).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_term"), col("tf"), col("df"),
+        OracleMath.stableRound(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q83_train_test_split" ->
+      """SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80
+        |              THEN 'train' ELSE 'test' END AS split, lang, n_chars
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q84_tfidf_topterm" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |total AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, word AS top_term, tf, df,
+        | ${OracleMath.stableRoundSql("tf * ln(CAST(n_docs AS DOUBLE) / df)", 4)} AS tfidf
+        |FROM (SELECT t.doc_id, t.word, t.tf, d.df, n.n_docs,
+        |        row_number() OVER (PARTITION BY t.doc_id
+        |                           ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rn
+        |      FROM tf t JOIN dfreq d USING (word) CROSS JOIN total n)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+  )
+}

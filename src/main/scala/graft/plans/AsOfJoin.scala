@@ -155,10 +155,14 @@ object AsOfJoin {
   /** Installs [[AsOfJoinStrategy]] on the session (idempotent) — the
     * programmatic twin of `spark.sql.extensions=graft.GraftExtensions`.
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+  }
 
   /** `left ASOF [LEFT] JOIN right ON leftKey = rightKey AND leftTime >=
     * rightTime`. `outer = true` keeps unmatched left rows with nulls on the

@@ -93,6 +93,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$finalP")
   }
 
+  test("filter above the as-of join pushes to BOTH parquet scans (q82)") {
+    val df = EventOps.asofAttributionFiltered(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // the user_id IN (...) predicate must appear as a pushed filter on the
+    // left scan AND (mirrored onto the right key) on the right scan — i.e.
+    // twice, beyond the event_type pushdowns both sides already have
+    val finalP = p.split("== Initial Plan ==").head
+    val pushedIn = "PushedFilters: \\[[^\\]]*In\\(user_id".r.findAllIn(finalP).size
+    assert(pushedIn == 2, s"expected user_id IN pushed to both scans:\n$finalP")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (q70)") {
     val df = EventOps.partitionedScan(spark, sf)
     df.collect()
