@@ -122,6 +122,17 @@ object Steps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       time("cands")(println("n=" + cands.count()))
       time("q71 full")(ops.DedupOps.ngramJaccard(spark, dir).count())
+    case "bloom" =>
+      for (k <- Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems"))
+        println(s"$k = ${spark.conf.get(k)}")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      println(ops.CoreOps.urgentLineRevenue(spark, dir)
+        .queryExecution.optimizedPlan.toString.take(3000))
     case "asof" =>
       val df = ops.EventOps.asofAttribution(spark, dir)
       df.explain("formatted")

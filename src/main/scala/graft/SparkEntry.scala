@@ -134,6 +134,24 @@ object SparkEntry {
     // -- reshape + time-range window frames -----------------------------------
     "q85_unpivot_measures"  -> ((s, d) => CoreOps.unpivotMeasures(s, d)),
     "q86_rolling_spend"     -> ((s, d) => CoreOps.rollingSpend(s, d)),
+    // -- stream-stream join + streaming dedup (stateful streaming family) -----
+    "q87_stream_join"       -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionStreaming(s, d)),
+    "q88_stream_dedup"      -> ((s, d) => graft.streaming.StreamJoinOps.dedupStreaming(s, d)),
+    // -- runtime bloom-filter join (scan-side semi-join reduction) ------------
+    "q89_runtime_filter"    -> ((s, d) => CoreOps.runtimeFilterJoin(s, d)),
+    // -- higher-order array functions + vector quantization -------------------
+    "q90_vector_hof"        -> ((s, d) => SimilarityOps.vectorProfile(s, d)),
+    "q95_scalar_quantize"   -> ((s, d) => SimilarityOps.scalarQuantize(s, d)),
+    // -- positional tokenization, CSV sink round trip, MapType surface --------
+    "q91_pos_tokens"        -> ((s, d) => TextOps.posTokens(s, d)),
+    "q92_csv_roundtrip"     -> ((s, d) => EventOps.csvRoundTrip(s, d)),
+    "q94_type_map_agg"      -> ((s, d) => EventOps.typeMapAgg(s, d)),
+    // -- approximate distinct (HLL sketch; rows-check, error bounded in spec) -
+    "q93_approx_distinct"   -> ((s, d) => CoreOps.approxDistinct(s, d)),
+    // -- CDC upsert (MERGE shape), stream-static join, approx quantiles ------
+    "q96_upsert_merge"      -> ((s, d) => CoreOps.upsertOrders(s, d)),
+    "q97_stream_static"     -> ((s, d) => graft.streaming.StreamJoinOps.streamStaticEnrich(s, d)),
+    "q98_approx_quantiles"  -> ((s, d) => CoreOps.approxQuantiles(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -200,7 +218,8 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q13_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q14_top_per_priority" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
@@ -429,6 +448,49 @@ object SparkEntry {
         |  SELECT user_id, date_trunc('minute', ts) AS m,
         |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
         |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-stream join must agree with the batch interval join
+    "q87_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        | date_diff('second', c.ts, p.ts) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 5 MINUTES
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // streaming dedup must agree with the batch DISTINCT
+    "q88_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_distinct_keys
+        |FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q89_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_type_map_agg" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q96_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_stream_static" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->

@@ -305,16 +305,128 @@ object CoreOps {
       .orderBy(col("o_orderkey"))
   }
 
-  /** J3's complement (the logged/dropped side): anti join — customers that
-    * placed no orders.
+  /** J3's complement (the logged/dropped side): anti join — customers with
+    * no URGENT order. (Against ALL orders the complement is empty at every
+    * scale factor — a 0-row result verifies trivially; the filtered right
+    * side keeps the anti join's discriminating power in the gate.)
     */
   def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
     Tables.customer(spark, dir)
       .join(o, Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }
+
+  /** The runtime-filter (bloom) join workload: lineitems of urgent orders,
+    * sort-merge joined. [[runtimeFilterJoin]] materializes it with bloom
+    * injection forced on; this builder is separate so the plan spec can
+    * inspect the optimized plan directly.
+    */
+  private[graft] def urgentLineRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(spark, dir)
+      .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Runtime bloom-filter join: Catalyst's `InjectRuntimeFilter` builds a
+    * bloom filter from the join keys of the SELECTIVELY-FILTERED side
+    * (urgent orders) and pushes `might_contain(l_orderkey)` into the fact
+    * scan — lineitem rows of non-urgent orders die at the scan instead of
+    * travelling through the shuffle. At 100 TB this is the difference
+    * between shuffling ~20% of lineitem and all of it. The injection is
+    * gated on the application side exceeding
+    * `…applicationSideScanSizeThreshold` (10 GB default — exactly the
+    * scale this engine targets); sf0.1 is below it, so the threshold is
+    * dropped to 0 and the plan materialized (persist + count) while the
+    * override is in effect, then the conf restored — lazy plans compile at
+    * action time, so a set-without-materialize would leak the override onto
+    * every later query in the session. Semantics are unchanged (bloom false
+    * positives re-verify at the join) ⇒ plain SQL oracle.
+    */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Injection requires the join to look like a SHUFFLE join to the
+    // optimizer: `isProbablyShuffleJoin` rejects any join whose either side
+    // `canBroadcastBySize`, even under an explicit merge hint — so the
+    // broadcast threshold goes to -1 too (at the target scale both sides
+    // exceed it naturally and only the scan-size threshold matters).
+    val keys = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = urgentLineRevenue(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // compile + run under the forced thresholds
+      df
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  /** Approximate distinct counting (HyperLogLog++, rsd 2%) next to the
+    * exact count it replaces at scale: an exact `count(DISTINCT user)` over
+    * 100 TB shuffles every distinct value; the HLL sketch is O(kB) per
+    * group, merged commutatively (register-wise max), so the result is
+    * deterministic under any partitioning — but sketch estimates are
+    * implementation-specific, so there is no cross-engine oracle (driver
+    * rows-check); the spec bounds |approx − exact| instead.
+    */
+  /** CDC upsert (the MERGE INTO shape): apply a change set to the latest
+    * snapshot — matched keys take the update row, unmatched keep the base
+    * row. Composed as `updates ∪ (base ⟕anti updates)`: one shuffle on the
+    * key for the anti join (or zero if both sides are bucketed by key, see
+    * [[Bucketing]]), no driver-side diffing. This is how a 100 TB snapshot
+    * absorbs a daily delta without rewriting unmatched partitions — pair
+    * with partition pruning so only partitions containing changed keys are
+    * read. The change set here is synthetic but derived deterministically
+    * from the base (keys ≡ 0 mod 100 get status 'X' and a 10% price bump),
+    * so the oracle reproduces it exactly.
+    */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
+    val merged = updates.unionByName(
+      base.join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Approximate quantiles (Greenwald-Khanna via `approx_percentile`) next
+    * to the exact percentile they replace at scale: exact percentile
+    * collects every value per group; the GK sketch is bounded-size and
+    * mergeable. Sketch outputs are implementation-specific → no cross-engine
+    * oracle (driver rows-check); the spec brackets the approx median between
+    * generous exact quantile bounds instead.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        OracleMath.stableRound(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------------------
   // Window functions beyond the reference (capability breadth)

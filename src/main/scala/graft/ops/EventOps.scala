@@ -104,6 +104,55 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** CSV source/sink round trip — the reference's OWN output format (S5:
+    * `to_csv` + S3 PUT, dag:827-852) closed into the verify gate: write the
+    * projected events table as headered CSV, read it back with an explicit
+    * schema (no inference in production paths, SURVEY §1.3), aggregate. The
+    * oracle runs on the original parquet — matching proves the CSV round
+    * trip is lossless for longs, strings and doubles (Spark writes doubles
+    * as shortest-roundtrip decimal). Staged once per sf dir.
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = sys.props("java.io.tmpdir") + s"/graft_evcsv_${math.abs(dir.hashCode)}"
+    val done = new Path(base + "/_STAGED")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.option("header", "true").mode("overwrite").csv(base + "/events_csv")
+      fs.createNewFile(done)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.read.option("header", "true").schema(schema).csv(base + "/events_csv")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MapType surface: per-user map of event_type → count built with
+    * `map_from_entries(collect_list(struct(…)))`, then exploded back to
+    * rows. Maps are how a pipeline carries open-ended per-entity feature
+    * bags (e.g. per-source token counts) without a schema change per
+    * feature; building and exploding one round-trips the type system. The
+    * map entry ORDER is collect_list-nondeterministic, but the exploded
+    * (key, value) SET is exact — the final orderBy restores determinism.
+    */
+  def typeMapAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("type_counts"))
+      .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "cnt")))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** ORC source/sink round trip (fourth format besides parquet, CSV and
     * JSON-lines — Spark's native columnar alternative): stage the projected
     * events table as ORC, read it back, aggregate. The oracle runs on the

@@ -201,6 +201,58 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** The higher-order-function array surface in one query: `transform`,
+    * `filter`, `aggregate`, `zip_with` and `reverse` over the embedding
+    * column — per-vector dimensionality, positive-component count, L2 norm
+    * and a zipped self-product (dot with the reversed vector). This is the
+    * declarative API a user reaches for first; the scaladoc on
+    * [[graft.functions.DotProduct]] records why hot loops use the codegen
+    * kernel instead (interpreted lambdas are 20-30× slower) — both surfaces
+    * belong to the library, and this query keeps the HOF one oracle-covered.
+    * Fold order is fixed left-to-right in both engines, so double sums are
+    * bit-identical.
+    */
+  def vectorProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val sumSq = aggregate(transform(e, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)
+    val revDot = aggregate(
+      zip_with(e, reverse(e), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), _ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(e).cast("long").as("dim"),
+        size(filter(e, x => x > lit(0.0))).cast("long").as("n_pos"),
+        OracleMath.stableRound(sqrt(sumSq), 6).as("l2"),
+        OracleMath.stableRound(revDot, 6).as("rev_dot"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Scalar (int8) quantization of the embedding column — the compression
+    * step before ANN indexing at 100 TB (4× smaller vectors, cache-resident
+    * probes): per-vector min/max affine map onto 0..255, plus the mean
+    * absolute reconstruction error as the quality metric. Pure per-row array
+    * math (no shuffle); all arithmetic in doubles with a fixed fold order so
+    * the oracle reproduces every bit. The `greatest(…, 1e-12)` guard keeps a
+    * constant vector (mx == mn) from dividing by zero — same guard in the
+    * SQL twin.
+    */
+  def scalarQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val mn = array_min(e).cast("double")
+    val mx = array_max(e).cast("double")
+    val scale = greatest((mx - mn) / lit(255.0), lit(1e-12))
+    val codes = transform(e, x => floor((x.cast("double") - mn) / scale + lit(0.5)).cast("long"))
+    val absErr = zip_with(e, codes, (x, c) => abs(x.cast("double") - (mn + c.cast("double") * scale)))
+    val meanErr = aggregate(absErr, lit(0.0), _ + _) / size(e).cast("double")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        OracleMath.stableRound(mn, 6).as("qmin"),
+        OracleMath.stableRound(mx, 6).as("qmax"),
+        element_at(codes, 1).as("code0"),
+        OracleMath.stableRound(meanErr, 8).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   private def cosSql(a: String, b: String): String = {
@@ -210,6 +262,26 @@ object SimilarityOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q90_vector_hof" ->
+      s"""SELECT vec_id,
+         | CAST(len(embedding) AS BIGINT) AS dim,
+         | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         | ${OracleMath.stableRoundSql("sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))", 6)} AS l2,
+         | ${OracleMath.stableRoundSql("list_sum(list_transform(list_zip(embedding, list_reverse(embedding)), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))", 6)} AS rev_dot
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q95_scalar_quantize" ->
+      s"""SELECT vec_id,
+         | ${OracleMath.stableRoundSql("mn", 6)} AS qmin,
+         | ${OracleMath.stableRoundSql("mx", 6)} AS qmax,
+         | CAST(floor((CAST(embedding[1] AS DOUBLE) - mn) / scale + 0.5) AS BIGINT) AS code0,
+         | ${OracleMath.stableRoundSql(
+             "list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - (mn + floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) * scale)))) / len(embedding)", 8)} AS mean_abs_err
+         |FROM (SELECT vec_id, embedding,
+         |        CAST(list_min(embedding) AS DOUBLE) AS mn,
+         |        CAST(list_max(embedding) AS DOUBLE) AS mx,
+         |        greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-12) AS scale
+         |      FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
     "q41_knn_cosine" ->
       s"""SELECT e.vec_id, e.label, ${OracleMath.stableRoundSql(cosSql("e.embedding", "q.q_emb"), 6)} AS sim
          |FROM embeddings e, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q

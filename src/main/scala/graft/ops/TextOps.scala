@@ -127,6 +127,19 @@ object TextOps {
         regexp_count(col("text"), lit("[^aeiou ]*[aeiou]+")).cast("long").as("n_subwords"))
       .orderBy(col("doc_id"))
 
+  /** Order-preserving token stream: one row per (doc, position, word) via
+    * `posexplode` — the tokenized-corpus layout a training pipeline feeds to
+    * sequence packing / context-window chunking, where position matters
+    * (plain `explode` loses it). Pure row amplification, no shuffle until a
+    * consumer aggregates; at 100 TB this is the map-side of everything
+    * downstream, never materialized whole.
+    */
+  def posTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Term frequency across the corpus: explode → count. The one genuinely
     * shuffling text op (partial-agg map-side; ~vocabulary-size result).
     */
@@ -157,6 +170,10 @@ object TextOps {
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q91_pos_tokens" ->
+      """SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos, unnest(ws) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q65_bigram_freq" ->
       """SELECT ngram AS bigram, count(*) AS cnt
         |FROM (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS ngram

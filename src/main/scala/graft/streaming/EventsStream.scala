@@ -40,7 +40,7 @@ object EventsStream {
     * file per table, so stage a per-sf scratch directory containing (a copy
     * of) the events file — the shape a streaming ingest dir would have.
     */
-  private[streaming] def stageStreamDirShared(spark: SparkSession, dir: String): String = {
+  private[graft] def stageStreamDirShared(spark: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
     val base = sys.props("java.io.tmpdir") + s"/graft_stream_${math.abs(dir.hashCode)}"
     val conf = spark.sparkContext.hadoopConfiguration
@@ -61,7 +61,7 @@ object EventsStream {
     * genuinely carry state across batches instead of seeing one batch of
     * everything.
     */
-  private[streaming] def stageStreamDirMulti(spark: SparkSession, dir: String,
+  private[graft] def stageStreamDirMulti(spark: SparkSession, dir: String,
                                              nFiles: Int = 3,
                                              byTime: Boolean = true): String = {
     import org.apache.hadoop.fs.{FileSystem, Path}
@@ -107,23 +107,25 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .parquet(stageStreamDirShared(spark, dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L"))) // exact, see Tables.events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_value"))
+    StreamJoinOps.withStatePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .parquet(stageStreamDirShared(spark, dir))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L"))) // exact, see Tables.events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_value"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))

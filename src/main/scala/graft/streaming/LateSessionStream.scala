@@ -54,24 +54,26 @@ object LateSessionStream {
     val name = "graft_stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, byTime = false)
 
-    val evs: Dataset[SessionStream.Ev] = spark.readStream
-      .schema(SessionStream.rawSchema)
-      .option("maxFilesPerTrigger", 1) // one hash-split file = one microbatch
-      .parquet(srcDir)
-      .select(col("user_id"),
-        unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
-        col("event_id"))
-      .as[SessionStream.Ev]
+    StreamJoinOps.withStatePartitions(spark, 8) {
+      val evs: Dataset[SessionStream.Ev] = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1) // one hash-split file = one microbatch
+        .parquet(srcDir)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
+          col("event_id"))
+        .as[SessionStream.Ev]
 
-    val q = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateBuffer)
-      .writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      val q = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateBuffer)
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // last emission per user = counts over the complete buffer
     val w = org.apache.spark.sql.expressions.Window

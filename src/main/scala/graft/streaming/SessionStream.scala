@@ -24,7 +24,7 @@ object SessionStream {
   final case class SessionState(lastMinute: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
-  private[streaming] val rawSchema = StructType(Seq(
+  private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) as long)
     StructField("user_id", LongType),
@@ -69,24 +69,26 @@ object SessionStream {
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir)
 
-    val evs: Dataset[Ev] = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
-      .parquet(srcDir)
-      .select(col("user_id"),
-        unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
-        col("event_id"))
-      .as[Ev]
+    StreamJoinOps.withStatePartitions(spark, 8) {
+      val evs: Dataset[Ev] = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
+        .parquet(srcDir)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
+          col("event_id"))
+        .as[Ev]
 
-    val q = evs.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
-      .writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      val q = evs.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // update-mode emits once per key per microbatch; AvailableNow over one
     // directory yields the final value per key in the last emission

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream joins and streaming deduplication — the two stateful
+  * streaming operator classes beyond aggregation/sessionization:
+  *
+  *  - [[clickAttributionStreaming]] — a watermarked INTERVAL join between two
+  *    streams (purchases ⋈ clicks of the same user within the preceding
+  *    5 minutes). Both sides buffer rows in state until the watermark shows
+  *    no earlier match can still arrive; the time-bound condition is what
+  *    makes state finite (an unbounded stream-stream join would buffer
+  *    forever).
+  *  - [[dedupStreaming]] — `dropDuplicates` over a watermarked event-time
+  *    key: the streaming form of exact dedup, where the watermark bounds how
+  *    long a key is remembered. THE first operator of a continuously-fed
+  *    training-data pipeline (a landing dir redelivers files; exactly-once
+  *    ingest dedups at the door).
+  *
+  * Both run to completion with `Trigger.AvailableNow` over staged landing
+  * dirs and are oracle-checked against the equivalent batch SQL — the
+  * batch/streaming consistency proof, same as the other streaming queries.
+  */
+object StreamJoinOps {
+  import EventsStream.{stageStreamDirShared, stageStreamDirMulti}
+
+  /** Run `f` with `spark.sql.shuffle.partitions` lowered to `n`: streaming
+    * state stores are created one per shuffle partition PER stateful
+    * operator PER microbatch — at 32 partitions a 3-batch run pays ~100
+    * store open/commit cycles for ~100k rows, pure overhead. The stream
+    * executes eagerly inside `f` (awaitTermination), so restoring the conf
+    * afterwards is safe — unlike lazy batch plans. State-store count is a
+    * real cluster knob too: it is fixed at first run by this conf, and 100k
+    * events per trigger want low tens of partitions, not the fact-table
+    * count (state shards rebalance across executors regardless).
+    */
+  private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  private def eventsStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream
+      .schema(SessionStream.rawSchema)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+
+  /** Watermarked stream-stream interval join: each purchase matched to ALL
+    * of the same user's clicks in the 5 minutes before it. Output is the
+    * exact join result (append mode emits a pair once both sides' watermarks
+    * pass it), so the oracle is the identical batch interval join.
+    */
+  def clickAttributionStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+
+    withStatePartitions(spark, 8) {
+      val purchases = eventsStream(spark, srcDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(spark, srcDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"))
+
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(name)
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000").as("lag_seconds"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Stream-static enrichment join: the streaming side joins a STATIC
+    * dimension (customer) broadcast to every microbatch — stateless (no
+    * watermark, no join state; the dimension is re-resolved per batch, which
+    * is also how slowly-changing dims pick up updates mid-stream). This is
+    * the most common production streaming join: events enriched with
+    * reference data at ingest. The oracle is the identical batch join.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+
+    withStatePartitions(spark, 8) {
+      val cust = broadcast(graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .parquet(srcDir)
+        .select(col("user_id"), col("value"))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(name).orderBy(col("c_mktsegment"))
+  }
+
+  /** Streaming exact dedup: distinct (user, type, minute) keys across
+    * microbatches via `dropDuplicates` on a watermarked event-time column —
+    * duplicates arriving in LATER files are caught by keyed state, which the
+    * watermark then expires (a key is only remembered while a duplicate can
+    * still legally arrive). Runs over the 3-file time-split landing dir so
+    * the state genuinely crosses batch boundaries; the final aggregation
+    * counts surviving keys per type against the batch DISTINCT oracle.
+    */
+  def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirMulti(spark, dir)
+
+    withStatePartitions(spark, 8) {
+      val deduped = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
+        .parquet(srcDir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", timestamp_micros(expr("ts DIV 1000L"))).as("m"))
+        .withWatermark("m", "1 hour")
+        .dropDuplicates("user_id", "event_type", "m")
+
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_keys"))
+      .orderBy(col("event_type"))
+  }
+}

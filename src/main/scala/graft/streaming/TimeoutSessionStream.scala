@@ -81,27 +81,29 @@ object TimeoutSessionStream {
     // fire timeouts mid-stream (more incarnations than users, spec-asserted)
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 5)
 
-    val evs: Dataset[TEv] = spark.readStream
-      .schema(SessionStream.rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
-      .withWatermark("ts", "30 minutes")
-      .select(col("user_id"),
-        unix_timestamp(date_trunc("minute", col("ts"))).as("minute"),
-        col("event_id"), col("ts"))
-      .as[TEv]
+    StreamJoinOps.withStatePartitions(spark, 8) {
+      val evs: Dataset[TEv] = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("minute", col("ts"))).as("minute"),
+          col("event_id"), col("ts"))
+        .as[TEv]
 
-    val q = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.EventTimeTimeout())(updateWithTimeout)
-      .writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      val q = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.EventTimeTimeout())(updateWithTimeout)
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // last (= max, emissions are cumulative) per incarnation, summed per user
     val emits = spark.table(name)

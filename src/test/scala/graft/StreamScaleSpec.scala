@@ -1,0 +1,158 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the stateful-streaming join/dedup family and the scale-path
+  * operators (runtime bloom filter, HLL approx distinct, quantization).
+  */
+class StreamScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream-stream interval join equals the batch interval join (q87)") {
+    val stream = graft.streaming.StreamJoinOps.clickAttributionStreaming(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("cu")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000").as("lag_seconds"))
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("streaming dedup across microbatches equals batch DISTINCT (q88)") {
+    val stream = graft.streaming.StreamJoinOps.dedupStreaming(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct_keys"))
+      .orderBy(col("event_type"))
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("runtime bloom filter is injected and does not change the join result (q89)") {
+    // plan + plain result FIRST: runtimeFilterJoin persists this exact plan,
+    // and the cache manager would substitute InMemoryRelation afterwards
+    val keys = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    val planStr =
+      try CoreOps.urgentLineRevenue(spark, sf).queryExecution.optimizedPlan.toString
+      finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    assert(planStr.contains("might_contain"), s"no bloom probe in plan:\n$planStr")
+    val plain = CoreOps.urgentLineRevenue(spark, sf).collect().toSeq
+    val withBloom = CoreOps.runtimeFilterJoin(spark, sf)
+    assert(withBloom.collect().toSeq === plain)
+    withBloom.unpersist()
+  }
+
+  test("approx_count_distinct is within the 2% rsd envelope of exact (q93)") {
+    CoreOps.approxDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getLong(2).toDouble
+      val approx = r.getLong(3).toDouble
+      // 5 sigma at rsd=2% — generous but still catches a broken sketch
+      assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.10),
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("scalar quantization codes are bounded 0..255 and reconstruct within scale/2 (q95)") {
+    val e = col("embedding")
+    val mn = array_min(e).cast("double")
+    val mx = array_max(e).cast("double")
+    val scale = greatest((mx - mn) / lit(255.0), lit(1e-12))
+    val codes = transform(e, x => floor((x.cast("double") - mn) / scale + lit(0.5)).cast("long"))
+    val bad = Tables.embeddings(spark, sf)
+      .select(codes.as("c"), scale.as("s"),
+        aggregate(zip_with(e, codes, (x, cc) =>
+          abs(x.cast("double") - (mn + cc.cast("double") * scale))), lit(0.0),
+          (acc, v) => greatest(acc, v)).as("maxerr"))
+      .filter(array_max(col("c")) > 255L || array_min(col("c")) < 0L
+        || col("maxerr") > col("s") * 0.5000001)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("positional tokens preserve order and count (q91)") {
+    val toks = TextOps.posTokens(spark, sf)
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("maxp"), min(col("pos")).as("minp"))
+    // positions are dense 0..n-1
+    assert(perDoc.filter(col("maxp") =!= col("n") - 1 || col("minp") =!= 0).count() === 0)
+    val total = toks.count()
+    val expected = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(total === expected)
+  }
+
+  test("map-type agg round-trips the grouped counts exactly (q94)") {
+    val viaMap = EventOps.typeMapAgg(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(viaMap.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(viaMap).count() === 0)
+  }
+
+  test("upsert keeps row count, replaces exactly the matched keys (q96)") {
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val nBase = base.count()
+    val nUpd = base.filter(col("o_orderkey") % 100 === 0).count()
+    val merged = CoreOps.upsertOrders(spark, sf)
+    // upsert of updates-only (no inserts) preserves cardinality; the 'X'
+    // status row count equals the change-set size
+    assert(merged.agg(sum(col("n"))).head.getLong(0) === nBase)
+    val xRow = merged.filter(col("o_orderstatus") === "X").collect()
+    assert(xRow.length === 1 && xRow.head.getLong(1) === nUpd)
+  }
+
+  test("stream-static broadcast join equals the batch join (q97)") {
+    val stream = graft.streaming.StreamJoinOps.streamStaticEnrich(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("approx median sits within the exact p40..p60 bracket (q98)") {
+    val bounds = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.4)").as("lo"),
+        expr("percentile(l_extendedprice, 0.6)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    CoreOps.approxQuantiles(spark, sf).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val approx = r.getDouble(2)
+      assert(approx >= lo && approx <= hi,
+        s"${r.getString(0)}: approx median $approx outside [$lo, $hi]")
+    }
+  }
+
+  test("CSV round trip is lossless for the projected events table (q92)") {
+    val viaCsv = EventOps.csvRoundTrip(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    assert(viaCsv.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(viaCsv).count() === 0)
+  }
+}
