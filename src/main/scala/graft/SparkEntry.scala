@@ -152,6 +152,8 @@ object SparkEntry {
     "q96_upsert_merge"      -> ((s, d) => CoreOps.upsertOrders(s, d)),
     "q97_stream_static"     -> ((s, d) => graft.streaming.StreamJoinOps.streamStaticEnrich(s, d)),
     "q98_approx_quantiles"  -> ((s, d) => CoreOps.approxQuantiles(s, d)),
+    // -- funnel / sequence analytics ------------------------------------------
+    "q99_funnel_stages"     -> ((s, d) => EventOps.funnelStages(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -491,6 +493,24 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q99_funnel_stages" ->
+      """SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users FROM (
+        |  SELECT user_id,
+        |    CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |              AND t_click > t_view AND t_purchase > t_click THEN 4
+        |         WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |              AND t_click > t_view THEN 3
+        |         WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 2
+        |         WHEN t_signup IS NOT NULL THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM (
+        |    SELECT user_id,
+        |      min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+        |      min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+        |      min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+        |      min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        |    FROM events GROUP BY 1))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stateful streaming must agree with the batch sessionization oracle
     "q51_streaming_sessions" ->

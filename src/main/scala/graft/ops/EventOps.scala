@@ -82,15 +82,11 @@ object EventOps {
     * round trip is lossless for the projected columns.
     */
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val base = sys.props("java.io.tmpdir") + s"/graft_json_${math.abs(dir.hashCode)}"
-    val done = new Path(base + "/_STAGED")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    Staging.ensure(spark, base, Seq("events_json")) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").json(base + "/events_json")
-      fs.createNewFile(done)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -113,15 +109,11 @@ object EventOps {
     * as shortest-roundtrip decimal). Staged once per sf dir.
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val base = sys.props("java.io.tmpdir") + s"/graft_evcsv_${math.abs(dir.hashCode)}"
-    val done = new Path(base + "/_STAGED")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    Staging.ensure(spark, base, Seq("events_csv")) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.option("header", "true").mode("overwrite").csv(base + "/events_csv")
-      fs.createNewFile(done)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -153,6 +145,32 @@ object EventOps {
       .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "cnt")))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Funnel / sequence analytics: how far along signup → view → click →
+    * purchase each user got, in strict temporal order (each stage's FIRST
+    * occurrence must follow the previous stage's first occurrence). One
+    * hash aggregation — min(ts) per stage via conditional aggregates — then
+    * a pure projection; no self-joins, no windows, so it scales as a single
+    * shuffle on user_id at any event volume. Raw-ts comparisons are safe
+    * cross-engine here because the testdata's nanos are micro-aligned
+    * (truncation to micros is lossless) and comparisons stay within one row.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    def minTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(minTs("signup"), minTs("view"), minTs("click"), minTs("purchase"))
+      .withColumn("stage",
+        when(s4, 4L).when(s3, 3L).when(s2, 2L).when(s1, 1L).otherwise(0L))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** ORC source/sink round trip (fourth format besides parquet, CSV and
     * JSON-lines — Spark's native columnar alternative): stage the projected
     * events table as ORC, read it back, aggregate. The oracle runs on the
@@ -160,15 +178,11 @@ object EventOps {
     * for the projected columns. Staged once per sf dir.
     */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val base = sys.props("java.io.tmpdir") + s"/graft_orc_${math.abs(dir.hashCode)}"
-    val done = new Path(base + "/_STAGED")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    Staging.ensure(spark, base, Seq("events_orc")) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(base + "/events_orc")
-      fs.createNewFile(done)
     }
     spark.read.orc(base + "/events_orc")
       .groupBy(col("event_type"))
@@ -188,15 +202,11 @@ object EventOps {
     * partition column.
     */
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val base = sys.props("java.io.tmpdir") + s"/graft_part_${math.abs(dir.hashCode)}"
-    val done = new Path(base + "/_STAGED")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    Staging.ensure(spark, base, Seq("events_part")) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("value"), col("ts"), col("event_type"))
         .write.partitionBy("event_type").mode("overwrite").parquet(base + "/events_part")
-      fs.createNewFile(done)
     }
     spark.read.parquet(base + "/events_part")
       .filter(col("event_type") === "click")

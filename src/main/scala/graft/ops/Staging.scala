@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent scratch-dir staging with self-healing: a stage is valid only
+  * when its `_STAGED` marker AND every expected data path exist. A
+  * half-staged dir — marker without data or data without marker, left by a
+  * crashed run, tmp-space reclamation, or another process writing the same
+  * path — is wiped and rebuilt instead of silently poisoning every query
+  * that reads it (a marker-only check once turned the pipeline e2e into a
+  * 0-row result when an unrelated stage claimed its directory).
+  */
+object Staging {
+
+  /** Run `write` unless `base` already holds a completed stage; returns
+    * `base`. `dataPaths` are base-relative paths that must exist for the
+    * stage to count as complete (the marker alone is not trusted).
+    */
+  def ensure(spark: SparkSession, base: String, dataPaths: Seq[String])
+            (write: => Unit): String = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(base + "/_STAGED")
+    val valid = fs.exists(done) &&
+      dataPaths.forall(p => fs.exists(new Path(base + "/" + p)))
+    if (!valid) {
+      fs.delete(basePath, true)
+      fs.mkdirs(basePath)
+      write
+      fs.create(done).close()
+    }
+    base
+  }
+}

@@ -111,31 +111,27 @@ object Pipeline {
   def stageVacancyCsvs(spark: SparkSession, sfDir: String): String = {
     val base = sys.props("java.io.tmpdir") +
       s"/graft_csv_${math.abs(sfDir.hashCode)}"
-    val basePath = new Path(base)
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = new Path(base + "/_STAGED")
-    if (fs.exists(done)) return base
-    fs.delete(basePath, true)
-    fs.mkdirs(basePath)
-    val src = graft.Tables.part(spark, sfDir).select(
-      col("p_partkey").as("id"),
-      col("p_name").as("title"),
-      col("p_type").as("ai_field_of_activity"),
-      to_date(lit("2024-01-15")).as("created_at"),
-      col("p_retailprice").as("salary_to"))
-    (0 until 6).foreach { i =>
-      val tmp = s"$base/_shard$i"
-      src.filter(pmod(col("id"), lit(6)) === i)
-        .coalesce(1)
-        .sortWithinPartitions("id")
-        .write.option("header", "true").mode("overwrite").csv(tmp)
-      val partFile = fs.listStatus(new Path(tmp)).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      fs.rename(partFile, new Path(f"$base/vacancies_00$i.csv"))
-      fs.delete(new Path(tmp), true)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Staging.ensure(spark, base,
+      (0 until 6).map(i => f"vacancies_00$i.csv")) {
+      val src = graft.Tables.part(spark, sfDir).select(
+        col("p_partkey").as("id"),
+        col("p_name").as("title"),
+        col("p_type").as("ai_field_of_activity"),
+        to_date(lit("2024-01-15")).as("created_at"),
+        col("p_retailprice").as("salary_to"))
+      (0 until 6).foreach { i =>
+        val tmp = s"$base/_shard$i"
+        src.filter(pmod(col("id"), lit(6)) === i)
+          .coalesce(1)
+          .sortWithinPartitions("id")
+          .write.option("header", "true").mode("overwrite").csv(tmp)
+        val partFile = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(partFile, new Path(f"$base/vacancies_00$i.csv"))
+        fs.delete(new Path(tmp), true)
+      }
     }
-    fs.createNewFile(done)
-    base
   }
 
   /** The verified end-to-end query: stage CSVs, run the full pipeline, and

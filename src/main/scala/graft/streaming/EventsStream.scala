@@ -70,10 +70,8 @@ object EventsStream {
       s"/graft_stream_multi_${math.abs(dir.hashCode)}_${nFiles}_$mode"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(conf)
-    val done = new Path(base + "/_STAGED")
-    if (!fs.exists(done)) {
-      fs.delete(new Path(base), true)
-      fs.mkdirs(new Path(base))
+    graft.ops.Staging.ensure(spark, base,
+      (0 until nFiles).map(k => f"events_$k%02d.parquet")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$dir/events.parquet")
       // byTime: in-order arrival (well-formed landing dir). byHash: events of
@@ -98,9 +96,7 @@ object EventsStream {
         fs.delete(new Path(scratch), true)
         fs.setTimes(dst, 1000L * (k + 1), -1) // strict arrival order for the source
       }
-      fs.create(done).close()
     }
-    base
   }
 
   def hourlyByTypeStreaming(spark: SparkSession, dir: String): DataFrame = {
