@@ -154,6 +154,8 @@ object SparkEntry {
     "q98_approx_quantiles"  -> ((s, d) => CoreOps.approxQuantiles(s, d)),
     // -- funnel / sequence analytics ------------------------------------------
     "q99_funnel_stages"     -> ((s, d) => EventOps.funnelStages(s, d)),
+    // -- streaming parquet sink (foreachBatch write path) ---------------------
+    "q100_stream_sink"      -> ((s, d) => graft.streaming.StreamJoinOps.streamParquetSink(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -494,6 +496,11 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming sink contents must equal the source table
+    "q100_stream_sink" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_funnel_stages" ->
       """SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users FROM (
         |  SELECT user_id,

@@ -126,6 +126,62 @@ object StreamJoinOps {
     spark.table(name).orderBy(col("c_mktsegment"))
   }
 
+  /** Streaming parquet SINK via `foreachBatch`: the write half of a
+    * continuously-fed pipeline (everything else here exercises sources and
+    * state). `foreachBatch` hands each microbatch to arbitrary batch code —
+    * the production hook for MERGE-style upserts into a table, multi-sink
+    * fan-out, or (here) appending partitioned parquet. The checkpoint makes
+    * redelivery exactly-once at the batch level: a batch re-run after a
+    * crash re-executes with the SAME batchId, so a real sink keys
+    * idempotency on it (the native file sink does the same via its
+    * _spark_metadata log). The staged landing dir arrives as 3 microbatches
+    * (`maxFilesPerTrigger=1`), so the sink genuinely appends across batches;
+    * reading the written files back and aggregating matches the plain batch
+    * oracle over the source table.
+    */
+  /** Where [[streamParquetSink]] writes; the spec inspects batch provenance
+    * here (batch count is staging-dependent, so it is spec-checked, not
+    * oracled).
+    */
+  private[graft] def sinkOutDir(dir: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}/out"
+
+  def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = stageStreamDirMulti(spark, dir)
+    val base = sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}"
+    val out = sinkOutDir(dir)
+    val chk = base + "/_chk"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run each call
+
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming exact dedup: distinct (user, type, minute) keys across
     * microbatches via `dropDuplicates` on a watermarked event-time column —
     * duplicates arriving in LATER files are caught by keyed state, which the

@@ -138,6 +138,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel is join-free: two hash aggregations, no self-join (q99)") {
+    val df = EventOps.funnelStages(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "funnel must not self-join:\n" + p.take(600))
+    // partial+final for each of the two aggregations
+    assert(p.split("HashAggregate").length - 1 >= 4)
+  }
+
+  test("upsert anti-join broadcasts the change-set keys (q96)") {
+    val df = CoreOps.upsertOrders(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("LeftAnti"), p.take(600))
+    // change set is small relative to the snapshot: its keys must broadcast,
+    // leaving the snapshot side unshuffled before the join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
     // stale warehouse dirs from a previous JVM collide with the fresh

@@ -144,6 +144,43 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming is state-store-provider agnostic (RocksDB = default HDFS-backed)") {
+    // At 100 TB-scale state the in-memory HDFS-backed provider is replaced by
+    // RocksDB (spillable, incremental-checkpointing). Results must not depend
+    // on the provider; run the multi-batch sessionization under RocksDB and
+    // compare against the batch oracle plan.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.streaming.SessionStream.sessionsStreaming(spark, sf)
+      val batch = EventOps.sessionCounts(spark, sf)
+      assert(rocks.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(rocks).count() === 0)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("foreachBatch parquet sink appends across real microbatches, losslessly (q100)") {
+    val sunk = graft.streaming.StreamJoinOps.streamParquetSink(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    assert(sunk.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(sunk).count() === 0)
+    // provenance: all 3 staged landing files arrived as separate batches
+    val batches = spark.read
+      .parquet(graft.streaming.StreamJoinOps.sinkOutDir(sf))
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 3L, s"expected 3 microbatches, got $batches")
+  }
+
   test("CSV round trip is lossless for the projected events table (q92)") {
     val viaCsv = EventOps.csvRoundTrip(spark, sf)
     val direct = Tables.events(spark, sf)
