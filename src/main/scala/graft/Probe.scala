@@ -133,6 +133,18 @@ object Steps {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       println(ops.CoreOps.urgentLineRevenue(spark, dir)
         .queryExecution.optimizedPlan.toString.take(3000))
+    case "q64" =>
+      val df = ops.CoreOps.rangeJoinMonthly(spark, dir)
+      df.explain("formatted")
+      time("q64 binned")(df.count())
+      time("q64 binned again")(ops.CoreOps.rangeJoinMonthly(spark, dir).count())
+      // equivalence vs the date_trunc formulation
+      val truncd = Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      val diff = df.select(col("month"), col("n_orders"))
+        .except(truncd.select(col("month"), col("n_orders")))
+      println("diff rows = " + diff.count())
     case "asof" =>
       val df = ops.EventOps.asofAttribution(spark, dir)
       df.explain("formatted")

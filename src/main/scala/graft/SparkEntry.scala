@@ -156,6 +156,10 @@ object SparkEntry {
     "q99_funnel_stages"     -> ((s, d) => EventOps.funnelStages(s, d)),
     // -- streaming parquet sink (foreachBatch write path) ---------------------
     "q100_stream_sink"      -> ((s, d) => graft.streaming.StreamJoinOps.streamParquetSink(s, d)),
+    // -- dedup-cluster resolution (connected components over near-dup pairs) --
+    "q101_dedup_clusters"   -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    // -- sequence packing via distributed two-pass prefix sum -----------------
+    "q102_pack_sequences"   -> ((s, d) => TextOps.packSequences(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -606,27 +606,39 @@ object CoreOps {
   }
 
   /** Range join against a generated month dimension: each order lands in the
-    * month interval containing its date. A true non-equi interval join —
-    * planned as a broadcast nested-loop against the tiny dimension, the
-    * scalable shape (fact side never shuffles; at 100 TB the same plan holds
-    * with the dimension broadcast to every executor). Results equal the
-    * date_trunc formulation (q54) by construction.
+    * month interval containing its date — executed as a *binned* range join.
+    *
+    * A naive interval join is a broadcast nested-loop: every fact row tests
+    * every interval (rows × intervals comparisons — measured as a bench hot
+    * spot, and catastrophic at 100 TB × a fine-grained dimension). The binned
+    * form is the standard scale path (Databricks' range-join optimization,
+    * Postgres/GiST bucketing): pick a bin width, explode each interval over
+    * the bins it overlaps, map each point to its single bin, then equi-join
+    * on the bin key with the range predicate as a residual condition. The
+    * join becomes a broadcast *hash* join — O(1) probe per fact row instead
+    * of O(intervals), no fact-side shuffle or repartition needed, and the
+    * same plan holds at any scale. Bin width = 1 month here, so each
+    * interval covers exactly one bin; the `sequence` explode is the general
+    * form for intervals wider than a bin.
     */
   def rangeJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1995-01-01"))
     val months = spark.range(0, 80) // 1995-01 … 2001-08 covers the data
-      .select(add_months(to_date(lit("1995-01-01")), col("id").cast("int"))
+      .select(add_months(origin, col("id").cast("int"))
         .cast("timestamp").as("month"), // timestamp: exact dtype parity with the oracle
-        add_months(to_date(lit("1995-01-01")), col("id").cast("int") + 1)
-          .cast("timestamp").as("month_end")) // precomputed: the nested-loop
-    // condition evaluates per (row × interval) — keep it to two comparisons
-    // on materialized dimension columns, no date arithmetic in the hot loop.
-    // The fact side is one small parquet split, but the nested-loop work is
-    // rows × intervals — repartition to spread it across cores (same lesson
-    // as the mask join: quadratic work is counted in rows, not bytes).
-    Tables.orders(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .join(broadcast(months),
-        col("o_orderdate") >= col("month") && col("o_orderdate") < col("month_end"))
+        add_months(origin, col("id").cast("int") + 1)
+          .cast("timestamp").as("month_end"))
+    // bin index = whole months since the range origin; an interval [s, e)
+    // covers bins bin(s) .. bin(e − ε) = bin(e) − 1 for bin-aligned e
+    val binnedMonths = months.withColumn("bin",
+      explode(sequence(
+        floor(months_between(col("month"), origin)).cast("int"),
+        floor(months_between(col("month_end"), origin)).cast("int") - 1)))
+    val orders = Tables.orders(spark, dir)
+      .withColumn("bin", floor(months_between(col("o_orderdate"), origin)).cast("int"))
+    orders.join(broadcast(binnedMonths),
+        orders("bin") === binnedMonths("bin")
+          && col("o_orderdate") >= col("month") && col("o_orderdate") < col("month_end"))
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))

@@ -400,6 +400,59 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup-cluster resolution: connected components over the near-duplicate
+    * pair graph — the step that turns pairwise "A≈B" edges into canonical
+    * clusters so a training-data pipeline can keep ONE representative per
+    * cluster (pairs alone can't: near-dup is not transitive, but the cluster
+    * decision must be).
+    *
+    * Algorithm: iterative min-label propagation. Every doc starts labelled
+    * with its own id; each round every node takes the minimum label in its
+    * neighborhood; fixpoint = each component labelled by its minimum doc_id.
+    * Rounds needed = graph diameter — near-dup components are dense
+    * (quasi-cliques by construction: members share ≥ t of their vocabulary),
+    * so diameter is small and 2-4 rounds converge. For high-diameter graphs
+    * at 100 TB the same loop upgrades to the large-star/small-star algorithm
+    * (Kiveris et al., O(log n) rounds); the per-round dataflow (join + min
+    * aggregate, two shuffles) is identical.
+    *
+    * Scale mechanics: `localCheckpoint` after each round truncates the
+    * lineage (an unbounded iterative plan re-executes every prior round at
+    * each action and eventually overflows the planner); convergence is
+    * detected from Σ(labels), which strictly decreases until fixpoint — one
+    * cheap aggregate per round instead of a change-count self-join.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = nearDupJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var lastSum = BigDecimal(labels.agg(sum(col("label"))).head.getLong(0))
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        .localCheckpoint()
+      val s = BigDecimal(next.agg(sum(col("label"))).head.getLong(0))
+      converged = s == lastSum
+      lastSum = s
+      labels = next
+    }
+    edges.unpersist()
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(cw))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy key matching: distinct-key pairs within a small edit distance —
     * the typo-dedup cousin of the set-based near-dup joins (classic for
     * normalizing user-entered titles before enrichment). Quadratic over
@@ -477,6 +530,28 @@ object DedupOps {
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    // connected components in SQL: reach(node, r) enumerates every node r
+    // reachable from node over the symmetric near-dup edge set (UNION, not
+    // UNION ALL — the dedup is the fixpoint guarantee); cluster id = min
+    // reachable node. Tractable because components are small; the Spark side
+    // scales where this CTE cannot.
+    "q101_dedup_clusters" ->
+      """WITH RECURSIVE ds AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) ws FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
     "q35_dedup_exact" ->
       """SELECT min(doc_id) AS rep_doc_id, count(*) AS group_size
         |FROM documents GROUP BY text ORDER BY rep_doc_id""".stripMargin,

@@ -167,9 +167,57 @@ object TextOps {
       .limit(20)
   }
 
+  /** Sequence packing ("concat-and-chunk"): assign documents, in doc_id
+    * order, to fixed-token-budget packs — pack id = ⌊running token count
+    * before the doc / budget⌋, the layout step that turns a document corpus
+    * into fixed-length training sequences.
+    *
+    * The interesting part at scale is the GLOBAL running sum: a naive
+    * `Window.orderBy` with no partition key collapses the whole corpus into
+    * ONE task. This uses the standard two-pass distributed prefix-sum
+    * instead: range-partition by doc_id, take per-partition token totals
+    * (one row per partition — driver-tiny), turn them into per-partition
+    * prefix offsets, then a partition-LOCAL cumulative window plus the
+    * broadcast offset. Every pass is fully parallel; the only sequential
+    * state is the n_partitions-row offset table.
+    *
+    * The partitioned view is persisted before the offsets are collected so
+    * both passes observe the SAME range boundaries (RangePartitioner samples
+    * its bounds; collect-then-recompute could see a different partitioning).
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 512): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    val parts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+    parts
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens") + offsetCol)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q102_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q91_pos_tokens" ->
       """SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos, unnest(ws) AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

@@ -188,6 +188,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(blocked === brute)
   }
 
+  test("dedup clusters equal union-find over the near-dup pair graph (q101)") {
+    // independent ground truth: driver-side union-find over the SAME pairs
+    // (the pairs themselves are oracle-gated via q38). This also covers the
+    // SF where the recursive-CTE SQL oracle is infeasible (giant component).
+    val pairs = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) { parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r) }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => d -> find(d)).toMap
+    val got = DedupOps.dedupClusters(spark, sf, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("LSH near-dup is a high-recall subset of the exact join") {
     val exact = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

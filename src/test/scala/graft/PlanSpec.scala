@@ -50,6 +50,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct")))
   }
 
+  test("binned range join plans as a broadcast HASH join, not nested-loop (q64)") {
+    // the bin equi-key must reach the join: a nested-loop here is the
+    // rows × intervals plan the binning exists to avoid
+    val p = plan(CoreOps.rangeJoinMonthly(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("exact similarity join physical shape per path (q38)") {
     // dense-domain path: all-pairs over distinct masks = broadcast nested loop
     val maskP = plan(DedupOps.nearDupJaccard(spark, sf))

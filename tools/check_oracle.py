@@ -37,8 +37,15 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_SKIP=q101_dedup_clusters,... — skip named oracles (e.g. q101 at
+    # sf0.1: the reach-enumeration recursive CTE is infeasible in DuckDB 1.0
+    # on that SF's 2652-node giant component; q101 is covered there by the
+    # in-JVM union-find spec in GraftSpec instead).
+    skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name} (CHECK_SKIP)"); continue
         sql = oracle[name]
         spark_df = load_spark(out_dir, name)
         if spark_df is None:
