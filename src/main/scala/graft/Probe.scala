@@ -133,6 +133,20 @@ object Steps {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       println(ops.CoreOps.urgentLineRevenue(spark, dir)
         .queryExecution.optimizedPlan.toString.take(3000))
+    case "hot" =>
+      // warmup
+      Tables.orders(spark, dir).count(); Tables.events(spark, dir).count()
+      time("q22 pipeline 1st")(graft.pipeline.Pipeline.pipelineQuery(spark, dir).count())
+      time("q22 pipeline 2nd")(graft.pipeline.Pipeline.pipelineQuery(spark, dir).count())
+      time("q71 ngram 1st")(ops.DedupOps.ngramJaccard(spark, dir).count())
+      time("q70 part scan 1st")(ops.EventOps.partitionedScan(spark, dir).count())
+      time("q70 part scan 2nd")(ops.EventOps.partitionedScan(spark, dir).count())
+      time("q67 orc 1st")(ops.EventOps.orcRoundTrip(spark, dir).count())
+      time("q67 orc 2nd")(ops.EventOps.orcRoundTrip(spark, dir).count())
+      time("q65 bigram 1st")(ops.TextOps.bigramFreq(spark, dir).count())
+      time("q65 bigram 2nd")(ops.TextOps.bigramFreq(spark, dir).count())
+      time("q101 clusters")(ops.DedupOps.dedupClusters(spark, dir).count())
+      time("q102 packing")(ops.TextOps.packSequences(spark, dir).count())
     case "q64" =>
       val df = ops.CoreOps.rangeJoinMonthly(spark, dir)
       df.explain("formatted")

@@ -160,6 +160,8 @@ object SparkEntry {
     "q101_dedup_clusters"   -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // -- sequence packing via distributed two-pass prefix sum -----------------
     "q102_pack_sequences"   -> ((s, d) => TextOps.packSequences(s, d)),
+    // -- source-mixture sampling (deterministic per-source rates) -------------
+    "q103_mixture_sample"   -> ((s, d) => SamplingOps.mixtureSample(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -57,7 +57,38 @@ object SamplingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-mixture sampling: each source gets its own deterministic
+    * sampling rate (the training-mixture knob — upweight curated sources,
+    * downsample crawl), applied as a pure per-row hash predicate. Like
+    * [[trainTestSplit]] this is shuffle-free and retry-stable, and the
+    * sample membership hash uses a DIFFERENT multiplier than the split hash
+    * so mixture and split stay statistically independent. At production key
+    * ranges the multiplicative hash would be `xxhash64` (the small constant
+    * here keeps the oracle arithmetic exactly reproducible in SQL).
+    * Rates are derived from the source id (25% + 5·(src mod 10)) so the
+    * operator needs no side table; a real pipeline would broadcast-join a
+    * tiny weights dimension instead — same plan shape.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val srcnum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val rate = lit(25L) + lit(5L) * pmod(srcnum, lit(10L))
+    val sampled = pmod(col("doc_id") * lit(1103515245L), lit(100L)) < rate
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+        min(rate).as("rate_pct"))
+      .orderBy(col("source"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q103_mixture_sample" ->
+      """SELECT source, count(*) AS n_total,
+        | CAST(sum(CASE WHEN (doc_id * 1103515245) % 100
+        |                    < 25 + 5 * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10)
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | CAST(min(25 + 5 * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10)) AS BIGINT) AS rate_pct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_train_test_split" ->
       """SELECT split, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
