@@ -162,6 +162,8 @@ object SparkEntry {
     "q102_pack_sequences"   -> ((s, d) => TextOps.packSequences(s, d)),
     // -- source-mixture sampling (deterministic per-source rates) -------------
     "q103_mixture_sample"   -> ((s, d) => SamplingOps.mixtureSample(s, d)),
+    // -- Z-order (Morton) multi-dim layout statistics -------------------------
+    "q104_zorder_stats"     -> ((s, d) => EventOps.zorderStats(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -312,6 +314,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    // Morton spread ladder, one CTE per shift-or-mask step (same integer
+    // arithmetic as the Spark zspread fold)
+    "q104_zorder_stats" ->
+      """WITH b AS (SELECT user_id & 65535 AS x0, CAST(floor(value) AS BIGINT) & 65535 AS y0 FROM events),
+        |s1 AS (SELECT x0 AS x, y0 AS y,
+        |        ((x0 | (x0 << 8)) & 16711935) AS xs, ((y0 | (y0 << 8)) & 16711935) AS ys FROM b),
+        |s2 AS (SELECT x, y, ((xs | (xs << 4)) & 252645135) AS xs, ((ys | (ys << 4)) & 252645135) AS ys FROM s1),
+        |s3 AS (SELECT x, y, ((xs | (xs << 2)) & 858993459) AS xs, ((ys | (ys << 2)) & 858993459) AS ys FROM s2),
+        |s4 AS (SELECT x, y, ((xs | (xs << 1)) & 1431655765) AS xs, ((ys | (ys << 1)) & 1431655765) AS ys FROM s3)
+        |SELECT (xs | (ys << 1)) >> 12 AS zbucket, count(*) AS n,
+        | min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_range_join_months" ->
       """SELECT m AS month, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -214,6 +214,48 @@ object EventOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .orderBy(col("day"))
+  }
+
+  /** Morton (Z-order) spread: 16-bit value → 32-bit with a 0 bit between
+    * every data bit, via the classic shift-or-mask ladder (pure codegen'd
+    * integer ops; identical arithmetic is expressible in the SQL twin).
+    */
+  private def zspread(v: Column): Column = {
+    val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
+    val s = Seq(8, 4, 2, 1)
+    m.zip(s).foldLeft(v.bitwiseAND(lit(0xFFFFL))) {
+      case (x, (mask, sh)) => (x.bitwiseOR(shiftleft(x, sh))).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Z-order (Morton-curve) layout statistics: interleave the bits of two
+    * query dimensions (user_id, ⌊value⌋) into one sort key and report, per
+    * coarse z-bucket, how tightly BOTH dimensions are bounded.
+    *
+    * Why this is a 100 TB operator: sorting/clustering a table by z-value
+    * before writing makes every parquet row group's min/max stats narrow in
+    * EVERY interleaved dimension at once — so a scan filtered on `user_id`
+    * AND/OR `value` skips most row groups, where a single-column sort only
+    * prunes its own column. The per-bucket `(x_max−x_min)·(y_max−y_min)`
+    * areas this query reports are exactly the row-group bounding boxes a
+    * reader would prune against (each bucket covers ≤ 2^10 × 2^10 of the
+    * 2^16 × 2^16 key space — narrow in both dimensions, vs a range covering
+    * the full y-extent under a lexicographic (x, y) sort). The layout step
+    * itself is `repartitionByRange(zval) + sortWithinPartitions(zval) +
+    * write` — demonstrated shape-only here (the stats query is the
+    * deterministic, oracle-checkable part).
+    */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("user_id").bitwiseAND(lit(0xFFFFL))
+    val y = floor(col("value")).cast("long").bitwiseAND(lit(0xFFFFL))
+    val zval = zspread(x).bitwiseOR(shiftleft(zspread(y), 1))
+    Tables.events(spark, dir)
+      .select(x.as("x"), y.as("y"), zval.as("zval"))
+      .groupBy(shiftright(col("zval"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("zbucket"))
   }
 
   /** Sessionization-style window: for each user, order events by time and

@@ -212,6 +212,18 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("z-order buckets bound BOTH dimensions at once (q104)") {
+    // a z-bucket (zval >> 12) leaves 6 free low bits per dimension, so every
+    // bucket's bounding box is < 64 wide in x AND y — the property row-group
+    // pruning relies on; a lexicographic (x, y) sort has no such y bound
+    val rows = EventOps.zorderStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") < 64)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") < 64)
+    }
+  }
+
   test("LSH near-dup is a high-recall subset of the exact join") {
     val exact = DedupOps.nearDupJaccard(spark, sf, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
