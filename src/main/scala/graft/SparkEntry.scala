@@ -164,6 +164,8 @@ object SparkEntry {
     "q103_mixture_sample"   -> ((s, d) => SamplingOps.mixtureSample(s, d)),
     // -- Z-order (Morton) multi-dim layout statistics -------------------------
     "q104_zorder_stats"     -> ((s, d) => EventOps.zorderStats(s, d)),
+    // -- DataSource V2 custom source with filter/column/limit pushdown --------
+    "q105_custom_source"    -> ((s, d) => graft.sources.GraftRangeQueries.bucketAgg(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -314,6 +316,8 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    // DuckDB regenerates the custom source's deterministic rows from range()
+    "q105_custom_source" -> graft.sources.GraftRangeQueries.bucketAggOracle,
     // Morton spread ladder, one CTE per shift-or-mask step (same integer
     // arithmetic as the Spark zspread fold)
     "q104_zorder_stats" ->

@@ -74,9 +74,14 @@ object Enrichment {
       keysPerPartition: Int = 300): Dataset[Classified] = {
     val spark = keys.sparkSession
     import spark.implicits._
-    val n = keys.count()
-    val parts = math.max(1, math.min(keys.rdd.getNumPartitions, (n / keysPerPartition).toInt + 1))
-    keys
+    // the count below is an unavoidable action (partition sizing needs n);
+    // persist first so the distinct-key plan — and everything under it —
+    // materializes once instead of once for the count and again for the
+    // classify pass
+    val cached = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    val parts = math.max(1, math.min(cached.rdd.getNumPartitions, (n / keysPerPartition).toInt + 1))
+    cached
       .repartition(parts)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(b => classifyBatchWithRetry(classifier, b.toSeq, maxRetries, retryOther))

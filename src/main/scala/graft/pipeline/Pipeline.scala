@@ -91,10 +91,19 @@ object Pipeline {
   def writeCsv(df: DataFrame, out: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(out)
 
-  /** Whole pipeline, sink optional. */
+  /** Whole pipeline, sink optional. The deduped frame is persisted — it is
+    * scanned four times downstream (two distinct-key extractions + two
+    * map-back joins; the classify stages are action barriers, so lazy
+    * sharing can't help), and without the persist the CSV read + both
+    * dedup shuffles re-execute on every scan. This is the G2 "XCom
+    * materialization barrier" translated to its Spark equivalent: cache the
+    * stage boundary, not the task hand-off.
+    */
   def run(spark: SparkSession, csvDir: String, out: Option[String] = None, latestK: Int = 4): DataFrame = {
     val files = discoverLatestCsvs(spark, csvDir, latestK)
-    val enriched = withMeta(enrichAll(readAndDedup(spark, files)))
+    val deduped = readAndDedup(spark, files)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enriched = withMeta(enrichAll(deduped))
     out.foreach(o => writeCsv(enriched, o))
     enriched
   }

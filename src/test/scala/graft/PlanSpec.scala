@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("custom DSv2 source absorbs filter, projection, and limit (q105)") {
+    import org.apache.spark.sql.functions.col
+    // the id-range predicate narrows the scan itself (source-level pruning)
+    val p = plan(graft.sources.GraftRangeQueries.bucketAgg(spark, sf))
+    assert(p.contains("lo=20000,hi=60000"),
+      s"pushed range must reach the scan description: $p")
+    // projection + limit pushdown on a narrow read
+    val narrow = TestSpark.spark.read.format("graft.sources.GraftRangeSource")
+      .option("end", "100").load().select(col("bucket")).limit(5)
+    val np = narrow.queryExecution.executedPlan.toString
+    assert(np.contains("cols=bucket") && np.contains("limit=5"))
+    assert(narrow.count() === 5)
+  }
+
   test("exact similarity join physical shape per path (q38)") {
     // dense-domain path: all-pairs over distinct masks = broadcast nested loop
     val maskP = plan(DedupOps.nearDupJaccard(spark, sf))
