@@ -147,6 +147,47 @@ object Steps {
       time("q65 bigram 2nd")(ops.TextOps.bigramFreq(spark, dir).count())
       time("q101 clusters")(ops.DedupOps.dedupClusters(spark, dir).count())
       time("q102 packing")(ops.TextOps.packSequences(spark, dir).count())
+    case "q101parts" =>
+      import ops.TextFunctions._
+      import org.apache.spark.storage.StorageLevel
+      val ds = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
+      val groups = ds.groupBy(col("ws0"))
+        .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("groups")(groups.count())
+      val reps = groups.select(col("rep").as("doc_id"), col("ws0"))
+      val vocab = time("vocab")(reps.select(explode(col("ws0")).as("word")).distinct()
+        .collect().map(_.getString(0)).sorted)
+      println("n_vocab=" + vocab.length)
+      val pairs = ops.DedupOps.nearDupJaccard(spark, dir) // full doc pairs for comparison
+      time("full doc pairs")(println("n=" + pairs.count()))
+      // loop anatomy on the REP graph: how many rounds, what does one cost?
+      val repDocs = groups.select(col("rep").as("doc_id"), col("ws0"))
+      val p2 = time("rep pairs")(ops.DedupOps.nearDupPairsOn(spark, repDocs, 0.9)
+        .select(col("doc_a"), col("doc_b")))
+      val edges = p2.unionByName(p2.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+      time("edges mat")(println("edges=" + edges.count()))
+      var labels = repDocs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      var last = -1L
+      var it = 0
+      var done = false
+      while (!done && it < 30) {
+        val t0 = System.nanoTime()
+        val nm = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+        val prop = labels.join(nm, labels("doc_id") === nm("dst"), "left")
+          .select(labels("doc_id"), least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        val next = prop.as("l")
+          .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+            col("l.label") === col("p_id"))
+          .select(col("l.doc_id").as("doc_id"), col("p_label").as("label"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("label"))).head.getLong(0)
+        println(f"iter $it: sum=$s took ${(System.nanoTime()-t0)/1e9}%.2f s")
+        done = s == last; last = s; labels = next; it += 1
+      }
     case "q64" =>
       val df = ops.CoreOps.rangeJoinMonthly(spark, dir)
       df.explain("formatted")
