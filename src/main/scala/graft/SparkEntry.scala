@@ -166,6 +166,8 @@ object SparkEntry {
     "q104_zorder_stats"     -> ((s, d) => EventOps.zorderStats(s, d)),
     // -- DataSource V2 custom source with filter/column/limit pushdown --------
     "q105_custom_source"    -> ((s, d) => graft.sources.GraftRangeQueries.bucketAgg(s, d)),
+    // -- DSv2 COMPLETE aggregate pushdown (planning-time closed form) ---------
+    "q106_pushed_agg"       -> ((s, d) => graft.sources.GraftRangeQueries.pushedAgg(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -318,6 +320,7 @@ object SparkEntry {
         |ORDER BY o_custkey, seq""".stripMargin,
     // DuckDB regenerates the custom source's deterministic rows from range()
     "q105_custom_source" -> graft.sources.GraftRangeQueries.bucketAggOracle,
+    "q106_pushed_agg"    -> graft.sources.GraftRangeQueries.pushedAggOracle,
     // Morton spread ladder, one CTE per shift-or-mask step (same integer
     // arithmetic as the Spark zspread fold)
     "q104_zorder_stats" ->

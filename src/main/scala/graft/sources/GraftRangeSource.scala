@@ -66,12 +66,85 @@ class GraftRangeTable(start: Long, end: Long, slices: Int) extends Table with Su
 
 class GraftRangeScanBuilder(start0: Long, end0: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
   private var lo = start0
   private var hi = end0
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeSource.schema
   private var limit: Option[Int] = None
+  // (schema of the aggregated output, precomputed result rows)
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  /** COMPLETE aggregate pushdown: for `COUNT(*) / MIN(id) / MAX(id)`,
+    * optionally grouped by `bucket`, the deterministic range needs no scan
+    * at all — results are closed-form over [lo, hi) and are computed here,
+    * at planning time. This is the deepest pushdown tier (the same contract
+    * JDBC sources use to turn `SELECT count(*)` into a remote aggregate):
+    * the source's Batch then serves the final rows and Spark plans no
+    * aggregation above the scan.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryComputeAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val r = tryComputeAgg(agg)
+    r.foreach(v => aggResult = Some(v))
+    r.isDefined
+  }
+
+  private def tryComputeAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
+    val groupCols = agg.groupByExpressions().toSeq.map(fieldOf)
+    val okGroup = groupCols.forall(_.contains("bucket")) && groupCols.size <= 1
+    val fns = agg.aggregateExpressions().toSeq
+    val okFns = fns.forall {
+      case _: CountStar => true
+      case m: Min => fieldOf(m.column).contains("id")
+      case m: Max => fieldOf(m.column).contains("id")
+      case _ => false
+    }
+    if (!okGroup || !okFns || fns.isEmpty) return None
+
+    // per-group (first, last, count) over the arithmetic progression of ids
+    // in [lo, hi) — no rows generated, pure closed form
+    val groups: Seq[(Option[Long], Long, Long, Long)] =
+      if (groupCols.isEmpty) {
+        if (hi <= lo) Seq.empty else Seq((None, lo, hi - 1, hi - lo))
+      } else {
+        (0L until 10L).flatMap { b =>
+          val first = lo + (((b - lo) % 10) + 10) % 10
+          if (first >= hi) None
+          else {
+            val last = first + 10L * ((hi - 1 - first) / 10L)
+            Some((Some(b), first, last, (last - first) / 10L + 1))
+          }
+        }
+      }
+    val aggFields = fns.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (_: Min, i)       => StructField(s"min_$i", LongType, nullable = false)
+      case (_: Max, i)       => StructField(s"max_$i", LongType, nullable = false)
+      case (f, _)            => throw new IllegalStateException(s"unreachable: $f")
+    }
+    val schema = StructType(
+      groupCols.flatten.map(n => StructField(n, LongType, nullable = false)) ++ aggFields)
+    val rows = groups.map { case (bucket, first, last, n) =>
+      (bucket.toSeq ++ fns.map {
+        case _: CountStar => n
+        case _: Min       => first
+        case _: Max       => last
+      }).toArray[Any]
+    }.toArray
+    Some((schema, rows))
+  }
 
   private def long(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
@@ -96,8 +169,38 @@ class GraftRangeScanBuilder(start0: Long, end0: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
-  override def build(): Scan = new GraftRangeScan(lo, hi, slices, required, limit)
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new GraftPrecomputedScan(schema, rows, lo, hi)
+    case None                 => new GraftRangeScan(lo, hi, slices, required, limit)
+  }
 }
+
+/** Scan serving a planning-time-computed aggregate result (see
+  * [[GraftRangeScanBuilder.pushAggregation]]).
+  */
+class GraftPrecomputedScan(schema: StructType, rows: Array[Array[Any]],
+                           lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRange[lo=$lo,hi=$hi,agg=${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRowsPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rs = p.asInstanceOf[GraftRowsPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = new GenericInternalRow(rs(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftRowsPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class GraftRangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
                      limit: Option[Int]) extends Scan with Batch {
@@ -166,5 +269,24 @@ object GraftRangeQueries {
       | CAST(sum((id * 2654435761) % 1000) AS BIGINT) AS sum_val,
       | min(id) AS min_id, max(id) AS max_id
       |FROM (SELECT range AS id FROM range(20000, 60000))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** COUNT/MIN/MAX per bucket over a pushed id range — the WHOLE query
+    * (filter AND aggregation) resolves at planning time inside the source;
+    * the "scan" serves 10 final rows (spec-asserted: no aggregate above the
+    * scan in the physical plan).
+    */
+  def pushedAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftRangeSource")
+      .option("start", "0").option("end", "1000000").option("slices", "32")
+      .load()
+      .filter(col("id") >= 123L && col("id") < 987654L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  val pushedAggOracle: String =
+    """SELECT id % 10 AS bucket, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+      |FROM (SELECT range AS id FROM range(123, 987654))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

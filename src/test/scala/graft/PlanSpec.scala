@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite {
     assert(narrow.count() === 5)
   }
 
+  test("DSv2 COMPLETE aggregate pushdown leaves no aggregate above the scan (q106)") {
+    val df = graft.sources.GraftRangeQueries.pushedAgg(spark, sf)
+    val p = plan(df)
+    assert(p.contains("agg="), s"scan must serve the precomputed aggregate: $p")
+    assert(!p.contains("HashAggregate"), s"no aggregation may remain in the plan: $p")
+  }
+
   test("exact similarity join physical shape per path (q38)") {
     // dense-domain path: all-pairs over distinct masks = broadcast nested loop
     val maskP = plan(DedupOps.nearDupJaccard(spark, sf))
