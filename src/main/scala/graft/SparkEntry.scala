@@ -168,6 +168,8 @@ object SparkEntry {
     "q105_custom_source"    -> ((s, d) => graft.sources.GraftRangeQueries.bucketAgg(s, d)),
     // -- DSv2 COMPLETE aggregate pushdown (planning-time closed form) ---------
     "q106_pushed_agg"       -> ((s, d) => graft.sources.GraftRangeQueries.pushedAgg(s, d)),
+    // -- product quantization (PQ codes + reconstruction error) ---------------
+    "q107_pq_codes"         -> ((s, d) => SimilarityOps.pqCodes(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -253,6 +253,61 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Product quantization (PQ) codes — the second quantization tier of an
+    * ANN index (IVF partitions the corpus, PQ compresses the residuals/
+    * vectors INSIDE each cell): split each 64-dim embedding into M=4
+    * 16-dim subvectors; per subspace, a small codebook (per-label subvector
+    * centroids — the deterministic stand-in for k-means, the same device as
+    * the IVF coarse codebook in [[ivfAssign]]); each subvector encodes as
+    * its L2-nearest codeword. 64×4 B of floats become 4 small codes; at
+    * 100 TB this is what makes billion-vector search RAM-resident, and
+    * distance evaluation against a query becomes 4 table lookups (ADC).
+    *
+    * Plan shape: codebook is (labels × M) rows → broadcast; assignment is a
+    * per-(vector, subspace) argmin window over ≤ 10 candidates; one final
+    * pivot back to a row per vector. Everything before the argmin shuffle is
+    * map-side.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val sub = 64 / m
+    val e = Tables.embeddings(spark, dir)
+    val sv = e.select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
+      .withColumn("subvec", expr(s"slice(embedding, s * $sub + 1, $sub)"))
+    val cb = sv
+      .select(col("label").as("c_label"), col("s"), posexplode(col("subvec")).as(Seq("d", "v")))
+      .groupBy(col("c_label"), col("s"), col("d"))
+      .agg(OracleMath.stableRound(avg(col("v").cast("double")), 8).as("cv"))
+      .groupBy(col("c_label"), col("s"))
+      .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("pairs"))
+      .select(col("c_label"), col("s").as("cb_s"),
+        transform(col("pairs"), p => p.getField("cv")).as("cvec"))
+    val d2 = aggregate(
+      zip_with(col("subvec"), col("cvec"), (x, c) => {
+        val dx = x.cast("double") - c; dx * dx
+      }), lit(0.0), _ + _)
+    val scored = sv.join(broadcast(cb), col("s") === col("cb_s"))
+      .select(col("vec_id"), col("s"), col("c_label"),
+        OracleMath.stableRound(d2, 6).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("dist2"), col("c_label"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def pick(s: Int, c: Column): Column = max(when(col("s") === s, c))
+    best.groupBy(col("vec_id"))
+      .agg(
+        pick(0, col("c_label")).cast("long").as("c0"),
+        pick(1, col("c_label")).cast("long").as("c1"),
+        pick(2, col("c_label")).cast("long").as("c2"),
+        pick(3, col("c_label")).cast("long").as("c3"),
+        // fixed-order sum of the four already-rounded distances (an agg-sum
+        // over the 4 rows would re-associate across engines)
+        OracleMath.stableRound(
+          pick(0, col("dist2")) + pick(1, col("dist2"))
+            + pick(2, col("dist2")) + pick(3, col("dist2")), 6).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   private def cosSql(a: String, b: String): String = {
@@ -262,6 +317,36 @@ object SimilarityOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q107_pq_codes" -> {
+      val diff = "(CAST(v.subvec[i] AS DOUBLE) - c.cvec[i])"
+      s"""WITH sidx AS (SELECT unnest(range(4)) AS s),
+         |sv AS (
+         |  SELECT vec_id, label, s, list_slice(embedding, s*16 + 1, s*16 + 16) AS subvec
+         |  FROM embeddings CROSS JOIN sidx),
+         |cbd AS (
+         |  SELECT label AS c_label, s, d,
+         |   ${OracleMath.stableRoundSql("avg(CAST(subvec[d] AS DOUBLE))", 8)} AS cv
+         |  FROM sv CROSS JOIN (SELECT unnest(range(1, 17)) AS d)
+         |  GROUP BY 1, 2, 3),
+         |cb AS (SELECT c_label, s, list(cv ORDER BY d) AS cvec FROM cbd GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT v.vec_id, v.s, c.c_label,
+         |   ${OracleMath.stableRoundSql(s"list_sum(list_transform(range(1, 17), i -> $diff * $diff))", 6)} AS dist2
+         |  FROM sv v JOIN cb c ON c.s = v.s),
+         |best AS (
+         |  SELECT vec_id, s, c_label, dist2,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c_label) AS rn
+         |  FROM scored)
+         |SELECT vec_id,
+         | CAST(max(CASE WHEN s = 0 THEN c_label END) AS BIGINT) AS c0,
+         | CAST(max(CASE WHEN s = 1 THEN c_label END) AS BIGINT) AS c1,
+         | CAST(max(CASE WHEN s = 2 THEN c_label END) AS BIGINT) AS c2,
+         | CAST(max(CASE WHEN s = 3 THEN c_label END) AS BIGINT) AS c3,
+         | ${OracleMath.stableRoundSql(
+             "max(CASE WHEN s = 0 THEN dist2 END) + max(CASE WHEN s = 1 THEN dist2 END)"
+               + " + max(CASE WHEN s = 2 THEN dist2 END) + max(CASE WHEN s = 3 THEN dist2 END)", 6)} AS err
+         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "q90_vector_hof" ->
       s"""SELECT vec_id,
          | CAST(len(embedding) AS BIGINT) AS dim,
