@@ -170,6 +170,8 @@ object SparkEntry {
     "q106_pushed_agg"       -> ((s, d) => graft.sources.GraftRangeQueries.pushedAgg(s, d)),
     // -- product quantization (PQ codes + reconstruction error) ---------------
     "q107_pq_codes"         -> ((s, d) => SimilarityOps.pqCodes(s, d)),
+    // -- PQ asymmetric-distance (ADC) approximate kNN -------------------------
+    "q108_pq_adc_knn"       -> ((s, d) => SimilarityOps.pqAdcKnn(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

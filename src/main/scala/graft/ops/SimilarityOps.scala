@@ -268,14 +268,19 @@ object SimilarityOps {
     * pivot back to a row per vector. Everything before the argmin shuffle is
     * map-side.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val m = 4
-    val sub = 64 / m
-    val e = Tables.embeddings(spark, dir)
-    val sv = e.select(col("vec_id"), col("label"),
-        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
-      .withColumn("subvec", expr(s"slice(embedding, s * $sub + 1, $sub)"))
-    val cb = sv
+  private val PqM = 4
+  private val PqSub = 64 / PqM
+
+  /** Per-(vec, subspace) slices: (vec_id, label, s, subvec). */
+  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), col("embedding"))
+      .withColumn("subvec", expr(s"slice(embedding, s * $PqSub + 1, $PqSub)"))
+
+  /** Per-subspace codebook: (c_label, cb_s, cvec) — label-centroid subvectors. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    pqSubvectors(spark, dir)
       .select(col("label").as("c_label"), col("s"), posexplode(col("subvec")).as(Seq("d", "v")))
       .groupBy(col("c_label"), col("s"), col("d"))
       .agg(OracleMath.stableRound(avg(col("v").cast("double")), 8).as("cv"))
@@ -283,18 +288,28 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("pairs"))
       .select(col("c_label"), col("s").as("cb_s"),
         transform(col("pairs"), p => p.getField("cv")).as("cvec"))
-    val d2 = aggregate(
+
+  /** Rounded squared L2 between `subvec` and the joined codeword `cvec`. */
+  private def pqDist2: Column = OracleMath.stableRound(
+    aggregate(
       zip_with(col("subvec"), col("cvec"), (x, c) => {
         val dx = x.cast("double") - c; dx * dx
-      }), lit(0.0), _ + _)
-    val scored = sv.join(broadcast(cb), col("s") === col("cb_s"))
-      .select(col("vec_id"), col("s"), col("c_label"),
-        OracleMath.stableRound(d2, 6).as("dist2"))
+      }), lit(0.0), _ + _), 6)
+
+  /** Winning codeword per (vec, subspace): (vec_id, s, c_label, dist2). */
+  private def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val scored = pqSubvectors(spark, dir)
+      .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
+      .select(col("vec_id"), col("s"), col("c_label"), pqDist2.as("dist2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("s")).orderBy(col("dist2"), col("c_label"))
-    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    def pick(s: Int, c: Column): Column = max(when(col("s") === s, c))
-    best.groupBy(col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  private def pick(s: Int, c: Column): Column = max(when(col("s") === s, c))
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    pqAssignments(spark, dir).groupBy(col("vec_id"))
       .agg(
         pick(0, col("c_label")).cast("long").as("c0"),
         pick(1, col("c_label")).cast("long").as("c1"),
@@ -306,6 +321,33 @@ object SimilarityOps {
           pick(0, col("dist2")) + pick(1, col("dist2"))
             + pick(2, col("dist2")) + pick(3, col("dist2")), 6).as("err"))
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance (ADC) approximate kNN — how a PQ index is
+    * actually queried: precompute, per subspace, the distance from the
+    * query's subvector to every codeword (M × |codebook| = 40 numbers — the
+    * "distance tables"), then every database vector's approximate distance
+    * is just M table lookups summed over its stored codes. No float vectors
+    * are touched at query time; at 100 TB the codes + tables are the only
+    * thing in RAM. The lookup join is a broadcast of the 40-row table
+    * against the code stream; exact re-ranking of the top candidates (as
+    * [[ivfKnn]] does inside probed cells) is the standard refinement and is
+    * intentionally left out so the query demonstrates the pure-ADC path.
+    */
+  def pqAdcKnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val qdt = pqSubvectors(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
+      .select(col("s").as("q_s"), col("c_label").as("q_label"), pqDist2.as("qd"))
+    pqAssignments(spark, dir)
+      .join(broadcast(qdt), col("s") === col("q_s") && col("c_label") === col("q_label"))
+      .groupBy(col("vec_id"))
+      .agg(OracleMath.stableRound(
+        pick(0, col("qd")) + pick(1, col("qd"))
+          + pick(2, col("qd")) + pick(3, col("qd")), 6).as("adist"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
   }
 
   // ---------------------------------------------------------------------------
@@ -346,6 +388,36 @@ object SimilarityOps {
              "max(CASE WHEN s = 0 THEN dist2 END) + max(CASE WHEN s = 1 THEN dist2 END)"
                + " + max(CASE WHEN s = 2 THEN dist2 END) + max(CASE WHEN s = 3 THEN dist2 END)", 6)} AS err
          |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    "q108_pq_adc_knn" -> {
+      val diff = "(CAST(v.subvec[i] AS DOUBLE) - c.cvec[i])"
+      val qdiff = "(CAST(q.subvec[i] AS DOUBLE) - c.cvec[i])"
+      s"""WITH sidx AS (SELECT unnest(range(4)) AS s),
+         |sv AS (
+         |  SELECT vec_id, label, s, list_slice(embedding, s*16 + 1, s*16 + 16) AS subvec
+         |  FROM embeddings CROSS JOIN sidx),
+         |cbd AS (
+         |  SELECT label AS c_label, s, d,
+         |   ${OracleMath.stableRoundSql("avg(CAST(subvec[d] AS DOUBLE))", 8)} AS cv
+         |  FROM sv CROSS JOIN (SELECT unnest(range(1, 17)) AS d)
+         |  GROUP BY 1, 2, 3),
+         |cb AS (SELECT c_label, s, list(cv ORDER BY d) AS cvec FROM cbd GROUP BY 1, 2),
+         |best AS (
+         |  SELECT v.vec_id AS vec_id, v.s AS s, c.c_label AS c_label,
+         |   row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+         |     ${OracleMath.stableRoundSql(s"list_sum(list_transform(range(1, 17), i -> $diff * $diff))", 6)}, c.c_label) AS rn
+         |  FROM sv v JOIN cb c ON c.s = v.s),
+         |qdt AS (
+         |  SELECT c.s, c.c_label,
+         |   ${OracleMath.stableRoundSql(s"list_sum(list_transform(range(1, 17), i -> $qdiff * $qdiff))", 6)} AS qd
+         |  FROM (SELECT s, subvec FROM sv WHERE vec_id = 0) q JOIN cb c ON c.s = q.s)
+         |SELECT b.vec_id,
+         | ${OracleMath.stableRoundSql(
+             "max(CASE WHEN b.s = 0 THEN qd END) + max(CASE WHEN b.s = 1 THEN qd END)"
+               + " + max(CASE WHEN b.s = 2 THEN qd END) + max(CASE WHEN b.s = 3 THEN qd END)", 6)} AS adist
+         |FROM best b JOIN qdt ON qdt.s = b.s AND qdt.c_label = b.c_label
+         |WHERE b.rn = 1 AND b.vec_id <> 0
+         |GROUP BY b.vec_id ORDER BY adist, b.vec_id LIMIT 10""".stripMargin
     },
     "q90_vector_hof" ->
       s"""SELECT vec_id,
