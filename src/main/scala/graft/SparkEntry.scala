@@ -172,6 +172,8 @@ object SparkEntry {
     "q107_pq_codes"         -> ((s, d) => SimilarityOps.pqCodes(s, d)),
     // -- PQ asymmetric-distance (ADC) approximate kNN -------------------------
     "q108_pq_adc_knn"       -> ((s, d) => SimilarityOps.pqAdcKnn(s, d)),
+    // -- spark.sql surface: temp views + registered kernels in SQL text -------
+    "q109_sql_surface"      -> ((s, d) => SimilarityOps.sqlSurfaceTopNorms(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -350,6 +350,27 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** The `spark.sql` entry point exercised end-to-end: temp views + the
+    * graft codegen kernels registered in the session FunctionRegistry
+    * (`graft_dot` here), window ranking written in SQL text — the surface a
+    * SQL-first user of the library sees. Top-3 vectors by L2 norm per label;
+    * the rounding expression is the SAME string on both engines
+    * ([[OracleMath.stableRoundSql]] is valid Spark SQL and DuckDB SQL).
+    */
+  def sqlSurfaceTopNorms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      s"""SELECT label, vec_id, rnk, l2
+         |FROM (SELECT label, vec_id,
+         |             CAST(row_number() OVER (PARTITION BY label ORDER BY l2 DESC, vec_id) AS BIGINT) AS rnk,
+         |             l2
+         |      FROM (SELECT label, vec_id,
+         |                   ${OracleMath.stableRoundSql("sqrt(graft_dot(embedding, embedding))", 6)} AS l2
+         |            FROM embeddings_v))
+         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------------
 
   private def cosSql(a: String, b: String): String = {
@@ -359,6 +380,16 @@ object SimilarityOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q109_sql_surface" ->
+      s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2
+         |FROM (SELECT label, vec_id,
+         |             row_number() OVER (PARTITION BY label ORDER BY l2 DESC, vec_id) AS rnk,
+         |             l2
+         |      FROM (SELECT label, vec_id,
+         |                   ${OracleMath.stableRoundSql(
+                               "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6)} AS l2
+         |            FROM embeddings))
+         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     "q107_pq_codes" -> {
       val diff = "(CAST(v.subvec[i] AS DOUBLE) - c.cvec[i])"
       s"""WITH sidx AS (SELECT unnest(range(4)) AS s),
