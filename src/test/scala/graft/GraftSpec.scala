@@ -212,6 +212,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sequence packing: packs are contiguous and budget-bounded (q102)") {
+    val rows = TextOps.packSequences(spark, sf, budget = 512).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // contiguity: pack ids are non-decreasing in doc order, starting at 0
+    assert(rows.head._3 === 0L)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true })
+    // every pack's token total stays within budget + one straddling doc
+    val maxDoc = rows.map(_._2).max
+    rows.groupBy(_._3).values.foreach { pack =>
+      assert(pack.map(_._2).sum <= 512 + maxDoc)
+    }
+  }
+
+  test("mixture sampling rates are bounded and sampled <= total (q103)") {
+    SamplingOps.mixtureSample(spark, sf).collect().foreach { r =>
+      val (total, sampled, rate) =
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"), r.getAs[Long]("rate_pct"))
+      assert(sampled >= 0 && sampled <= total)
+      assert(rate >= 25 && rate <= 70)
+    }
+  }
+
   test("z-order buckets bound BOTH dimensions at once (q104)") {
     // a z-bucket (zval >> 12) leaves 6 free low bits per dimension, so every
     // bucket's bounding box is < 64 wide in x AND y — the property row-group
