@@ -174,6 +174,8 @@ object SparkEntry {
     "q108_pq_adc_knn"       -> ((s, d) => SimilarityOps.pqAdcKnn(s, d)),
     // -- spark.sql surface: temp views + registered kernels in SQL text -------
     "q109_sql_surface"      -> ((s, d) => SimilarityOps.sqlSurfaceTopNorms(s, d)),
+    // -- DSv2 custom SINK: two-phase commit protocol round trip ---------------
+    "q110_custom_sink"      -> ((s, d) => graft.sources.GraftSinkQueries.sinkRoundTrip(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -327,6 +329,7 @@ object SparkEntry {
     // DuckDB regenerates the custom source's deterministic rows from range()
     "q105_custom_source" -> graft.sources.GraftRangeQueries.bucketAggOracle,
     "q106_pushed_agg"    -> graft.sources.GraftRangeQueries.pushedAggOracle,
+    "q110_custom_sink"   -> graft.sources.GraftSinkQueries.sinkRoundTripOracle,
     // Morton spread ladder, one CTE per shift-or-mask step (same integer
     // arithmetic as the Spark zspread fold)
     "q104_zorder_stats" ->

@@ -212,6 +212,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("custom sink commit protocol exposes only committed files (q110)") {
+    graft.sources.GraftSinkQueries.sinkRoundTrip(spark, sf).count() // stages once
+    val base = sys.props("java.io.tmpdir") + s"/graft_sink_${math.abs(sf.hashCode)}/out"
+    val files = new java.io.File(base).listFiles().map(_.getName)
+    assert(files.contains("_GRAFT_COMMITTED"))
+    assert(!files.exists(_.startsWith("_staging")), "staging must vanish at job commit")
+    assert(files.exists(_.startsWith("part-")))
+    // the manifest's row counts must cover the table exactly
+    val src = scala.io.Source.fromFile(base + "/_GRAFT_COMMITTED")
+    val total = try src.getLines().map(_.split("\t")(1).toLong).sum finally src.close()
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
   test("sequence packing: packs are contiguous and budget-bounded (q102)") {
     val rows = TextOps.packSequences(spark, sf, budget = 512).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
