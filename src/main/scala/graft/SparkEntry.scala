@@ -176,6 +176,8 @@ object SparkEntry {
     "q109_sql_surface"      -> ((s, d) => SimilarityOps.sqlSurfaceTopNorms(s, d)),
     // -- DSv2 custom SINK: two-phase commit protocol round trip ---------------
     "q110_custom_sink"      -> ((s, d) => graft.sources.GraftSinkQueries.sinkRoundTrip(s, d)),
+    // -- bounded-state streaming dedup (dropDuplicatesWithinWatermark) --------
+    "q111_stream_dedup_wm"  -> ((s, d) => graft.streaming.StreamJoinOps.dedupWithinWatermarkStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -497,8 +499,12 @@ object SparkEntry {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 5 MINUTES
         |ORDER BY purchase_id, click_id""".stripMargin,
-    // streaming dedup must agree with the batch DISTINCT
+    // streaming dedup must agree with the batch DISTINCT (both variants)
     "q88_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_distinct_keys
+        |FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q111_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS n_distinct_keys
         |FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

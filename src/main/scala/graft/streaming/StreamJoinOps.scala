@@ -219,4 +219,46 @@ object StreamJoinOps {
       .agg(count(lit(1)).as("n_distinct_keys"))
       .orderBy(col("event_type"))
   }
+
+  /** Streaming dedup with `dropDuplicatesWithinWatermark` — the bounded-state
+    * API: unlike [[dedupStreaming]]'s `dropDuplicates` (whose state for a key
+    * lives until the WATERMARK passes the key's event time), this variant
+    * guarantees eviction once the watermark advances past the FIRST arrival
+    * plus the delay, and the dedup key need not embed the event-time column.
+    * At 100 TB this is the difference between state proportional to
+    * "keys in the watermark window" and state proportional to "all keys whose
+    * event time the watermark hasn't passed" under heavy skew/lag. Duplicates
+    * of a (user, type, minute) key land within one hour of each other in the
+    * time-split landing dir, so the result equals the batch DISTINCT —
+    * same oracle as q88.
+    */
+  def dedupWithinWatermarkStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirMulti(spark, dir)
+
+    withStatePartitions(spark, 8) {
+      val deduped = spark.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", timestamp_micros(expr("ts DIV 1000L"))).as("m"))
+        .withWatermark("m", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
+
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_keys"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -225,6 +225,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(total === Tables.orders(spark, sf).count())
   }
 
+  test("custom sink abort leaves the target untouched") {
+    val target = java.nio.file.Files.createTempDirectory("graft_sink_abort").toString + "/out"
+    // a row-level assert_true fails the task mid-write: the job must abort,
+    // not half-commit
+    val failing = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("assert_true(o_orderkey < 10)").as("guard")) // most keys violate -> task failure
+    intercept[Exception] {
+      failing.write.format("graft.sources.GraftCommitSink")
+        .option("path", target)
+        .option("ddl", "o_orderkey BIGINT, guard STRING")
+        .mode("append").save()
+    }
+    val out = new java.io.File(target)
+    val leftover = if (out.exists()) out.listFiles().map(_.getName).toSeq else Nil
+    assert(!leftover.contains("_GRAFT_COMMITTED"), "no commit manifest after abort")
+    assert(!leftover.exists(_.startsWith("part-")), s"no visible data after abort: $leftover")
+  }
+
   test("sequence packing: packs are contiguous and budget-bounded (q102)") {
     val rows = TextOps.packSequences(spark, sf, budget = 512).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
