@@ -229,7 +229,16 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
 
 case class GraftRangePartition(from: Long, until: Long) extends InputPartition
 
+/** Reader factory with BOTH row and columnar paths. The columnar path fills
+  * `ColumnarBatch`es of long vectors directly (4096 rows at a time), so
+  * Spark plans the scan as a columnar source followed by a single
+  * `ColumnarToRow` transition at the whole-stage-codegen boundary — the
+  * same hand-off the vectorized parquet reader uses, and the reason a scan
+  * can feed Tungsten without per-row object allocation.
+  */
 class GraftRangeReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  private val BatchRows = 4096
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftRangePartition]
     new PartitionReader[InternalRow] {
@@ -244,6 +253,44 @@ class GraftRangeReaderFactory(cols: Array[String]) extends PartitionReaderFactor
         new GenericInternalRow(values)
       }
       override def close(): Unit = ()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.isInstanceOf[GraftRangePartition]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val gp = p.asInstanceOf[GraftRangePartition]
+    val schema = StructType(cols.map(c => StructField(c, LongType, nullable = false)))
+    new PartitionReader[ColumnarBatch] {
+      private var cur = gp.from
+      private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, schema)
+      private val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+
+      override def next(): Boolean = {
+        if (cur >= gp.until) return false
+        val n = math.min(BatchRows.toLong, gp.until - cur).toInt
+        var c = 0
+        while (c < cols.length) {
+          val v = vectors(c); v.reset()
+          val fill: Long => Long = cols(c) match {
+            case "id"     => identity
+            case "val"    => GraftRangeSource.valOf
+            case "bucket" => GraftRangeSource.bucketOf
+          }
+          var i = 0
+          while (i < n) { v.putLong(i, fill(cur + i)); i += 1 }
+          c += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

@@ -58,6 +58,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("DSv2 source reads columnar: ColumnarToRow above the scan, same results") {
+    import org.apache.spark.sql.functions.col
+    val df = TestSpark.spark.read.format("graft.sources.GraftRangeSource")
+      .option("end", "100000").load()
+    df.collect() // AQE: transition markers settle in the final plan
+    assert(plan(df).contains("ColumnarToRow"),
+      "the scan must feed Tungsten through the vectorized path")
+    // columnar and row paths agree (row path exercised via the agg result
+    // values being oracle-checked in q105/q106; here check a spot value)
+    val r = df.filter(col("id") === 12345L).collect()
+    assert(r.length === 1 && r(0).getLong(1) === graft.sources.GraftRangeSource.valOf(12345L))
+  }
+
   test("custom DSv2 source absorbs filter, projection, and limit (q105)") {
     import org.apache.spark.sql.functions.col
     // the id-range predicate narrows the scan itself (source-level pruning)
