@@ -178,6 +178,8 @@ object SparkEntry {
     "q110_custom_sink"      -> ((s, d) => graft.sources.GraftSinkQueries.sinkRoundTrip(s, d)),
     // -- bounded-state streaming dedup (dropDuplicatesWithinWatermark) --------
     "q111_stream_dedup_wm"  -> ((s, d) => graft.streaming.StreamJoinOps.dedupWithinWatermarkStreaming(s, d)),
+    // -- DSv2 custom STREAMING source with admission control ------------------
+    "q112_stream_source"    -> ((s, d) => graft.sources.GraftStreamQueries.streamSourceAgg(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -332,6 +334,7 @@ object SparkEntry {
     "q105_custom_source" -> graft.sources.GraftRangeQueries.bucketAggOracle,
     "q106_pushed_agg"    -> graft.sources.GraftRangeQueries.pushedAggOracle,
     "q110_custom_sink"   -> graft.sources.GraftSinkQueries.sinkRoundTripOracle,
+    "q112_stream_source" -> graft.sources.GraftStreamQueries.streamSourceAggOracle,
     // Morton spread ladder, one CTE per shift-or-mask step (same integer
     // arithmetic as the Spark zspread fold)
     "q104_zorder_stats" ->

@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamScaleSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("custom streaming source paces the backlog via admission control (q112)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft.sources.GraftRangeStream")
+      .option("end", "1000").option("rowsPerBatch", "100").load()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("graft_src_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the 1000-row backlog must arrive as MANY read-limited micro-batches,
+    // covering every row exactly once
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 5, s"expected paced micro-batches, got ${batches.length}")
+    assert(batches.map(_.numInputRows).sum === 1000L)
+    assert(spark.table("graft_src_spec").collect().map(_.getLong(1)).sum === 1000L)
+  }
+
   test("stream-stream interval join equals the batch interval join (q87)") {
     val stream = graft.streaming.StreamJoinOps.clickAttributionStreaming(spark, sf)
     val ev = Tables.events(spark, sf)
