@@ -180,6 +180,9 @@ object SparkEntry {
     "q111_stream_dedup_wm"  -> ((s, d) => graft.streaming.StreamJoinOps.dedupWithinWatermarkStreaming(s, d)),
     // -- DSv2 custom STREAMING source with admission control ------------------
     "q112_stream_source"    -> ((s, d) => graft.sources.GraftStreamQueries.streamSourceAgg(s, d)),
+    // -- SCD2 history derivation + sweep-line interval concurrency ------------
+    "q113_scd2_history"     -> ((s, d) => CoreOps.scd2History(s, d)),
+    "q114_transit_sweep"    -> ((s, d) => CoreOps.transitSweep(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -335,6 +338,27 @@ object SparkEntry {
     "q106_pushed_agg"    -> graft.sources.GraftRangeQueries.pushedAggOracle,
     "q110_custom_sink"   -> graft.sources.GraftSinkQueries.sinkRoundTripOracle,
     "q112_stream_source" -> graft.sources.GraftStreamQueries.streamSourceAggOracle,
+    "q113_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |changes AS (SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM changes ORDER BY o_custkey, valid_from, priority""".stripMargin,
+    // -1-before-+1 tie order in the sweep = half-open [ship, ship+7d)
+    "q114_transit_sweep" ->
+      """WITH ev AS (
+        |  SELECT l_shipdate AS t, 1 AS delta FROM lineitem
+        |  UNION ALL SELECT l_shipdate + INTERVAL 7 DAY, -1 FROM lineitem),
+        |run AS (
+        |  SELECT date_trunc('month', t) AS month,
+        |         sum(delta) OVER (ORDER BY t, delta) AS conc
+        |  FROM ev)
+        |SELECT month, CAST(max(conc) AS BIGINT) AS max_in_transit
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
     // Morton spread ladder, one CTE per shift-or-mask step (same integer
     // arithmetic as the Spark zspread fold)
     "q104_zorder_stats" ->

@@ -605,6 +605,57 @@ object CoreOps {
       .orderBy(col("o_custkey"), col("seq"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history derivation: turn each
+    * customer's order stream into priority validity intervals — collapse
+    * runs of unchanged priority (the defining SCD2 step: a no-change event
+    * produces no new version), then `valid_to` = next change's `valid_from`,
+    * open interval = current version. The warehouse-maintenance twin of the
+    * CDC upsert (q96): MERGE keeps the latest row, SCD2 keeps the history.
+    * One shuffle on the entity key; both windows share the same
+    * partitioning, so Catalyst plans a single sort.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
+  }
+
+  /** Max concurrent shipments in transit per month (interval = 7 days from
+    * ship date), by the classic sweep-line: explode each interval into a +1
+    * and a −1 event, order by (time, delta) — the −1-first tie order encodes
+    * half-open intervals — and take the running sum's max.
+    *
+    * The global running sum is computed SCALABLY: per-month delta totals
+    * (tiny) become cumulative carry-in offsets, and the running sum itself
+    * is windowed PER MONTH plus the offset — the same two-pass distributed
+    * prefix-sum as q102, here with a natural calendar partition instead of
+    * a range partition. No single-partition window touches the fact table.
+    */
+  def transitSweep(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ev = li.select(col("l_shipdate").as("t"), lit(1L).as("delta"))
+      .unionByName(li.select(
+        (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("t"), lit(-1L).as("delta")))
+      .withColumn("month", date_trunc("month", col("t")))
+    val wm = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("month")).agg(sum(col("delta")).as("d"))
+      .withColumn("off", coalesce(sum(col("d")).over(wm), lit(0L)))
+      .select(col("month"), col("off"))
+    val wi = Window.partitionBy(col("month")).orderBy(col("t"), col("delta"))
+    ev.join(broadcast(offsets), "month")
+      .withColumn("conc", sum(col("delta")).over(wi) + col("off"))
+      .groupBy(col("month"))
+      .agg(max(col("conc")).as("max_in_transit"))
+      .orderBy(col("month"))
+  }
+
   /** Range join against a generated month dimension: each order lands in the
     * month interval containing its date — executed as a *binned* range join.
     *
