@@ -188,6 +188,28 @@ object Steps {
         println(f"iter $it: sum=$s took ${(System.nanoTime()-t0)/1e9}%.2f s")
         done = s == last; last = s; labels = next; it += 1
       }
+    case "metrics" =>
+      val df = ops.DedupOps.nearDupJaccard(spark, dir)
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        if (p.metrics.nonEmpty)
+          println(p.nodeName + " -> " + p.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+        p.children.foreach(walk)
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case _ =>
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+    case "plans" =>
+      for ((n, q) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        ("q113", ops.CoreOps.scd2History(spark, dir)),
+        ("q114", ops.CoreOps.transitSweep(spark, dir)))) {
+        println(s"===== $n")
+        q.collect()
+        println(q.queryExecution.executedPlan.toString.take(4000))
+      }
     case "q64" =>
       val df = ops.CoreOps.rangeJoinMonthly(spark, dir)
       df.explain("formatted")

@@ -85,6 +85,17 @@ class PlanSpec extends AnyFunSuite {
     assert(narrow.count() === 5)
   }
 
+  test("partial aggregation shuffles groups, not fact rows (runtime-metric guard)") {
+    // q01: 6k lineitem rows aggregate into 6 groups — with map-side combine
+    // the shuffle carries at most (groups × map partitions) records; without
+    // it, all fact rows. A runtime guard, not a plan-shape one: it catches a
+    // dropped combine even when the plan still LOOKS right.
+    val rows = Tables.lineitem(spark, sf).count()
+    val shuffled = Metrics.shuffleRecordsWritten(CoreOps.pricingSummary(spark, sf))
+    assert(shuffled < rows / 10,
+      s"shuffle carried $shuffled records for $rows input rows — partial agg lost")
+  }
+
   test("DSv2 COMPLETE aggregate pushdown leaves no aggregate above the scan (q106)") {
     val df = graft.sources.GraftRangeQueries.pushedAgg(spark, sf)
     val p = plan(df)
