@@ -212,6 +212,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("compaction collapses a many-small-files dir without losing rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    src.repartition(20).write.mode("overwrite").parquet(base + "/small")
+    val before = new java.io.File(base + "/small").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(before === 20)
+    val after = Compaction.compactParquet(spark, base + "/small", base + "/big",
+      targetBytes = Long.MaxValue)
+    assert(after === 1, s"expected one near-target file, got $after")
+    val a = spark.read.parquet(base + "/big").orderBy("o_orderkey").collect()
+    val b = src.orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(base + "/gen=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(base + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet === Set("id", "v1", "v2", "gen"))
+    // old-generation rows surface the new column as null, not an error
+    assert(merged.filter(col("gen") === 1 && col("v2").isNull).count() === 2)
+    // per-file provenance for lineage (the reference tracked source files too)
+    val withFile = merged.select(input_file_name().as("f"), col("id"))
+    assert(withFile.filter(col("f").contains("gen=1")).count() === 2)
+  }
+
   test("custom sink commit protocol exposes only committed files (q110)") {
     graft.sources.GraftSinkQueries.sinkRoundTrip(spark, sf).count() // stages once
     val base = sys.props("java.io.tmpdir") + s"/graft_sink_${math.abs(sf.hashCode)}/out"
