@@ -183,6 +183,13 @@ object SparkEntry {
     // -- SCD2 history derivation + sweep-line interval concurrency ------------
     "q113_scd2_history"     -> ((s, d) => CoreOps.scd2History(s, d)),
     "q114_transit_sweep"    -> ((s, d) => CoreOps.transitSweep(s, d)),
+    // -- intra-doc repetition quality + PII redaction (training-data prep) ----
+    "q115_repetition_ngrams"-> ((s, d) => TextOps.repetitionRatio(s, d)),
+    "q116_redact_pii"       -> ((s, d) => TextOps.redactPii(s, d)),
+    // -- column profiler, HAVING join-back (TPC-H Q18 shape), argmax aggs -----
+    "q117_column_profile"   -> ((s, d) => CoreOps.columnProfile(s, d)),
+    "q118_big_spenders"     -> ((s, d) => CoreOps.bigSpenderOrders(s, d)),
+    "q119_argmax_groups"    -> ((s, d) => CoreOps.argmaxPerGroup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -509,6 +516,33 @@ object SparkEntry {
          | ${graft.ops.OracleMath.stableRoundSql("stddev_samp(l_discount)", 6)} AS discount_stddev,
          | count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_column_profile" -> {
+      def prof(c: String, numeric: Boolean): String = {
+        val mn = if (numeric) s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)" else s"min($c)"
+        val mx = if (numeric) s"CAST(CAST(max($c) AS DECIMAL(18,2)) AS VARCHAR)" else s"max($c)"
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct, $mn AS min_s, $mx AS max_s FROM orders"
+      }
+      Seq(prof("o_custkey", true), prof("o_orderkey", true),
+        prof("o_orderpriority", false), prof("o_orderstatus", false),
+        prof("o_totalprice", true))
+        .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+    },
+    "q118_big_spenders" ->
+      """SELECT c_name, o_orderkey, o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180) b
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q119_argmax_groups" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_key,
+        | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS bottom_key,
+        | max(o_totalprice) AS max_price,
+        | min(o_totalprice) AS min_price,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     // out-of-order ingestion must still converge to the batch sessionization
     "q72_streaming_late" ->

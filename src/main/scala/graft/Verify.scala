@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (driver never sets it): SPARK_GRAFT_ONLY=q38,q59
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

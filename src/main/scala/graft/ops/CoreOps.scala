@@ -672,6 +672,88 @@ object CoreOps {
     * interval covers exactly one bin; the `sequence` explode is the general
     * form for intervals wider than a bin.
     */
+  /** One-pass column profiler (ANALYZE-style data-quality summary): per
+    * column, non-null count, distinct count, min and max — the pre-flight a
+    * pipeline runs before trusting a new drop of data. One scan of orders:
+    * the multi-column distinct aggregate plans as a single Expand (rows ×
+    * profiled columns) with map-side partials, so no per-column re-scan; the
+    * wide one-row result is then unpivoted with an inline explode (no
+    * driver collect). Numeric min/max go through DECIMAL(18,2) before the
+    * string cast so Spark and DuckDB print bit-identical values, and min/max
+    * are taken on the NATIVE type first (string-casting before min would
+    * compare "10.00" < "2.00" lexicographically).
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val o = Tables.orders(spark, dir)
+    val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    def asStr(c: Column, name: String): Column =
+      if (o.schema(name).dataType == StringType) c else dec(c).cast("string")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(c + "__nn"),
+      countDistinct(col(c)).as(c + "__nd"),
+      min(col(c)).as(c + "__mn"),
+      max(col(c)).as(c + "__mx")) }
+    val entries = array(cols.map { c => struct(
+      lit(c).as("col_name"),
+      col(c + "__nn").as("n_nonnull"),
+      col(c + "__nd").as("n_distinct"),
+      asStr(col(c + "__mn"), c).as("min_s"),
+      asStr(col(c + "__mx"), c).as("max_s"))
+    }: _*)
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(explode(entries).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_nonnull").as("n_nonnull"),
+        col("p.n_distinct").as("n_distinct"), col("p.min_s").as("min_s"),
+        col("p.max_s").as("max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table, filter
+    * the groups (HAVING), then join the survivors back to orders and
+    * customer. The group-filter runs BEFORE any dimension join, so only the
+    * ~10% surviving orderkeys reach the join — the plan shape that matters
+    * at 100 TB, where filtering after the join would shuffle the full fact
+    * table twice. Both joins stay shuffled equi-joins: the aggregated side
+    * shrinks with the predicate but still scales with the fact table, so
+    * broadcasting it would be wrong at scale (AQE may still choose to at
+    * small SF — that's its call, not the plan's).
+    */
+  def bigSpenderOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 180)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** max_by / min_by (argmax) aggregates: per order priority, the order key
+    * holding the highest / lowest total price. The ordering value is an
+    * exact BIGINT encoding (price at 2 dp × 10^10 + key) so ties are
+    * impossible and both engines deterministically pick the same row —
+    * max_by on a raw double with duplicate maxima is the classic silent
+    * cross-engine mismatch. Single hash aggregate, no shuffle beyond it.
+    */
+  def argmaxPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val enc = (dec(col("o_totalprice")) * 100).cast("long") * lit(10000000000L) +
+      col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), enc).as("top_key"),
+        min_by(col("o_orderkey"), enc).as("bottom_key"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def rangeJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
     val origin = to_date(lit("1995-01-01"))
     val months = spark.range(0, 80) // 1995-01 … 2001-08 covers the data

@@ -210,9 +210,105 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition (Gopher-style quality signal): the fraction
+    * of word trigrams that duplicate an earlier trigram in the same document
+    * — high values flag boilerplate / spam for a training-data filter.
+    *
+    * Trigrams come from zipping the token array with its two shifted copies
+    * (`zip_with` pads the shorter side with null, `concat` nulls those out,
+    * one `filter` drops them) — all per-row array kernels, evaluated once
+    * per row under whole-stage codegen: no explode, no shuffle, so at 100 TB
+    * this stays a pure map over the corpus scan. (Contrast posTokens/q91:
+    * exploding then re-grouping by doc_id would shuffle every trigram.)
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val n = size(ws)
+    val bi = zip_with(ws, slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val tri = filter(
+      zip_with(bi, slice(ws, lit(3), greatest(n - 2, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      t => t.isNotNull)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tri.as("tris"))
+      .select(col("doc_id"),
+        size(col("tris")).cast("long").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("long").as("n_uniq"))
+      .withColumn("dup_ratio",
+        when(col("n_tri") === 0L, lit(0.0))
+          .otherwise(OracleMath.stableRound(
+            lit(1.0) - col("n_uniq").cast("double") / col("n_tri"), 4)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe   = "https?://[^ ]+"
+  private val numRe   = "[0-9][0-9][0-9]+"
+
+  /** PII redaction (the scrubbing stage of a training-data pipeline): mask
+    * URLs, emails and 3+-digit runs with typed placeholder tokens and count
+    * hits per category. The synthetic corpus text is clean words, so the
+    * demo input appends a deterministic contact line derived from the row's
+    * own keys — the operator under test is the regex chain itself, which is
+    * pure, codegen'd and shuffle-free, and runs unchanged over raw text.
+    * Replacement order matters (URL before email before digits: an email
+    * inside a URL must already be gone); counts are taken on the pre-redaction
+    * string so the categories don't mask each other.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1555"), col("n_chars").cast("string"),
+      lit(" see https://ex.example.com/d/"), col("doc_id").cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(dirty, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+      numRe, "<NUM>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(dirty, lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(dirty, lit(urlRe)).cast("long").as("n_url"),
+        regexp_count(dirty, lit(numRe)).cast("long").as("n_num"),
+        length(redacted).cast("long").as("red_len"),
+        substring(redacted, greatest(length(redacted) - 59, lit(1)).cast("int"), lit(60))
+          .as("red_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q115_repetition_ngrams" ->
+      s"""SELECT doc_id, n_tri, n_uniq,
+         | CASE WHEN n_tri = 0 THEN 0.0
+         |      ELSE ${OracleMath.stableRoundSql("1.0 - CAST(n_uniq AS DOUBLE) / n_tri", 4)} END AS dup_ratio
+         |FROM (SELECT doc_id,
+         |        CAST(len(tris) AS BIGINT) AS n_tri,
+         |        CAST(len(list_distinct(tris)) AS BIGINT) AS n_uniq
+         |      FROM (SELECT doc_id,
+         |              list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tris
+         |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+    "q116_redact_pii" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1555'
+         |         || CAST(n_chars AS VARCHAR) || ' see https://ex.example.com/d/' || CAST(doc_id AS VARCHAR) AS d
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, d,
+         |    regexp_replace(regexp_replace(regexp_replace(d,
+         |      'https?://[^ ]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '[0-9][0-9][0-9]+', '<NUM>', 'g') AS r
+         |  FROM dirty)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(d, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+         | CAST(len(regexp_extract_all(d, '[0-9][0-9][0-9]+')) AS BIGINT) AS n_num,
+         | CAST(length(r) AS BIGINT) AS red_len,
+         | substring(r, greatest(length(r) - 59, 1), 60) AS red_tail
+         |FROM red ORDER BY doc_id""".stripMargin,
     "q102_pack_sequences" ->
       """SELECT doc_id, n_tokens,
         | CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id

@@ -524,3 +524,73 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Data-quality / profiling operators added in round 2 (q115-q119). */
+class ProfilingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("repetition ratio matches an in-JVM trigram count per document") {
+    val got = TextOps.repetitionRatio(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(25).collect()
+    docs.foreach { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val tris = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val (nTri, nUniq) = got(r.getLong(0))
+      assert(nTri === tris.size.toLong)
+      assert(nUniq === tris.distinct.size.toLong)
+    }
+  }
+
+  test("repetition dup_ratio is a valid fraction and 0 for short docs") {
+    val bad = TextOps.repetitionRatio(spark, sf)
+      .filter(col("dup_ratio") < 0.0 || col("dup_ratio") > 1.0 ||
+        col("n_uniq") > col("n_tri")).count()
+    assert(bad === 0L)
+  }
+
+  test("redaction masks every URL / email / 3+-digit run it counted") {
+    val rows = TextOps.redactPii(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L, "email count")   // the derived contact line
+      assert(r.getLong(2) >= 1L, "url count")
+      assert(r.getLong(3) >= 1L, "digit-run count")
+      val tail = r.getString(5)
+      assert(!"[0-9]{3,}".r.findFirstIn(tail).isDefined, s"unredacted digits: $tail")
+      assert(tail.contains("<"), s"no placeholder in tail: $tail")
+    }
+  }
+
+  test("column profile: distinct <= non-null, and native-type min/max order") {
+    val p = CoreOps.columnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.size === 5)
+    p.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: distinct > non-null")
+    }
+    // numeric min/max compare numerically, not lexicographically
+    val ok = p("o_orderkey")
+    assert(BigDecimal(ok.getString(3)) <= BigDecimal(ok.getString(4)))
+    assert(p("o_orderstatus").getLong(2) <= 5L)
+  }
+
+  test("big spenders: HAVING bound holds and output is price-descending") {
+    val rows = CoreOps.bigSpenderOrders(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getDouble(3) > 180.0))
+    val prices = rows.map(_.getDouble(2)).toSeq
+    assert(prices === prices.sortBy(-_))
+  }
+
+  test("argmax: top_key's actual price equals the group max") {
+    val priced = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    CoreOps.argmaxPerGroup(spark, sf).collect().foreach { r =>
+      assert(priced(r.getLong(1)) === r.getDouble(3), s"${r.getString(0)} top")
+      assert(priced(r.getLong(2)) === r.getDouble(4), s"${r.getString(0)} bottom")
+    }
+  }
+}
