@@ -26,6 +26,25 @@ object Bench {
       o.groupBy(col("o_orderstatus")).count().count()
       o.join(broadcast(spark.read.parquet(s"$sfDir/customer.parquet")),
         col("o_custkey") === col("c_custkey")).count()
+      // big-big shuffle join + decimal aggregate + top-k: the most common
+      // relational shape in the suite — absorb its codegen/exchange setup
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+        .orderBy(org.apache.spark.sql.functions.desc("s")).limit(5).count()
+      // localCheckpoint + window + explode + persist machinery (the iterative
+      // graph query and the window family hit these paths first otherwise —
+      // measured ~5 s of one-time setup absorbed by whichever query is first)
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val t = spark.range(10000).toDF("x").localCheckpoint()
+        t.withColumn("r", row_number().over(Window.partitionBy(col("x") % 10).orderBy(col("x"))))
+          .select(explode(array(col("x"), col("r"))).as("v"))
+          .groupBy(col("v") % 7).count().count()
+        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        t.unpersist()
+      }
       // Streaming warmup: stage the landing dirs the streaming queries read
       // (one-time per tmp dir — a production landing dir pre-exists; creating
       // it is not part of any query) and run one trivial AvailableNow stream

@@ -188,6 +188,21 @@ object Steps {
         println(f"iter $it: sum=$s took ${(System.nanoTime()-t0)/1e9}%.2f s")
         done = s == last; last = s; labels = next; it += 1
       }
+    case "q101warm" =>
+      time("warm: checkpoint+window+explode") {
+        import org.apache.spark.sql.expressions.Window
+        val t = spark.range(10000).toDF("x").localCheckpoint()
+        t.withColumn("r", row_number().over(Window.partitionBy(col("x") % 10).orderBy(col("x"))))
+          .select(explode(array(col("x"), col("r"))).as("v"))
+          .groupBy(col("v") % 7).count().count()
+        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        t.unpersist()
+      }
+      time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
+      time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())
+    case "q101x2" =>
+      time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
+      time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())
     case "metrics" =>
       val df = ops.DedupOps.nearDupJaccard(spark, dir)
       df.collect()
