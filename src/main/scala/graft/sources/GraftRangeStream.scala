@@ -86,17 +86,19 @@ class GraftMicroBatchStream(total: Long, rowsPerBatch: Long)
     new GraftRangeReaderFactory(GraftRangeSource.schema.fieldNames)
 }
 
-/** Driver-contract query over the streaming source: drain 20k rows in 250-row
-  * admission-controlled micro-batches (80 of them), aggregate per bucket in
-  * complete mode — the result must equal the batch closed form (DuckDB
-  * regenerates it from range()).
+/** Driver-contract query over the streaming source: drain 20k rows in
+  * admission-controlled micro-batches (rowsPerBatch caps each pull — four
+  * batches here; per-microbatch machinery costs ~0.5 s, so the batch size
+  * demonstrates throttling without paying for dozens of drains), aggregate
+  * per bucket in complete mode — the result must equal the batch closed
+  * form (DuckDB regenerates it from range()).
   */
 object GraftStreamQueries {
   def streamSourceAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = "graft_stream_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.format("graft.sources.GraftRangeStream")
-      .option("end", "20000").option("rowsPerBatch", "2500")
+      .option("end", "20000").option("rowsPerBatch", "5000")
       .load()
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
