@@ -190,6 +190,10 @@ object SparkEntry {
     "q117_column_profile"   -> ((s, d) => CoreOps.columnProfile(s, d)),
     "q118_big_spenders"     -> ((s, d) => CoreOps.bigSpenderOrders(s, d)),
     "q119_argmax_groups"    -> ((s, d) => CoreOps.argmaxPerGroup(s, d)),
+    // -- time-series repair + product analytics -------------------------------
+    "q120_forward_fill"     -> ((s, d) => EventOps.forwardFill(s, d)),
+    "q121_gapfill_daily"    -> ((s, d) => EventOps.gapfillDaily(s, d)),
+    "q122_cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -543,6 +547,38 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q120_forward_fill" ->
+      """SELECT user_id, event_id,
+        | coalesce(last_value(v IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id),
+        |   -1.0) AS last_click_value
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN event_type = 'click' THEN value END AS v
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q121_gapfill_daily" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id, event_type, value FROM events),
+        |sparse AS (SELECT * FROM ev WHERE event_type = 'purchase' AND user_id < 5),
+        |spine AS (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day FROM ev),
+        |users AS (SELECT DISTINCT user_id FROM sparse),
+        |daily AS (SELECT day, user_id, count(*) AS n,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |          FROM sparse GROUP BY 1, 2)
+        |SELECT spine.day AS day, users.user_id AS user_id,
+        | coalesce(n, 0) AS n_purchases,
+        | coalesce(CAST(rev AS DOUBLE), 0.0) AS revenue
+        |FROM spine CROSS JOIN users
+        |LEFT JOIN daily ON daily.day = spine.day AND daily.user_id = users.user_id
+        |ORDER BY day, user_id""".stripMargin,
+    "q122_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id,
+        |        date_trunc('week', f.cohort_day) AS cohort_week,
+        |        CAST(floor(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) / 7) AS BIGINT) AS week_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     // out-of-order ingestion must still converge to the batch sessionization
     "q72_streaming_late" ->

@@ -349,6 +349,76 @@ object EventOps {
     * columns coalesce to -1 so the oracle compare never faces null-vs-NaN
     * dtype drift.
     */
+  /** Forward-fill (last-observation-carried-forward): every event carries the
+    * value of the user's most recent *click* — `last(..., ignoreNulls)` over
+    * a (user, time)-ordered window, the standard gap-repair primitive for
+    * sensor/event streams. One shuffle on user_id; the running frame is
+    * computed in a single pass per partition. Rows before a user's first
+    * click coalesce to -1 (null-vs-NaN dtype drift trap). Ordering is
+    * (micro-truncated ts, event_id) — unique, so RANGE-frame peer groups
+    * can't differ between engines.
+    */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "click", col("value")).as("v"))
+      .withColumn("last_click_value",
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0)))
+      .select(col("user_id"), col("event_id"), col("last_click_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Date-spine gap-fill: daily purchase revenue for a sparse user subset,
+    * densified over the full observed day range × event grid so missing days
+    * report explicit zeros (the resample step before any time-series model).
+    * The spine derives from the data's own min/max day (one tiny agg), is
+    * exploded from a `sequence` (no driver loop), and the grid side of the
+    * final join is broadcast — days × keys is dimension-sized by
+    * construction, even at 100 TB of facts.
+    */
+  def gapfillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"),
+        col("event_type"), col("value"))
+    val sparse = ev.filter(col("event_type") === "purchase" && col("user_id") < 5)
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val users = sparse.select(col("user_id")).distinct()
+    val daily = sparse.groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+    spine.crossJoin(users)
+      .join(daily, Seq("day", "user_id"), "left")
+      .select(col("day"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_purchases"),
+        coalesce(col("rev").cast("double"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"), col("user_id"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted in each
+    * subsequent week-offset they remain active — the canonical product-
+    * analytics triangle. Two aggregations and one join on user_id; the
+    * first-activity side is |users|-sized (aggregated before joining), so
+    * the join shuffles the fact table once on its natural key and nothing
+    * is ever collected. DISTINCT (user, cohort, offset) before the final
+    * count keeps the count-distinct narrow.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("cohort_day")).as("cohort_week"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def asofAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -584,6 +584,46 @@ class ProfilingSpec extends AnyFunSuite {
     assert(prices === prices.sortBy(-_))
   }
 
+  test("forward fill carries the latest click value and -1 before any click") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val got = EventOps.forwardFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var lastClick = -1.0
+      rows.sortBy(r => (r._3.getTime, r._3.getNanos, r._2)).foreach { r =>
+        if (r._4 == "click") lastClick = r._5
+        assert(got((r._1, r._2)) === lastClick, s"user ${r._1} event ${r._2}")
+      }
+    }
+  }
+
+  test("gap-fill densifies to the full day x user grid and preserves totals") {
+    val g = EventOps.gapfillDaily(spark, sf)
+    val nDays = g.select(col("day")).distinct().count()
+    val nUsers = g.select(col("user_id")).distinct().count()
+    assert(g.count() === nDays * nUsers)
+    assert(g.filter(col("n_purchases") === 0L && col("revenue") =!= 0.0).count() === 0L)
+    val filled = g.agg(sum(col("n_purchases"))).head.getLong(0)
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") < 5).count()
+    assert(filled === raw)
+  }
+
+  test("cohort retention: offset-0 covers every user and offsets only shrink") {
+    val rows = EventOps.cohortRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val allUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val atZero = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(atZero === allUsers, "every user is active in their cohort week")
+    rows.groupBy(_._1).foreach { case (_, cohort) =>
+      val m = cohort.map(r => r._2 -> r._3).toMap
+      m.keys.filter(_ > 0).foreach(k => assert(m(k) <= m(0L), s"offset $k grew"))
+    }
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
