@@ -194,6 +194,9 @@ object SparkEntry {
     "q120_forward_fill"     -> ((s, d) => EventOps.forwardFill(s, d)),
     "q121_gapfill_daily"    -> ((s, d) => EventOps.gapfillDaily(s, d)),
     "q122_cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
+    // -- incremental rollup maintenance + sketch-merge rollup -----------------
+    "q123_agg_merge"        -> ((s, d) => EventOps.aggMergeRollup(s, d)),
+    "q124_hll_rollup"       -> ((s, d) => EventOps.hllRollup(s, d)), // rows-check (sketch estimate)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -547,6 +550,13 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q123_agg_merge" ->
+      """SELECT date_trunc('month', ts) AS month, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | min(value) AS min_value,
+        | max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q120_forward_fill" ->
       """SELECT user_id, event_id,
         | coalesce(last_value(v IGNORE NULLS)

@@ -419,6 +419,54 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Incremental aggregate maintenance: per-day partial aggregate states
+    * (count / sum / min / max) merged into the monthly rollup by
+    * RE-aggregation — sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes.
+    * This is the algebraic-aggregate contract that makes 100 TB rollups
+    * incremental: yesterday's materialized partials never get rescanned,
+    * only merged with today's delta. The oracle computes the same monthly
+    * numbers directly from the raw facts, proving merge(partials) ≡
+    * agg(full scan).
+    */
+  def aggMergeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("s"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    daily
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("s")).cast("double").as("sum_value"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  /** HLL-sketch rollup: per-day HyperLogLog sketches of the user set,
+    * union-merged per event type into a monthly distinct-user estimate next
+    * to the exact count. The sketch is the 100 TB path — daily partials are
+    * a few KB each and merge associatively, where the exact count-distinct
+    * reshuffles every (type, user) pair of the month. Estimate is
+    * implementation-defined ⇒ rows-check only; the spec bounds the relative
+    * error against the exact count.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = ev
+      .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("month", "event_type"))
+      .select(col("month"), col("event_type"), col("exact_users"), col("est_users"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
   def asofAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")

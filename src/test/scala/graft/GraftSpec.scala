@@ -624,6 +624,25 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("merged daily partials equal the direct monthly aggregate (q123)") {
+    val merged = EventOps.aggMergeRollup(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("month"), col("event_type")).collect()
+    assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+  }
+
+  test("HLL sketch-merge estimate stays within 5% of the exact count (q124)") {
+    EventOps.hllRollup(spark, sf).collect().foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
