@@ -197,6 +197,8 @@ object SparkEntry {
     // -- incremental rollup maintenance + sketch-merge rollup -----------------
     "q123_agg_merge"        -> ((s, d) => EventOps.aggMergeRollup(s, d)),
     "q124_hll_rollup"       -> ((s, d) => EventOps.hllRollup(s, d)), // rows-check (sketch estimate)
+    // -- multimodal: overlapping-window audio chunking ------------------------
+    "q125_audio_chunks"     -> ((s, d) => MultimodalOps.audioChunks(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -86,7 +86,47 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Overlapping fixed-window chunking (the ASR / audio-embedding
+    * pre-processing shape): window `winBytes` with hop `hopBytes`, last
+    * window clipped to the payload end, chunk count = ⌈max(n−win,0)/hop⌉+1
+    * (ceil, not unfold's floor: floor DROPS the tail when hop ∤ n−win; the
+    * extra clipped chunk guarantees every byte is covered — short payloads
+    * yield exactly one clipped chunk). Differs from q69's strided FRAME
+    * sampling: windows OVERLAP (hop < win), the amplification a streaming
+    * ASR pipeline feeds to per-chunk inference. Per-chunk stub feature
+    * derives from the chunk's first byte + clipped length; the corpus is
+    * ASCII so byte offsets equal char offsets (a real audio column would
+    * slice the binary payload directly).
+    */
+  def audioChunks(spark: SparkSession, dir: String,
+                  winBytes: Long = 200, hopBytes: Long = 80): DataFrame = {
+    val doc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("octet_length(encode(text, 'UTF-8'))").cast("long").as("n_bytes"))
+    doc
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n_bytes - ${winBytes}L, 0L) + ${hopBytes - 1}L) DIV ${hopBytes}L"),
+          lit(1L))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * hopBytes).as("start_byte"),
+        least(lit(winBytes), col("n_bytes") - col("chunk_idx") * hopBytes).as("chunk_bytes"),
+        ((ascii(substring(col("text"), (col("chunk_idx") * hopBytes + 1).cast("int"), lit(1))) * 31 +
+          least(lit(winBytes), col("n_bytes") - col("chunk_idx") * hopBytes)) % 256).as("stub_rms"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q125_audio_chunks" ->
+      """SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        | CAST(k * 80 AS BIGINT) AS start_byte,
+        | CAST(least(200, n_bytes - k * 80) AS BIGINT) AS chunk_bytes,
+        | CAST((ascii(substring(text, CAST(k * 80 + 1 AS INT), 1)) * 31
+        |       + least(200, n_bytes - k * 80)) % 256 AS BIGINT) AS stub_rms
+        |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+        |        unnest(range(0, (greatest(n_bytes - 200, 0) + 79) // 80 + 1)) AS k
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q69_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         | CAST((ascii(substring(text, 1, 1)) + f * 31) % 256 AS BIGINT) AS luma

@@ -643,6 +643,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("audio chunks cover every byte with clipped overlapping windows (q125)") {
+    val byDoc = MultimodalOps.audioChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val sizes = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (id, n) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.length === ((math.max(n - 200, 0) + 79) / 80 + 1).toInt)
+      chunks.foreach { case (_, k, start, len) =>
+        assert(start === k * 80 && len === math.min(200L, n - start) && len >= 1)
+      }
+      assert(chunks.last._3 + chunks.last._4 === n, "tail byte covered")
+    }
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
