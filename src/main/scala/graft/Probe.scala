@@ -200,6 +200,19 @@ object Steps {
       }
       time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
       time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())
+    case "lateral" =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      val df = spark.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey LIMIT 5""")
+      df.show()
+      df.explain()
     case "q101x2" =>
       time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
       time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())

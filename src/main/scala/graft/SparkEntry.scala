@@ -199,6 +199,8 @@ object SparkEntry {
     "q124_hll_rollup"       -> ((s, d) => EventOps.hllRollup(s, d)), // rows-check (sketch estimate)
     // -- multimodal: overlapping-window audio chunking ------------------------
     "q125_audio_chunks"     -> ((s, d) => MultimodalOps.audioChunks(s, d)),
+    // -- LATERAL correlated top-k (decorrelated to WindowGroupLimit) ----------
+    "q126_lateral_topk"     -> ((s, d) => CoreOps.lateralTopOrders(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -552,6 +554,14 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q126_lateral_topk" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q123_agg_merge" ->
       """SELECT date_trunc('month', ts) AS month, event_type,
         | count(*) AS n,

@@ -754,6 +754,29 @@ object CoreOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** LATERAL join (correlated top-k per outer row) through the spark.sql
+    * surface: each customer's two highest-value orders. Catalyst
+    * decorrelates the LIMIT-ed lateral subquery into a rank-based
+    * WindowGroupLimit on the inner side (partial group-limit BEFORE the
+    * shuffle, final after) and pushes the outer `c_custkey <= 100`
+    * predicate through the correlation into the orders scan — the plan a
+    * hand-written window query would need two rewrites to reach, and the
+    * reason the lateral form scales: no per-outer-row re-execution
+    * survives planning.
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_lat_orders")
+    spark.sql("""
+      SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      FROM graft_lat_customer, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey <= 100
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   def rangeJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
     val origin = to_date(lit("1995-01-01"))
     val months = spark.range(0, 80) // 1995-01 … 2001-08 covers the data

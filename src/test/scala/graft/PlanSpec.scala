@@ -210,6 +210,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("lateral top-k decorrelates to WindowGroupLimit with predicate pushdown (q126)") {
+    val p = plan(CoreOps.lateralTopOrders(spark, sf))
+    assert(p.contains("WindowGroupLimit"), "group-limit must be planned, not a per-row loop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must decorrelate to an equi-join:\n" + p.take(800))
+    // the outer c_custkey <= 100 predicate must cross the correlation onto
+    // the inner (orders) side — as a Filter on o_custkey, so the group-limit
+    // ranks only candidate customers' orders, not the whole table
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("o_custkey") && l.contains("100")),
+      "correlated predicate not transferred to the inner side:\n" + p.take(1200))
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
     // stale warehouse dirs from a previous JVM collide with the fresh
