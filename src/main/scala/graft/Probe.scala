@@ -200,6 +200,14 @@ object Steps {
       }
       time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
       time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())
+    case "variant" =>
+      val df = Tables.events(spark, dir)
+        .select(col("event_type"), expr("parse_json(props)").as("v"))
+        .select(col("event_type"), expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type")).agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+      df.show()
+      df.explain()
     case "lateral" =>
       Tables.customer(spark, dir).createOrReplaceTempView("customer")
       Tables.orders(spark, dir).createOrReplaceTempView("orders")

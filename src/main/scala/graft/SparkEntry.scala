@@ -201,6 +201,8 @@ object SparkEntry {
     "q125_audio_chunks"     -> ((s, d) => MultimodalOps.audioChunks(s, d)),
     // -- LATERAL correlated top-k (decorrelated to WindowGroupLimit) ----------
     "q126_lateral_topk"     -> ((s, d) => CoreOps.lateralTopOrders(s, d)),
+    // -- VariantType: parse-once semi-structured ingestion --------------------
+    "q127_variant_props"    -> ((s, d) => EventOps.variantProps(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -554,6 +556,13 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        | count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_present
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_lateral_topk" ->
       """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
         |FROM customer, LATERAL (

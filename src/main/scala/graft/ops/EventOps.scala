@@ -467,6 +467,28 @@ object EventOps {
       .orderBy(col("month"), col("event_type"))
   }
 
+  /** VariantType ingestion (Spark 4's semi-structured path): `parse_json`
+    * converts each props payload ONCE into the shredded binary variant
+    * encoding, then typed `variant_get` extractions read fields without
+    * re-parsing — the 100 TB answer to repeated `get_json_object` calls,
+    * which re-parse the JSON text per extraction. `try_variant_get` on an
+    * absent path yields null (counted here: absent in every row) instead of
+    * failing, the schema-drift tolerance a landing zone needs.
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("m")).as("n_missing_present"))
+      .orderBy(col("event_type"))
+
   def asofAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
