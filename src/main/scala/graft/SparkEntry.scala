@@ -203,6 +203,8 @@ object SparkEntry {
     "q126_lateral_topk"     -> ((s, d) => CoreOps.lateralTopOrders(s, d)),
     // -- VariantType: parse-once semi-structured ingestion --------------------
     "q127_variant_props"    -> ((s, d) => EventOps.variantProps(s, d)),
+    // -- secondary sort: ordered per-key scan via sortWithinPartitions --------
+    "q128_user_gaps"        -> ((s, d) => EventOps.userGapStats(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -556,6 +558,18 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_user_gaps" -> {
+      val round2 = graft.ops.OracleMath.stableRoundSql(
+        "CAST(sum(gap) AS DOUBLE) / (count(*) - 1)", 2)
+      s"""SELECT user_id, count(*) AS n_events,
+         | coalesce(max(gap), 0) AS max_gap_s,
+         | CASE WHEN count(*) > 1 THEN $round2 ELSE 0.0 END AS mean_gap_s
+         |FROM (SELECT user_id,
+         |        CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |          - CAST(epoch(date_trunc('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q127_variant_props" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

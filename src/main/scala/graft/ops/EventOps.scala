@@ -489,6 +489,46 @@ object EventOps {
         count(col("m")).as("n_missing_present"))
       .orderBy(col("event_type"))
 
+  /** Secondary sort: per-user inter-event gap statistics computed by a
+    * single ORDERED scan per key — `repartition(user_id)` co-locates each
+    * key, `sortWithinPartitions(user_id, ts, event_id)` gives the
+    * within-key order WITHOUT a global sort, and one `mapPartitions` pass
+    * walks consecutive runs with O(1) state. This is the classic
+    * secondary-sort pattern for sequence feature extraction at scale: the
+    * sort is partition-local (spillable, no single reducer), and nothing
+    * is ever grouped into memory (vs collect_list, which materializes each
+    * user's whole history per row). Gaps are whole-second (epoch-floor
+    * differences), so micro-vs-nano timestamp truncation cannot shift them.
+    */
+  def userGapStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+    val stats = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var user = Long.MinValue
+      var n = 0L; var prevSec = 0L; var maxGap = 0L; var sumGap = 0L
+      def flush(): Unit = if (n > 0) out += ((user, n, maxGap, sumGap))
+      it.foreach { r =>
+        val u = r.getLong(0)
+        val sec = Math.floorDiv(r.getTimestamp(1).getTime, 1000L)
+        if (u != user) { flush(); user = u; n = 0L; maxGap = 0L; sumGap = 0L; prevSec = sec }
+        else { val g = sec - prevSec; maxGap = math.max(maxGap, g); sumGap += g; prevSec = sec }
+        n += 1
+      }
+      flush()
+      out.iterator
+    }.toDF("user_id", "n_events", "max_gap_s", "sum_gap_s")
+    stats
+      .select(col("user_id"), col("n_events"), col("max_gap_s"),
+        when(col("n_events") > 1,
+          OracleMath.stableRound(col("sum_gap_s").cast("double") / (col("n_events") - 1), 2))
+          .otherwise(lit(0.0)).as("mean_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   def asofAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -660,6 +660,24 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("secondary-sort gap stats equal the window-lag computation (q128)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = floor(col("ts").cast("double")).cast("long")
+    val viaWindow = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap", sec - lag(sec, 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_s"),
+        when(count(lit(1)) > 1,
+          OracleMath.stableRound(sum(col("gap")).cast("double") / (count(lit(1)) - 1), 2))
+          .otherwise(lit(0.0)).as("mean_gap_s"))
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    val got = EventOps.userGapStats(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === viaWindow)
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
