@@ -45,6 +45,12 @@ object Bench {
         t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
         t.unpersist()
       }
+      // broadcast nested-loop join + array-collecting aggregate machinery
+      // (the near-dup mask path and the contraction groupBy hit these first)
+      spark.range(100).toDF("a")
+        .join(broadcast(spark.range(100).toDF("b")), col("a") < col("b")).count()
+      spark.range(1000).select((col("id") % 7).as("k"), col("id"))
+        .groupBy(col("k")).agg(collect_list(col("id"))).count()
       // Streaming warmup: stage the landing dirs the streaming queries read
       // (one-time per tmp dir — a production landing dir pre-exists; creating
       // it is not part of any query) and run one trivial AvailableNow stream
