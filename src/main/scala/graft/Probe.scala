@@ -200,6 +200,11 @@ object Steps {
       }
       time("q101 run 1")(ops.DedupOps.dedupClusters(spark, dir).count())
       time("q101 run 2")(ops.DedupOps.dedupClusters(spark, dir).count())
+    case "naaj" =>
+      val df = ops.CoreOps.notInNullAware(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join")).mkString("\n"))
     case "variant" =>
       val df = Tables.events(spark, dir)
         .select(col("event_type"), expr("parse_json(props)").as("v"))

@@ -205,6 +205,8 @@ object SparkEntry {
     "q127_variant_props"    -> ((s, d) => EventOps.variantProps(s, d)),
     // -- secondary sort: ordered per-key scan via sortWithinPartitions --------
     "q128_user_gaps"        -> ((s, d) => EventOps.userGapStats(s, d)),
+    // -- NOT IN null-aware anti join vs NOT EXISTS ----------------------------
+    "q129_not_in_nullaware" -> ((s, d) => CoreOps.notInNullAware(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -558,6 +560,21 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_not_in_nullaware" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_quiet,
+        |       CAST(sum(CASE WHEN not_exists_form THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet_ne
+        |FROM (
+        |  SELECT c_mktsegment,
+        |         c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderpriority = '1-URGENT') AS not_in_form,
+        |         NOT EXISTS (SELECT 1 FROM orders
+        |                     WHERE o_custkey = c_custkey
+        |                       AND o_orderpriority = '1-URGENT') AS not_exists_form
+        |  FROM customer)
+        |WHERE not_in_form
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q128_user_gaps" -> {
       val round2 = graft.ops.OracleMath.stableRoundSql(
         "CAST(sum(gap) AS DOUBLE) / (count(*) - 1)", 2)

@@ -777,6 +777,35 @@ object CoreOps {
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** NOT IN through the SQL surface — null-aware anti join. `NOT IN
+    * (subquery)` is NOT an anti join: one NULL in the subquery empties the
+    * result (three-valued logic), so Catalyst plans a dedicated
+    * null-aware build (single-column NAAJ: broadcast hash anti join with
+    * isNullAware=true) instead of the plain LeftAnti that `NOT EXISTS`
+    * gets. Both forms are emitted here over the same predicate — customers
+    * who never placed an urgent order — and must agree because the key
+    * column is non-null; the plan difference is asserted in PlanSpec.
+    */
+  def notInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_nin_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_nin_orders")
+    spark.sql("""
+      SELECT c_mktsegment,
+             count(*) AS n_quiet,
+             sum(CASE WHEN not_exists_form THEN 1 ELSE 0 END) AS n_quiet_ne
+      FROM (
+        SELECT c_mktsegment,
+               c_custkey NOT IN (SELECT o_custkey FROM graft_nin_orders
+                                 WHERE o_orderpriority = '1-URGENT') AS not_in_form,
+               NOT EXISTS (SELECT 1 FROM graft_nin_orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT') AS not_exists_form
+        FROM graft_nin_customer)
+      WHERE not_in_form
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
   def rangeJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
     val origin = to_date(lit("1995-01-01"))
     val months = spark.range(0, 80) // 1995-01 … 2001-08 covers the data

@@ -223,6 +223,17 @@ class PlanSpec extends AnyFunSuite {
       "correlated predicate not transferred to the inner side:\n" + p.take(1200))
   }
 
+  test("NOT IN plans null-aware; NOT EXISTS plans an existence join (q129)") {
+    val df = CoreOps.notInNullAware(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // trailing `true` on the LeftAnti BroadcastHashJoin = isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "NOT IN must use the null-aware anti build:\n" + p.take(1000))
+    assert(p.contains("ExistenceJoin"),
+      "NOT EXISTS under an aggregate must plan as ExistenceJoin")
+  }
+
   test("bucketed fact tables join with zero shuffle (co-located sort-merge)") {
     import org.apache.spark.sql.functions.col
     // stale warehouse dirs from a previous JVM collide with the fresh
