@@ -26,6 +26,50 @@ class StreamScaleSpec extends AnyFunSuite {
     assert(spark.table("graft_src_spec").collect().map(_.getLong(1)).sum === 1000L)
   }
 
+  test("checkpoint restart resumes exactly-once: no re-read, no loss (q100 family)") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val staged = graft.streaming.EventsStream.stageStreamDirMulti(spark, sf)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = sys.props("java.io.tmpdir") + "/graft_restart_spec"
+    val (land, out, chk) = (base + "/land", base + "/out", base + "/chk")
+    fs.delete(new Path(base), true)
+    fs.mkdirs(new Path(land))
+    def copyIn(k: Int): Unit = org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(staged, f"events_$k%02d.parquet"),
+      fs, new Path(land, f"events_$k%02d.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(graft.streaming.SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .select(col("event_id"), col("user_id"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: two of three landing files, drain to the sink
+    copyIn(0); copyIn(1); drain()
+    val afterPhase1 = spark.read.parquet(out).count()
+    // phase 2: third file arrives; restart from the SAME checkpoint
+    copyIn(2); drain()
+    val got = spark.read.parquet(out)
+    val src = Tables.events(spark, sf)
+    // exactly-once: phase 2 appended only the new file — nothing re-read,
+    // nothing lost, no duplicate event ids in the sink
+    assert(got.count() === src.count(), "sink row count equals the source")
+    assert(got.count() > afterPhase1, "phase 2 appended the late file")
+    assert(got.select(col("event_id")).distinct().count() === src.count(),
+      "no event duplicated across the restart")
+    assert(got.select(col("batch_id")).distinct().count() >= 3L)
+  }
+
   test("stream-stream interval join equals the batch interval join (q87)") {
     val stream = graft.streaming.StreamJoinOps.clickAttributionStreaming(spark, sf)
     val ev = Tables.events(spark, sf)
