@@ -207,6 +207,8 @@ object SparkEntry {
     "q128_user_gaps"        -> ((s, d) => EventOps.userGapStats(s, d)),
     // -- NOT IN null-aware anti join vs NOT EXISTS ----------------------------
     "q129_not_in_nullaware" -> ((s, d) => CoreOps.notInNullAware(s, d)),
+    // -- dynamic partition overwrite (day-level backfill) ---------------------
+    "q130_partition_overwrite" -> ((s, d) => EventOps.partitionOverwrite(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -560,6 +562,11 @@ object SparkEntry {
         | min(o_totalprice) AS min_price,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_partition_overwrite" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        |                    THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q129_not_in_nullaware" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_quiet,

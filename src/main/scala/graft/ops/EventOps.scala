@@ -216,6 +216,44 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Dynamic partition overwrite — the day-level backfill every data lake
+    * runs: write events day-partitioned, then re-write ONE day's rows with
+    * a correction (value doubled) under
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the incoming frame and leaves all others
+    * untouched (static mode would wipe the whole table first). The final
+    * aggregate proves the surgical scope: only 2024-01-05 changed, and the
+    * oracle reproduces the corrected table directly from the source facts.
+    * Fresh table per call (not Staging.ensure): the overwrite IS the
+    * operator; a cached mutated table would break re-runs.
+    */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") + s"/graft_dynpo_${math.abs(dir.hashCode)}"
+    val tbl = base + "/events_days"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(tbl)
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ev.filter(col("day") === "2024-01-05")
+        .withColumn("value", col("value") * 2)
+        .write.partitionBy("day").mode("overwrite").parquet(tbl)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      old.getOrElse("static"))
+    spark.read.parquet(tbl)
+      // partition-column type inference reads "2024-01-05" back as DATE;
+      // cast to string for dtype parity with the oracle's strftime
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** Morton (Z-order) spread: 16-bit value → 32-bit with a 0 bit between
     * every data bit, via the classic shift-or-mask ladder (pure codegen'd
     * integer ops; identical arithmetic is expressible in the SQL twin).

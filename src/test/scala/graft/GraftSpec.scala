@@ -678,6 +678,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got === viaWindow)
   }
 
+  test("dynamic partition overwrite touches only the target day (q130)") {
+    val g = EventOps.partitionOverwrite(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // static mode would have wiped the table down to the one rewritten day
+    assert(g.size > 1, "all untouched partitions must survive the overwrite")
+    val src = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g.keySet === src.keySet)
+    src.foreach { case (day, (n, s)) =>
+      assert(g(day)._1 === n, s"$day row count unchanged")
+      if (day != "2024-01-05") assert(g(day)._2 === s, s"$day untouched")
+      else assert(math.abs(g(day)._2 - 2 * s) < 1e-6, "target day doubled")
+    }
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
