@@ -209,6 +209,8 @@ object SparkEntry {
     "q129_not_in_nullaware" -> ((s, d) => CoreOps.notInNullAware(s, d)),
     // -- dynamic partition overwrite (day-level backfill) ---------------------
     "q130_partition_overwrite" -> ((s, d) => EventOps.partitionOverwrite(s, d)),
+    // -- append-mode watermarked windows (finalized-window emission) ----------
+    "q131_streaming_append" -> ((s, d) => graft.streaming.EventsStream.hourlyAppendStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -649,6 +651,7 @@ object SparkEntry {
         |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
+    "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
     // out-of-order ingestion must still converge to the batch sessionization
     "q72_streaming_late" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (

@@ -128,6 +128,51 @@ object EventsStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** APPEND-mode watermarked windows: unlike [[hourlyByTypeStreaming]]
+    * (complete mode — the whole aggregate re-emitted every batch), append
+    * mode emits each window ONCE, only after the watermark passes its end —
+    * the only mode a true append-only sink (files, Kafka) can accept, and
+    * the semantics that make unbounded streaming aggregation possible:
+    * finalized windows leave the state store forever. The landing dir is
+    * the 3-file time-ordered staging, one file per microbatch, so the
+    * watermark genuinely advances across batches. Windows newer than
+    * (global max event time − 1 h delay) are still open at termination and
+    * are NOT emitted — the oracle applies exactly that cutoff.
+    */
+  def hourlyAppendStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamJoinOps.withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageStreamDirMulti(spark, dir))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_value"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val hourlyAppendOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Oracle: identical to the batch hourly query — streaming and batch must
     * agree exactly.
     */
