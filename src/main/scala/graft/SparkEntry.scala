@@ -211,6 +211,10 @@ object SparkEntry {
     "q130_partition_overwrite" -> ((s, d) => EventOps.partitionOverwrite(s, d)),
     // -- append-mode watermarked windows (finalized-window emission) ----------
     "q131_streaming_append" -> ((s, d) => graft.streaming.EventsStream.hourlyAppendStreaming(s, d)),
+    // -- PERMISSIVE malformed-CSV ingestion with quarantine -------------------
+    "q132_permissive_csv"   -> ((s, d) => EventOps.permissiveCsv(s, d)),
+    // -- sliding-window HLL sketch reuse (rows-check; error spec-bounded) -----
+    "q133_hll_sliding"      -> ((s, d) => EventOps.hllSliding(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -569,6 +573,12 @@ object SparkEntry {
         | CAST(sum(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
         |                    THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q132_permissive_csv" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |UNION ALL SELECT '_quarantined', CAST(6 AS BIGINT), 0.0
+        |ORDER BY 1""".stripMargin,
     "q129_not_in_nullaware" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_quiet,

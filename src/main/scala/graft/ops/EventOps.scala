@@ -128,6 +128,92 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** PERMISSIVE malformed-row ingestion: a landing CSV always contains junk
+    * — wrong arity, unparseable numerics — and a 100 TB ingest cannot die
+    * on row one (FAILFAST) or silently drop rows (DROPMALFORMED).
+    * PERMISSIVE mode nulls the bad fields and captures the raw line in
+    * `_corrupt_record`, so the pipeline quarantines rejects for triage
+    * while the well-formed rows flow on. The staged file carries 6
+    * deterministic bad lines (wrong arity / non-numeric value / trailing
+    * garbage); the oracle rebuilds the good-row aggregate from the source
+    * facts and pins the quarantine count.
+    */
+  def permissiveCsv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = sys.props("java.io.tmpdir") + s"/graft_badcsv_${math.abs(dir.hashCode)}"
+    Staging.ensure(spark, base, Seq("events_bad_csv")) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(4)
+        .write.option("header", "true").mode("overwrite").csv(base + "/events_bad_csv")
+      // append one small part holding ONLY deterministic junk rows
+      val bad = Seq(
+        "only_two,fields",
+        "1,2,click,not_a_number",
+        "x,y",
+        "9999999,42,view,1.25,trailing,garbage",
+        "no_commas_at_all_this_line",
+        "-1,abc,purchase,3.5") // NB ",,," would NOT be corrupt: empty fields parse as legitimate nulls
+      val path = new org.apache.hadoop.fs.Path(base + "/events_bad_csv/part-junk.csv")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      out.write(("event_id,user_id,event_type,value\n" + bad.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(base + "/events_bad_csv")
+      .cache() // corrupt-record column requires referencing raw + derived together
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .agg(lit("_quarantined").as("event_type"),
+        count(lit(1)).as("n"), lit(0.0).as("sum_value"))
+    good.unionByName(quarantine).orderBy(col("event_type"))
+  }
+
+  /** Sliding-window sketch reuse: 7-day trailing distinct users per day,
+    * from DAILY HLL sketches — each daily sketch is built once from the
+    * facts, then exploded into the 7 trailing windows it covers and
+    * union-merged per window. The facts are scanned exactly once; every
+    * window merge touches only KB-sized sketches. The exact trailing
+    * distinct (computed independently from distinct (day,user) pairs,
+    * same explode) rides along: at 100 TB you'd drop it — it reshuffles
+    * user ids per window — which is exactly why the sketch path exists.
+    * Estimate is implementation-defined ⇒ rows-check; spec bounds error.
+    */
+  def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val win7 = (d: Column) => explode(sequence(d, d + expr("INTERVAL 6 DAYS"),
+      expr("INTERVAL 1 DAY")))
+    val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val est = daily.select(win7(col("day")).as("wend"), col("sk"))
+      .groupBy(col("wend"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+      .select(win7(col("day")).as("wend"), col("user_id")).distinct()
+      .groupBy(col("wend")).agg(count(lit(1)).as("exact_users"))
+    est.join(exact, "wend")
+      .join(days.select(col("day").as("wend")), "wend") // windows ending inside the data range
+      .select(col("wend"), col("n_days"), col("exact_users"), col("est_users"))
+      .orderBy(col("wend"))
+  }
+
   /** MapType surface: per-user map of event_type → count built with
     * `map_from_entries(collect_list(struct(…)))`, then exploded back to
     * rows. Maps are how a pipeline carries open-ended per-entity feature

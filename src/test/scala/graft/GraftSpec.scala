@@ -635,6 +635,17 @@ class ProfilingSpec extends AnyFunSuite {
     assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
   }
 
+  test("sliding HLL window estimate tracks the exact trailing distinct (q133)") {
+    val rows = EventOps.hllSliding(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, exact, est) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDays >= 1L && nDays <= 7L)
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("HLL sketch-merge estimate stays within 5% of the exact count (q124)") {
     EventOps.hllRollup(spark, sf).collect().foreach { r =>
       val (exact, est) = (r.getLong(2), r.getLong(3))
