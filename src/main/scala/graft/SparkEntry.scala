@@ -215,6 +215,8 @@ object SparkEntry {
     "q132_permissive_csv"   -> ((s, d) => EventOps.permissiveCsv(s, d)),
     // -- sliding-window HLL sketch reuse (rows-check; error spec-bounded) -----
     "q133_hll_sliding"      -> ((s, d) => EventOps.hllSliding(s, d)),
+    // -- null-preserving generation (explode_outer vs row-dropping explode) ---
+    "q134_explode_outer"    -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -275,9 +275,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Null-preserving generation: `explode_outer` keeps a row (with a null
+    * token) for every document whose filtered token list is EMPTY — plain
+    * `explode` silently drops those documents, the classic row-loss bug
+    * when a generator feeds a per-document join downstream (the dropped
+    * docs vanish from coverage stats). ~20% of this corpus has no ≥8-char
+    * token, so the difference is substantial, and the oracle's
+    * LEFT JOIN LATERAL unnest reproduces the null rows exactly.
+    */
+  def explodeOuterTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(words(col("text")), w => length(w) >= 8).as("l"))
+      .select(col("doc_id"), explode_outer(col("l")).as("w"))
+      .orderBy(col("doc_id"), col("w").asc_nulls_first)
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q134_explode_outer" ->
+      """SELECT d.doc_id, t.w
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 8) AS l
+        |      FROM documents) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.l) AS w) t ON true
+        |ORDER BY doc_id, w NULLS FIRST""".stripMargin,
     "q115_repetition_ngrams" ->
       s"""SELECT doc_id, n_tri, n_uniq,
          | CASE WHEN n_tri = 0 THEN 0.0

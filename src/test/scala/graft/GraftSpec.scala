@@ -707,6 +707,19 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("explode_outer preserves every document; plain explode drops some (q134)") {
+    val outer = TextOps.explodeOuterTokens(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(outer.select(col("doc_id")).distinct().count() === nDocs)
+    val dropped = outer.filter(col("w").isNull).count()
+    assert(dropped > 0, "corpus should contain docs with no long token")
+    // the row-dropping variant loses exactly those documents
+    val inner = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => length(w) >= 8)).as("w"))
+    assert(inner.select(col("doc_id")).distinct().count() === nDocs - dropped)
+  }
+
   test("argmax: top_key's actual price equals the group max") {
     val priced = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
