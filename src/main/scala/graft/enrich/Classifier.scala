@@ -52,10 +52,22 @@ final case class RuleBasedClassifier(
     splitCompound: Boolean = false,
 ) extends Classifier {
 
+  /** Contains-match, except short (≤3 char) ASCII keywords — "it", "ai",
+    * "crm", "hr", "cpa", "ceo" — which match whole latin tokens only: a bare
+    * contains would fire "it" on "digital" and misroute values the keyword
+    * lists assign explicitly (dag:500 puts "digital" under Маркетинг,
+    * dag:494 "it" under IT). Cyrillic keywords keep plain contains (Russian
+    * stems like "игр" must hit inflected forms such as "видеоигры").
+    */
+  private def kwMatch(k: String, kw: String): Boolean =
+    if (kw.length <= 3 && kw.forall(_ < 128))
+      k.split("[^a-z0-9]+").contains(kw)
+    else k.contains(kw)
+
   def classifyOne(key: String): Classified = {
     val base = if (splitCompound) key.split("[./]", 2)(0) else key
     val k = base.trim.toLowerCase
-    rules.find(r => r.keywords.exists(k.contains)) match {
+    rules.find(r => r.keywords.exists(kwMatch(k, _))) match {
       case Some(r) => Classified(key, r.category, r.specialization)
       case None    => Classified(key, fallbackCategory, "")
     }

@@ -84,10 +84,24 @@ object DedupOps {
                      forceGeneral: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
-    val vocab = docs.select(explode(col("ws0")).as("word")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (!forceGeneral && vocab.length <= 64) nearDupJaccardMask(docs, vocab, threshold)
-    else nearDupJaccardGeneral(spark, docs, threshold)
+    (if (forceGeneral) None else smallVocab(docs)) match {
+      case Some(vocab) => nearDupJaccardMask(docs, vocab, threshold)
+      case None        => nearDupJaccardGeneral(spark, docs, threshold)
+    }
+  }
+
+  /** Bounded cardinality probe for the dense-domain path: collect the
+    * vocabulary ONLY when it fits the ≤64-word bitmask encoding. The
+    * `limit(65)` caps the driver transfer at 65 rows regardless of corpus
+    * size — probing with a full `distinct().collect()` would pull a
+    * web-scale dictionary onto the driver before the 100 TB path even
+    * started. When ≤64 distinct words exist, the limited collect IS the full
+    * vocabulary, so no second scan is needed.
+    */
+  private def smallVocab(docs: DataFrame): Option[Array[String]] = {
+    val probe = docs.select(explode(col("ws0")).as("word")).distinct()
+      .limit(65).collect().map(_.getString(0))
+    if (probe.length <= 64) Some(probe.sorted) else None
   }
 
   /** Adaptive pair join over a prepared `(doc_id, ws0)` frame: probe the
@@ -95,11 +109,42 @@ object DedupOps {
     * [[nearDupJaccard]], reusable for pre-contracted inputs).
     */
   private[graft] def nearDupPairsOn(spark: SparkSession, docs: DataFrame,
-                                    threshold: Double): DataFrame = {
-    val vocab = docs.select(explode(col("ws0")).as("word")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (vocab.length <= 64) nearDupJaccardMask(docs, vocab, threshold)
-    else nearDupJaccardGeneral(spark, docs, threshold)
+                                    threshold: Double): DataFrame =
+    smallVocab(docs) match {
+      case Some(vocab) => nearDupJaccardMask(docs, vocab, threshold)
+      case None        => nearDupJaccardGeneral(spark, docs, threshold)
+    }
+
+  /** Session conf key (bytes) gating the verify-join broadcast of the
+    * token-id table; overridable so specs can force the degraded plan.
+    */
+  val VerifyBroadcastConf = "graft.dedup.maxVerifyBroadcastBytes"
+
+  /** Default gate: well under Spark's 8 GB broadcast hard limit and executor
+    * memory, but far above the dictionary-sized sides this corpus produces.
+    */
+  val DefaultVerifyBroadcastBytes: Long = 256L << 20
+
+  /** Attach a per-doc array side to the candidate verify join. Small side →
+    * `broadcast` (no shuffle of the candidate multiset); large side → a
+    * shuffle hash join on doc_id whose volume scales with the CANDIDATE
+    * count plus one pass of the id table — partitioned work, never the 8 GB
+    * broadcast wall. The estimate is computed from the measured row/token
+    * counts of the id table (one cheap aggregate over the persisted frame),
+    * not guessed: ~4 B per int token + fixed per-row overhead.
+    */
+  private def gatedVerifySide(side: DataFrame, estBytes: Long): DataFrame = {
+    val gate = side.sparkSession.conf
+      .getOption(VerifyBroadcastConf).map(_.toLong).getOrElse(DefaultVerifyBroadcastBytes)
+    if (estBytes <= gate) broadcast(side) else side.hint("shuffle_hash")
+  }
+
+  /** Estimated in-memory bytes of a `(doc_id, ws, sz)` token-id table:
+    * 4 B per token plus per-row object overhead.
+    */
+  private def estIdBytes(ids: DataFrame): Long = {
+    val r = ids.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
+    r.getLong(1) * 4L + r.getLong(0) * 48L
   }
 
   /** Dense-domain exact path: word sets as single-long bitmasks (vocabulary
@@ -191,8 +236,34 @@ object DedupOps {
     */
   private def nearDupJaccardGeneral(spark: SparkSession, docs: DataFrame,
                                     threshold: Double): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.sortedIntersectSize
+    val (cands, ids) = ppjoinCandidates(spark, docs, threshold)
+
+    // Verify FIRST (cheap codegen kernel on the attached arrays — broadcast
+    // when the id table is small, shuffle hash join when it is not; see
+    // [[gatedVerifySide]]), dedupe the multiplicity only on the small
+    // passing set: a shared-k-prefix-tokens pair costs k kernel calls but
+    // avoids shuffling the full candidate multiset, which dominated the
+    // wall clock.
+    val est = estIdBytes(ids)
+    val docA = ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
+    val docB = ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
+    cands.join(gatedVerifySide(docA, est), "doc_a").join(gatedVerifySide(docB, est), "doc_b")
+      .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
+      .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** PPJoin candidate generation + the persisted token-id table (exposed for
+    * the shuffle-volume spec: the verify join's work must be bounded by the
+    * candidate multiset returned here, not by corpus²).
+    */
+  private[graft] def ppjoinCandidates(spark: SparkSession, docs: DataFrame,
+                                      threshold: Double): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(spark)
 
     // Global rarity rank of every word (vocabulary-sized → broadcast). The
     // rank doubles as an integer token id: the verify step then merges sorted
@@ -240,19 +311,7 @@ object DedupOps {
           && col("b.sz") * tDen >= col("a.sz") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
 
-    // Verify FIRST (cheap codegen kernel on broadcast-joined arrays — no
-    // shuffle), dedupe the multiplicity only on the small passing set: a
-    // shared-k-prefix-tokens pair costs k kernel calls but avoids shuffling
-    // the full candidate multiset, which dominated the wall clock.
-    val docA = ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
-    val docB = ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
-    cands.join(broadcast(docA), "doc_a").join(broadcast(docB), "doc_b")
-      .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
-      .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy(col("doc_a"), col("doc_b"))
+    (cands, ids)
   }
 
   /** LSH banding parameters for [[lshNearDupPairs]]: k = bands·rows MinHash
@@ -287,10 +346,10 @@ object DedupOps {
     graft.functions.VectorFunctions.register(spark)
     val docsRaw = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
-    val vocab = docsRaw.select(explode(col("ws0")).as("word")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (vocab.length <= 64) lshNearDupMask(docsRaw, vocab, threshold)
-    else lshNearDupGeneral(docsRaw, threshold)
+    smallVocab(docsRaw) match {
+      case Some(vocab) => lshNearDupMask(docsRaw, vocab, threshold)
+      case None        => lshNearDupGeneral(docsRaw, threshold)
+    }
   }
 
   /** Band-key column for [[lshNearDupPairs]]: one long per band —
@@ -388,10 +447,13 @@ object DedupOps {
   private def lshNearDupGeneral(docsRaw: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.sortedIntersectSize
     val hs = transform(col("ws0"), wordHash(_))
+    // persisted: four consumers (band explode, both verify sides, and the
+    // broadcast-gate size probe) would each re-derive the hash/sort pass
     val docs = docsRaw
       .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"),
         bandKeys(hs).as("bands"))
       .withColumn("sz", size(col("ws")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
     val cands = banded.as("a").join(banded.as("b"), Seq("band"))
@@ -400,10 +462,13 @@ object DedupOps {
 
     // verify-then-dedupe: at most `LshBands` duplicate verifications per
     // pair, and the kernel verify is cheaper than shuffling the candidate
-    // multiset for an early distinct
+    // multiset for an early distinct. The attach joins are broadcast only
+    // while the id table fits [[gatedVerifySide]]'s size gate — past it they
+    // degrade to shuffle hash joins on doc_id.
+    val est = estIdBytes(docs)
     val docA = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
     val docB = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
-    cands.join(broadcast(docA), "doc_a").join(broadcast(docB), "doc_b")
+    cands.join(gatedVerifySide(docA, est), "doc_a").join(gatedVerifySide(docB, est), "doc_b")
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")))
       .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("j") >= threshold)
@@ -508,7 +573,6 @@ object DedupOps {
       lastSum = s
       labels = next
     }
-    edges.unpersist()
     // expand reps back to member docs; a component's min doc IS a rep
     // (group rep = min of group), so the propagated min-rep label is the
     // min doc_id of the whole cluster. This runs OUTSIDE the narrowed-
@@ -522,24 +586,91 @@ object DedupOps {
     docLabels
       .withColumn("cluster_size", count(lit(1)).over(cw))
       .orderBy(col("doc_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      // unpersist here, not after the loop: a mid-loop failure must not leak
+      // the cached edge set (labels are localCheckpoint'ed, so the returned
+      // plan no longer depends on it)
+      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
   }
 
   /** Fuzzy key matching: distinct-key pairs within a small edit distance —
     * the typo-dedup cousin of the set-based near-dup joins (classic for
-    * normalizing user-entered titles before enrichment). Quadratic over
-    * *distinct keys* only (the reference's own distinct-first optimization
-    * keeps this tiny even when the fact table is 100 TB).
+    * normalizing user-entered titles before enrichment). Runs over
+    * *distinct keys* only (the reference's own distinct-first optimization),
+    * and — unlike a naive `name_a < name_b` nested loop, which is quadratic
+    * in the distinct-key count — generates candidates by ED-Join-style
+    * blocking (Xiao et al., q-gram prefix filtering for edit distance):
+    *
+    *  - **length band** — ED ≤ d forces |len(a) − len(b)| ≤ d, applied in
+    *    the candidate join condition;
+    *  - **q-gram prefix** — one edit destroys at most q distinct q-gram
+    *    types, so two strings within ED ≤ d must share one of their q·d+1
+    *    globally-rarest q-grams (prefix-filter theorem over the rarity-
+    *    ordered gram sets) — candidates come from an equi-join on prefix
+    *    grams, bounded by rare-gram posting-list sizes;
+    *  - **short-string fallback** — strings with fewer than q·d+1 grams
+    *    (length < q·d+q) are not covered by the theorem; they form a tiny
+    *    length-bounded band joined exhaustively (empty on real part names).
+    *
+    * Verification (`levenshtein`) runs only on the candidate set, so the
+    * quadratic kernel touches posting-list-bounded pairs, not n(n−1)/2.
     */
-  def fuzzyKeyPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
-    val a = names.select(col("p_name").as("name_a"))
-    val b = names.select(col("p_name").as("name_b"))
-    a.join(b, col("name_a") < col("name_b"))
+  def fuzzyKeyPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    fuzzyCandidates(spark, dir, maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("name_a"), col("name_b"))
+
+  /** Candidate generation for [[fuzzyKeyPairs]] on the q53 input table. */
+  private[graft] def fuzzyCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame =
+    fuzzyCandidatesOn(
+      Tables.part(spark, dir).select(col("p_name").as("name")).distinct(), maxDist)
+
+  /** ED-Join candidate generation over any distinct single-column `name`
+    * frame (exposed for the blocking-effectiveness spec): a lossless
+    * superset of all ED ≤ `maxDist` pairs, as `(name_a, name_b)` with
+    * `name_a < name_b`.
+    */
+  private[graft] def fuzzyCandidatesOn(names0: DataFrame, maxDist: Int): DataFrame = {
+    val q = 2
+    val prefLen = q * maxDist + 1
+    val minLen = q * maxDist + q // below this a string has < q·d+1 grams
+    val names = names0.withColumn("len", length(col("name")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // distinct q-grams per name; global rarity rank doubles as an int token
+    // (same dictionary-encode trick as the PPJoin path: the prefix join
+    // moves 4-byte ints, and rarest-first order is just ascending tok)
+    val grams = names.select(col("name"), col("len"),
+      explode(expr(s"array_distinct(transform(sequence(1, CAST(length(name) AS INT) - ${q - 1}), i -> substr(name, i, $q)))")).as("g"))
+    val ranks = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .select(col("g"), row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df"), col("g"))).as("tok"))
+    val pref = grams.join(broadcast(ranks), "g")
+      .groupBy(col("name"), col("len"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+      .select(col("name"), col("len"), explode(slice(col("toks"), 1, prefLen)).as("tok"))
+
+    val longCands = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name")
+          && abs(col("a.len") - col("b.len")) <= maxDist
+          && col("a.len") >= minLen && col("b.len") >= minLen)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+
+    // fallback band: any pair involving a short string (either side) has
+    // both lengths < minLen + maxDist by the length filter — exhaustive
+    // within that bounded band only
+    val shorts = names.filter(col("len") < minLen).select(col("name").as("name_a"))
+    val shortCands = shorts.join(
+        names.filter(col("len") < minLen + maxDist).select(col("name").as("name_b")),
+        col("name_a") =!= col("name_b"))
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+
+    longCands.unionByName(shortCands).dropDuplicates("name_a", "name_b")
   }
 
   /** SimHash (64-bit, Charikar) over the distinct word set: bit i of the

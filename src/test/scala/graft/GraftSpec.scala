@@ -67,23 +67,77 @@ class EnrichmentSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  test("reference field rules: keyword hits and compound splitting (dag:493-524)") {
-    val c = RuleBasedClassifier(Rules.referenceFieldRules, splitCompound = true)
-    assert(c.classifyOne("SaaS платформа").category === "IT")
-    assert(c.classifyOne("Финтех").category === "Финансы")
-    assert(c.classifyOne("EdTech стартап").category === "Образование")
-    assert(c.classifyOne("Маркетинг / Реклама").category === "Маркетинг")
+  test("reference field rules: every category of dag:493-511, compound splitting (dag:521-524)") {
+    val c = Rules.referenceFieldClassifier
+    // one representative value per category, drawn from the prompt's own
+    // keyword lists — all 18 categories incl. the 'Другое' fallback
+    val table = Seq(
+      "SaaS платформа"          -> "IT",
+      "Финтех"                  -> "Финансы",
+      "Розничная торговля"      -> "Ритейл",
+      "Маркетплейсы"            -> "E-commerce",
+      "Промышленность и заводы" -> "Производство",
+      "Фармацевтика"            -> "Медицина",
+      "EdTech стартап"          -> "Образование",
+      "Digital агентство"       -> "Маркетинг",
+      "Доставка и транспорт"    -> "Логистика",
+      "Гостиницы"               -> "Туризм",
+      "Операторы связи"         -> "Телеком",
+      "Строительство"           -> "Недвижимость",
+      "Нефть и газ"             -> "Энергетика",
+      "Госуслуги"               -> "Государственный сектор",
+      "Консалтинговые услуги"   -> "Консалтинг",
+      "iGaming и gambling"      -> "Развлечения",
+      "Юридические услуги"      -> "Сфера услуг",
+      "сельское хозяйство"      -> Defaults.Other,
+    )
+    for ((v, want) <- table)
+      assert(c.classifyOne(v).category === want, s"field '$v'")
+    // prompt-order precedence: 'банковские услуги' is Финансы (rule 2), not
+    // Сфера услуг (rule 17); 'интернет-магазины' is E-commerce, not Телеком
+    assert(c.classifyOne("Банковские услуги").category === "Финансы")
+    assert(c.classifyOne("Интернет-магазины").category === "E-commerce")
+    // short-ASCII keywords are token-bounded: 'digital' must not trip 'it'
+    assert(c.classifyOne("IT").category === "IT")
+    assert(c.classifyOne("CRM-системы").category === "IT")
     // compound: first segment decides
     assert(c.classifyOne("Образование. Развлечения").category === "Образование")
+    assert(c.classifyOne("Развлечения / Образование").category === "Развлечения")
     assert(c.classifyOne("видеоигры и гейминг").category === "Развлечения")
-    assert(c.classifyOne("сельское хозяйство").category === Defaults.Unclassified)
   }
 
-  test("reference title rules: closed category set (dag:187-209)") {
-    val c = RuleBasedClassifier(Rules.referenceTitleRules)
-    assert(c.classifyOne("Senior Python разработчик").category === "Python разработчик")
-    assert(c.classifyOne("Маркетолог-аналитик").category === "Маркетолог")
-    assert(c.classifyOne("Водитель").category === Defaults.Unclassified)
+  test("reference title rules: every category of the closed set (dag:187-209)") {
+    val c = Rules.referenceTitleClassifier
+    // all 21 categories: 20 keyword rules + the 'Другое' fallback (rule 2 of
+    // the prompt: unmatched titles go to Другое, never a new category)
+    val table = Seq(
+      "Старший аналитик данных"   -> "Аналитик данных",
+      "BI-аналитик"               -> "BI-аналитик",
+      "Системный аналитик"        -> "Системный аналитик",
+      "Бизнес-аналитик"           -> "Бизнес аналитик",
+      "Веб-аналитик"              -> "Веб-аналитик",
+      "Финансовый аналитик"       -> "Финансовый аналитик",
+      "Продуктовый аналитик"      -> "Продуктовый аналитик",
+      "ML-инженер"                -> "ML/AI-инженер",
+      "Senior Python разработчик" -> "Разработчик",
+      "DevOps-инженер"            -> "DevOps-инженер",
+      "Директор по маркетингу"    -> "Директор по маркетингу",
+      "Генеральный директор"      -> "Генеральный директор",
+      "Коммерческий директор"     -> "Коммерческий директор",
+      "Директор по продукту"      -> "Директор по продукту",
+      "Маркетолог-аналитик"       -> "Маркетолог",
+      "Главный маркетолог"        -> "Главный маркетолог",
+      "Руководитель по контенту"  -> "Руководитель по контенту",
+      "Директор по продажам"      -> "Директор по продажам",
+      "Специалист по трафику"     -> "Специалист по трафику",
+      "Менеджер продукта"         -> "Менеджер продукта",
+      "Водитель"                  -> Defaults.Other,
+    )
+    for ((t, want) <- table)
+      assert(c.classifyOne(t).category === want, s"title '$t'")
+    // every produced category is in the closed set (prompt rule 1)
+    val closed = Rules.referenceTitleRules.map(_.category).toSet + Defaults.Other
+    for ((t, _) <- table) assert(closed.contains(c.classifyOne(t).category))
   }
 
   test("enrichment totality: every row classified, empty keys -> 'Не указано' (dag:750-753)") {

@@ -258,4 +258,87 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"))
     assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p.take(800))
   }
+
+  test("near-dup verify broadcast is size-gated: degraded plan matches, shuffle candidate-bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextFunctions.words
+    val baseRows = DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true)
+      .collect().map(_.toSeq).toSeq
+    val baseShuffle = Metrics.shuffleRecordsWritten(
+      DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true))
+    // candidate-multiset and corpus sizes, measured from the same generator
+    // the query uses — the bound below is in THESE units, not corpus²
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
+    val (cands, ids) = DedupOps.ppjoinCandidates(spark, docs, 0.9)
+    val nCands = cands.count()
+    val nDocs = ids.count()
+    spark.conf.set(DedupOps.VerifyBroadcastConf, "0")
+    try {
+      val degShuffle = Metrics.shuffleRecordsWritten(
+        DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true))
+      val degRows = DedupOps.nearDupJaccard(spark, sf, 0.9, forceGeneral = true)
+        .collect().map(_.toSeq).toSeq
+      assert(degRows === baseRows, "degraded verify join must not change results")
+      assert(degShuffle > baseShuffle,
+        s"gate=0 must disable the verify broadcast (no extra shuffle seen: $baseShuffle → $degShuffle)")
+      // extra volume = cands exchanged on doc_a + join1 output on doc_b
+      // (each ≤ nCands) + one pass of each id side — linear in candidates
+      // and corpus rows; a corpus-sized broadcast OR an unblocked join would
+      // blow far past this
+      assert(degShuffle - baseShuffle <= 2 * nCands + 2 * nDocs + 4096,
+        s"degraded verify shuffle not candidate-bounded: base=$baseShuffle deg=$degShuffle cands=$nCands docs=$nDocs")
+    } finally spark.conf.unset(DedupOps.VerifyBroadcastConf)
+  }
+
+  test("fuzzy key pairs: blocking prunes the quadratic space, verify matches brute force (q53)") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    // q53's own input is lossless-checked below; the PRUNING property needs
+    // a realistic key domain — hundreds of multi-word titles with injected
+    // typos. The testdata name domains are degenerate for blocking (64
+    // two-word part names; fixed-pattern 'Customer#NNNNNN' names share every
+    // rare gram), so any candidate scheme admits most pairs there.
+    val rnd = new scala.util.Random(42)
+    val pool = Vector(
+      "engineer", "developer", "manager", "analyst", "designer", "architect",
+      "consultant", "specialist", "director", "assistant", "operator",
+      "technician", "scientist", "researcher", "administrator", "coordinator",
+      "marketing", "finance", "logistics", "support", "senior", "junior",
+      "lead", "principal", "backend", "frontend", "mobile", "cloud", "data",
+      "security", "network", "quality", "product", "project", "sales")
+    val base = Vector.fill(400)(
+      Seq.fill(3)(pool(rnd.nextInt(pool.size))).mkString(" "))
+    val typod = base.take(120).map { s =>
+      val i = rnd.nextInt(s.length); s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+    }
+    val keys = (base ++ typod).distinct
+    val df = keys.toDF("name")
+    val n = keys.size.toLong
+    val allPairs = n * (n - 1) / 2
+    val cands = DedupOps.fuzzyCandidatesOn(df, 2)
+    val nCands = cands.count()
+    assert(nCands * 10 < allPairs,
+      s"length-band + q-gram prefix blocking must prune: $nCands candidates vs $allPairs all-pairs")
+    // lossless on the same domain: candidates + verify == naive quadratic join
+    val got = cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .orderBy(col("name_a"), col("name_b")).collect().map(_.toSeq).toSeq
+    val brute = df.select(col("name").as("name_a"))
+      .join(df.select(col("name").as("name_b")), col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .orderBy(col("name_a"), col("name_b")).collect().map(_.toSeq).toSeq
+    assert(got === brute, "blocked fuzzy join must be lossless vs the naive quadratic join")
+    // and the shipped q53 is unchanged on its own (tiny) input table
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+    val bruteQ53 = names.select(col("p_name").as("name_a"))
+      .join(names.select(col("p_name").as("name_b")), col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("name_a"), col("name_b")).collect().map(_.toSeq).toSeq
+    assert(DedupOps.fuzzyKeyPairs(spark, sf, 3).collect().map(_.toSeq).toSeq === bruteQ53)
+  }
 }
