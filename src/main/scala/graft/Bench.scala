@@ -87,6 +87,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // trailing SHORT total-only line: the per-query blob above can overflow
+    // a log tail; whoever captures the last line always gets a parseable
+    // total (the blob line remains for per-query attribution)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,13 +69,13 @@ object SparkEntry {
     "q36_dedup_wordset"     -> ((s, d) => DedupOps.dedupWordSet(s, d)),
     "q37_minhash_sigs"      -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q38_neardup_jaccard"   -> ((s, d) => DedupOps.nearDupJaccard(s, d)),
-    "q39_lsh_neardup"       -> ((s, d) => DedupOps.lshNearDupPairs(s, d)),   // approx recall: rows-check
+    "q39_lsh_neardup"       -> ((s, d) => DedupOps.lshNearDupPairs(s, d)),
     "q40_simhash"           -> ((s, d) => DedupOps.simhash(s, d)),           // rows-check
     // -- similarity search (north star) ---------------------------------------
     "q41_knn_cosine"        -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "q42_embed_neardup"     -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "q43_centroids"         -> ((s, d) => SimilarityOps.centroids(s, d)),
-    "q45_ann_buckets"       -> ((s, d) => SimilarityOps.annBuckets(s, d)),   // rows-check
+    "q45_ann_buckets"       -> ((s, d) => SimilarityOps.annBuckets(s, d)),
     // -- multimodal columns (north star) --------------------------------------
     "q44_media_features"    -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     // -- safe JSON parse chain (F4-F6) ----------------------------------------
@@ -217,6 +217,8 @@ object SparkEntry {
     "q133_hll_sliding"      -> ((s, d) => EventOps.hllSliding(s, d)),
     // -- null-preserving generation (explode_outer vs row-dropping explode) ---
     "q134_explode_outer"    -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
+    // -- ANN-gated embedding near-dup (band-OR hyperplane LSH + exact verify) -
+    "q135_ann_neardup"      -> ((s, d) => SimilarityOps.annNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -18,7 +18,9 @@ object Verify {
     // Dev-only subset filter (driver never sets it): SPARK_GRAFT_ONLY=q38,q59
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      // prefix match, same as Bench: SPARK_GRAFT_ONLY=q38,q59 selects the
+      // full registry names q38_neardup_jaccard / q59_simhash_neardup
+      case Some(names) => SparkEntry.queries.filter(kv => names.exists(kv._1.startsWith))
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

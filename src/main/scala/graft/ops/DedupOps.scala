@@ -732,7 +732,75 @@ object DedupOps {
 
   // ---------------------------------------------------------------------------
 
+  /** DuckDB twin of [[graft.functions.SketchKernels.mix64]] (murmur fmix64)
+    * as an UNSIGNED HUGEINT expression: 64-bit wrapping multiplies become
+    * `(HUGEINT · c) % 2^64`, logical `>>> 33` becomes unsigned integer
+    * division, and xor runs on the re-signed BIGINT bit pattern. Valid for
+    * inputs 0 ≤ h < 2^33 (word hashes are < 2^20), where the first
+    * `z ^= z >>> 33` is the identity.
+    */
+  private def mixuSql(h: String): String = {
+    val C1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd unsigned
+    val C2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53 unsigned
+    val M = "18446744073709551616"  // 2^64
+    val H = "9223372036854775808"   // 2^63
+    val B = "4294967296"            // 2^32
+    def signed(x: String) = s"CAST(CASE WHEN ($x) >= $H THEN ($x) - $M ELSE ($x) END AS BIGINT)"
+    def unsigned(x: String) = s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN CAST($M AS HUGEINT) ELSE 0 END)"
+    // (z·c) mod 2^64 with every intermediate < 2^96 (INT128-safe): split c
+    // into 32-bit halves — z·c_lo mod 2^64 + ((z mod 2^32)·c_hi mod 2^32)·2^32
+    def mulmod(z: String, c: BigInt): String = {
+      val hi = c >> 32
+      val lo = c & BigInt("4294967295")
+      s"(((($z) * $lo) % $M + (((($z) % $B) * $hi) % $B) * $B) % $M)"
+    }
+    val m1u = mulmod(s"CAST($h AS HUGEINT)", C1)
+    val z2 = s"xor(${signed(m1u)}, CAST(($m1u) // 8589934592 AS BIGINT))"
+    val m2u = mulmod(unsigned(z2), C2)
+    val z3 = s"xor(${signed(m2u)}, CAST(($m2u) // 8589934592 AS BIGINT))"
+    unsigned(z3)
+  }
+
+  /** SimHash CTE prefix shared by the q40/q59 oracles: per doc, the word
+    * hashes, their mix64 spreads, and the 64-bit fingerprint — bit i set
+    * when strictly more than half the words have bit i of their mix set
+    * (2·ones > n ⟺ Σ(±1) > 0, exactly the kernel's count test). `shu` keeps
+    * the unsigned form for band extraction; `simhash` re-signs bit 63.
+    */
+  private def simhashCteSql: String = {
+    val fpTerms = (0 until 64).map { i =>
+      val p2 = java.math.BigInteger.valueOf(2).pow(i).toString
+      s"(CASE WHEN 2*list_sum(list_transform(mx, m -> CAST((m // $p2) % 2 AS BIGINT))) > len(mx) THEN CAST($p2 AS HUGEINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""ds AS (
+       |  SELECT doc_id, list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
+       |  FROM documents),
+       |mxt AS (SELECT doc_id, list_transform(hs, h -> ${mixuSql("h")}) AS mx FROM ds),
+       |sh AS (
+       |  SELECT doc_id, fpu AS shu,
+       |    CAST(CASE WHEN fpu >= 9223372036854775808 THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id, ($fpTerms) AS fpu FROM mxt))""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q40_simhash" ->
+      s"""WITH $simhashCteSql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    // pigeonhole pair join: Hamming ≤ 3 on 64 bits forces agreement on one
+    // of the 4 16-bit bands; the OR-band join emits each pair once, the
+    // popcount verify is exact — same dataflow as the Spark plan
+    "q59_simhash_neardup" -> {
+      val shareBand = (0 until 4).map { k =>
+        val div = java.math.BigInteger.valueOf(2).pow(16 * k).toString
+        s"(a.shu // $div) % 65536 = (b.shu // $div) % 65536"
+      }.mkString(" OR ")
+      s"""WITH $simhashCteSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ($shareBand)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // connected components in SQL: reach(node, r) enumerates every node r
     // reachable from node over the symmetric near-dup edge set (UNION, not
     // UNION ALL — the dedup is the fixpoint guarantee); cluster id = min
@@ -782,6 +850,35 @@ object DedupOps {
          |FROM bs a JOIN bs b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // MinHash-LSH pairs ARE oracle-expressible: the signature family already
+    // hash-matches (q37), band collision is tuple equality on signature
+    // slices (the Spark side compacts the tuple through xxhash64, which is
+    // injective-in-practice — a collision could only ADD a candidate, which
+    // must then still pass the exact-Jaccard verify), and the verify is the
+    // same set-Jaccard as q38. So q39 moves from rows-check to hash-match.
+    "q39_lsh_neardup" -> {
+      val k = LshBands * LshRows
+      val mhDefs = (0 until k).map { i =>
+        s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % ${P})) AS mh$i"
+      }.mkString(",\n ")
+      val shareBand = (0 until LshBands).map { b =>
+        (0 until LshRows).map(r => s"a.mh${b * LshRows + r} = b.mh${b * LshRows + r}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val jac = "CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE) / len(list_distinct(list_concat(ws_a, ws_b)))"
+      s"""WITH ds AS (
+         |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ws,
+         |         list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, ws, $mhDefs FROM ds),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS ws_a, b.ws AS ws_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($shareBand))
+         |SELECT doc_a, doc_b, ${OracleMath.stableRoundSql(jac, 4)} AS jaccard
+         |FROM cand
+         |WHERE $jac >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q38_neardup_jaccard" ->
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws)))", 4)} AS jaccard

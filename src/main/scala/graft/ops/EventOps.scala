@@ -181,7 +181,11 @@ object EventOps {
     val quarantine = raw.filter(col("_corrupt_record").isNotNull)
       .agg(lit("_quarantined").as("event_type"),
         count(lit(1)).as("n"), lit(0.0).as("sum_value"))
-    good.unionByName(quarantine).orderBy(col("event_type"))
+    // eager localCheckpoint of the (tiny) aggregate lets the corrupt-record
+    // cache be released NOW instead of leaking one cached scan per call
+    val out = good.unionByName(quarantine).localCheckpoint()
+    raw.unpersist()
+    out.orderBy(col("event_type"))
   }
 
   /** Sliding-window sketch reuse: 7-day trailing distinct users per day,

@@ -77,22 +77,88 @@ object SimilarityOps {
     * Demonstrated as bucket histogram (rows-check; the bucketing is the
     * scale path for [[embeddingNearDup]]).
     */
+  /** Deterministic pseudo-random hyperplane i: g_i[j] = frac((i·64+j+1)·φ) −
+    * 0.5 (Weyl sequence — reproducible without RNG state, and inlinable as a
+    * literal array in BOTH engines, which is what lets the LSH queries carry
+    * full SQL oracles).
+    */
+  private[graft] def hyperplane(i: Int): IndexedSeq[Double] = {
+    val phi = 0.6180339887498949
+    (0 until 64).map { j => val x = (i * 64 + j + 1) * phi; x - math.floor(x) - 0.5 }
+  }
+  private def planeCol(i: Int): Column = array(hyperplane(i).map(lit): _*)
+
   def annBuckets(spark: SparkSession, dir: String, bits: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val phi = 0.6180339887498949
-    def plane(i: Int): Column = {
-      // g_i as an array<double> literal, same for every row
-      val g = (0 until 64).map { j => val x = (i * 64 + j + 1) * phi; x - math.floor(x) - 0.5 }
-      array(g.map(lit): _*)
-    }
     val sigBits = (0 until bits).map { i =>
-      when(dotp(col("embedding"), plane(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), sigBits.reduce(_ + _).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("bucket"))
+  }
+
+  /** LSH banding parameters for [[annNearDup]]: 8 bands × 4 hyperplane bits.
+    * Sign-agreement probability per bit is 1 − θ/π (θ = angle), so a
+    * true-near-dup pair at cosine 0.9 (θ ≈ 26°, p ≈ 0.856) collides on a
+    * 4-bit band with p⁴ ≈ 0.54 and is missed by all 8 bands with
+    * probability 0.46⁸ ≈ 0.2% — recall ≈ 99.8% at the threshold the
+    * operator exists for, while random pairs (p ≈ 0.5) pass a band only
+    * 6% of the time, bounding candidates ≈ n²·(1−(1−1/16)⁸)/2 per skewless
+    * bucket math but in practice by bucket-size² sums (the 100 TB path:
+    * candidates come from 8 shuffles on 4-bit band keys, never an N² join).
+    */
+  val AnnBands = 8
+  val AnnRowsPerBand = 4
+
+  /** ANN-gated embedding near-dup — the scale path for [[embeddingNearDup]]:
+    * random-hyperplane band-OR blocking (any of 8 bands agreeing makes a
+    * candidate) + the SAME exact cosine verify, so precision is exact and
+    * recall is the banding S-curve above. Every arithmetic step (Weyl
+    * planes, sign bits, band keys, cosine) is deterministic double math
+    * reproducible in DuckDB, so unlike classic LSH sketches this query
+    * carries a full hash-match oracle.
+    */
+  def annNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annNearDupOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+  }
+
+  /** Frame-parametric core of [[annNearDup]] (exposed for the recall spec,
+    * which runs it over a synthetic corpus with known true near-dups).
+    */
+  private[graft] def annNearDupOn(e0: DataFrame, threshold: Double): DataFrame = {
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    // signature + norm computed once per vector; persisted: band explode and
+    // both verify sides would re-derive 32 dot products per vector each
+    val e = e0.select(col("vec_id"), col("embedding"),
+        sigBits.reduce(_ + _).as("sig"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys: 4-bit slices of the signature; candidates share any band.
+    // The join moves three longs per row (8 rows per vector), never vectors.
+    val banded = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
+      .select(col("vec_id"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verify — identical math to [[embeddingNearDup]], so verified
+    // pairs are a (recall-bounded) subset of the exact query's output
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    cands.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+      .withColumn("sim", dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), OracleMath.stableRound(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Top-k per group via the custom [[graft.functions.TopKByScore]]
@@ -379,7 +445,42 @@ object SimilarityOps {
     s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
   }
 
+  /** Hyperplane i as a DuckDB literal list (Double.toString round-trips the
+    * exact IEEE value, so both engines dot against identical planes).
+    */
+  private def planeSql(i: Int): String =
+    hyperplane(i).map(_.toString).mkString("[", ", ", "]")
+
+  /** `1 << i` when the sign bit of ⟨embedding, plane_i⟩ is set, else 0. */
+  private def sigBitSql(i: Int, weight: Long): String =
+    s"(CASE WHEN list_sum(list_transform(generate_series(1,64), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(i)})[j])) > 0 THEN $weight ELSE 0 END)"
+
   def oracle: Map[String, String] = Map(
+    "q45_ann_buckets" -> {
+      val bucket = (0 until 8).map(i => sigBitSql(i, 1L << i)).mkString(" + ")
+      s"""SELECT CAST($bucket AS BIGINT) AS bucket, count(*) AS n_vectors
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "q135_ann_neardup" -> {
+      // per-band 4-bit keys bv0..bv7 from the same Weyl planes; candidates
+      // share any band; exact cosine verify — the Spark plan's dataflow,
+      // replayed as SQL over literal plane arrays
+      val bandCols = (0 until AnnBands).map { b =>
+        val v = (0 until AnnRowsPerBand)
+          .map(r => sigBitSql(b * AnnRowsPerBand + r, 1L << r)).mkString(" + ")
+        s"CAST($v AS BIGINT) AS bv$b"
+      }.mkString(",\n ")
+      val shareBand = (0 until AnnBands).map(b => s"a.bv$b = b.bv$b").mkString(" OR ")
+      s"""WITH sigs AS (SELECT vec_id, embedding, $bandCols FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.embedding AS ea, b.embedding AS eb
+         |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ($shareBand))
+         |SELECT id_a, id_b, ${OracleMath.stableRoundSql(cosSql("ea", "eb"), 6)} AS sim
+         |FROM cand
+         |WHERE ${cosSql("ea", "eb")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q109_sql_surface" ->
       s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2
          |FROM (SELECT label, vec_id,

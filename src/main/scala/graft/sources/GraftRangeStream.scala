@@ -105,7 +105,7 @@ object GraftStreamQueries {
       .writeStream.outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("bucket"))
+    graft.streaming.StreamJoinOps.drainMemorySink(spark, name).orderBy(col("bucket"))
   }
 
   val streamSourceAggOracle: String =

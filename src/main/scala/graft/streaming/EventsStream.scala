@@ -123,7 +123,7 @@ object EventsStream {
       q.awaitTermination()
     }
 
-    spark.table(name)
+    StreamJoinOps.drainMemorySink(spark, name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
@@ -160,7 +160,7 @@ object EventsStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    StreamJoinOps.drainMemorySink(spark, name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }

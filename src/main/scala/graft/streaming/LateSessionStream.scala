@@ -78,7 +78,7 @@ object LateSessionStream {
     // last emission per user = counts over the complete buffer
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("n_events"))
-    spark.table(name)
+    StreamJoinOps.drainMemorySink(spark, name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_sessions"), col("n_events"))

@@ -94,7 +94,7 @@ object SessionStream {
     // directory yields the final value per key in the last emission
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("n_events"))
-    spark.table(name)
+    StreamJoinOps.drainMemorySink(spark, name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_sessions"), col("n_events"))

@@ -43,6 +43,18 @@ object StreamJoinOps {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Drain a memory-sink table: eagerly collect it into a lineage-free
+    * local frame (`localCheckpoint`) and DROP the temp view. Memory sinks
+    * register a driver-held table per query start; without the drop, a
+    * session that runs each streaming query several times (bench, tests)
+    * accumulates one orphaned table per run for the session lifetime.
+    */
+  private[graft] def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   private def eventsStream(spark: SparkSession, srcDir: String): DataFrame =
     spark.readStream
       .schema(SessionStream.rawSchema)
@@ -83,7 +95,7 @@ object StreamJoinOps {
       q.awaitTermination()
     }
 
-    spark.table(name)
+    drainMemorySink(spark, name)
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000").as("lag_seconds"))
       .orderBy(col("purchase_id"), col("click_id"))
@@ -123,7 +135,7 @@ object StreamJoinOps {
       q.awaitTermination()
     }
 
-    spark.table(name).orderBy(col("c_mktsegment"))
+    drainMemorySink(spark, name).orderBy(col("c_mktsegment"))
   }
 
   /** Streaming parquet SINK via `foreachBatch`: the write half of a
@@ -214,7 +226,7 @@ object StreamJoinOps {
       q.awaitTermination()
     }
 
-    spark.table(name)
+    drainMemorySink(spark, name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_keys"))
       .orderBy(col("event_type"))
@@ -256,7 +268,7 @@ object StreamJoinOps {
       q.awaitTermination()
     }
 
-    spark.table(name)
+    drainMemorySink(spark, name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_keys"))
       .orderBy(col("event_type"))

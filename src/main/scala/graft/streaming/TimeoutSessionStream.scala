@@ -106,7 +106,7 @@ object TimeoutSessionStream {
     }
 
     // last (= max, emissions are cumulative) per incarnation, summed per user
-    val emits = spark.table(name)
+    val emits = StreamJoinOps.drainMemorySink(spark, name)
     val result = emits
       .groupBy(col("user_id"), col("inc_minute"))
       .agg(max(col("n_sessions")).as("s"), max(col("n_events")).as("e"))

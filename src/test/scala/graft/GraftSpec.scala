@@ -372,6 +372,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("ANN near-dup: exact precision and >=90% recall on a true near-dup corpus (q135)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // the testdata embeddings have no true near-dups (max cosine ≈ 0.44), so
+    // the banding's recall claim needs a corpus WITH them: 150 seeded random
+    // vectors plus 50 small perturbations (cosine vs their base ≥ ~0.95)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val base = Vector.fill(150)(vec())
+    val dups = (0 until 50).map { i =>
+      base(i).map(x => x + (rnd.nextDouble() * 0.04 - 0.02).toFloat)
+    }
+    val rows = (base ++ dups).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val ann = SimilarityOps.annNearDupOn(df, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute-force truth on the same frame, same math
+    import graft.functions.VectorFunctions.dotp
+    val e = df.select(col("vec_id"), col("embedding"),
+      sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", dotp(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"), graft.ops.OracleMath.stableRound(col("sim"), 6))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(brute.size >= 50, s"corpus must actually contain near-dups: ${brute.size}")
+    assert((ann.keySet -- brute.keySet).isEmpty, "ANN must not invent pairs (verify is exact)")
+    ann.foreach { case (k, s) => assert(s === brute(k), s"sim mismatch at $k") }
+    assert(ann.size >= (brute.size * 0.9).toInt, s"recall too low: ${ann.size}/${brute.size}")
+  }
+
   test("native dot kernel equals the higher-order-function fold bit-for-bit") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)
