@@ -551,28 +551,12 @@ object DedupOps {
     val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
-    var labels = reps
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    var lastSum = BigDecimal(labels.agg(sum(col("label"))).head.getLong(0))
-    var converged = false
-    while (!converged) {
-      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-      val prop = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
-        .select(labels("doc_id"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
-        .localCheckpoint()
-      val next = prop.as("l")
-        .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
-          col("l.label") === col("p_id"))
-        .select(col("l.doc_id").as("doc_id"), col("p_label").as("label"))
-        .localCheckpoint()
-      val s = BigDecimal(next.agg(sum(col("label"))).head.getLong(0))
-      converged = s == lastSum
-      lastSum = s
-      labels = next
-    }
+    // propagate+jump is the fast path (near-dup components are quasi-cliques,
+    // 2-4 rounds); a pathological high-diameter graph that has not converged
+    // in LabelPropMaxRounds falls back to the alternating large-star/
+    // small-star contraction, whose round count is O(log n) on ANY shape.
+    val labels = labelPropagation(reps, edges, LabelPropMaxRounds)
+      .getOrElse(starLabels(reps.select(col("doc_id")), pairs))
     // expand reps back to member docs; a component's min doc IS a rep
     // (group rep = min of group), so the propagated min-rep label is the
     // min doc_id of the whole cluster. This runs OUTSIDE the narrowed-
@@ -593,6 +577,104 @@ object DedupOps {
       edges.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     }
+  }
+
+  /** Rounds of propagate+jump before [[dedupClusters]] abandons label
+    * propagation for the star algorithm: pointer jumping converges in
+    * ~log₂(diameter) rounds, so 8 rounds cover diameter ≈ 250 — any graph
+    * still unconverged is genuinely high-diameter.
+    */
+  val LabelPropMaxRounds = 8
+
+  /** Min-label propagation with pointer jumping over a symmetric edge set.
+    * One round = propagate (min label over the neighborhood) then
+    * pointer-jump (label ← label(label), path halving); `localCheckpoint`
+    * truncates the iterative lineage; convergence is detected from Σ(labels)
+    * (strictly decreasing until fixpoint). Returns None if `maxRounds`
+    * rounds did not reach the fixpoint.
+    */
+  private[graft] def labelPropagation(reps: DataFrame, edges: DataFrame,
+                                      maxRounds: Int): Option[DataFrame] = {
+    var labels = reps
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var lastSum = BigDecimal(labels.agg(sum(col("label"))).head.getLong(0))
+    var round = 0
+    while (round < maxRounds) {
+      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val prop = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        .localCheckpoint()
+      val next = prop.as("l")
+        .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+          col("l.label") === col("p_id"))
+        .select(col("l.doc_id").as("doc_id"), col("p_label").as("label"))
+        .localCheckpoint()
+      val s = BigDecimal(next.agg(sum(col("label"))).head.getLong(0))
+      labels = next
+      if (s == lastSum) return Some(labels)
+      lastSum = s
+      round += 1
+    }
+    None
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") over a canonical
+    * undirected pair set `(doc_a < doc_b)` — the high-diameter fallback for
+    * [[dedupClusters]]: O(log n) rounds regardless of graph shape, each
+    * round two groupBy/join passes over the current edge set.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u): every neighbor v < u, and u itself, attach to
+    *    m = min({v ∈ N(u): v < u} ∪ {u}).
+    *
+    * Both preserve connectivity and monotonically shrink the potential;
+    * at fixpoint every component is a star rooted at its minimum node.
+    * Returns (doc_id, label) for every node in `nodes` (singletons label
+    * themselves).
+    */
+  private[graft] def starLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .distinct().localCheckpoint()
+    var done = e.isEmpty
+    while (!done) {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      // large-star: m over the FULL neighborhood, re-attach larger neighbors
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y"))
+      val el = large.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct().localCheckpoint()
+      // small-star over the large-star output
+      val sym2 = el.select(col("a").as("u"), col("b").as("v"))
+        .union(el.select(col("b").as("u"), col("a").as("v")))
+      val smaller = sym2.filter(col("v") < col("u"))
+      val mS = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smaller.join(mS, "u")
+        .select(col("v").as("x"), col("m").as("y"))
+        .unionByName(mS.select(col("u").as("x"), col("m").as("y")))
+      val es = small.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct().localCheckpoint()
+      // fixpoint = canonical edge set unchanged (count gate first: the
+      // except() runs only on candidate-converged rounds, usually the last)
+      val same = es.count() == e.count() && es.exceptAll(e).isEmpty
+      e = es
+      done = same
+    }
+    // at fixpoint every edge is (root=a, member=b): root is the component min
+    val lbl = e.select(col("b").as("doc_id"), col("a").as("label"))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    nodes.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** Fuzzy key matching: distinct-key pairs within a small edit distance —

@@ -372,6 +372,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("dedup clusters: star fallback equals label propagation on a high-diameter chain") {
+    import spark.implicits._
+    // a 60-node chain: diameter 59 — the shape that defeats plain
+    // propagation and exercises the large-star/small-star fallback
+    val n = 60L
+    val nodes = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edgesSym = chain.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(chain.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // a 2-round budget cannot converge -> the selection logic would fall back
+    assert(DedupOps.labelPropagation(nodes, edgesSym, 2).isEmpty)
+    val viaProp = DedupOps.labelPropagation(nodes, edgesSym, 50).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = DedupOps.starLabels(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProp === viaStar, "star contraction must agree with converged propagation")
+    assert(viaStar.values.toSet === Set(0L), "one chain = one component rooted at its min")
+    // two chains + an isolated node: per-component minima, singleton keeps itself
+    val chain2 = ((0L until 30L).map(i => (i, i + 1)) ++ (40L until 59L).map(i => (i, i + 1)))
+      .toDF("doc_a", "doc_b")
+    val nodes2 = ((0L to 30L) ++ (40L to 59L) ++ Seq(100L)).toDF("doc_id")
+    val star2 = DedupOps.starLabels(nodes2, chain2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 30L).forall(star2(_) == 0L))
+    assert((40L to 59L).forall(star2(_) == 40L))
+    assert(star2(100L) === 100L)
+  }
+
   test("ANN near-dup: exact precision and >=90% recall on a true near-dup corpus (q135)") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
