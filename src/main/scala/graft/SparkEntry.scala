@@ -219,6 +219,8 @@ object SparkEntry {
     "q134_explode_outer"    -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
     // -- ANN-gated embedding near-dup (band-OR hyperplane LSH + exact verify) -
     "q135_ann_neardup"      -> ((s, d) => SimilarityOps.annNearDup(s, d)),
+    // -- mergeable histogram quantile sketch: merge(partials) ≡ full scan ----
+    "q136_quantile_sketch"  -> ((s, d) => EventOps.histQuantileMerge(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -625,6 +627,28 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey <= 100
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q136_quantile_sketch" -> {
+      def qsel(src: String, sfx: String) =
+        s"""SELECT month, event_type,
+           | min(CASE WHEN CAST(cum AS DOUBLE) >= n * 0.5 THEN (bin+1)*4.0 END) AS p50_$sfx,
+           | min(CASE WHEN CAST(cum AS DOUBLE) >= n * 0.9 THEN (bin+1)*4.0 END) AS p90_$sfx
+           |FROM (SELECT month, event_type, bin,
+           |        sum(cnt) OVER (PARTITION BY month, event_type ORDER BY bin) AS cum,
+           |        sum(cnt) OVER (PARTITION BY month, event_type) AS n
+           |      FROM $src) GROUP BY 1, 2""".stripMargin
+      s"""WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type,
+         |              CAST(least(floor(value / 4.0), 255) AS BIGINT) AS bin FROM events),
+         |daily AS (SELECT day, event_type, bin, count(*) AS cnt FROM ev GROUP BY 1, 2, 3),
+         |merged AS (SELECT date_trunc('month', day) AS month, event_type, bin, sum(cnt) AS cnt
+         |           FROM daily GROUP BY 1, 2, 3),
+         |fullh AS (SELECT date_trunc('month', day) AS month, event_type, bin, count(*) AS cnt
+         |          FROM ev GROUP BY 1, 2, 3),
+         |qm AS (${qsel("merged", "merged")}),
+         |qf AS (${qsel("fullh", "full")})
+         |SELECT qm.month, qm.event_type, p50_merged, p90_merged, p50_full, p90_full
+         |FROM qm JOIN qf ON qm.month = qf.month AND qm.event_type = qf.event_type
+         |ORDER BY 1, 2""".stripMargin
+    },
     "q123_agg_merge" ->
       """SELECT date_trunc('month', ts) AS month, event_type,
         | count(*) AS n,

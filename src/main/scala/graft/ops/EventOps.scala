@@ -188,6 +188,49 @@ object EventOps {
     out.orderBy(col("event_type"))
   }
 
+  /** Mergeable quantile sketch + merge≡full-scan proof — the quantile member
+    * of the algebraic-sketch rollup family (q123 count/sum/min/max, q124
+    * HLL): a fixed-boundary histogram sketch (256 bins × width 4) kept in
+    * long form (group, bin, cnt). Unlike t-digest/KLL, whose centroids
+    * depend on merge order, fixed boundaries make the merge EXACTLY
+    * order-independent (vector addition), so daily partial sketches merged
+    * into months are bit-identical to sketches built from a full month scan.
+    * Both paths are computed and emitted side by side, and the oracle
+    * hash-checks the whole result: the sketch quantile rule — smallest bin
+    * upper edge whose cumulative count reaches p·n — is plain arithmetic in
+    * both engines. At 100 TB this is the production percentile-dashboard
+    * pattern: yesterday's KB-sized sketches are merged, never rescanned;
+    * error is bounded by bin width (spec-checked against exact quantiles),
+    * traded explicitly for mergeability.
+    */
+  def histQuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binW = 4.0
+    val bin = least(floor(col("value") / binW), lit(255.0)).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"), bin.as("bin"))
+    val daily = ev.groupBy(col("day"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = daily
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val full = ev
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    def quantiles(h: DataFrame, sfx: String): DataFrame = {
+      val wc = Window.partitionBy(col("month"), col("event_type")).orderBy(col("bin"))
+      val wn = Window.partitionBy(col("month"), col("event_type"))
+      val c = h.withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
+      def q(p: Double) = min(when(col("cum").cast("double") >= col("n") * lit(p),
+        (col("bin") + 1).cast("double") * lit(binW)))
+      c.groupBy(col("month"), col("event_type"))
+        .agg(q(0.5).as(s"p50_$sfx"), q(0.9).as(s"p90_$sfx"))
+    }
+    quantiles(merged, "merged").join(quantiles(full, "full"), Seq("month", "event_type"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
   /** Sliding-window sketch reuse: 7-day trailing distinct users per day,
     * from DAILY HLL sketches — each daily sketch is built once from the
     * facts, then exploded into the 7 trailing windows it covers and

@@ -103,7 +103,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-    StreamJoinOps.withStatePartitions(spark, 8) {
+    StreamJoinOps.withStatePartitions(spark, 4) {
       val stream = spark.readStream
         .schema(rawSchema)
         .parquet(stageStreamDirShared(spark, dir))
@@ -142,7 +142,7 @@ object EventsStream {
   def hourlyAppendStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    StreamJoinOps.withStatePartitions(spark, 8) {
+    StreamJoinOps.withStatePartitions(spark, 4) {
       val q = spark.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1)

@@ -54,7 +54,7 @@ object LateSessionStream {
     val name = "graft_stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, byTime = false)
 
-    StreamJoinOps.withStatePartitions(spark, 8) {
+    StreamJoinOps.withStatePartitions(spark, 4) {
       val evs: Dataset[SessionStream.Ev] = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one hash-split file = one microbatch

@@ -69,7 +69,7 @@ object SessionStream {
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir)
 
-    StreamJoinOps.withStatePartitions(spark, 8) {
+    StreamJoinOps.withStatePartitions(spark, 4) {
       val evs: Dataset[Ev] = spark.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch

@@ -38,9 +38,34 @@ object StreamJoinOps {
     */
   private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
     val old = spark.conf.get(key)
+    val oldCkpt = spark.conf.getOption(ckptKey)
     spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+    // Checkpoints (offset log + state-store deltas, fsynced per microbatch)
+    // go to RAM when the host has a tmpfs: an AvailableNow run over K files
+    // commits ~K·(stores + 2 logs) small files, and on a disk-backed
+    // java.io.tmpdir those syncs dominate the microbatch floor. Queries have
+    // unique names, so runs never collide under the shared base; the base is
+    // deleted after the (eagerly executed) run. On a real cluster this knob
+    // is the same decision: checkpoint to the fast reliable store.
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase =
+      if (shm.isDirectory && shm.canWrite) Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+      else None
+    ckptBase.foreach(spark.conf.set(ckptKey, _))
+    try f finally {
+      spark.conf.set(key, old)
+      ckptBase.foreach { base =>
+        oldCkpt match {
+          case Some(v) => spark.conf.set(ckptKey, v)
+          case None    => spark.conf.unset(ckptKey)
+        }
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
   }
 
   /** Drain a memory-sink table: eagerly collect it into a lineage-free
@@ -71,7 +96,7 @@ object StreamJoinOps {
     val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val purchases = eventsStream(spark, srcDir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -113,7 +138,7 @@ object StreamJoinOps {
     val name = "graft_stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val cust = broadcast(graft.Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment")))
       val agg = spark.readStream
@@ -168,7 +193,7 @@ object StreamJoinOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run each call
 
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)
@@ -207,7 +232,7 @@ object StreamJoinOps {
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirMulti(spark, dir)
 
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val deduped = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
@@ -249,7 +274,7 @@ object StreamJoinOps {
     val name = "graft_stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirMulti(spark, dir)
 
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val deduped = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)

@@ -81,7 +81,7 @@ object TimeoutSessionStream {
     // fire timeouts mid-stream (more incarnations than users, spec-asserted)
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 5)
 
-    StreamJoinOps.withStatePartitions(spark, 8) {
+    StreamJoinOps.withStatePartitions(spark, 4) {
       val evs: Dataset[TEv] = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)

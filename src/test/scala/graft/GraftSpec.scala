@@ -372,6 +372,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("histogram quantile sketch: merged==full paths, error bounded by bin width (q136)") {
+    val rows = EventOps.histQuantileMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(4), "p50: merge(partials) must equal full scan")
+      assert(r.getDouble(3) === r.getDouble(5), "p90: merge(partials) must equal full scan")
+    }
+    // sketch error vs the exact ORDER-STAT quantile (the ⌈p·n⌉-th sorted
+    // value — the sketch's own definition, no interpolation) is one-sided
+    // and bounded by the bin width: sketch = upper edge of the bin holding
+    // that order stat, so 0 ≤ sketch − exact < 4
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("month"), col("event_type"),
+        element_at(col("vs"), ceil(size(col("vs")) * 0.5).cast("int")).as("e50"),
+        element_at(col("vs"), ceil(size(col("vs")) * 0.9).cast("int")).as("e90"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    rows.foreach { r =>
+      val (e50, e90) = exact((r.getTimestamp(0), r.getString(1)))
+      val d50 = r.getDouble(2) - e50
+      val d90 = r.getDouble(3) - e90
+      assert(d50 >= 0.0 && d50 < 4.0, s"p50 sketch error out of [0,4): ${r.getDouble(2)} vs $e50")
+      assert(d90 >= 0.0 && d90 < 4.0, s"p90 sketch error out of [0,4): ${r.getDouble(3)} vs $e90")
+    }
+  }
+
   test("dedup clusters: star fallback equals label propagation on a high-diameter chain") {
     import spark.implicits._
     // a 60-node chain: diameter 59 — the shape that defeats plain
