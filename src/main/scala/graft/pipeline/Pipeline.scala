@@ -85,11 +85,28 @@ object Pipeline {
     .withColumn("_processing_date", date_format(current_timestamp(), "yyyyMMdd_HHmmss"))
     .withColumn("_processing_timestamp", current_timestamp())
 
-  /** S5: CSV sink (header, overwrite). The reference writes utf-8-sig — we
-    * write plain UTF-8 (documented divergence, SURVEY.md §2.1/S5).
+  /** S5: CSV sink (header, overwrite). The reference writes utf-8-sig
+    * (dag:830, for BOM-sniffing consumers like Excel); `bom = true`
+    * prepends the UTF-8 BOM to every part file for byte-level S5
+    * compatibility. Default stays plain UTF-8 — the sane encoding — so the
+    * quirk is opt-in rather than replicated blindly.
     */
-  def writeCsv(df: DataFrame, out: String): Unit =
+  def writeCsv(df: DataFrame, out: String, bom: Boolean = false): Unit = {
     df.write.option("header", "true").mode("overwrite").csv(out)
+    if (bom) {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { s =>
+        val tmp = new org.apache.hadoop.fs.Path(s.getPath.getParent, "." + s.getPath.getName + ".bom")
+        val in = fs.open(s.getPath)
+        val o = fs.create(tmp, true)
+        o.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+        org.apache.hadoop.io.IOUtils.copyBytes(in, o, 65536, true) // closes both
+        fs.delete(s.getPath, false)
+        fs.rename(tmp, s.getPath)
+      }
+    }
+  }
 
   /** Whole pipeline, sink optional. The deduped frame is persisted — it is
     * scanned four times downstream (two distinct-key extractions + two

@@ -87,7 +87,7 @@ class GraftMicroBatchStream(total: Long, rowsPerBatch: Long)
 }
 
 /** Driver-contract query over the streaming source: drain 20k rows in
-  * admission-controlled micro-batches (rowsPerBatch caps each pull — four
+  * admission-controlled micro-batches (rowsPerBatch caps each pull — three
   * batches here; per-microbatch machinery costs ~0.5 s, so the batch size
   * demonstrates throttling without paying for dozens of drains), aggregate
   * per bucket in complete mode — the result must equal the batch closed
@@ -97,14 +97,18 @@ object GraftStreamQueries {
   def streamSourceAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = "graft_stream_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = spark.readStream.format("graft.sources.GraftRangeStream")
-      .option("end", "20000").option("rowsPerBatch", "5000")
-      .load()
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // state partitions narrowed like every other stateful streaming query
+    // (one store per shuffle partition per batch; 20k rows want 4, not 32)
+    graft.streaming.StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
+      val q = spark.readStream.format("graft.sources.GraftRangeStream")
+        .option("end", "20000").option("rowsPerBatch", "7000")
+        .load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     graft.streaming.StreamJoinOps.drainMemorySink(spark, name).orderBy(col("bucket"))
   }
 

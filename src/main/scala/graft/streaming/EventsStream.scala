@@ -103,7 +103,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-    StreamJoinOps.withStatePartitions(spark, 4) {
+    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
       val stream = spark.readStream
         .schema(rawSchema)
         .parquet(stageStreamDirShared(spark, dir))
@@ -142,11 +142,15 @@ object EventsStream {
   def hourlyAppendStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    StreamJoinOps.withStatePartitions(spark, 4) {
+    StreamJoinOps.withStatePartitions(spark, 2) {
       val q = spark.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(stageStreamDirMulti(spark, dir))
+        // 2 files: the emitted-window set depends only on the FINAL
+        // watermark (the AvailableNow no-data batch advances it to global
+        // max - delay either way), so one cross-batch advance demonstrates
+        // append semantics at one less microbatch of cost
+        .parquet(stageStreamDirMulti(spark, dir, nFiles = 2))
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

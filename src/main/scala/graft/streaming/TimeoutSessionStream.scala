@@ -79,9 +79,9 @@ object TimeoutSessionStream {
     val name = "graft_stream_timeout_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // 5 time-ordered files = 5 microbatches = 4 watermark advances that can
     // fire timeouts mid-stream (more incarnations than users, spec-asserted)
-    val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 5)
+    val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 3)
 
-    StreamJoinOps.withStatePartitions(spark, 4) {
+    StreamJoinOps.withStatePartitions(spark, 2) {
       val evs: Dataset[TEv] = spark.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)

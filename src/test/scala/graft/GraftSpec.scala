@@ -207,6 +207,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() === 10)
     assert(back.columns.contains("normalized_title"))
   }
+
+  test("utf-8-sig CSV sink: BOM prepended to every part file, content intact (S5, dag:830)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_bom").toString + "/out"
+    val df = Seq((1L, "Python разработчик"), (2L, "Маркетолог")).toDF("id", "title")
+    graft.pipeline.Pipeline.writeCsv(df.repartition(2), out, bom = true)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(bytes.take(3).toSeq === Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte),
+        s"${f.getName} must start with the UTF-8 BOM")
+    }
+    // content after the BOM is the same UTF-8 CSV (Cyrillic intact)
+    val back = spark.read.option("header", "true").csv(out).collect()
+    assert(back.length === 2)
+    assert(back.map(_.getString(1)).toSet === Set("Python разработчик", "Маркетолог"))
+  }
 }
 
 class ExtensionSpec extends AnyFunSuite {
