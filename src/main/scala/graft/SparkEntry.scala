@@ -221,6 +221,8 @@ object SparkEntry {
     "q135_ann_neardup"      -> ((s, d) => SimilarityOps.annNearDup(s, d)),
     // -- mergeable histogram quantile sketch: merge(partials) ≡ full scan ----
     "q136_quantile_sketch"  -> ((s, d) => EventOps.histQuantileMerge(s, d)),
+    // -- grouped t-digest quantiles (rows-check; rank error spec-bounded) ----
+    "q137_tdigest"          -> ((s, d) => CoreOps.tdigestQuantiles(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

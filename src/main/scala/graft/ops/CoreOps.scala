@@ -461,6 +461,29 @@ object CoreOps {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Grouped t-digest quantiles via the custom
+    * [[graft.functions.TDigestQuantiles]] `TypedImperativeAggregate` — the
+    * 100 TB replacement for [[quantiles]]' exact sort-based percentile:
+    * constant memory per group (O(δ) centroids), mergeable partials
+    * (map-side combine works like any algebraic aggregate), relative tail
+    * accuracy. Estimates are merge-order dependent (inherent to the sketch)
+    * ⇒ rows-check; the spec bounds rank error against exact order
+    * statistics and proves merge(partials) ≈ direct. q136 is the
+    * deterministic hash-matchable sibling; q52 the exact baseline.
+    */
+  def tdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("graft_tdigest", col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(100.0)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p50_est"),
+        element_at(col("qs"), 2).as("p90_est"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Calendar aggregation: monthly order counts + exact revenue. The month
     * column prunes date-partitioned parquet at scale.
     */

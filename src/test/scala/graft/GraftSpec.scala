@@ -390,6 +390,46 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("t-digest: rank error bounded, partial digests merge to the same estimates (q137)") {
+    import graft.functions.TDigestBuffer
+    // unit-level mergeability + accuracy on a skewed distribution
+    val rnd = new scala.util.Random(3)
+    val vals = Array.fill(20000)(math.pow(rnd.nextDouble(), 3) * 1000.0)
+    val direct = new TDigestBuffer(100.0)
+    vals.foreach(direct.add(_, 1L))
+    val merged = new TDigestBuffer(100.0)
+    vals.grouped(2000).foreach { chunk =>
+      val part = new TDigestBuffer(100.0)
+      chunk.foreach(part.add(_, 1L))
+      part.compress()
+      part.cs.foreach { case (m, w) => merged.add(m, w) }
+    }
+    val sorted = vals.sorted
+    def rankOf(v: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, v)
+      val pos = if (i >= 0) i else -i - 1
+      pos.toDouble / sorted.length
+    }
+    for (p <- Seq(0.01, 0.1, 0.5, 0.9, 0.99); (b, tag) <- Seq((direct, "direct"), (merged, "merged"))) {
+      val est = b.quantile(p)
+      assert(math.abs(rankOf(est) - p) <= 0.02, s"$tag p=$p est=$est rank=${rankOf(est)}")
+    }
+    // the grouped query: estimates ordered and rank-accurate per group
+    val rows = CoreOps.tdigestQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val vs = byFlag(r.getString(0))
+      def rk(v: Double) = vs.count(_ <= v).toDouble / vs.length
+      assert(r.getDouble(1) <= r.getDouble(2), "p50 must not exceed p90")
+      assert(math.abs(rk(r.getDouble(1)) - 0.5) <= 0.05, s"${r.getString(0)} p50 rank ${rk(r.getDouble(1))}")
+      assert(math.abs(rk(r.getDouble(2)) - 0.9) <= 0.05, s"${r.getString(0)} p90 rank ${rk(r.getDouble(2))}")
+      assert(r.getLong(3) === vs.length.toLong)
+    }
+  }
+
   test("histogram quantile sketch: merged==full paths, error bounded by bin width (q136)") {
     val rows = EventOps.histQuantileMerge(spark, sf).collect()
     assert(rows.nonEmpty)
