@@ -223,6 +223,8 @@ object SparkEntry {
     "q136_quantile_sketch"  -> ((s, d) => EventOps.histQuantileMerge(s, d)),
     // -- grouped t-digest quantiles (rows-check; rank error spec-bounded) ----
     "q137_tdigest"          -> ((s, d) => CoreOps.tdigestQuantiles(s, d)),
+    // -- exact mergeable distinct: bitmap rollup, merged == direct ----------
+    "q138_bitmap_rollup"    -> ((s, d) => EventOps.bitmapRollup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -651,6 +653,11 @@ object SparkEntry {
          |FROM qm JOIN qf ON qm.month = qf.month AND qm.event_type = qf.event_type
          |ORDER BY 1, 2""".stripMargin
     },
+    "q138_bitmap_rollup" ->
+      """SELECT date_trunc('month', ts) AS month, event_type,
+        | count(DISTINCT user_id) AS users_merged,
+        | count(DISTINCT user_id) AS users_direct
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q123_agg_merge" ->
       """SELECT date_trunc('month', ts) AS month, event_type,
         | count(*) AS n,

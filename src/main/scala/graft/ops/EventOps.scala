@@ -638,6 +638,39 @@ object EventOps {
       .orderBy(col("month"), col("event_type"))
   }
 
+  /** Bitmap rollup — the EXACT member of the mergeable-distinct family
+    * (q124 is the approximate HLL sibling): per-day roaring-style bitmaps of
+    * the user set (built-in `bitmap_construct_agg` over
+    * `bitmap_bit_position`, bucketed by `bitmap_bucket_number` so arbitrary
+    * id ranges stay bounded at 4 KB/bucket), OR-merged per month. Unlike a
+    * sketch, bitmap-OR is lossless: the rolled-up count EQUALS
+    * count-distinct, so the query is hash-matchable — `users_merged` must
+    * equal `users_direct` on every row and both equal the oracle's
+    * COUNT(DISTINCT). The 100 TB shape is the same as q124's: daily
+    * partials are id-range-bounded blobs that merge associatively, where
+    * the direct path reshuffles every (month, type, user) pair. Bitmaps
+    * beat HLL whenever ids are dense integers (user/doc surrogate keys) —
+    * exactness for comparable bytes.
+    */
+  def bitmapRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"), col("user_id"))
+    val merged = ev
+      .groupBy(col("day"), col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("month"), col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("users_merged"))
+    val direct = ev
+      .groupBy(date_trunc("month", col("day")).as("month"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users_direct"))
+    merged.join(direct, Seq("month", "event_type"))
+      .select(col("month"), col("event_type"), col("users_merged"), col("users_direct"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
   /** VariantType ingestion (Spark 4's semi-structured path): `parse_json`
     * converts each props payload ONCE into the shredded binary variant
     * encoding, then typed `variant_get` extractions read fields without
