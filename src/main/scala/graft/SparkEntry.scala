@@ -225,6 +225,8 @@ object SparkEntry {
     "q137_tdigest"          -> ((s, d) => CoreOps.tdigestQuantiles(s, d)),
     // -- exact mergeable distinct: bitmap rollup, merged == direct ----------
     "q138_bitmap_rollup"    -> ((s, d) => EventOps.bitmapRollup(s, d)),
+    // -- train/test trigram contamination audit -----------------------------
+    "q139_contamination"    -> ((s, d) => TextOps.contamination(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

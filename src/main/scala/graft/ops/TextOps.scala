@@ -290,9 +290,56 @@ object TextOps {
       .select(col("doc_id"), explode_outer(col("l")).as("w"))
       .orderBy(col("doc_id"), col("w").asc_nulls_first)
 
+  /** Train/test contamination check (decontamination): for every held-out
+    * document (deterministic split: doc_id % 10 = 0), the fraction of its
+    * distinct word trigrams that also appear anywhere in the training split.
+    * This is the benchmark-leakage audit every LLM data pipeline runs before
+    * training — a test doc with high overlap was effectively memorized via
+    * the training set and must be dropped.
+    *
+    * Shape at 100 TB: one generate pass per side (the custom order-preserving
+    * [[graft.functions.NGrams]] shingle generator), a `distinct` on the
+    * train-side gram set (map-side partial dedup), then ONE shuffle join on
+    * the gram — the gram is a derived small key, so the join never moves
+    * document bodies. Left join + count(hit) folds the per-gram hits
+    * straight into the per-doc aggregate. At web scale the join key would be
+    * `xxhash64(gram)` (8-byte shuffle keys; collisions ≪ 2⁻⁶⁴·n²) — kept as
+    * the raw gram here for exact engine-portable semantics.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.ngrams(words(col("text")), 3).as("g"))
+      .distinct() // per-document distinct gram SET (a doc repeating a gram counts once)
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .withColumn("ratio",
+        OracleMath.stableRound(col("n_contaminated").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q139_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |grams AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM toks)),
+         |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0),
+         |test AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0)
+         |SELECT test.doc_id AS doc_id, count(*) AS n_grams,
+         | count(train.g) AS n_contaminated,
+         | ${OracleMath.stableRoundSql("CAST(count(train.g) AS DOUBLE) / count(*)", 4)} AS ratio
+         |FROM test LEFT JOIN train ON test.g = train.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q134_explode_outer" ->
       """SELECT d.doc_id, t.w
         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 8) AS l
