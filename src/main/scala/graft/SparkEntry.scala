@@ -227,6 +227,8 @@ object SparkEntry {
     "q138_bitmap_rollup"    -> ((s, d) => EventOps.bitmapRollup(s, d)),
     // -- train/test trigram contamination audit -----------------------------
     "q139_contamination"    -> ((s, d) => TextOps.contamination(s, d)),
+    // -- deterministic portable shard + shuffle for training export ---------
+    "q140_shard_shuffle"    -> ((s, d) => SamplingOps.shardShuffle(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

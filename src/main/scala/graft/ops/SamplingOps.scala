@@ -84,7 +84,44 @@ object SamplingOps {
       .orderBy(col("source"))
   }
 
+  /** Deterministic global shuffle + sharding for training export: every doc
+    * gets a pseudo-random but REPRODUCIBLE position — shard = first nibble
+    * of md5(doc_id) (uniform over 16 shards), position = rank of the md5
+    * digest within the shard. This is the "shuffle the corpus before
+    * training" step done the only way that survives a distributed retry:
+    * the order is a pure function of the data (identical across engines,
+    * reruns, partition counts and cluster sizes), never of an RNG seed
+    * threaded through tasks.
+    *
+    * Plan shape at 100 TB: the window's partitionBy(shard) is ONE hash
+    * shuffle into shards followed by a per-shard sort — no global sort, and
+    * shard count scales to thousands to bound per-shard sort memory. Writing
+    * `partitionBy(shard)` + sortWithinPartitions of the same plan gives the
+    * on-disk training shards directly.
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1).cast("long"))
+    docs
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q140_shard_shuffle" ->
+      """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard
+        |      FROM d)
+        |SELECT shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q103_mixture_sample" ->
       """SELECT source, count(*) AS n_total,
         | CAST(sum(CASE WHEN (doc_id * 1103515245) % 100
