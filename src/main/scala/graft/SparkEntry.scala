@@ -229,6 +229,8 @@ object SparkEntry {
     "q139_contamination"    -> ((s, d) => TextOps.contamination(s, d)),
     // -- deterministic portable shard + shuffle for training export ---------
     "q140_shard_shuffle"    -> ((s, d) => SamplingOps.shardShuffle(s, d)),
+    // -- uniform per-group sample as a bounded mergeable aggregate ----------
+    "q141_group_sample"     -> ((s, d) => SamplingOps.uniformGroupSample(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -112,7 +112,47 @@ object SamplingOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Uniform per-group sampling WITHOUT a shuffle-the-world sort: the k
+    * sample members per group are the k events with the smallest
+    * `md5(event_id)` prefix — order statistics of a uniform hash are a
+    * uniform sample without replacement, and "k smallest hashes" is a
+    * BOUNDED mergeable aggregate (the [[graft.functions.TopKByScore]] heap,
+    * score = −hash), so each partition contributes at most k candidates per
+    * group and partials merge spill-free. The window/row_number alternative
+    * (the oracle) shuffles and sorts EVERY row; this plan moves k rows per
+    * partition per group — at 100 TB that is the difference between a full
+    * fact-table shuffle and kilobytes. Same hash-order-statistics trick
+    * underlies bottom-k MinHash (q37); here it yields an exact,
+    * engine-portable sample: the 48-bit md5 prefix is integer-exact in a
+    * Double and identical in DuckDB.
+    */
+  def uniformGroupSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_topk",
+          -col("h").cast("double"), col("event_id"), lit(k)).as("ids"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        posexplode(col("ids")).as(Seq("i", "event_id")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
+        col("event_id"), col("n_events"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q141_group_sample" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_events
+        |  FROM e)
+        |SELECT event_type, rank, event_id, n_events
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "q140_shard_shuffle" ->
       """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |s AS (SELECT doc_id, h,
