@@ -231,6 +231,8 @@ object SparkEntry {
     "q140_shard_shuffle"    -> ((s, d) => SamplingOps.shardShuffle(s, d)),
     // -- uniform per-group sample as a bounded mergeable aggregate ----------
     "q141_group_sample"     -> ((s, d) => SamplingOps.uniformGroupSample(s, d)),
+    // -- incremental delta-vs-corpus near-dup (index join, not corpus²) -----
+    "q142_delta_neardup"    -> ((s, d) => DedupOps.deltaNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

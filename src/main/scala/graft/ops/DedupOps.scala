@@ -257,6 +257,69 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental (delta-batch) near-dup: match a NEW batch of documents
+    * (doc_id % 5 = 0 here — in production, today's crawl) against the
+    * EXISTING corpus without re-deduplicating the corpus against itself.
+    * This is the shape every production 100 TB dedup actually runs: the
+    * corpus's dictionary-encoded, prefix-exploded token index is a
+    * persisted artifact; each arriving batch is tokenized, prefix-exploded,
+    * and joined against that index — candidate generation costs
+    * O(delta-prefix ⋈ index), never O(corpus²), and the corpus index is
+    * never rebuilt (the token dictionary refresh per batch is
+    * vocabulary-sized). Same PPJoin machinery as [[nearDupJaccard]]'s
+    * general path (global-rarity prefixes, exact integer filter bounds,
+    * size-gated verify sides), but the candidate join is delta×corpus
+    * instead of a self-join — no `doc_a < doc_b`, a two-sided length filter,
+    * and an asymmetric output (every delta doc with a near-dup sponsor in
+    * the corpus gets dropped/linked by the caller).
+    */
+  def deltaNearDup(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VectorFunctions.sortedIntersectSize
+    graft.functions.VectorFunctions.register(spark)
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
+
+    // global-rarity dictionary over corpus ∪ delta (vocabulary-sized; the
+    // per-batch refresh of the persisted index's dictionary)
+    val ranks = all.select(explode(col("ws0")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .select(col("word"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("word"))).as("tok"))
+    val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
+      .join(broadcast(ranks), "word")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact integer prefix/length bounds — see ppjoinCandidates for why the
+    // float forms lose boundary pairs
+    val tNum = math.round(threshold * 1000).toInt
+    val tDen = 1000
+    val prefixLen = (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1).cast("int")
+    def prefixes(side: DataFrame) = side.select(col("doc_id"), col("sz"),
+      explode(slice(col("ws"), lit(1), prefixLen)).as("tok"))
+
+    val cands = prefixes(ids.filter(col("doc_id") % 5 === 0)).as("d")
+      .join(prefixes(ids.filter(col("doc_id") % 5 =!= 0)).as("c"),
+        col("d.tok") === col("c.tok")
+          && col("d.sz") * tDen >= col("c.sz") * tNum
+          && col("c.sz") * tDen >= col("d.sz") * tNum)
+      .select(col("d.doc_id").as("doc_delta"), col("c.doc_id").as("doc_corpus"))
+
+    val est = estIdBytes(ids)
+    val dSide = ids.select(col("doc_id").as("doc_delta"), col("ws").as("ws_d"), col("sz").as("sz_d"))
+    val cSide = ids.select(col("doc_id").as("doc_corpus"), col("ws").as("ws_c"), col("sz").as("sz_c"))
+    cands.join(gatedVerifySide(dSide, est), "doc_delta")
+      .join(gatedVerifySide(cSide, est), "doc_corpus")
+      .withColumn("inter", sortedIntersectSize(col("ws_d"), col("ws_c")))
+      .withColumn("j", col("inter").cast("double") / (col("sz_d") + col("sz_c") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_delta"), col("doc_corpus"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
+      .dropDuplicates("doc_delta", "doc_corpus")
+      .orderBy(col("doc_delta"), col("doc_corpus"))
+  }
+
   /** PPJoin candidate generation + the persisted token-id table (exposed for
     * the shuffle-volume spec: the verify join's work must be bounded by the
     * candidate multiset returned here, not by corpus²).
@@ -961,6 +1024,15 @@ object DedupOps {
          |WHERE $jac >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q142_delta_neardup" ->
+      s"""SELECT d.doc_id AS doc_delta, c.doc_id AS doc_corpus,
+        | ${OracleMath.stableRoundSql("CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(d.ws, c.ws)))", 4)} AS jaccard
+        |FROM (SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) ws
+        |      FROM documents WHERE doc_id % 5 = 0) d
+        |JOIN (SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) ws
+        |      FROM documents WHERE doc_id % 5 <> 0) c
+        |  ON CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(d.ws, c.ws))) >= 0.9
+        |ORDER BY doc_delta, doc_corpus""".stripMargin,
     "q38_neardup_jaccard" ->
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, b.ws)))", 4)} AS jaccard
