@@ -291,6 +291,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(DedupOps.VerifyBroadcastConf)
   }
 
+  test("delta near-dup equals brute-force delta×corpus join (q142)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextFunctions.words
+    val got = DedupOps.deltaNearDup(spark, sf).collect().map(_.toSeq).toSeq
+    val ds = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws"))
+    val d = ds.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_delta"), col("ws").as("wa"))
+    val c = ds.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("doc_corpus"), col("ws").as("wb"))
+    val brute = d.crossJoin(c)
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("j",
+        col("inter").cast("double") / (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("j") >= 0.9)
+      .select(col("doc_delta"), col("doc_corpus"),
+        OracleMath.stableRound(col("j"), 4).as("jaccard"))
+      .orderBy(col("doc_delta"), col("doc_corpus")).collect().map(_.toSeq).toSeq
+    assert(got === brute, s"delta near-dup mismatch: got ${got.size} vs brute ${brute.size}")
+    assert(got.nonEmpty)
+  }
+
   test("fuzzy key pairs: blocking prunes the quadratic space, verify matches brute force (q53)") {
     import org.apache.spark.sql.functions._
     import TestSpark.spark.implicits._
