@@ -233,6 +233,8 @@ object SparkEntry {
     "q141_group_sample"     -> ((s, d) => SamplingOps.uniformGroupSample(s, d)),
     // -- incremental delta-vs-corpus near-dup (index join, not corpus²) -----
     "q142_delta_neardup"    -> ((s, d) => DedupOps.deltaNearDup(s, d)),
+    // -- corpus-level boilerplate gram mass ---------------------------------
+    "q143_boilerplate"      -> ((s, d) => TextOps.boilerplateGrams(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -324,9 +324,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level boilerplate detection: a trigram is boilerplate when it
+    * appears in more than 10% of all documents (headers, footers, templated
+    * spans — the inter-document complement of q115's intra-document
+    * repetition), and each document is scored by the fraction of its gram
+    * OCCURRENCES covered by boilerplate grams (the Gopher-style
+    * "duplicated n-gram mass" signal used to drop templated pages).
+    *
+    * Two aggregations over ONE persisted gram stream (document frequency
+    * needs per-doc distinct; the coverage score needs raw occurrences), then
+    * a broadcast semi-join: the boilerplate set is bounded by
+    * total-gram-mass / (0.1·n_docs) ≤ 10× the mean grams-per-doc — a
+    * dimension-sized table at any corpus scale, which is why the threshold
+    * is a FRACTION (exact integer compare `df·10 > n_docs`, no float
+    * boundary) rather than an absolute count that would stop pruning at
+    * 100 TB.
+    */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.ngrams(words(col("text")), 3).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = grams.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val boiler = grams.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * 10 > col("n_docs"))
+      .select(col("g")).withColumn("hit", lit(1L))
+    grams.join(broadcast(boiler), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_boiler"))
+      .withColumn("ratio",
+        OracleMath.stableRound(col("n_boiler").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q143_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |grams AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM toks),
+         |total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM grams),
+         |boiler AS (SELECT g FROM
+         |  (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1), total
+         |  WHERE df * 10 > n_docs)
+         |SELECT doc_id, count(*) AS n_grams, count(boiler.g) AS n_boiler,
+         | ${OracleMath.stableRoundSql("CAST(count(boiler.g) AS DOUBLE) / count(*)", 4)} AS ratio
+         |FROM grams LEFT JOIN boiler ON grams.g = boiler.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q139_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
          |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
