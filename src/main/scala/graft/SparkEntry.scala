@@ -235,6 +235,8 @@ object SparkEntry {
     "q142_delta_neardup"    -> ((s, d) => DedupOps.deltaNearDup(s, d)),
     // -- corpus-level boilerplate gram mass ---------------------------------
     "q143_boilerplate"      -> ((s, d) => TextOps.boilerplateGrams(s, d)),
+    // -- co-occurrence communities: second consumer of the CC machinery -----
+    "q144_user_communities" -> ((s, d) => EventOps.userCommunities(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -663,6 +665,27 @@ object SparkEntry {
          |FROM qm JOIN qf ON qm.month = qf.month AND qm.event_type = qf.event_type
          |ORDER BY 1, 2""".stripMargin
     },
+    // recursive-CTE closure over the capped co-occurrence projection — the
+    // user graph stays small (≤ distinct-user count) at every SF, so unlike
+    // q101 this oracle needs no gate-SF skip
+    "q144_user_communities" ->
+      """WITH RECURSIVE au AS (SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
+        |            FROM events),
+        |sz AS (SELECT event_type, m, count(*) AS asz FROM au GROUP BY 1, 2),
+        |capped AS (SELECT au.event_type, au.m, au.user_id
+        |           FROM au JOIN sz USING (event_type, m) WHERE asz BETWEEN 2 AND 8),
+        |pairs AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        |          FROM capped a JOIN capped b
+        |          ON a.event_type = b.event_type AND a.m = b.m AND a.user_id < b.user_id),
+        |edges AS (SELECT ua AS src, ub AS dst FROM pairs
+        |          UNION ALL SELECT ub, ua FROM pairs),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |reach AS (SELECT user_id AS node, user_id AS r FROM users
+        |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT node AS user_id, min(r) AS community_id FROM reach GROUP BY node)
+        |SELECT user_id, community_id,
+        | count(*) OVER (PARTITION BY community_id) AS community_size
+        |FROM cc ORDER BY user_id""".stripMargin,
     "q138_bitmap_rollup" ->
       """SELECT date_trunc('month', ts) AS month, event_type,
         | count(DISTINCT user_id) AS users_merged,

@@ -671,6 +671,47 @@ object EventOps {
       .orderBy(col("month"), col("event_type"))
   }
 
+  /** Second iterative-graph consumer (STATUS roadmap): weakly-connected
+    * communities over the user co-occurrence graph — users are linked when
+    * they act in the same (event_type, minute) anchor, and communities are
+    * the transitive closure. Reuses [[DedupOps.labelPropagation]] /
+    * [[DedupOps.starLabels]] unchanged: the CC machinery is generic over any
+    * (nodes, edges) input, which is the point of exposing it.
+    *
+    * The scale hazard in any co-occurrence projection is the hub anchor — a
+    * minute shared by 10⁵ users emits 10¹⁰ pairs. The standard fix, applied
+    * here, is a degree cap: only anchors with 2..8 distinct users form
+    * cliques (size-capped via one aggregate + semi-join BEFORE the pair
+    * self-join, so the quadratic step runs on capped anchors only). Hub
+    * anchors carry little community signal anyway (everyone shops at noon);
+    * the cap is the deterministic, oracle-expressible version of the usual
+    * TF-IDF-style anchor downweighting.
+    */
+  def userCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val au = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("m"), col("user_id"))
+      .distinct()
+    val sizes = au.groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("asz"))
+    val capped = au.join(sizes.filter(col("asz").between(2, 8)), Seq("event_type", "m"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.m") === col("b.m")
+          && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("doc_a"), col("b.user_id").as("doc_b"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val nodes = Tables.events(spark, dir).select(col("user_id").as("doc_id")).distinct()
+    val labels = DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
+      .getOrElse(DedupOps.starLabels(nodes, pairs))
+    labels.select(col("doc_id").as("user_id"), col("label").as("community_id"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("community_id"))))
+      .orderBy(col("user_id"))
+  }
+
   /** VariantType ingestion (Spark 4's semi-structured path): `parse_json`
     * converts each props payload ONCE into the shredded binary variant
     * encoding, then typed `variant_get` extractions read fields without
