@@ -237,6 +237,8 @@ object SparkEntry {
     "q143_boilerplate"      -> ((s, d) => TextOps.boilerplateGrams(s, d)),
     // -- co-occurrence communities: second consumer of the CC machinery -----
     "q144_user_communities" -> ((s, d) => EventOps.userCommunities(s, d)),
+    // -- 2D patch-grid tiling (multimodal) ----------------------------------
+    "q145_image_tiles"      -> ((s, d) => MultimodalOps.imageTiles(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -116,7 +116,55 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** 2D patch-grid tiling — the vision analogue of [[audioChunks]]: each
+    * "image" (stub dimensions derived from the payload, as in
+    * [[StubDecoder]]) becomes its ⌈W/t⌉×⌈H/t⌉ grid of t×t tiles, the layout
+    * a ViT-style patch pipeline feeds to per-tile encoding. Edge tiles are
+    * CLIPPED, never dropped (q125's tail-covering ceil convention in two
+    * dimensions — every pixel belongs to exactly one tile). Row
+    * amplification is two chained generates, bounded by the grid size per
+    * payload and running inside whole-stage codegen; tile features are
+    * per-tile rows ready for the relational layer, and a real decoder slots
+    * in behind the same (x0, y0, w, h) contract.
+    */
+  def imageTiles(spark: SparkSession, dir: String, tile: Int = 32): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("fb"),
+        expr("octet_length(encode(text, 'UTF-8'))").cast("long").as("nb"))
+      .withColumn("width", col("nb") % 640)
+      .withColumn("height", (col("nb") * 7) % 480)
+      .filter(col("width") > 0 && col("height") > 0)
+    d
+      .withColumn("tx", explode(sequence(lit(0L), expr(s"(width + ${tile - 1}L) DIV ${tile}L - 1L"))))
+      .withColumn("ty", explode(sequence(lit(0L), expr(s"(height + ${tile - 1}L) DIV ${tile}L - 1L"))))
+      .select(col("doc_id"), col("tx"), col("ty"),
+        (col("tx") * tile).as("x0"), (col("ty") * tile).as("y0"),
+        least(lit(tile.toLong), col("width") - col("tx") * tile).as("w"),
+        least(lit(tile.toLong), col("height") - col("ty") * tile).as("h"),
+        ((col("fb") + col("tx") * 31 + col("ty") * 17 + col("width") + col("height")) % 256).as("luma"))
+      .orderBy(col("doc_id"), col("tx"), col("ty"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q145_image_tiles" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS fb,
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) % 640 > 0
+        |    AND (octet_length(encode(text)) * 7) % 480 > 0),
+        |dx AS (SELECT doc_id, fb, width, height,
+        |         unnest(range(0, (width + 31) // 32)) AS tx FROM d),
+        |dxy AS (SELECT doc_id, fb, width, height, tx,
+        |          unnest(range(0, (height + 31) // 32)) AS ty FROM dx)
+        |SELECT doc_id, tx, ty,
+        | CAST(tx * 32 AS BIGINT) AS x0, CAST(ty * 32 AS BIGINT) AS y0,
+        | CAST(least(32, width - tx * 32) AS BIGINT) AS w,
+        | CAST(least(32, height - ty * 32) AS BIGINT) AS h,
+        | CAST((fb + tx * 31 + ty * 17 + width + height) % 256 AS BIGINT) AS luma
+        |FROM dxy ORDER BY doc_id, tx, ty""".stripMargin,
     "q125_audio_chunks" ->
       """SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
         | CAST(k * 80 AS BIGINT) AS start_byte,
