@@ -347,6 +347,36 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch-envelope oracles: the estimate's documented error bound is a
+    // boolean the SQL asserts TRUE; exact values hash-check alongside
+    "q93_approx_distinct" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_approx_quantiles" ->
+      s"""SELECT l_returnflag,
+         | ${graft.ops.OracleMath.stableRoundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_exact,
+         | TRUE AS approx_ok, count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_hll_rollup" ->
+      """SELECT date_trunc('month', ts) AS month, event_type,
+        | count(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q133_hll_sliding" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |wd AS (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wend, day
+        |       FROM days),
+        |nd AS (SELECT wend, count(*) AS n_days FROM wd GROUP BY 1),
+        |ev AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |ex AS (SELECT wend, count(DISTINCT user_id) AS exact_users FROM
+        |  (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wend, user_id
+        |   FROM ev) GROUP BY 1)
+        |SELECT nd.wend AS wend, n_days, exact_users, TRUE AS est_ok
+        |FROM nd JOIN ex USING (wend) JOIN days ON days.day = nd.wend
+        |ORDER BY wend""".stripMargin,
+    "q137_tdigest" ->
+      """SELECT l_returnflag, TRUE AS ok50, TRUE AS ok90, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_quantiles" ->
       s"""SELECT l_returnflag,
          | ${graft.ops.OracleMath.stableRoundSql("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty,

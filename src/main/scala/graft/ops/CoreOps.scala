@@ -411,21 +411,37 @@ object CoreOps {
     * oracle (driver rows-check); the spec brackets the approx median between
     * generous exact quantile bounds instead.
     */
+  /** The raw GK-sketch estimate is implementation-defined (unhashable across
+    * engines), so the query emits the estimate's VALUE-WINDOW MEMBERSHIP as
+    * an oracle-checkable boolean instead: `approx_ok` = the approximate
+    * median lies within the exact [p40, p60] value window, computed in the
+    * same aggregate. The oracle asserts TRUE — a broken sketch fails the
+    * driver's hash gate, not just a spec. The exact median rides along,
+    * hash-checked.
+    */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         OracleMath.stableRound(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_approx"),
+        (expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .between(expr("percentile(l_extendedprice, 0.4)"),
+            expr("percentile(l_extendedprice, 0.6)"))).as("approx_ok"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Same oracle-checkable-envelope pattern as [[approxQuantiles]]:
+    * `approx_ok` = |HLL estimate − exact| ≤ max(1, 10%·exact) (5σ at
+    * rsd 2%), asserted TRUE by the oracle; the exact count rides along
+    * hash-checked.
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users_exact"),
-        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
+          <= greatest(lit(1.0), countDistinct(col("user_id")) * lit(0.10))).as("approx_ok"))
       .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------------------
@@ -466,21 +482,28 @@ object CoreOps {
     * 100 TB replacement for [[quantiles]]' exact sort-based percentile:
     * constant memory per group (O(δ) centroids), mergeable partials
     * (map-side combine works like any algebraic aggregate), relative tail
-    * accuracy. Estimates are merge-order dependent (inherent to the sketch)
-    * ⇒ rows-check; the spec bounds rank error against exact order
-    * statistics and proves merge(partials) ≈ direct. q136 is the
+    * accuracy. Estimates are merge-order dependent (inherent to the sketch),
+    * so like [[approxQuantiles]] the query emits each estimate's VALUE-WINDOW
+    * MEMBERSHIP (p50 within exact [p45, p55], p90 within exact [p85, p95] —
+    * 5% rank slack vs the ≤2% the spec measures) as oracle-checkable
+    * booleans the DuckDB twin asserts TRUE. The spec additionally bounds
+    * raw rank error and proves merge(partials) ≈ direct. q136 is the
     * deterministic hash-matchable sibling; q52 the exact baseline.
     */
   def tdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    def pct(p: Double) = expr(s"percentile(l_extendedprice, $p)")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(call_function("graft_tdigest", col("l_extendedprice"),
           array(lit(0.5), lit(0.9)), lit(100.0)).as("qs"),
+        pct(0.45).as("lo50"), pct(0.55).as("hi50"),
+        pct(0.85).as("lo90"), pct(0.95).as("hi90"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        element_at(col("qs"), 1).as("p50_est"),
-        element_at(col("qs"), 2).as("p90_est"), col("n"))
+        element_at(col("qs"), 1).between(col("lo50"), col("hi50")).as("ok50"),
+        element_at(col("qs"), 2).between(col("lo90"), col("hi90")).as("ok90"),
+        col("n"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -255,9 +255,13 @@ object EventOps {
     val exact = ev.select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
       .select(win7(col("day")).as("wend"), col("user_id")).distinct()
       .groupBy(col("wend")).agg(count(lit(1)).as("exact_users"))
+    // same oracle-checkable-envelope pattern as [[hllRollup]]: the estimate
+    // travels as its 5% bound flag, the exact trailing distinct hash-checks
     est.join(exact, "wend")
       .join(days.select(col("day").as("wend")), "wend") // windows ending inside the data range
-      .select(col("wend"), col("n_days"), col("exact_users"), col("est_users"))
+      .select(col("wend"), col("n_days"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users"))
+          <= greatest(lit(1.0), col("exact_users") * lit(0.05))).as("est_ok"))
       .orderBy(col("wend"))
   }
 
@@ -633,8 +637,13 @@ object EventOps {
     val exact = ev
       .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
+    // est_users itself is sketch-implementation-defined (unhashable); the
+    // oracle-checkable fact is the 5% envelope — emitted as a boolean the
+    // DuckDB twin asserts TRUE, so a drifting sketch fails the hash gate
     merged.join(exact, Seq("month", "event_type"))
-      .select(col("month"), col("event_type"), col("exact_users"), col("est_users"))
+      .select(col("month"), col("event_type"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users"))
+          <= greatest(lit(1.0), col("exact_users") * lit(0.05))).as("est_ok"))
       .orderBy(col("month"), col("event_type"))
   }
 
