@@ -273,11 +273,20 @@ object DedupOps {
     * and an asymmetric output (every delta doc with a near-dup sponsor in
     * the corpus gets dropped/linked by the caller).
     */
-  def deltaNearDup(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def deltaNearDup(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                   forceGeneral: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.sortedIntersectSize
     graft.functions.VectorFunctions.register(spark)
     val all = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
+
+    // adaptive like [[nearDupJaccard]]: a ≤64-word vocabulary makes the
+    // delta×corpus join a bitmask popcount — no dictionary window, no
+    // prefix explode, no verify attach joins
+    if (!forceGeneral) smallVocab(all) match {
+      case Some(vocab) => return deltaNearDupMask(all, vocab, threshold)
+      case None        => ()
+    }
 
     // global-rarity dictionary over corpus ∪ delta (vocabulary-sized; the
     // per-batch refresh of the persisted index's dictionary)
@@ -317,6 +326,40 @@ object DedupOps {
       .filter(col("j") >= threshold)
       .select(col("doc_delta"), col("doc_corpus"), OracleMath.stableRound(col("j"), 4).as("jaccard"))
       .dropDuplicates("doc_delta", "doc_corpus")
+      .orderBy(col("doc_delta"), col("doc_corpus"))
+  }
+
+  /** Dense-domain delta×corpus path: one bitmask per doc, per-side grouping
+    * on DISTINCT masks, then a broadcast nested-loop join with the popcount
+    * Jaccard inline — the A×B analogue of [[nearDupJaccardMask]]. Sides are
+    * disjoint so there is no `mask_a < mask_b` canonicalization and no
+    * within-group pair term: equal masks across sides are genuine J = 1
+    * matches, admitted by the join condition itself.
+    */
+  private def deltaNearDupMask(docs: DataFrame, vocab: Array[String],
+                               threshold: Double): DataFrame = {
+    val bitMap = map(vocab.zipWithIndex.toIndexedSeq.flatMap {
+      case (w, i) => Seq(lit(w), lit(1L << i))
+    }: _*)
+    val masks = docs.select(col("doc_id"),
+      aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"))
+    def groups(side: DataFrame) = side.groupBy(col("mask"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    // repartition pins the quadratic probe's parallelism (see
+    // nearDupJaccardMask — AQE would coalesce the KB-sized side to 1 task)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val d = groups(masks.filter(col("doc_id") % 5 === 0)).repartition(par)
+      .select(col("mask").as("mask_d"), col("ids").as("ids_d"))
+    val c = groups(masks.filter(col("doc_id") % 5 =!= 0))
+      .select(col("mask").as("mask_c"), col("ids").as("ids_c"))
+    val j = bit_count(col("mask_d").bitwiseAND(col("mask_c"))).cast("double") /
+      bit_count(col("mask_d").bitwiseOR(col("mask_c")))
+    d.join(broadcast(c), j >= lit(threshold))
+      .select(explode(col("ids_d")).as("doc_delta"), col("ids_c"), j.as("j"))
+      .select(col("doc_delta"), explode(col("ids_c")).as("doc_corpus"), col("j"))
+      .select(col("doc_delta"), col("doc_corpus"),
+        OracleMath.stableRound(col("j"), 4).as("jaccard"))
       .orderBy(col("doc_delta"), col("doc_corpus"))
   }
 

@@ -291,10 +291,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(DedupOps.VerifyBroadcastConf)
   }
 
-  test("delta near-dup equals brute-force delta×corpus join (q142)") {
+  test("delta near-dup equals brute-force delta×corpus join on both paths (q142)") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextFunctions.words
     val got = DedupOps.deltaNearDup(spark, sf).collect().map(_.toSeq).toSeq
+    val gotGeneral = DedupOps.deltaNearDup(spark, sf, forceGeneral = true)
+      .collect().map(_.toSeq).toSeq
+    assert(got === gotGeneral, "mask and PPJoin delta paths must agree")
     val ds = Tables.documents(spark, sf)
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws"))
     val d = ds.filter(col("doc_id") % 5 === 0)
