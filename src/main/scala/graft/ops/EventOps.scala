@@ -708,13 +708,27 @@ object EventOps {
           && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("doc_a"), col("b.user_id").as("doc_b"))
       .distinct()
+    // persist: the label-prop loop re-reads the edge set twice per round —
+    // without this the anchor-cap join + pair self-join re-execute each time
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = Tables.events(spark, dir).select(col("user_id").as("doc_id")).distinct()
-    val labels = DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
-      .getOrElse(DedupOps.starLabels(nodes, pairs))
+    // the user graph is distinct-user-sized (≪ events) — run the loop's
+    // shuffles narrow, same rationale as dedupClusters' edge-count sizing
+    val nEdges = edges.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val labels =
+      try DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
+        .getOrElse(DedupOps.starLabels(nodes, pairs))
+      finally {
+        edges.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      }
     labels.select(col("doc_id").as("user_id"), col("label").as("community_id"))
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("community_id"))))
