@@ -239,6 +239,8 @@ object SparkEntry {
     "q144_user_communities" -> ((s, d) => EventOps.userCommunities(s, d)),
     // -- 2D patch-grid tiling (multimodal) ----------------------------------
     "q145_image_tiles"      -> ((s, d) => MultimodalOps.imageTiles(s, d)),
+    // -- skew-resilient replicated-salt join --------------------------------
+    "q146_salted_join"      -> ((s, d) => CoreOps.saltedJoin(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -347,6 +349,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q146_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch-envelope oracles: the estimate's documented error bound is a
     // boolean the SQL asserts TRUE; exact values hash-check alongside
     "q93_approx_distinct" ->

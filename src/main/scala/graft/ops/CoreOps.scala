@@ -544,6 +544,33 @@ object CoreOps {
       .agg(sum(col("c")).as("cnt"), sum(col("s")).cast("double").as("total_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Skew-resilient JOIN by salt replication — the join-side counterpart of
+    * [[saltedAgg]]: the fact side gets a salt, the dimension side is
+    * REPLICATED once per salt value (explode over 0..k−1), and the join key
+    * becomes (key, salt) — a hot fact key's rows now land in k shuffle
+    * partitions instead of one. This is the manual fix for skewed
+    * shuffle joins that AQE's skew split cannot handle (e.g. when the skew
+    * is in the JOIN KEY distribution itself and the dimension is too big to
+    * broadcast); the `shuffle_hash` hint pins the shuffled plan so the salt
+    * demonstrably spreads the keys (an unhinted run would broadcast this
+    * dimension and never shuffle). Cost: dimension inflated k× — the knob
+    * trades replication for balance. Result is identical to the plain join,
+    * which is exactly what the oracle computes.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), dec(col("l_extendedprice")).as("price"),
+        pmod(col("l_orderkey"), lit(salt.toLong)).as("fsalt"))
+    val dim = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        explode(sequence(lit(0L), lit(salt.toLong - 1))).as("dsalt"))
+      .hint("shuffle_hash")
+    fact.join(dim, col("l_suppkey") === col("s_suppkey") && col("fsalt") === col("dsalt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price")).cast("double").as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Ranked-within-group: top-3 most expensive orders per priority via
     * row_number over a partitioned window (deterministic tie-break on key).
     */

@@ -291,6 +291,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(DedupOps.VerifyBroadcastConf)
   }
 
+  test("salted join pins the shuffled plan and equals the plain join (q146)") {
+    import org.apache.spark.sql.functions._
+    val p = plan(CoreOps.saltedJoin(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), "salt demo requires the shuffled join:\n" + p.take(600))
+    assert(!p.contains("BroadcastHashJoin"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("s_nationkey")).collect().map(_.toSeq).toSeq
+    assert(CoreOps.saltedJoin(spark, sf).collect().map(_.toSeq).toSeq === plain)
+  }
+
   test("delta near-dup equals brute-force delta×corpus join on both paths (q142)") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextFunctions.words
