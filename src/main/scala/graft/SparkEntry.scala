@@ -241,6 +241,8 @@ object SparkEntry {
     "q145_image_tiles"      -> ((s, d) => MultimodalOps.imageTiles(s, d)),
     // -- skew-resilient replicated-salt join --------------------------------
     "q146_salted_join"      -> ((s, d) => CoreOps.saltedJoin(s, d)),
+    // -- mergeable Misra-Gries heavy hitters, theorem-envelope oracle -------
+    "q147_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

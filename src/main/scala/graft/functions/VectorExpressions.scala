@@ -126,6 +126,8 @@ object VectorFunctions {
       exprs => NGrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_tdigest",
       exprs => TDigestQuantiles(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_mg",
+      exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     // idempotently install the kernel-rewrite optimizer rule
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
       spark.experimental.extraOptimizations =

@@ -361,9 +361,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters per source via the mergeable Misra-Gries sketch
+    * ([[graft.functions.MisraGries]]) — the frequent-items member of the
+    * mergeable family (q123 sums, q124/q138 distinct, q136/q137 quantiles):
+    * each partition ships ≤ k counters per group instead of a word
+    * histogram, and partials merge with the theorem-backed combined bound.
+    * Counter values are merge-order dependent, so the oracle-checked output
+    * is the MG THEOREM itself: for the exact top-3 words per source
+    * (computed alongside, deterministic tie-break), the sketch estimate must
+    * lie in [true − ⌊n/(k+1)⌋, true] (absent ⇒ 0). A broken sketch or a
+    * broken merge violates the envelope and fails the driver's hash gate.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+    val mg = toks.groupBy(col("source"))
+      .agg(call_function("graft_mg", col("word"), lit(k)).as("sk"),
+        count(lit(1)).as("n"))
+    val est = mg.select(col("source"), explode(col("sk")).as(Seq("word", "est")))
+    val top3 = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt_exact"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(desc("cnt_exact"), col("word"))))
+      .filter(col("rk") <= 3)
+    top3.join(mg.select(col("source"), col("n")), "source")
+      .join(est, Seq("source", "word"), "left")
+      .select(col("source"), col("word"), col("cnt_exact"),
+        (coalesce(col("est"), lit(0L)) <= col("cnt_exact") &&
+          coalesce(col("est"), lit(0L)) >= col("cnt_exact") - expr(s"n DIV ${k + 1}"))
+          .as("mg_ok"))
+      .orderBy(col("source"), col("word"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q147_heavy_hitters" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnt AS (SELECT source, word, count(*) AS cnt_exact FROM toks GROUP BY 1, 2),
+        |top3 AS (SELECT source, word, cnt_exact FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt_exact DESC, word) AS rk
+        |  FROM cnt) WHERE rk <= 3)
+        |SELECT source, word, cnt_exact, TRUE AS mg_ok
+        |FROM top3 ORDER BY source, word""".stripMargin,
     "q143_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
          |              FROM documents WHERE len(string_split(text, ' ')) >= 3),

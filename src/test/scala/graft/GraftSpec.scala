@@ -428,6 +428,38 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries: envelope holds under any chunking; merged == stream bound (q147)") {
+    import graft.functions.MGBuffer
+    val rnd = new scala.util.Random(7)
+    // zipf-ish stream over 200 distinct words
+    val stream = Array.fill(50000)("w" + (math.pow(rnd.nextDouble(), 2) * 200).toInt)
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val k = 16
+    val bound = stream.length / (k + 1)
+    // direct
+    val direct = new MGBuffer(k)
+    stream.foreach(direct.add(_, 1L))
+    // merged from 10 partial buffers (partition simulation)
+    val merged = new MGBuffer(k)
+    stream.grouped(5000).foreach { chunk =>
+      val part = new MGBuffer(k)
+      chunk.foreach(part.add(_, 1L))
+      part.m.foreach { case (w, c) => merged.add(w, c) }
+    }
+    for ((buf, tag) <- Seq((direct, "direct"), (merged, "merged"))) {
+      assert(buf.m.size <= k, s"$tag: ${buf.m.size} counters > k")
+      exact.foreach { case (w, cnt) =>
+        val est = buf.m.getOrElse(w, 0L)
+        assert(est <= cnt && est >= cnt - bound,
+          s"$tag: $w est $est outside [${cnt - bound}, $cnt]")
+      }
+    }
+    // the grouped query: envelope flags must hold (also oracle-asserted)
+    val rows = TextOps.heavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), s"${r.getString(0)}/${r.getString(1)}"))
+  }
+
   test("histogram quantile sketch: merged==full paths, error bounded by bin width (q136)") {
     val rows = EventOps.histQuantileMerge(spark, sf).collect()
     assert(rows.nonEmpty)
