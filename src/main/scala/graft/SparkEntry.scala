@@ -243,6 +243,8 @@ object SparkEntry {
     "q146_salted_join"      -> ((s, d) => CoreOps.saltedJoin(s, d)),
     // -- mergeable Misra-Gries heavy hitters, theorem-envelope oracle -------
     "q147_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
+    // -- cross-doc duplicated-span coverage (exact-substring dedup form) ----
+    "q148_dup_spans"        -> ((s, d) => TextOps.dupSpans(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

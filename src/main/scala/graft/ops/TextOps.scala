@@ -394,9 +394,66 @@ object TextOps {
       .orderBy(col("source"), col("word"))
   }
 
+  /** Cross-document duplicated-span coverage — the distributed form of
+    * exact-substring dedup (the "dedup by 50-token window" step of
+    * training-data pipelines): a token position is COVERED when it lies in
+    * any w-token window whose exact w-gram also occurs in ≥2 distinct
+    * documents; per-doc output is the covered-token fraction (drop/trim
+    * candidates at high coverage).
+    *
+    * Every step is a shuffle on a small derived key: positional w-grams
+    * (pos carried through — slice windows over the token array, no
+    * generator round-trip), cross-doc df with partial aggregation, a
+    * semi-join back, then a ≤w× bounded explode + distinct to take the
+    * UNION of overlapping covered intervals (position-set semantics make
+    * interval merging a distinct, not a sweep line). Document bodies never
+    * move. A suffix-array build (the single-node exact approach) cannot
+    * shard this way; the fixed-w window form is the standard 100 TB
+    * approximation.
+    */
+  def dupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val grams = base.filter(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("n_tokens") - w),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        OracleMath.stableRound(
+          coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens"), 4).as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q148_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(range(0, len(ws) - 7)) AS pos, ws
+         |      FROM toks WHERE len(ws) >= 8),
+         |g2 AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+8], ' ') AS gram FROM g),
+         |dup AS (SELECT gram FROM (
+         |  SELECT gram, count(DISTINCT doc_id) AS df FROM g2 GROUP BY 1) WHERE df >= 2),
+         |hits AS (SELECT DISTINCT doc_id, idx FROM (
+         |  SELECT g2.doc_id, unnest(range(pos, pos + 8)) AS idx
+         |  FROM g2 JOIN dup USING (gram))),
+         |cov AS (SELECT doc_id, count(*) AS n_covered FROM hits GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         | coalesce(cov.n_covered, 0) AS n_covered,
+         | ${OracleMath.stableRoundSql("CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / len(t.ws)", 4)} AS ratio
+         |FROM toks t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q147_heavy_hitters" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
         |cnt AS (SELECT source, word, count(*) AS cnt_exact FROM toks GROUP BY 1, 2),
