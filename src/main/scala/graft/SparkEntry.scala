@@ -245,6 +245,7 @@ object SparkEntry {
     "q147_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     // -- cross-doc duplicated-span coverage (exact-substring dedup form) ----
     "q148_dup_spans"        -> ((s, d) => TextOps.dupSpans(s, d)),
+    "q149_semantic_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -161,6 +161,56 @@ object SimilarityOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Semantic dedup clusters — the embedding-space analog of
+    * [[graft.ops.DedupOps.dedupClusters]]: connected components over the
+    * ANN-gated verified pair set ([[annNearDup]]'s edges — band-OR blocking,
+    * exact cosine verify), one canonical representative (the min vec_id) per
+    * cluster. Third consumer of the generic CC machinery
+    * ([[DedupOps.labelPropagation]]/[[DedupOps.starLabels]] reused
+    * unchanged), and the full "semantic dedup" pipeline a training-data
+    * curator actually runs: block → verify → cluster → keep one per cluster.
+    *
+    * Scale shape: edges come from 8 band-key shuffles (never an N² join);
+    * the CC loop runs on the pair graph, whose size the banding already
+    * bounded; loop shuffles are narrowed to the measured edge count exactly
+    * like q101/q144. The oracle replays the banding arithmetic as SQL
+    * (deterministic Weyl planes) and closes it with a recursive CTE — the
+    * embedding graph is pair-bounded, so unlike q101 it runs at every SF.
+    */
+  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = annNearDupOn(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // persist: the label-prop loop re-reads the edge set twice per round —
+    // without this the band join + cosine verify re-execute each round
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
+    // loop shuffles sized from the measured edge count (q101's rationale):
+    // the pair graph is candidate-bounded, far below the session default
+    val nEdges = edges.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val labels =
+      try DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
+        .getOrElse(DedupOps.starLabels(nodes, pairs))
+      finally {
+        edges.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      }
+    labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Top-k per group via the custom [[graft.functions.TopKByScore]]
     * `TypedImperativeAggregate`: nearest neighbours of the query vector
     * within each label, WITHOUT a full sort — each partition keeps a size-k
@@ -480,6 +530,32 @@ object SimilarityOps {
          |FROM cand
          |WHERE ${cosSql("ea", "eb")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q149_semantic_clusters" -> {
+      // q135's band-candidate + exact-verify dataflow, closed transitively
+      // with a recursive CTE (the embedding graph is pair-bounded at every SF)
+      val bandCols = (0 until AnnBands).map { b =>
+        val v = (0 until AnnRowsPerBand)
+          .map(r => sigBitSql(b * AnnRowsPerBand + r, 1L << r)).mkString(" + ")
+        s"CAST($v AS BIGINT) AS bv$b"
+      }.mkString(",\n ")
+      val shareBand = (0 until AnnBands).map(b => s"a.bv$b = b.bv$b").mkString(" OR ")
+      s"""WITH RECURSIVE sigs AS (SELECT vec_id, embedding, $bandCols FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.embedding AS ea, b.embedding AS eb
+         |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ($shareBand)),
+         |pairs AS (SELECT id_a, id_b FROM cand WHERE ${cosSql("ea", "eb")} >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |vids AS (SELECT DISTINCT vec_id FROM embeddings),
+         |reach AS (SELECT vec_id AS node, vec_id AS r FROM vids
+         |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |cc AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT vec_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | vec_id = cluster_id AS keep
+         |FROM cc ORDER BY vec_id""".stripMargin
     },
     "q109_sql_surface" ->
       s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2
