@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,9 +17,6 @@ object Bench {
     // whichever query runs first absorbs ~4-5 s of one-time session setup.
     try {
       import org.apache.spark.sql.functions._
-      // events is TIMESTAMP(NANOS) parquet — set the legacy flag up front or
-      // the raw warmup read throws (see Tables.events)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())

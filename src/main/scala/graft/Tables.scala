@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver's TPC-H-ish testdata (TESTDATA.md / FIXTURES.md §2).
   *
   * Parquet is self-describing, so no inference happens on these paths; the one
-  * normalization we do is `events.ts`, which is written as parquet
-  * TIMESTAMP(NANOS) — Spark's `TimestampType` is microsecond-precision, so we
-  * read nanos as a long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate
-  * to micros explicitly. FIXTURES.md caveats: never compare raw nanos with an
-  * oracle; aggregate or `date_trunc` first.
+  * normalization we do is `events.ts`, whose physical encoding has drifted
+  * across environments (parquet TIMESTAMP(NANOS) in one, timestamp[us]
+  * without UTC adjustment — Spark's TIMESTAMP_NTZ — in another). The decode
+  * is therefore SCHEMA-ADAPTIVE: branch on the resolved Spark type, not on a
+  * session conf, so the same jar reads any vintage of the data correctly.
+  * All paths land on the same micro-truncated `TimestampType` (session TZ is
+  * UTC everywhere, so NTZ naive micros and LTZ UTC micros coincide — the
+  * same interpretation DuckDB's naive timestamps give the oracle).
   *
   * At 100 TB these would be partitioned/bucketed parquet directories instead of
   * single files; the loaders take a base dir so the same code runs on any
@@ -31,14 +34,31 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 
   /** `events` with `ts` as a proper (micro-truncated) TimestampType column. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = p(spark, dir, "events")
-    // nanos since epoch (long) -> micros -> TimestampType. Integer DIV, not
-    // `/`: Spark's `/` on longs is double division, and 2024-epoch nanos
-    // (~1.7e18) exceed double's 53-bit mantissa — truncating the quotient
-    // can land up to ~256 ns off, i.e. occasionally in the WRONG microsecond,
-    // which breaks raw-ts comparisons against engines that truncate exactly.
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    decodeEventsTs(p(spark, dir, "events"))
+
+  /** Normalize an events frame's `ts` to `TimestampType` micros regardless of
+    * how the parquet encoded it (see object doc). Used by the batch loader
+    * and by the streaming stagers, so every consumer shares one decode.
+    */
+  private[graft] def decodeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy nanosAsLong read: nanos since epoch (long) -> micros ->
+        // TimestampType. Integer DIV, not `/`: Spark's `/` on longs is double
+        // division, and 2024-epoch nanos (~1.7e18) exceed double's 53-bit
+        // mantissa — truncating the quotient can land up to ~256 ns off, i.e.
+        // occasionally in the WRONG microsecond.
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] isAdjustedToUTC=false: naive micros. Under a UTC
+        // session the cast is a pure reinterpretation (no wall-clock shift),
+        // matching DuckDB's naive read of the same file.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw // already micros LTZ
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts resolved as unsupported type $other — extend Tables.decodeEventsTs")
+    }
 }

@@ -133,7 +133,7 @@ object DedupOps {
     * counts of the id table (one cheap aggregate over the persisted frame),
     * not guessed: ~4 B per int token + fixed per-row overhead.
     */
-  private def gatedVerifySide(side: DataFrame, estBytes: Long): DataFrame = {
+  private[ops] def gatedVerifySide(side: DataFrame, estBytes: Long): DataFrame = {
     val gate = side.sparkSession.conf
       .getOption(VerifyBroadcastConf).map(_.toLong).getOrElse(DefaultVerifyBroadcastBytes)
     if (estBytes <= gate) broadcast(side) else side.hint("shuffle_hash")

@@ -57,9 +57,20 @@ object SimilarityOps {
     // threshold calibrated to the testdata: the synthetic embeddings have no
     // true duplicate pairs (max pairwise cosine ≈ 0.44), so 0.35 selects the
     // "most similar" tail — in a real corpus this is 0.9+.
+    val e0 = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Scale guard: past `MaxExactPairRows` vectors the exact N² pair space is
+    // a cluster-killer, so the operator degrades to the banded ANN path
+    // ([[annNearDupOn]] — identical verify math, recall bounded by the
+    // banding S-curve). Below the cap (every test/oracle SF) the exact
+    // all-pairs result is produced, so q42 stays the oracle-exact twin while
+    // a 100 TB caller never runs the cartesian. The cap is a conf so specs
+    // can force either path.
+    val cap = spark.conf.getOption(ExactPairRowsConf).map(_.toLong)
+      .getOrElse(DefaultMaxExactPairRows)
+    if (e0.count() > cap) return annNearDupOn(e0, threshold)
     // Norms are computed once per vector BEFORE the pair join (N sqrt+dot
     // instead of N² recomputation); the per-pair work is one codegen'd dot.
-    val e = Tables.embeddings(spark, dir)
+    val e = e0
       .select(col("vec_id"), col("embedding"), sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
@@ -113,6 +124,16 @@ object SimilarityOps {
   val AnnBands = 8
   val AnnRowsPerBand = 4
 
+  /** Session conf (row count) above which [[embeddingNearDup]] abandons the
+    * exact all-pairs join for the banded ANN path.
+    */
+  val ExactPairRowsConf = "graft.sim.maxExactPairRows"
+
+  /** 100k vectors → ≤ 5·10⁹ candidate pairs, the ceiling where exact
+    * all-pairs is still a defensible batch job; far above every test SF.
+    */
+  val DefaultMaxExactPairRows: Long = 100000L
+
   /** ANN-gated embedding near-dup — the scale path for [[embeddingNearDup]]:
     * random-hyperplane band-OR blocking (any of 8 bands agreeing makes a
     * candidate) + the SAME exact cosine verify, so precision is exact and
@@ -151,10 +172,17 @@ object SimilarityOps {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verify — identical math to [[embeddingNearDup]], so verified
-    // pairs are a (recall-bounded) subset of the exact query's output
+    // pairs are a (recall-bounded) subset of the exact query's output.
+    // The vector sides are size-GATED (same machinery as the token near-dup
+    // verify join, [[DedupOps.gatedVerifySide]]): small table → broadcast
+    // (no shuffle of the candidate multiset); past the byte gate → shuffle
+    // hash join on vec_id, whose volume scales with the candidate count —
+    // never the 8 GB broadcast wall at 100× vector counts.
+    val estBytes = e.count() * (64L * 4L + 64L) // 64 float dims + row overhead
     val va = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    cands.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+    cands.join(DedupOps.gatedVerifySide(va, estBytes), "id_a")
+      .join(DedupOps.gatedVerifySide(vb, estBytes), "id_b")
       .withColumn("sim", dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), OracleMath.stableRound(col("sim"), 6).as("sim"))

@@ -99,8 +99,8 @@ object GraftStreamQueries {
     val name = "graft_stream_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // state partitions narrowed like every other stateful streaming query
     // (one store per shuffle partition per batch; 20k rows want 4, not 32)
-    graft.streaming.StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
-      val q = spark.readStream.format("graft.sources.GraftRangeStream")
+    val drained = graft.streaming.StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val q = s.readStream.format("graft.sources.GraftRangeStream")
         .option("end", "20000").option("rowsPerBatch", "7000")
         .load()
         .groupBy(col("bucket"))
@@ -108,8 +108,9 @@ object GraftStreamQueries {
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamJoinOps.drainMemorySink(s, name)
     }
-    graft.streaming.StreamJoinOps.drainMemorySink(spark, name).orderBy(col("bucket"))
+    drained.orderBy(col("bucket"))
   }
 
   val streamSourceAggOracle: String =

@@ -20,37 +20,54 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw schema of the events parquet with nanosecond `ts` read as long
-    * (streaming sources need an explicit schema).
+  /** Schema of the STAGED landing files (streaming sources need an explicit
+    * schema). `ts` is a long in CANONICAL MICROS since epoch — the stagers
+    * re-write the source parquet through [[graft.Tables.decodeEventsTs]]
+    * into this one fixed layout, so the schema here can never drift from
+    * the testdata's physical encoding (which has changed across
+    * environments: TIMESTAMP(NANOS) vs timestamp[us]/NTZ).
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch (parquet TIMESTAMP(NANOS))
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
+  private val rawSchema = SessionStream.rawSchema
+
+  /** Events with `ts` converted to the canonical staged encoding (long
+    * micros). All landing files are written from this frame.
+    */
+  private def canonicalEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).withColumn("ts", unix_micros(col("ts")))
+
+  /** Write `df` as a single parquet file at `base/fileName` (FileStreamSource
+    * treats each file as one arrival; `mtime` > 0 pins modification time so
+    * arrival order is deterministic under `latestFirst=false`).
+    */
+  private def writeOneFile(spark: SparkSession, df: DataFrame, base: String,
+                           fileName: String, mtime: Long): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(conf)
+    val scratch = base + "/_tmp_" + fileName
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = fs.globStatus(new Path(scratch + "/part-*.parquet"))(0).getPath
+    val dst = new Path(base + "/" + fileName)
+    fs.rename(part, dst)
+    fs.delete(new Path(scratch), true)
+    if (mtime > 0L) fs.setTimes(dst, mtime, -1)
+  }
 
   /** Run the streaming hourly aggregation to completion and return the
     * final (static) result. Unique sink name per invocation so repeated
     * calls in one session don't collide.
     */
   /** FileStreamSource requires a *directory*; the testdata ships one parquet
-    * file per table, so stage a per-sf scratch directory containing (a copy
-    * of) the events file — the shape a streaming ingest dir would have.
+    * file per table, so stage a per-sf scratch directory holding the events
+    * re-encoded canonically — the shape a streaming ingest dir would have.
+    * Marker-validated via [[graft.ops.Staging.ensure]] so a half-staged dir
+    * (crashed run, tmp reclamation) self-heals instead of poisoning reads.
     */
   private[graft] def stageStreamDirShared(spark: SparkSession, dir: String): String = {
-    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
-    val base = sys.props("java.io.tmpdir") + s"/graft_stream_${math.abs(dir.hashCode)}"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(conf)
-    val dst = new Path(base + "/events.parquet")
-    if (!fs.exists(dst)) {
-      fs.mkdirs(new Path(base))
-      FileUtil.copy(fs, new Path(s"$dir/events.parquet"), fs, dst, false, conf)
+    val base = sys.props("java.io.tmpdir") + s"/graft_stream_us_${math.abs(dir.hashCode)}"
+    graft.ops.Staging.ensure(spark, base, Seq("events_00.parquet")) {
+      writeOneFile(spark, canonicalEvents(spark, dir), base, "events_00.parquet", 0L)
     }
-    base
   }
 
   /** Multi-file staging: the events table split into `nFiles` time-ordered
@@ -64,16 +81,12 @@ object EventsStream {
   private[graft] def stageStreamDirMulti(spark: SparkSession, dir: String,
                                              nFiles: Int = 3,
                                              byTime: Boolean = true): String = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
     val mode = if (byTime) "time" else "hash"
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_stream_multi_${math.abs(dir.hashCode)}_${nFiles}_$mode"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(conf)
+      s"/graft_stream_multi_us_${math.abs(dir.hashCode)}_${nFiles}_$mode"
     graft.ops.Staging.ensure(spark, base,
       (0 until nFiles).map(k => f"events_$k%02d.parquet")) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = canonicalEvents(spark, dir) // ts = long micros
       // byTime: in-order arrival (well-formed landing dir). byHash: events of
       // every user scattered across files regardless of time — deliberately
       // OUT-OF-ORDER arrival for the late-data operator.
@@ -88,26 +101,21 @@ object EventsStream {
           (0 until nFiles).map(k => ev.filter(pmod(col("event_id"), lit(nFiles)) === k))
         }
       splits.zipWithIndex.foreach { case (df, k) =>
-        val scratch = base + s"/_tmp$k"
-        df.coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = fs.globStatus(new Path(scratch + "/part-*.parquet"))(0).getPath
-        val dst = new Path(base + f"/events_$k%02d.parquet")
-        fs.rename(part, dst)
-        fs.delete(new Path(scratch), true)
-        fs.setTimes(dst, 1000L * (k + 1), -1) // strict arrival order for the source
+        // mtime 1000·(k+1): strict arrival order for the source
+        writeOneFile(spark, df, base, f"events_$k%02d.parquet", 1000L * (k + 1))
       }
     }
   }
 
   def hourlyByTypeStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
 
-    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
-      val stream = spark.readStream
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val stream = s.readStream
         .schema(rawSchema)
-        .parquet(stageStreamDirShared(spark, dir))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L"))) // exact, see Tables.events
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(col("ts"))) // canonical staged micros
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
@@ -121,9 +129,10 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
     }
 
-    StreamJoinOps.drainMemorySink(spark, name)
+    drained
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
@@ -140,18 +149,18 @@ object EventsStream {
     * are NOT emitted — the oracle applies exactly that cutoff.
     */
   def hourlyAppendStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    StreamJoinOps.withStatePartitions(spark, 2) {
-      val q = spark.readStream
+    val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2)
+    val drained = StreamJoinOps.withStatePartitions(spark, 2) { s =>
+      val q = s.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1)
         // 2 files: the emitted-window set depends only on the FINAL
         // watermark (the AvailableNow no-data batch advances it to global
         // max - delay either way), so one cross-batch advance demonstrates
         // append semantics at one less microbatch of cost
-        .parquet(stageStreamDirMulti(spark, dir, nFiles = 2))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(col("ts")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -163,8 +172,9 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
     }
-    StreamJoinOps.drainMemorySink(spark, name)
+    drained
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }

@@ -50,17 +50,16 @@ object LateSessionStream {
 
   def sessionsLateStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2, byTime = false)
 
-    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
-      val evs: Dataset[SessionStream.Ev] = spark.readStream
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val evs: Dataset[SessionStream.Ev] = s.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one hash-split file = one microbatch
         .parquet(srcDir)
         .select(col("user_id"),
-          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
+          unix_timestamp(date_trunc("minute", timestamp_micros(col("ts")))).as("minute"),
           col("event_id"))
         .as[SessionStream.Ev]
 
@@ -73,12 +72,13 @@ object LateSessionStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
     }
 
     // last emission per user = counts over the complete buffer
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("n_events"))
-    StreamJoinOps.drainMemorySink(spark, name)
+    drained
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_sessions"), col("n_events"))

@@ -24,9 +24,14 @@ object SessionStream {
   final case class SessionState(lastMinute: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Schema of the STAGED landing files — `ts` is a long in canonical MICROS
+    * since epoch, written by [[EventsStream]]'s stagers (which funnel any
+    * source encoding through [[graft.Tables.decodeEventsTs]]); the explicit
+    * readStream schema therefore cannot drift from the files.
+    */
   private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) as long)
+    StructField("ts", LongType), // canonical staged micros since epoch
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -65,17 +70,16 @@ object SessionStream {
     */
   def sessionsStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2)
 
-    StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) {
-      val evs: Dataset[Ev] = spark.readStream
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val evs: Dataset[Ev] = s.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
         .parquet(srcDir)
         .select(col("user_id"),
-          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000L")))).as("minute"),
+          unix_timestamp(date_trunc("minute", timestamp_micros(col("ts")))).as("minute"),
           col("event_id"))
         .as[Ev]
 
@@ -88,13 +92,14 @@ object SessionStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
     }
 
     // update-mode emits once per key per microbatch; AvailableNow over one
     // directory yields the final value per key in the last emission
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("n_events"))
-    StreamJoinOps.drainMemorySink(spark, name)
+    drained
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_sessions"), col("n_events"))

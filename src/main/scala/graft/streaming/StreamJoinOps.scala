@@ -49,38 +49,36 @@ object StreamJoinOps {
     * (q80) NEED the finalize batch and must not set it.
     */
   private[graft] def withStatePartitions[T](spark: SparkSession, n: Int,
-                                            skipFinalize: Boolean = false)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val ckptKey = "spark.sql.streaming.checkpointLocation"
-    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val old = spark.conf.get(key)
-    val oldCkpt = spark.conf.getOption(ckptKey)
-    val oldNoData = spark.conf.getOption(noDataKey)
-    spark.conf.set(key, n.toString)
-    if (skipFinalize) spark.conf.set(noDataKey, "false")
+                                            skipFinalize: Boolean = false)
+                                           (f: SparkSession => T): T = {
+    // Concurrency safety: the tuned confs live on a CLONED session
+    // (`newSession()` — same SparkContext and catalog metadata, fresh
+    // SessionState/SQLConf), passed to `f`, which must build the stream AND
+    // drain its memory sink on it (memory-sink temp views are
+    // session-scoped). The caller's session is never mutated, so two
+    // streaming queries — or a streaming query and a batch verify — can
+    // interleave in one outer session without yanking each other's conf.
+    val s = spark.newSession()
+    // newSession() seeds SQLConf from the SparkContext-level conf, not the
+    // caller's runtime session conf — carry over the one semantic setting
+    // (time zone) that event-time correctness depends on.
+    s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    if (skipFinalize) s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // Checkpoints (offset log + state-store deltas, fsynced per microbatch)
     // go to RAM when the host has a tmpfs: an AvailableNow run over K files
     // commits ~K·(stores + 2 logs) small files, and on a disk-backed
-    // java.io.tmpdir those syncs dominate the microbatch floor. Queries have
-    // unique names, so runs never collide under the shared base; the base is
-    // deleted after the (eagerly executed) run. On a real cluster this knob
-    // is the same decision: checkpoint to the fast reliable store.
+    // java.io.tmpdir those syncs dominate the microbatch floor. The base is
+    // unique per run and deleted after the (eagerly executed) run. On a real
+    // cluster this knob is the same decision: checkpoint to the fast
+    // reliable store.
     val shm = new java.io.File("/dev/shm")
     val ckptBase =
       if (shm.isDirectory && shm.canWrite) Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
       else None
-    ckptBase.foreach(spark.conf.set(ckptKey, _))
-    try f finally {
-      spark.conf.set(key, old)
-      if (skipFinalize) oldNoData match {
-        case Some(v) => spark.conf.set(noDataKey, v)
-        case None    => spark.conf.unset(noDataKey)
-      }
+    ckptBase.foreach(s.conf.set("spark.sql.streaming.checkpointLocation", _))
+    try f(s) finally {
       ckptBase.foreach { base =>
-        oldCkpt match {
-          case Some(v) => spark.conf.set(ckptKey, v)
-          case None    => spark.conf.unset(ckptKey)
-        }
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -104,7 +102,7 @@ object StreamJoinOps {
     spark.readStream
       .schema(SessionStream.rawSchema)
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .withColumn("ts", timestamp_micros(col("ts"))) // canonical staged micros
 
   /** Watermarked stream-stream interval join: each purchase matched to ALL
     * of the same user's clicks in the 5 minutes before it. Output is the
@@ -112,18 +110,17 @@ object StreamJoinOps {
     * pass it), so the oracle is the identical batch interval join.
     */
   def clickAttributionStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
     // inner join: pairs emit in the batch they match (the finalize batch
     // only evicts state), so it is output-invariant to skip
-    withStatePartitions(spark, 2, skipFinalize = true) {
-      val purchases = eventsStream(spark, srcDir)
+    val drained = withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val purchases = eventsStream(s, srcDir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val clicks = eventsStream(spark, srcDir)
+      val clicks = eventsStream(s, srcDir)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
@@ -140,9 +137,10 @@ object StreamJoinOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      drainMemorySink(s, name)
     }
 
-    drainMemorySink(spark, name)
+    drained
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000").as("lag_seconds"))
       .orderBy(col("purchase_id"), col("click_id"))
@@ -156,14 +154,13 @@ object StreamJoinOps {
     * reference data at ingest. The oracle is the identical batch join.
     */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirShared(spark, dir)
 
-    withStatePartitions(spark, 2, skipFinalize = true) {
-      val cust = broadcast(graft.Tables.customer(spark, dir)
+    val drained = withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val cust = broadcast(graft.Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment")))
-      val agg = spark.readStream
+      val agg = s.readStream
         .schema(SessionStream.rawSchema)
         .parquet(srcDir)
         .select(col("user_id"), col("value"))
@@ -180,9 +177,10 @@ object StreamJoinOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      drainMemorySink(s, name)
     }
 
-    drainMemorySink(spark, name).orderBy(col("c_mktsegment"))
+    drained.orderBy(col("c_mktsegment"))
   }
 
   /** Streaming parquet SINK via `foreachBatch`: the write half of a
@@ -206,7 +204,6 @@ object StreamJoinOps {
     sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}/out"
 
   def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = stageStreamDirMulti(spark, dir)
     val base = sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}"
     val out = sinkOutDir(dir)
@@ -215,8 +212,8 @@ object StreamJoinOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run each call
 
-    withStatePartitions(spark, 2, skipFinalize = true) {
-      val q = spark.readStream
+    withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val q = s.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
@@ -250,20 +247,19 @@ object StreamJoinOps {
     * counts surviving keys per type against the batch DISTINCT oracle.
     */
   def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // 2 landing files: one cross-batch arrival is enough to exercise keyed
     // dedup state; the result (a DISTINCT) is batch-count-invariant and the
     // run saves a full microbatch of machinery
     val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2)
 
-    withStatePartitions(spark, 2, skipFinalize = true) {
-      val deduped = spark.readStream
+    val drained = withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val deduped = s.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1) // one landing file = one microbatch
         .parquet(srcDir)
         .select(col("user_id"), col("event_type"),
-          date_trunc("minute", timestamp_micros(expr("ts DIV 1000L"))).as("m"))
+          date_trunc("minute", timestamp_micros(col("ts"))).as("m"))
         .withWatermark("m", "1 hour")
         .dropDuplicates("user_id", "event_type", "m")
 
@@ -274,9 +270,10 @@ object StreamJoinOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      drainMemorySink(s, name)
     }
 
-    drainMemorySink(spark, name)
+    drained
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_keys"))
       .orderBy(col("event_type"))
@@ -295,17 +292,16 @@ object StreamJoinOps {
     * same oracle as q88.
     */
   def dedupWithinWatermarkStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2) // see dedupStreaming
 
-    withStatePartitions(spark, 2, skipFinalize = true) {
-      val deduped = spark.readStream
+    val drained = withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val deduped = s.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
         .select(col("user_id"), col("event_type"),
-          date_trunc("minute", timestamp_micros(expr("ts DIV 1000L"))).as("m"))
+          date_trunc("minute", timestamp_micros(col("ts"))).as("m"))
         .withWatermark("m", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
 
@@ -316,9 +312,10 @@ object StreamJoinOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      drainMemorySink(s, name)
     }
 
-    drainMemorySink(spark, name)
+    drained
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_keys"))
       .orderBy(col("event_type"))

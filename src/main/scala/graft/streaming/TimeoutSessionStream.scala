@@ -75,18 +75,17 @@ object TimeoutSessionStream {
     */
   private[graft] def run(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_timeout_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // 5 time-ordered files = 5 microbatches = 4 watermark advances that can
     // fire timeouts mid-stream (more incarnations than users, spec-asserted)
     val srcDir = EventsStream.stageStreamDirMulti(spark, dir, nFiles = 3)
 
-    StreamJoinOps.withStatePartitions(spark, 2) {
-      val evs: Dataset[TEv] = spark.readStream
+    val drained = StreamJoinOps.withStatePartitions(spark, 2) { s =>
+      val evs: Dataset[TEv] = s.readStream
         .schema(SessionStream.rawSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+        .withColumn("ts", timestamp_micros(col("ts")))
         .withWatermark("ts", "30 minutes")
         .select(col("user_id"),
           unix_timestamp(date_trunc("minute", col("ts"))).as("minute"),
@@ -103,10 +102,11 @@ object TimeoutSessionStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
     }
 
     // last (= max, emissions are cumulative) per incarnation, summed per user
-    val emits = StreamJoinOps.drainMemorySink(spark, name)
+    val emits = drained
     val result = emits
       .groupBy(col("user_id"), col("inc_minute"))
       .agg(max(col("n_sessions")).as("s"), max(col("n_events")).as("e"))
