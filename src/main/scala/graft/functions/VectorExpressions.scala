@@ -46,6 +46,26 @@ object VectorKernels {
     acc
   }
 
+  /** Σ(aᵢ−bᵢ)² — float[] vs double[] (PQ subvectors vs codebook), strictly
+    * left-to-right: bit-identical to
+    * `aggregate(zip_with(a, b, (x,c) -> (x-c)*(x-c)), 0.0, +)` and to the
+    * DuckDB twin's list_sum(list_transform(...)).
+    */
+  def dist2FD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a.getFloat(i).toDouble - b.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Σ(aᵢ−bᵢ)² — double[] vs double[]. */
+  def dist2DD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** |A ∩ B| for two ascending-sorted int arrays (set semantics). */
   def intersectSizeSortedInt(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -91,6 +111,37 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Sequential-fold squared L2 distance of two arrays (float/double or
+  * double/double) as DoubleType — the PQ hot loop. Same fold order as the
+  * HOF formulation it replaces, so results are bit-identical, only faster
+  * (no per-element lambda interpretation, no intermediate zipped array).
+  */
+case class SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private lazy val kernel: String =
+    (elemType(left), elemType(right)) match {
+      case (FloatType, DoubleType)  => "dist2FD"
+      case (DoubleType, DoubleType) => "dist2DD"
+      case (l, r) => throw new IllegalArgumentException(s"SquaredDistance: unsupported ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "dist2FD" => VectorKernels.dist2FD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "dist2DD" => VectorKernels.dist2DD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** |A ∩ B| of two ascending-sorted ArrayType(IntegerType) columns. */
 case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -116,6 +167,7 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dist2", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
@@ -141,6 +193,8 @@ object VectorFunctions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_intersect_size", a, b)
+
+  def dist2(a: Column, b: Column): Column = call_function("graft_dist2", a, b)
 
   def simhash64(hashes: Column): Column = call_function("graft_simhash64", hashes)
 

@@ -433,12 +433,14 @@ object SimilarityOps {
       .select(col("c_label"), col("s").as("cb_s"),
         transform(col("pairs"), p => p.getField("cv")).as("cvec"))
 
-  /** Rounded squared L2 between `subvec` and the joined codeword `cvec`. */
+  /** Rounded squared L2 between `subvec` and the joined codeword `cvec`,
+    * via the codegen'd [[graft.functions.SquaredDistance]] kernel — same
+    * left-to-right fold as the HOF formulation (bit-identical, the PQ
+    * argmin and the oracle see the same doubles) without per-element
+    * interpreted lambdas on the (vectors × codewords) hot path.
+    */
   private def pqDist2: Column = OracleMath.stableRound(
-    aggregate(
-      zip_with(col("subvec"), col("cvec"), (x, c) => {
-        val dx = x.cast("double") - c; dx * dx
-      }), lit(0.0), _ + _), 6)
+    graft.functions.VectorFunctions.dist2(col("subvec"), col("cvec")), 6)
 
   /** Winning codeword per (vec, subspace): (vec_id, s, c_label, dist2). */
   private def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
@@ -453,6 +455,7 @@ object SimilarityOps {
   private def pick(s: Int, c: Column): Column = max(when(col("s") === s, c))
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     pqAssignments(spark, dir).groupBy(col("vec_id"))
       .agg(
         pick(0, col("c_label")).cast("long").as("c0"),
@@ -479,6 +482,7 @@ object SimilarityOps {
     * intentionally left out so the query demonstrates the pure-ADC path.
     */
   def pqAdcKnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val qdt = pqSubvectors(spark, dir)
       .filter(col("vec_id") === queryId)
       .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
