@@ -55,9 +55,12 @@ object Bench {
       // so the streaming planner / state-store machinery is hot. Without
       // this, whichever streaming query runs first absorbs ~5-10 s.
       import org.apache.spark.sql.streaming.Trigger
-      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir) // q51/q88
-      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, byTime = false) // q72
-      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 5) // q80
+      // the exact (nFiles, mode) variants the streaming queries read — a
+      // mismatch here silently moves one-time staging into a query's timing
+      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir) // q100 (3, time)
+      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 2) // q51/q88/q111/q131
+      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 2, byTime = false) // q72
+      graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 3) // q80 (same as q100)
       val wq = spark.readStream
         .schema(graft.streaming.SessionStream.rawSchema)
         .parquet(graft.streaming.EventsStream.stageStreamDirShared(spark, sfDir))
