@@ -246,6 +246,8 @@ object SparkEntry {
     // -- cross-doc duplicated-span coverage (exact-substring dedup form) ----
     "q148_dup_spans"        -> ((s, d) => TextOps.dupSpans(s, d)),
     "q149_semantic_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
+    // -- budget-apportioned per-source sample (exact largest-remainder) -----
+    "q150_budget_sample"    -> ((s, d) => SamplingOps.budgetSample(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -142,7 +142,72 @@ object SamplingOps {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Budget-apportioned per-source sampling: a GLOBAL sample budget (e.g.
+    * "100 docs for the eval set") split across sources by exact
+    * largest-remainder (Hamilton) apportionment — every source gets
+    * ⌊B·n/N⌋, and the B − Σ⌊·⌋ leftover seats go to the largest integer
+    * remainders (ties by source name) — then each source contributes its k
+    * members deterministically (smallest 48-bit md5 prefixes, the same
+    * hash-order-statistics uniform sample as [[uniformGroupSample]]).
+    * Unlike per-source RATES ([[mixtureSample]]), the total is exactly B by
+    * construction — the knob an eval-set or annotation-budget pipeline
+    * needs. All allocation arithmetic is integer-exact (B·n DIV N), so both
+    * engines compute identical seats.
+    *
+    * Plan shape at 100 TB: allocation runs on the GROUPS table (tiny — one
+    * aggregate scan), so its unpartitioned ranking window is 20 rows, not
+    * the corpus; the alloc table broadcast-joins back; the per-source pick
+    * is one hash shuffle + per-source sort of (id, hash) pairs only. The
+    * variable per-group k is why this uses the window rather than the
+    * bounded [[graft.functions.TopKByScore]] heap (whose k is plan-constant;
+    * with a uniform k that heap is the cheaper plan — q141).
+    */
+  def budgetSample(spark: SparkSession, dir: String, budget: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("total"))
+    val alloc0 = sizes.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * n) DIV total"))
+      .withColumn("rem", expr(s"$budget * n - (($budget * n) DIV total) * total"))
+    val leftover = alloc0.agg((lit(budget.toLong) - sum(col("base"))).as("leftover"))
+    val alloc = alloc0
+      // groups-sized table: the global (unpartitioned) window is fine HERE
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n").as("n_source"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("k_alloc"))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("pick", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(alloc), "source")
+      .filter(col("pick") <= col("k_alloc"))
+      .select(col("doc_id"), col("source"), col("pick"), col("k_alloc"), col("n_source"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q150_budget_sample" ->
+      """WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM documents),
+        |alloc0 AS (SELECT source, n, (100 * n) // total AS base,
+        |                  100 * n - ((100 * n) // total) * total AS rem
+        |           FROM sizes, tot),
+        |lo AS (SELECT 100 - sum(base) AS leftover FROM alloc0),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM alloc0),
+        |alloc AS (SELECT source, n AS n_source,
+        |                 base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS k_alloc
+        |          FROM ranked, lo),
+        |scored AS (SELECT doc_id, source,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM documents),
+        |sel AS (SELECT doc_id, source,
+        |          CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick
+        |        FROM scored)
+        |SELECT s.doc_id, s.source, s.pick, CAST(a.k_alloc AS BIGINT) AS k_alloc, a.n_source
+        |FROM sel s JOIN alloc a USING (source)
+        |WHERE s.pick <= a.k_alloc ORDER BY s.doc_id""".stripMargin,
     "q141_group_sample" ->
       """WITH e AS (SELECT event_type, event_id,
         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h

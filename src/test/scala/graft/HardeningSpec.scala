@@ -86,6 +86,25 @@ class HardeningSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("budget sample apportions exactly B with Hamilton quota bounds (q150)") {
+    import graft.ops.SamplingOps
+    val rows = SamplingOps.budgetSample(spark, sf, budget = 100).collect()
+    assert(rows.length === 100, "the whole point: the total is exactly the budget")
+    // Hamilton apportionment stays within the quota bounds: ⌊B·n/N⌋ ≤ k ≤ ⌈B·n/N⌉
+    val n = Tables.documents(spark, sf).count()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val k = rs.map(_.getAs[Long]("k_alloc")).head
+      assert(rs.length.toLong === k, s"$src emitted ${rs.length} rows for k=$k")
+      val nSrc = rs.head.getAs[Long]("n_source")
+      val quota = 100.0 * nSrc / n
+      assert(k >= math.floor(quota).toLong && k <= math.ceil(quota).toLong,
+        s"$src: k=$k outside quota bounds [$quota]")
+    }
+    // deterministic: a second run picks the identical docs
+    assert(SamplingOps.budgetSample(spark, sf, budget = 100).collect().toSeq === rows.toSeq)
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq
