@@ -248,6 +248,8 @@ object SparkEntry {
     "q149_semantic_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     // -- budget-apportioned per-source sample (exact largest-remainder) -----
     "q150_budget_sample"    -> ((s, d) => SamplingOps.budgetSample(s, d)),
+    // -- duplicated-span removal: emit the cleaned corpus, not just coverage -
+    "q151_span_removal"     -> ((s, d) => TextOps.spanRemoval(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -436,9 +436,91 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the step after [[dupSpans]]'s
+    * measurement: actually produce the cleaned corpus. Tokens covered by any
+    * cross-document duplicated w-gram are cut; the surviving tokens (in
+    * original order) form the cleaned text. Output per doc: token counts,
+    * how many MAXIMAL spans were cut (consecutive covered tokens merge into
+    * one span — the island grouping `idx − row_number()`), and the md5 of
+    * the cleaned text, which both engines rebuild identically so the result
+    * hash-matches without shipping document bodies through the compare.
+    *
+    * Plan shape at 100 TB: identical gram-key dataflow to q148 (the gram DF
+    * table is the only corpus-sized intermediate; bodies never move), plus
+    * one anti-join of positional tokens against covered indices and a
+    * per-doc ordered reassembly — doc-keyed shuffles throughout. The
+    * covered-index set is persisted: it feeds the span stats AND the
+    * anti-join, and recomputing it would replay the gram join twice.
+    */
+  def spanRemoval(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val grams = base.filter(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("n_tokens") - w),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val hits = grams.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val islands = hits
+      .withColumn("grp",
+        col("idx") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("idx"))))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("grp")).as("n_spans"), count(lit(1)).as("n_removed"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "word")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("word"))
+    val kept = toks.join(hits, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("word")))).as("ps"))
+      .select(col("doc_id"), concat_ws(" ", expr("transform(ps, p -> p.word)")).as("cleaned"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(islands, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q151_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, len(ws))) AS idx, ws FROM toks),
+        |tok2 AS (SELECT doc_id, idx, ws[idx+1] AS word FROM tok),
+        |g AS (SELECT doc_id, unnest(range(0, len(ws) - 7)) AS pos, ws
+        |      FROM toks WHERE len(ws) >= 8),
+        |g2 AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+8], ' ') AS gram FROM g),
+        |dup AS (SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g2 GROUP BY 1) WHERE df >= 2),
+        |hits AS (SELECT DISTINCT doc_id, idx FROM (
+        |  SELECT g2.doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM g2 JOIN dup USING (gram))),
+        |isl AS (SELECT doc_id, count(DISTINCT grp) AS n_spans, count(*) AS n_removed FROM (
+        |  SELECT doc_id, idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |  FROM hits) GROUP BY 1),
+        |kept AS (SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.idx) AS cleaned
+        |         FROM tok2 t ANTI JOIN hits h ON t.doc_id = h.doc_id AND t.idx = h.idx
+        |         GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | coalesce(isl.n_removed, 0) AS n_removed,
+        | coalesce(isl.n_spans, 0) AS n_spans,
+        | md5(coalesce(k.cleaned, '')) AS cleaned_md5
+        |FROM toks t
+        |LEFT JOIN isl USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q148_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(range(0, len(ws) - 7)) AS pos, ws

@@ -105,6 +105,44 @@ class HardeningSpec extends AnyFunSuite {
     assert(SamplingOps.budgetSample(spark, sf, budget = 100).collect().toSeq === rows.toSeq)
   }
 
+  test("span removal equals a driver-side brute force at smoke scale (q151)") {
+    import graft.ops.TextOps
+    val w = 8
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = docs.view.mapValues(_.split(" ", -1).toVector).toMap
+    val owners = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ws) <- toks; i <- 0 to ws.length - w)
+      owners.getOrElseUpdate(ws.slice(i, i + w).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val dup = owners.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = toks.map { case (id, ws) =>
+      val covered = (for {
+        i <- 0 to ws.length - w
+        if dup(ws.slice(i, i + w).mkString(" "))
+        j <- i until i + w
+      } yield j).toSet
+      val cleaned = ws.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+      val spans = covered.toSeq.sorted.foldLeft((0L, -2)) { case ((n, prev), i) =>
+        (if (i == prev + 1) n else n + 1, i)
+      }._1
+      id -> ((ws.length.toLong, covered.size.toLong, spans, md5hex(cleaned)))
+    }
+    val got = TextOps.spanRemoval(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val e = expected(id)
+      assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("n_spans"), r.getAs[String]("cleaned_md5")) === e, s"doc $id")
+    }
+    // the operator genuinely removes something at this SF (not a vacuous pass)
+    assert(got.exists(_.getAs[Long]("n_removed") > 0))
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq
