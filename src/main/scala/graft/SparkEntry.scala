@@ -250,6 +250,8 @@ object SparkEntry {
     "q150_budget_sample"    -> ((s, d) => SamplingOps.budgetSample(s, d)),
     // -- duplicated-span removal: emit the cleaned corpus, not just coverage -
     "q151_span_removal"     -> ((s, d) => TextOps.spanRemoval(s, d)),
+    // -- whole curation pipeline as one plan: per-stage funnel ---------------
+    "q152_curation_funnel"  -> ((s, d) => TextOps.curationFunnel(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

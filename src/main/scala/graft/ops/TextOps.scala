@@ -492,9 +492,119 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation funnel — the whole training-data pipeline as ONE
+    * lazy plan: exact dedup → word-set dedup → quality band → cross-doc
+    * span removal → sequence packing, reported as a per-stage funnel
+    * (units, tokens). This is the query a corpus curator actually runs to
+    * see where the data goes; every stage reuses the semantics of its
+    * standalone query (q35/q36/q32-band/q151/q102-style packing), and the
+    * oracle composes the same stages as one CTE chain.
+    *
+    * Stage semantics (deterministic, engine-portable):
+    *  1. raw           — all docs.
+    *  2. exact_dedup   — keep min doc_id per identical text.
+    *  3. wordset_dedup — keep min doc_id per sorted-distinct word set.
+    *  4. quality_band  — 10 ≤ tokens ≤ 2000 and mean word length ≤ 12
+    *                     (integer compare: sum_chars ≤ 12·n_tokens, with
+    *                     sum_chars = len(text) − (n − 1) on the
+    *                     single-space corpus).
+    *  5. span_removal  — q151's covered-token cut computed on the STAGE-4
+    *                     SURVIVORS (dedup before span removal, the real
+    *                     pipeline order); docs emptied by the cut drop out.
+    *  6. packed_512    — concatenation packing: units = ⌈Σ kept / 512⌉
+    *                     (boundary-agnostic LLM-pretraining packing; the
+    *                     doc-boundary-respecting variant is q102).
+    *
+    * Scale shape: stages 2-4 are doc/text-keyed shuffles; stage 5 is the
+    * q151 gram dataflow on the shrunken survivor set; the funnel rows are
+    * six tiny aggregates unioned — no stage materializes more than the
+    * standalone queries do.
+    */
+  def curationFunnel(spark: SparkSession, dir: String, w: Int = 8,
+                     seqLen: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2 = raw
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("m")).drop("m")
+    val d3 = d2
+      .withColumn("m", min(col("doc_id"))
+        .over(Window.partitionBy(array_sort(array_distinct(col("ws"))))))
+      .filter(col("doc_id") === col("m")).drop("m")
+    val d4 = d3
+      .filter(col("n").between(10L, 2000L)
+        && (length(col("text")) - (col("n") - 1)) <= lit(12L) * col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = d4.filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("n") - w),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    val kept = d4.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("n") - coalesce(col("n_covered"), lit(0L))).as("nk"))
+    def stage(id: Int, name: String, df: DataFrame, units: Column, toks: Column): DataFrame =
+      df.agg(units.as("n_units"), toks.as("n_tokens"))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col("n_units"), col("n_tokens"))
+    stage(1, "raw", raw, count(lit(1)), sum(col("n")))
+      .unionByName(stage(2, "exact_dedup", d2, count(lit(1)), sum(col("n"))))
+      .unionByName(stage(3, "wordset_dedup", d3, count(lit(1)), sum(col("n"))))
+      .unionByName(stage(4, "quality_band", d4, count(lit(1)), sum(col("n"))))
+      .unionByName(stage(5, "span_removal", kept,
+        sum(when(col("nk") > 0L, 1L).otherwise(0L)), sum(col("nk"))))
+      .unionByName(stage(6, s"packed_$seqLen", kept,
+        expr(s"(sum(nk) + ${seqLen - 1}L) DIV ${seqLen}L"), sum(col("nk"))))
+      .orderBy(col("stage_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q152_curation_funnel" ->
+      """WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |             FROM documents),
+        |d2 AS (SELECT doc_id, text, ws, n FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY text) AS m FROM raw) WHERE doc_id = m),
+        |d3 AS (SELECT doc_id, text, ws, n FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY list_sort(list_distinct(ws))) AS m FROM d2)
+        |  WHERE doc_id = m),
+        |d4 AS (SELECT doc_id, ws, n FROM d3
+        |       WHERE n BETWEEN 10 AND 2000 AND length(text) - (n - 1) <= 12 * n),
+        |g AS (SELECT doc_id, unnest(range(0, n - 7)) AS pos, ws FROM d4 WHERE n >= 8),
+        |g2 AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+8], ' ') AS gram FROM g),
+        |dup AS (SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g2 GROUP BY 1) WHERE df >= 2),
+        |hits AS (SELECT DISTINCT doc_id, idx FROM (
+        |  SELECT g2.doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM g2 JOIN dup USING (gram))),
+        |kept AS (SELECT d4.doc_id, d4.n - coalesce(h.c, 0) AS nk
+        |         FROM d4 LEFT JOIN (SELECT doc_id, count(*) AS c FROM hits GROUP BY 1) h
+        |         USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+        |         count(*) AS n_units, CAST(sum(n) AS BIGINT) AS n_tokens FROM raw
+        |  UNION ALL SELECT 2, 'exact_dedup', count(*), CAST(sum(n) AS BIGINT) FROM d2
+        |  UNION ALL SELECT 3, 'wordset_dedup', count(*), CAST(sum(n) AS BIGINT) FROM d3
+        |  UNION ALL SELECT 4, 'quality_band', count(*), CAST(sum(n) AS BIGINT) FROM d4
+        |  UNION ALL SELECT 5, 'span_removal',
+        |    CAST(sum(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(nk) AS BIGINT) FROM kept
+        |  UNION ALL SELECT 6, 'packed_512',
+        |    CAST((sum(nk) + 511) // 512 AS BIGINT),
+        |    CAST(sum(nk) AS BIGINT) FROM kept)
+        |ORDER BY stage_id""".stripMargin,
     "q151_span_removal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |tok AS (SELECT doc_id, unnest(range(0, len(ws))) AS idx, ws FROM toks),
