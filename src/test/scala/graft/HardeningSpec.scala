@@ -143,6 +143,24 @@ class HardeningSpec extends AnyFunSuite {
     assert(got.exists(_.getAs[Long]("n_removed") > 0))
   }
 
+  test("curation funnel is monotonic and internally consistent (q152)") {
+    import graft.ops.TextOps
+    val rows = TextOps.curationFunnel(spark, sf).collect().sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.length === 6)
+    val units = rows.map(_.getAs[Long]("n_units"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    // filtering stages only ever shrink the corpus
+    (0 until 4).foreach { i =>
+      assert(units(i) >= units(i + 1), s"units grew at stage ${i + 2}")
+      assert(toks(i) >= toks(i + 1), s"tokens grew at stage ${i + 2}")
+    }
+    // packing reorganizes, never drops: same token mass, ceil-div sequences
+    assert(toks(5) === toks(4))
+    assert(units(5) === (toks(4) + 511) / 512)
+    // stage 1 matches the raw table
+    assert(units(0) === Tables.documents(spark, sf).count())
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq
