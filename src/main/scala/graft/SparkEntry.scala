@@ -252,6 +252,8 @@ object SparkEntry {
     "q151_span_removal"     -> ((s, d) => TextOps.spanRemoval(s, d)),
     // -- whole curation pipeline as one plan: per-stage funnel ---------------
     "q152_curation_funnel"  -> ((s, d) => TextOps.curationFunnel(s, d)),
+    // -- per-band LSH candidate/recall rollup (measured, not the S-curve) ----
+    "q153_lsh_recall"       -> ((s, d) => DedupOps.lshRecallRollup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -458,6 +458,71 @@ object DedupOps {
     }
   }
 
+  /** Per-band LSH observability — the measured answer to "what is each band
+    * buying me?": for every MinHash band, how many candidate pairs it
+    * admits, how many pairs see it as their FIRST sharing band (marginal
+    * contribution), how many of those are true near-dups, and the cumulative
+    * recall against the exact pair set after bands 0..b. This is the query
+    * that justifies (or re-tunes) the bands×rows configuration on a real
+    * corpus instead of trusting the S-curve algebra; the whole rollup is
+    * deterministic (the permutation family is fixed), so unlike classic
+    * sketch metrics it carries a full hash-match SQL twin.
+    *
+    * Scale shape: band keys are minhash-slice tuples (computed in one
+    * codegen pass per doc); candidates come from 4 band-key shuffles; the
+    * truth denominator reuses [[nearDupJaccard]]'s LOSSLESS blocked join —
+    * nothing here is all-pairs on the Spark side (the oracle replays
+    * candidates as an N² filter, which DuckDB affords at test SFs).
+    */
+  def lshRecallRollup(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VectorFunctions.minhashSigs
+    graft.functions.VectorFunctions.register(spark)
+    val k = LshBands * LshRows
+    val sigd = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws"))
+      .withColumn("sig", minhashSigs(transform(col("ws"), w => wordHash(w)), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigd.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => struct(b.cast("long").as("band"),
+            slice(col("sig"), b * LshRows + lit(1), lit(LshRows)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // each doc has exactly one key per band, so a pair appears at most once
+    // per band — no dedup needed inside a band
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.band").as("band"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBandCand = cand.groupBy(col("band")).agg(count(lit(1)).as("n_cand"))
+    val firstBand = cand.groupBy(col("doc_a"), col("doc_b")).agg(min(col("band")).as("band"))
+    val wsA = sigd.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+    val wsB = sigd.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    val newPerBand = firstBand.join(wsA, "doc_a").join(wsB, "doc_b")
+      .withColumn("is_true",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("double")
+          / size(array_union(col("ws_a"), col("ws_b"))).cast("double") >= threshold)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_new_true"))
+    val total = nearDupJaccard(spark, dir, threshold)
+      .agg(count(lit(1)).as("n_true_total"))
+    val cw = org.apache.spark.sql.expressions.Window.orderBy(col("band"))
+    spark.range(LshBands).toDF("band")
+      .join(perBandCand, Seq("band"), "left")
+      .join(newPerBand, Seq("band"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_new_true"), lit(0L)).as("n_new_true"),
+        col("n_true_total"))
+      .withColumn("cum_true", sum(col("n_new_true")).over(cw))
+      .withColumn("recall", OracleMath.stableRound(
+        col("cum_true").cast("double") / col("n_true_total"), 6))
+      .orderBy(col("band"))
+  }
+
   /** Band-key column for [[lshNearDupPairs]]: one long per band —
     * xxhash64(band index, the band's `rows` signature values). The k
     * signature values come from ONE codegen pass over the word-hash array
@@ -1048,6 +1113,46 @@ object DedupOps {
     // injective-in-practice — a collision could only ADD a candidate, which
     // must then still pass the exact-Jaccard verify), and the verify is the
     // same set-Jaccard as q38. So q39 moves from rows-check to hash-match.
+    "q153_lsh_recall" -> {
+      val k = LshBands * LshRows
+      val mhDefs = (0 until k).map { i =>
+        s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % ${P})) AS mh$i"
+      }.mkString(",\n ")
+      val bandEq = (0 until LshBands).map { b =>
+        val eq = (0 until LshRows)
+          .map(r => s"a.mh${b * LshRows + r} = c.mh${b * LshRows + r}").mkString(" AND ")
+        s"WHEN $b THEN $eq"
+      }.mkString(" ")
+      val jac = "CAST(len(list_intersect(a.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, c.ws)))"
+      val jacT = "CAST(len(list_intersect(t.ws, u.ws)) AS DOUBLE) / len(list_distinct(list_concat(t.ws, u.ws)))"
+      s"""WITH ds AS (
+         |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ws,
+         |         list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, ws, $mhDefs FROM ds),
+         |bands AS (SELECT unnest(range(${LshBands})) AS band),
+         |cand AS (
+         |  SELECT b.band, a.doc_id AS doc_a, c.doc_id AS doc_b, $jac AS jac
+         |  FROM sigs a JOIN sigs c ON a.doc_id < c.doc_id
+         |  CROSS JOIN bands b
+         |  WHERE CASE b.band $bandEq END),
+         |pb AS (SELECT band, count(*) AS n_cand FROM cand GROUP BY 1),
+         |fb AS (SELECT doc_a, doc_b, min(band) AS band, min(jac) AS jac FROM cand GROUP BY 1, 2),
+         |nb AS (SELECT band, count(*) AS n_new,
+         |         sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_new_true
+         |       FROM fb GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_true_total FROM ds t JOIN ds u
+         |        ON t.doc_id < u.doc_id AND $jacT >= 0.9),
+         |r AS (SELECT b.band AS band, coalesce(pb.n_cand, 0) AS n_cand,
+         |        coalesce(nb.n_new, 0) AS n_new, coalesce(nb.n_new_true, 0) AS n_new_true
+         |      FROM bands b LEFT JOIN pb USING (band) LEFT JOIN nb USING (band))
+         |SELECT CAST(band AS BIGINT) AS band, CAST(n_cand AS BIGINT) AS n_cand,
+         | CAST(n_new AS BIGINT) AS n_new, CAST(n_new_true AS BIGINT) AS n_new_true,
+         | CAST(n_true_total AS BIGINT) AS n_true_total,
+         | CAST(sum(n_new_true) OVER (ORDER BY band) AS BIGINT) AS cum_true,
+         | ${OracleMath.stableRoundSql("CAST(sum(n_new_true) OVER (ORDER BY band) AS DOUBLE) / n_true_total", 6)} AS recall
+         |FROM r, tot ORDER BY band""".stripMargin
+    },
     "q39_lsh_neardup" -> {
       val k = LshBands * LshRows
       val mhDefs = (0 until k).map { i =>

@@ -161,6 +161,26 @@ class HardeningSpec extends AnyFunSuite {
     assert(units(0) === Tables.documents(spark, sf).count())
   }
 
+  test("LSH recall rollup agrees with q39's found pairs and q38's truth (q153)") {
+    import graft.ops.DedupOps
+    val roll = DedupOps.lshRecallRollup(spark, sf).collect().sortBy(_.getAs[Long]("band"))
+    assert(roll.length === DedupOps.LshBands)
+    // final cumulative true count == the pairs q39 actually emits (any-band
+    // candidates, exact verify) — two independent dataflows, same set
+    assert(roll.last.getAs[Long]("cum_true") === DedupOps.lshNearDupPairs(spark, sf).count())
+    // denominator == the exact lossless-blocked pair count (q38)
+    assert(roll.head.getAs[Long]("n_true_total") === DedupOps.nearDupJaccard(spark, sf).count())
+    // recall is a non-decreasing cumulative ratio bounded by 1
+    val recalls = roll.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(recalls.last <= 1.0 + 1e-9)
+    // a band's candidates always include its marginal (first-band) pairs
+    roll.foreach { r =>
+      assert(r.getAs[Long]("n_cand") >= r.getAs[Long]("n_new"),
+        s"band ${r.getAs[Long]("band")}")
+    }
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq
