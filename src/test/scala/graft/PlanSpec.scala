@@ -381,4 +381,18 @@ class PlanSpec extends AnyFunSuite {
       .orderBy(col("name_a"), col("name_b")).collect().map(_.toSeq).toSeq
     assert(DedupOps.fuzzyKeyPairs(spark, sf, 3).collect().map(_.toSeq).toSeq === bruteQ53)
   }
+
+  test("round-5 text/LSH pipelines never plan a cartesian pair join (q151/q152/q153)") {
+    // the only acceptable nested-loop in these plans is a 1-row scalar
+    // broadcast (q153's total); a CartesianProduct would mean a gram or
+    // band join degenerated into all-pairs
+    Seq(
+      TextOps.spanRemoval(TestSpark.spark, sf),
+      TextOps.curationFunnel(TestSpark.spark, sf),
+      DedupOps.lshRecallRollup(TestSpark.spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    }
+  }
 }
