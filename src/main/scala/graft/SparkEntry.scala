@@ -254,6 +254,8 @@ object SparkEntry {
     "q152_curation_funnel"  -> ((s, d) => TextOps.curationFunnel(s, d)),
     // -- per-band LSH candidate/recall rollup (measured, not the S-curve) ----
     "q153_lsh_recall"       -> ((s, d) => DedupOps.lshRecallRollup(s, d)),
+    // -- aspect-preserving letterbox resize plan (exact integer geometry) ----
+    "q154_image_resize"     -> ((s, d) => MultimodalOps.imageResize(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -146,7 +146,50 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("tx"), col("ty"))
   }
 
+  /** Aspect-preserving letterbox resize planning — the fourth member of the
+    * decode / feature-extract / resize / frame-sample quartet: each image
+    * (stub dimensions, as everywhere in this family) is fitted into a
+    * `box`×`box` square, scaled by min(box/w, box/h) and centered with
+    * letterbox padding. All geometry is EXACT integer arithmetic
+    * ((d·box) DIV max(w,h), pad = (box−out) DIV 2 — floor semantics match
+    * `//` in the twin), so the resize plan hash-matches across engines; the
+    * pixel resample itself is the stubbed step (a real decoder consumes
+    * exactly these (out_w, out_h, pad_x, pad_y) per the family contract).
+    * Pure per-row projection — no shuffle, fully codegen.
+    */
+  def imageResize(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("fb"),
+        expr("octet_length(encode(text, 'UTF-8'))").cast("long").as("nb"))
+      .withColumn("width", col("nb") % 640)
+      .withColumn("height", (col("nb") * 7) % 480)
+      .filter(col("width") > 0 && col("height") > 0)
+      .withColumn("out_w", expr(s"(width * $box) DIV greatest(width, height)"))
+      .withColumn("out_h", expr(s"(height * $box) DIV greatest(width, height)"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        expr(s"($box - out_w) DIV 2").as("pad_x"),
+        expr(s"($box - out_h) DIV 2").as("pad_y"),
+        ((col("fb") * 31 + col("out_w") * 7 + col("out_h")) % 256).as("stub_checksum"))
+      .orderBy(col("doc_id"))
+
   def oracle: Map[String, String] = Map(
+    "q154_image_resize" ->
+      """SELECT doc_id,
+        | CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        | CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w,
+        | CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h,
+        | CAST((224 - (width * 224) // greatest(width, height)) // 2 AS BIGINT) AS pad_x,
+        | CAST((224 - (height * 224) // greatest(width, height)) // 2 AS BIGINT) AS pad_y,
+        | CAST((fb * 31 + ((width * 224) // greatest(width, height)) * 7
+        |       + (height * 224) // greatest(width, height)) % 256 AS BIGINT) AS stub_checksum
+        |FROM (SELECT doc_id,
+        |        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS fb,
+        |        octet_length(encode(text)) % 640 AS width,
+        |        (octet_length(encode(text)) * 7) % 480 AS height
+        |      FROM documents)
+        |WHERE width > 0 AND height > 0 ORDER BY doc_id""".stripMargin,
     "q145_image_tiles" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS fb,
