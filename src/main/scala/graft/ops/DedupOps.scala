@@ -20,13 +20,28 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   import TextFunctions._
 
-  /** Exact duplicate groups (full-text key): representative + group size.
-    * At scale the group key would be `xxhash64(text)` to avoid shuffling
-    * full text; here the text itself keeps the oracle trivial.
+  /** Exact duplicate groups: representative + group size.
+    *
+    * Scale shape: the shuffle partitions on `(xxhash64(text), length(text))`
+    * — an 8-byte derived key — NOT on the text. Grouping still includes the
+    * text column, which IS the in-group exact-text verify: two distinct
+    * texts that collide on (hash, length) land in the same partition but
+    * remain separate groups, so the result is bit-identical to grouping by
+    * text alone, with no correctness assumption on the hash. The explicit
+    * `repartition(h, len)` satisfies the aggregate's clustered distribution
+    * (same-text rows share the same hash, hence the same partition), so
+    * Catalyst adds no second, text-keyed exchange: the shuffle writer hashes
+    * and compares 8-byte keys instead of whole documents. At 100 TB the
+    * partitioner touches only the derived key; document bytes ride through
+    * once as values. PlanSpec asserts no text column ever appears in a
+    * HashPartitioning expression of this plan.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
+      .withColumn("h", xxhash64(col("text")))
+      .withColumn("len", length(col("text")))
+      .repartition(col("h"), col("len"))
+      .groupBy(col("h"), col("len"), col("text"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("group_size"))
       .select(col("rep_doc_id"), col("group_size"))
       .orderBy(col("rep_doc_id"))
@@ -80,7 +95,7 @@ object DedupOps {
     * Both paths return identical results (spec-checked against brute force
     * and against each other); the oracle brute-forces all pairs.
     */
-  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.9,
+  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = NearDupThreshold,
                      forceGeneral: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
@@ -273,7 +288,7 @@ object DedupOps {
     * and an asymmetric output (every delta doc with a near-dup sponsor in
     * the corpus gets dropped/linked by the caller).
     */
-  def deltaNearDup(spark: SparkSession, dir: String, threshold: Double = 0.9,
+  def deltaNearDup(spark: SparkSession, dir: String, threshold: Double = NearDupThreshold,
                    forceGeneral: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.sortedIntersectSize
     graft.functions.VectorFunctions.register(spark)
@@ -431,6 +446,13 @@ object DedupOps {
   val LshBands = 4
   val LshRows = 4
 
+  /** Default near-duplicate Jaccard threshold — the single source for BOTH
+    * the Scala operator defaults and the SQL oracle twins (interpolated, so
+    * calling an operator with a non-default threshold can't silently diverge
+    * from a hardcoded constant in its twin).
+    */
+  val NearDupThreshold = 0.9
+
   /** Approximate near-dup pairs via MinHash-LSH banding + exact Jaccard
     * verification of candidates. Same output shape as [[nearDupJaccard]] but
     * the candidate set comes from band-bucket collisions (shuffle on band
@@ -448,7 +470,7 @@ object DedupOps {
     * where the 4×4 S-curve is not sharp), so the per-candidate row cost is
     * everything.
     */
-  def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = NearDupThreshold): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docsRaw = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws0"))
@@ -474,7 +496,8 @@ object DedupOps {
     * nothing here is all-pairs on the Spark side (the oracle replays
     * candidates as an N² filter, which DuckDB affords at test SFs).
     */
-  def lshRecallRollup(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def lshRecallRollup(spark: SparkSession, dir: String,
+      threshold: Double = NearDupThreshold): DataFrame = {
     import graft.functions.VectorFunctions.minhashSigs
     graft.functions.VectorFunctions.register(spark)
     val k = LshBands * LshRows
@@ -670,7 +693,7 @@ object DedupOps {
     * detected from Σ(labels), which strictly decreases until fixpoint — one
     * cheap aggregate per round instead of a change-count self-join.
     */
-  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = NearDupThreshold): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Contract exact-duplicate groups FIRST (identical word sets have J = 1 ≥
     // t, so a group is always one clique): nodes become group representatives
@@ -1139,10 +1162,10 @@ object DedupOps {
          |pb AS (SELECT band, count(*) AS n_cand FROM cand GROUP BY 1),
          |fb AS (SELECT doc_a, doc_b, min(band) AS band, min(jac) AS jac FROM cand GROUP BY 1, 2),
          |nb AS (SELECT band, count(*) AS n_new,
-         |         sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_new_true
+         |         sum(CASE WHEN jac >= $NearDupThreshold THEN 1 ELSE 0 END) AS n_new_true
          |       FROM fb GROUP BY 1),
          |tot AS (SELECT count(*) AS n_true_total FROM ds t JOIN ds u
-         |        ON t.doc_id < u.doc_id AND $jacT >= 0.9),
+         |        ON t.doc_id < u.doc_id AND $jacT >= $NearDupThreshold),
          |r AS (SELECT b.band AS band, coalesce(pb.n_cand, 0) AS n_cand,
          |        coalesce(nb.n_new, 0) AS n_new, coalesce(nb.n_new_true, 0) AS n_new_true
          |      FROM bands b LEFT JOIN pb USING (band) LEFT JOIN nb USING (band))

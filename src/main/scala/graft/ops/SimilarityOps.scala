@@ -67,7 +67,10 @@ object SimilarityOps {
     // can force either path.
     val cap = spark.conf.getOption(ExactPairRowsConf).map(_.toLong)
       .getOrElse(DefaultMaxExactPairRows)
-    if (e0.count() > cap) return annNearDupOn(e0, threshold)
+    // one count() job serves both the cap decision and (in the degrade path)
+    // the ANN verify's broadcast byte-gate — threaded, not recomputed
+    val nVectors = e0.count()
+    if (nVectors > cap) return annNearDupOn(e0, threshold, Some(nVectors))
     // Norms are computed once per vector BEFORE the pair join (N sqrt+dot
     // instead of N² recomputation); the per-pair work is one codegen'd dot.
     val e = e0
@@ -149,8 +152,12 @@ object SimilarityOps {
 
   /** Frame-parametric core of [[annNearDup]] (exposed for the recall spec,
     * which runs it over a synthetic corpus with known true near-dups).
+    * `knownRowCount` lets a caller that already ran a count() job (the
+    * [[embeddingNearDup]] cap gate) thread it through instead of paying a
+    * second full-table job for the byte-gate estimate.
     */
-  private[graft] def annNearDupOn(e0: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def annNearDupOn(e0: DataFrame, threshold: Double,
+      knownRowCount: Option[Long] = None): DataFrame = {
     val nBits = AnnBands * AnnRowsPerBand
     val sigBits = (0 until nBits).map { i =>
       when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -178,7 +185,7 @@ object SimilarityOps {
     // (no shuffle of the candidate multiset); past the byte gate → shuffle
     // hash join on vec_id, whose volume scales with the candidate count —
     // never the 8 GB broadcast wall at 100× vector counts.
-    val estBytes = e.count() * (64L * 4L + 64L) // 64 float dims + row overhead
+    val estBytes = knownRowCount.getOrElse(e.count()) * (64L * 4L + 64L) // 64 float dims + row overhead
     val va = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     cands.join(DedupOps.gatedVerifySide(va, estBytes), "id_a")

@@ -48,7 +48,11 @@ object EventsStream {
     df.coalesce(1).write.mode("overwrite").parquet(scratch)
     val part = fs.globStatus(new Path(scratch + "/part-*.parquet"))(0).getPath
     val dst = new Path(base + "/" + fileName)
-    fs.rename(part, dst)
+    // rename returns false on failure (e.g. two stagers racing on the same
+    // tmp base — Staging.ensure is per-dir idempotent, not cross-thread
+    // atomic): abort LOUDLY before the _STAGED marker is written, or this
+    // run reads a missing landing file and only self-heals next call
+    require(fs.rename(part, dst), s"staging rename failed: $part -> $dst")
     fs.delete(new Path(scratch), true)
     if (mtime > 0L) fs.setTimes(dst, mtime, -1)
   }

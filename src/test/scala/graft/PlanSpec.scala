@@ -200,6 +200,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length - 1 >= 4)
   }
 
+  test("exact dedup shuffles on the derived hash key, never on text (q35)") {
+    val df = DedupOps.dedupExact(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // every hash exchange must partition on the 8-byte derived key — a text
+    // column in any partitioning expression is the 100 TB whole-corpus
+    // shuffle this operator exists to avoid
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(parts.nonEmpty, s"expected a hash exchange in:\n${p.take(1200)}")
+    parts.foreach(x =>
+      assert(!x.contains("text"), s"text column in shuffle partitioning: $x"))
+    // the explicit repartition satisfies the aggregate's distribution: ONE
+    // hash exchange total (orderBy's range exchange is separate)
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"aggregate must reuse the repartition exchange:\n${p.take(1200)}")
+    // exactness: identical to the text-keyed formulation
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val ref = Tables.documents(spark, sf).groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("group_size"))
+      .select(col("rep_doc_id"), col("group_size"))
+    assert(df.collect().toSeq.sortBy(_.getLong(0)) ===
+      ref.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("upsert anti-join broadcasts the change-set keys (q96)") {
     val df = CoreOps.upsertOrders(spark, sf)
     df.collect()
