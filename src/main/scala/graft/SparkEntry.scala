@@ -256,6 +256,7 @@ object SparkEntry {
     "q153_lsh_recall"       -> ((s, d) => DedupOps.lshRecallRollup(s, d)),
     // -- aspect-preserving letterbox resize plan (exact integer geometry) ----
     "q154_image_resize"     -> ((s, d) => MultimodalOps.imageResize(s, d)),
+    "q155_span_fixpoint"    -> ((s, d) => TextOps.spanRemovalFixpoint(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

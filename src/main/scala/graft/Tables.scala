@@ -33,9 +33,35 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a proper (micro-truncated) TimestampType column. */
+  /** `events` with `ts` as a proper (micro-truncated) TimestampType column.
+    *
+    * The TIMESTAMP(NANOS) vintage needs one extra step: Spark refuses to even
+    * resolve that parquet type unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set, so the schema-adaptive decode would never see a LongType without
+    * it. We therefore catch the resolution failure and retry with the conf
+    * set (and leave it set — the session is evidently reading a nanos-vintage
+    * dataset, and unsetting it after the lazy plan is built would flip the
+    * scan's schema under the plan). Every other vintage resolves first try
+    * and the conf is never touched.
+    */
   def events(spark: SparkSession, dir: String): DataFrame =
-    decodeEventsTs(p(spark, dir, "events"))
+    decodeEventsTs(
+      try p(spark, dir, "events")
+      catch {
+        case e: Throwable if isNanosRefusal(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          p(spark, dir, "events")
+      })
+
+  /** Spark's refusal to resolve parquet TIMESTAMP(NANOS) without the legacy
+    * conf, matched on the message (the exception class differs across Spark
+    * versions: AnalysisException vs SparkUnsupportedOperationException).
+    */
+  private def isNanosRefusal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("NANOS") || (m.contains("Parquet type") && m.contains("TIMESTAMP"))
+    }
 
   /** Normalize an events frame's `ts` to `TimestampType` micros regardless of
     * how the parquet encoded it (see object doc). Used by the batch loader

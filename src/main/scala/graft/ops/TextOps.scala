@@ -42,6 +42,12 @@ object TextFunctions {
 }
 
 object TextOps {
+
+  /** Default packed-sequence length for [[curationFunnel]] — single source
+    * for the Scala default AND the q152 oracle twin (interpolated, so a
+    * retuned default can't silently diverge from the SQL).
+    */
+  val PackSeqLen = 512L
   import TextFunctions._
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -492,6 +498,104 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded round count for [[spanRemovalFixpoint]] — single source for the
+    * Scala default AND the unrolled oracle twin. 4 is generous: the testdata
+    * converges in 2 (spec-measured); a corpus that hasn't converged by 4
+    * still gets the IDENTICAL 4-round answer from both engines (each round
+    * past convergence is the identity), so oracle equality never depends on
+    * convergence.
+    */
+  val SpanFixpointRounds = 4
+
+  /** Iterate-to-fixpoint duplicated-span removal — [[spanRemoval]] repeated
+    * until the corpus is clean: ONE removal pass can itself create new
+    * cross-document duplicate w-grams (cutting a span makes previously
+    * distant tokens adjacent, and the new juncture grams can collide across
+    * docs), so a single pass leaves duplicated text behind. Each round
+    * recomputes duplicated grams (df ≥ 2) on the CURRENT corpus and cuts all
+    * covered tokens; the loop stops early when a round finds no duplicated
+    * gram (the fixpoint — every later round is the identity) and is bounded
+    * by `maxRounds` so an adversarial corpus can't run away. Output per doc:
+    * original tokens, total removed, how many rounds touched the doc, and
+    * md5 of the final text (both engines rebuild the identical string — the
+    * q151 whole-corpus verification pattern).
+    *
+    * Plan shape at 100 TB: per round, the same gram-keyed dataflow as q151
+    * (bodies never shuffle; gram DF table is the only corpus-sized
+    * intermediate), then tokens are rebuilt ONLY for docs the round touched
+    * (semi-join on the hit set). `localCheckpoint` per round cuts the
+    * otherwise-exponential lineage (the CC-loop lesson: checkpoint what the
+    * next round reads twice). Rounds are data-dependent but small — each
+    * round needs a fresh global DF count, which no single-pass plan can
+    * express; this is the honest iterative shape, like connected components.
+    */
+  def spanRemovalFixpoint(spark: SparkSession, dir: String, w: Int = 8,
+      maxRounds: Int = SpanFixpointRounds): DataFrame =
+    spanRemovalFixpointOn(
+      Tables.documents(spark, dir).select(col("doc_id"), words(col("text")).as("ws")),
+      w, maxRounds)
+
+  /** Frame-parametric core of [[spanRemovalFixpoint]] (exposed for the
+    * convergence spec, which runs it over a crafted corpus where round 1
+    * provably creates a new cross-doc duplicate gram).
+    */
+  private[graft] def spanRemovalFixpointOn(base0: DataFrame, w: Int,
+      maxRounds: Int): DataFrame = {
+    val base = base0
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"), lit(0L).as("n_rounds_touched"))
+      .localCheckpoint()
+    var cur = base
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val grams = cur.filter(size(col("ws")) >= w)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0L), size(col("ws")).cast("long") - w),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      val dup = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("gram"))
+      val hits = grams.join(dup, "gram")
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rem = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("rr"))
+      if (hits.isEmpty) {
+        converged = true
+        hits.unpersist()
+      } else {
+        // rebuild tokens ONLY for touched docs (semi-join on the hit set);
+        // untouched docs carry their array through the left join unchanged
+        val touchedToks = cur.join(rem.select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "word")))
+          .select(col("doc_id"), col("idx").cast("long").as("idx"), col("word"))
+        val kept = touchedToks.join(hits, Seq("doc_id", "idx"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("idx"), col("word")))).as("ps"))
+          .select(col("doc_id"), expr("transform(ps, p -> p.word)").as("kept_ws"))
+        val next = cur.join(rem, Seq("doc_id"), "left")
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("rr").isNull, col("ws"))
+              .otherwise(coalesce(col("kept_ws"), array().cast("array<string>"))).as("ws"),
+            col("n_tokens"),
+            (col("n_removed") + coalesce(col("rr"), lit(0L))).as("n_removed"),
+            (col("n_rounds_touched") + when(col("rr").isNotNull, 1L).otherwise(0L))
+              .as("n_rounds_touched"))
+          .localCheckpoint()
+        hits.unpersist()
+        cur = next
+      }
+      round += 1
+    }
+    cur.select(col("doc_id"), col("n_tokens"), col("n_removed"), col("n_rounds_touched"),
+        md5(concat_ws(" ", col("ws"))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end curation funnel — the whole training-data pipeline as ONE
     * lazy plan: exact dedup → word-set dedup → quality band → cross-doc
     * span removal → sequence packing, reported as a per-stage funnel
@@ -521,7 +625,7 @@ object TextOps {
     * standalone queries do.
     */
   def curationFunnel(spark: SparkSession, dir: String, w: Int = 8,
-                     seqLen: Long = 512L): DataFrame = {
+                     seqLen: Long = PackSeqLen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
@@ -572,7 +676,7 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "q152_curation_funnel" ->
-      """WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+      s"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
         |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |             FROM documents),
         |d2 AS (SELECT doc_id, text, ws, n FROM (
@@ -601,8 +705,8 @@ object TextOps {
         |  UNION ALL SELECT 5, 'span_removal',
         |    CAST(sum(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(sum(nk) AS BIGINT) FROM kept
-        |  UNION ALL SELECT 6, 'packed_512',
-        |    CAST((sum(nk) + 511) // 512 AS BIGINT),
+        |  UNION ALL SELECT 6, 'packed_$PackSeqLen',
+        |    CAST((sum(nk) + ${PackSeqLen - 1}) // $PackSeqLen AS BIGINT),
         |    CAST(sum(nk) AS BIGINT) FROM kept)
         |ORDER BY stage_id""".stripMargin,
     "q151_span_removal" ->
@@ -631,6 +735,44 @@ object TextOps {
         |LEFT JOIN isl USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // q155: the q151 round UNROLLED SpanFixpointRounds times — each round's
+    // CTE block is generated from the same constants as the Scala loop, and
+    // a converged round is the identity, so the unroll equals the Spark
+    // side's early-exited fixpoint whether or not convergence came early.
+    "q155_span_fixpoint" -> {
+      val w = 8
+      val rounds = (1 to SpanFixpointRounds).map { i =>
+        val prev = s"c${i - 1}"
+        s"""g$i AS (SELECT doc_id, unnest(range(0, len(ws) - ${w - 1})) AS pos, ws
+           |      FROM $prev WHERE len(ws) >= $w),
+           |g2_$i AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+$w], ' ') AS gram FROM g$i),
+           |dup$i AS (SELECT gram FROM (
+           |  SELECT gram, count(DISTINCT doc_id) AS df FROM g2_$i GROUP BY 1) WHERE df >= 2),
+           |hits$i AS (SELECT DISTINCT doc_id, idx FROM (
+           |  SELECT g2_$i.doc_id, unnest(range(pos, pos + $w)) AS idx
+           |  FROM g2_$i JOIN dup$i USING (gram))),
+           |k$i AS (SELECT t.doc_id, list(t.word ORDER BY t.idx) AS ws
+           |        FROM (SELECT doc_id, idx, ws[idx+1] AS word FROM
+           |              (SELECT doc_id, unnest(range(0, len(ws))) AS idx, ws FROM $prev)) t
+           |        ANTI JOIN hits$i h ON t.doc_id = h.doc_id AND t.idx = h.idx
+           |        GROUP BY 1),
+           |c$i AS (SELECT p.doc_id, coalesce(k.ws, CAST([] AS VARCHAR[])) AS ws
+           |        FROM $prev p LEFT JOIN k$i k USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      val touched = (1 to SpanFixpointRounds)
+        .map(i => s"(CASE WHEN len(c$i.ws) < len(c${i - 1}.ws) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val joins = (1 to SpanFixpointRounds).map(i => s"JOIN c$i USING (doc_id)").mkString(" ")
+      val last = s"c$SpanFixpointRounds"
+      s"""WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |$rounds
+         |SELECT c0.doc_id, CAST(len(c0.ws) AS BIGINT) AS n_tokens,
+         | CAST(len(c0.ws) - len($last.ws) AS BIGINT) AS n_removed,
+         | CAST($touched AS BIGINT) AS n_rounds_touched,
+         | md5(coalesce(array_to_string($last.ws, ' '), '')) AS cleaned_md5
+         |FROM c0 $joins
+         |ORDER BY c0.doc_id""".stripMargin
+    },
     "q148_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(range(0, len(ws) - 7)) AS pos, ws

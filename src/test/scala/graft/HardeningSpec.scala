@@ -22,6 +22,28 @@ class HardeningSpec extends AnyFunSuite {
         "(nanos/micros/millis confusion) lands centuries away from the data")
   }
 
+  test("TIMESTAMP(NANOS)-vintage events read via legacy-conf retry (env-drift guard)") {
+    // the vintage Spark refuses to resolve without nanosAsLong: the loader
+    // must catch the refusal, set the conf, and land on the LongType decode
+    // branch. Isolated session — the retry intentionally leaves the conf set.
+    val s2 = spark.newSession()
+    assert(!s2.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanos").toFile
+    val src = getClass.getResourceAsStream("/events_nanos.parquet")
+    assert(src != null, "events_nanos.parquet fixture missing from test resources")
+    java.nio.file.Files.copy(src, new java.io.File(tmp, "events.parquet").toPath)
+    val rows = Tables.events(s2, tmp.getAbsolutePath)
+      .orderBy(col("event_id"))
+      .select(col("ts").cast("string")).collect().map(_.getString(0))
+    // nanos 1704067200123456789 -> micro-truncated 2024-01-01 00:00:00.123456
+    assert(rows.toSeq === Seq(
+      "2024-01-01 00:00:00.123456",
+      "2024-01-01 00:00:01.987654",
+      "2024-01-01 01:00:00"))
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true",
+      "retry must leave the conf set so the lazy plan's scan schema is stable")
+  }
+
   test("staged streaming files decode to batch-identical times (unit-drift guard)") {
     val staged = EventsStream.stageStreamDirShared(spark, sf)
     val decoded = spark.read.schema(SessionStream.rawSchema)
@@ -141,6 +163,45 @@ class HardeningSpec extends AnyFunSuite {
     }
     // the operator genuinely removes something at this SF (not a vacuous pass)
     assert(got.exists(_.getAs[Long]("n_removed") > 0))
+  }
+
+  test("span-removal fixpoint converges on a corpus where one pass is not enough (q155)") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // w=2 fixture engineered so round 1 CREATES a new cross-doc duplicate:
+    // "a b" is duplicated (A, B); cutting it from B makes q and r adjacent,
+    // and "q r" then collides with C — invisible to any single pass.
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("q", "a", "b", "r")),
+      (3L, Seq("q", "r", "s"))).toDF("doc_id", "ws")
+    val got = TextOps.spanRemovalFixpointOn(docs, w = 2, maxRounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_rounds_touched"), r.getAs[String]("cleaned_md5"))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((3L, 2L, 1L, m("c"))))
+    assert(got(2L) === ((4L, 4L, 2L, m(""))), "doc 2 needs round 2's q-r cut")
+    assert(got(3L) === ((3L, 2L, 1L, m("s"))), "doc 3 is only dirty AFTER round 1")
+    // one-pass spanRemoval semantics would have left the q/r tokens: the
+    // fixpoint genuinely did more work than a single pass
+    assert(got(3L)._2 > 0L)
+    // fixpoint reached: doubling the round budget changes nothing, on the
+    // fixture AND on the real corpus (so the default budget of 4 is proven
+    // sufficient at this SF, not assumed)
+    val real = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("ws"))
+    val r4 = TextOps.spanRemovalFixpointOn(real, 8, 4).collect()
+    val r8 = TextOps.spanRemovalFixpointOn(real, 8, 8).collect()
+    assert(r4.toSeq === r8.toSeq, "corpus not converged within the default 4 rounds")
+    // and the fixpoint removed MORE than one pass (the reason q155 exists)
+    val onePass = TextOps.spanRemoval(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+    val multi = r4.map(_.getAs[Long]("n_removed")).sum
+    assert(multi >= onePass)
   }
 
   test("curation funnel is monotonic and internally consistent (q152)") {

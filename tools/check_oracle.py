@@ -42,10 +42,14 @@ def main(sf_dir, out_dir):
     # on that SF's 2652-node giant component; q101 is covered there by the
     # in-JVM union-find spec in GraftSpec instead).
     skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
+    # CHECK_ONLY=q155,q35 — prefix-match subset (mirrors SPARK_GRAFT_ONLY)
+    only = [p for p in os.environ.get("CHECK_ONLY", "").split(",") if p]
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if name in skip:
             print(f"SKIP {name} (CHECK_SKIP)"); continue
+        if only and not any(name.startswith(p) for p in only):
+            continue
         sql = oracle[name]
         spark_df = load_spark(out_dir, name)
         if spark_df is None:
