@@ -4,12 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE=rocksdb benches the streaming family on the
+    // spillable production state store (100 TB streaming state cannot live
+    // in the in-memory provider). Set at the SparkContext level so the
+    // per-query cloned sessions (StreamJoinOps.withStatePartitions) inherit.
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (sys.env.get("SPARK_GRAFT_STATE") match {
+      case Some("rocksdb") => b0.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => b0
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup (standard bench hygiene): touch every table's footer,
     // run one aggregate and one broadcast join so FS metadata, codegen and

@@ -257,6 +257,7 @@ object SparkEntry {
     // -- aspect-preserving letterbox resize plan (exact integer geometry) ----
     "q154_image_resize"     -> ((s, d) => MultimodalOps.imageResize(s, d)),
     "q155_span_fixpoint"    -> ((s, d) => TextOps.spanRemovalFixpoint(s, d)),
+    "q156_resize_exec"      -> ((s, d) => MultimodalOps.imageResizeExec(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

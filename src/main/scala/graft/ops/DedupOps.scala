@@ -497,16 +497,25 @@ object DedupOps {
     * candidates as an N² filter, which DuckDB affords at test SFs).
     */
   def lshRecallRollup(spark: SparkSession, dir: String,
-      threshold: Double = NearDupThreshold): DataFrame = {
+      threshold: Double = NearDupThreshold): DataFrame =
+    lshRecallRollupBands(spark, dir, LshBands, threshold)
+
+  /** [[lshRecallRollup]] generalized to an arbitrary band count (same
+    * rows-per-band): the measurement half of [[chooseLshBands]]. The q153
+    * oracle twin pins the default LshBands instance; other band counts are
+    * spec-verified against an independent banded dataflow.
+    */
+  private[graft] def lshRecallRollupBands(spark: SparkSession, dir: String,
+      nBands: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.minhashSigs
     graft.functions.VectorFunctions.register(spark)
-    val k = LshBands * LshRows
+    val k = nBands * LshRows
     val sigd = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws"))
       .withColumn("sig", minhashSigs(transform(col("ws"), w => wordHash(w)), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigd.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(LshBands - 1)),
+        explode(transform(sequence(lit(0), lit(nBands - 1)),
           b => struct(b.cast("long").as("band"),
             slice(col("sig"), b * LshRows + lit(1), lit(LshRows)).as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -531,7 +540,7 @@ object DedupOps {
     val total = nearDupJaccard(spark, dir, threshold)
       .agg(count(lit(1)).as("n_true_total"))
     val cw = org.apache.spark.sql.expressions.Window.orderBy(col("band"))
-    spark.range(LshBands).toDF("band")
+    spark.range(nBands).toDF("band")
       .join(perBandCand, Seq("band"), "left")
       .join(newPerBand, Seq("band"), "left")
       .crossJoin(broadcast(total))
@@ -544,6 +553,28 @@ object DedupOps {
       .withColumn("recall", OracleMath.stableRound(
         col("cum_true").cast("double") / col("n_true_total"), 6))
       .orderBy(col("band"))
+  }
+
+  /** Adaptive banding: choose the SMALLEST band count whose measured
+    * cumulative recall (vs the exact near-dup pair set, [[nearDupJaccard]])
+    * meets `targetRecall` — the S-curve algebra replaced by the corpus's own
+    * measured curve, which is what [[lshRecallRollup]] exists to provide.
+    * Returns `maxBands` when even the full budget misses the target (the
+    * caller should then revisit rows-per-band, not bands). On a 100 TB
+    * corpus this runs over a sample table — band choice is a statistic, not
+    * a scan of the corpus; the chosen count then configures the production
+    * banded sweep.
+    */
+  def chooseLshBands(spark: SparkSession, dir: String,
+      targetRecall: Double = 0.95, maxBands: Int = 8,
+      threshold: Double = NearDupThreshold): Int = {
+    val roll = lshRecallRollupBands(spark, dir, maxBands, threshold)
+      .select(col("band"), col("recall"), col("n_true_total")).collect()
+      .sortBy(_.getLong(0))
+    // no true pairs at this threshold: any banding vacuously suffices
+    if (roll.headOption.exists(_.getLong(2) == 0L)) return 1
+    roll.find(r => !r.isNullAt(1) && r.getDouble(1) >= targetRecall)
+      .map(_.getLong(0).toInt + 1).getOrElse(maxBands)
   }
 
   /** Band-key column for [[lshNearDupPairs]]: one long per band —
@@ -1141,31 +1172,48 @@ object DedupOps {
       val mhDefs = (0 until k).map { i =>
         s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % ${P})) AS mh$i"
       }.mkString(",\n ")
-      val bandEq = (0 until LshBands).map { b =>
+      // candidate CTE: one hash-joinable equi-join per band (UNION ALL with
+      // a band tag) — the prior CROSS JOIN bands + CASE predicate forced a
+      // quadratic nested loop in DuckDB, which dominated the sf0.1 sweep
+      val bandJoins = (0 until LshBands).map { b =>
         val eq = (0 until LshRows)
           .map(r => s"a.mh${b * LshRows + r} = c.mh${b * LshRows + r}").mkString(" AND ")
-        s"WHEN $b THEN $eq"
-      }.mkString(" ")
-      val jac = "CAST(len(list_intersect(a.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, c.ws)))"
-      val jacT = "CAST(len(list_intersect(t.ws, u.ws)) AS DOUBLE) / len(list_distinct(list_concat(t.ws, u.ws)))"
+        s"SELECT $b AS band, a.doc_id AS doc_a, c.doc_id AS doc_b\n" +
+          s"  FROM sigs a JOIN sigs c ON $eq AND a.doc_id < c.doc_id"
+      }.mkString("\n  UNION ALL\n  ")
+      val jacF = "CAST(len(list_intersect(a.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(a.ws, c.ws)))"
+      val jacS = "CAST(len(list_intersect(s.ws, u.ws)) AS DOUBLE) / len(list_distinct(list_concat(s.ws, u.ws)))"
+      // exact-truth denominator: collapse identical word sets first (their
+      // within-group pairs are jac=1 by definition), then pair DISTINCT sets
+      // under a lossless integer length band — jac >= t forces
+      // |A| >= t·|B| and |B| >= t·|A|; the 89/100 bound is t slightly
+      // loosened so float wobble can only ADD candidate set-pairs, never
+      // drop a true one (the final jac predicate decides membership)
+      val lenBandPct = math.floor(NearDupThreshold * 100).toInt - 1
       s"""WITH ds AS (
          |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ws,
          |         list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
          |  FROM documents),
-         |sigs AS (SELECT doc_id, ws, $mhDefs FROM ds),
+         |sigs AS (SELECT doc_id, $mhDefs FROM ds),
          |bands AS (SELECT unnest(range(${LshBands})) AS band),
          |cand AS (
-         |  SELECT b.band, a.doc_id AS doc_a, c.doc_id AS doc_b, $jac AS jac
-         |  FROM sigs a JOIN sigs c ON a.doc_id < c.doc_id
-         |  CROSS JOIN bands b
-         |  WHERE CASE b.band $bandEq END),
+         |  $bandJoins),
          |pb AS (SELECT band, count(*) AS n_cand FROM cand GROUP BY 1),
-         |fb AS (SELECT doc_a, doc_b, min(band) AS band, min(jac) AS jac FROM cand GROUP BY 1, 2),
+         |fb AS (SELECT doc_a, doc_b, min(band) AS band FROM cand GROUP BY 1, 2),
+         |fbj AS (SELECT fb.band, $jacF AS jac
+         |        FROM fb JOIN ds a ON a.doc_id = fb.doc_a
+         |                JOIN ds c ON c.doc_id = fb.doc_b),
          |nb AS (SELECT band, count(*) AS n_new,
          |         sum(CASE WHEN jac >= $NearDupThreshold THEN 1 ELSE 0 END) AS n_new_true
-         |       FROM fb GROUP BY 1),
-         |tot AS (SELECT count(*) AS n_true_total FROM ds t JOIN ds u
-         |        ON t.doc_id < u.doc_id AND $jacT >= $NearDupThreshold),
+         |       FROM fbj GROUP BY 1),
+         |sets AS (SELECT ws, count(*) AS m FROM ds GROUP BY ws),
+         |tot AS (SELECT (SELECT coalesce(sum(m * (m - 1) // 2), 0) FROM sets)
+         |             + (SELECT coalesce(sum(s.m * u.m), 0)
+         |                FROM sets s JOIN sets u
+         |                  ON s.ws < u.ws
+         |                 AND 100 * len(s.ws) >= $lenBandPct * len(u.ws)
+         |                 AND 100 * len(u.ws) >= $lenBandPct * len(s.ws)
+         |                 AND $jacS >= $NearDupThreshold) AS n_true_total),
          |r AS (SELECT b.band AS band, coalesce(pb.n_cand, 0) AS n_cand,
          |        coalesce(nb.n_new, 0) AS n_new, coalesce(nb.n_new_true, 0) AS n_new_true
          |      FROM bands b LEFT JOIN pb USING (band) LEFT JOIN nb USING (band))

@@ -30,6 +30,14 @@ object MultimodalOps {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
       width: Long, height: Long, ok: Boolean)
 
+  /** One executed letterbox resize: the q154 plan's geometry plus the
+    * checksum of the produced output bytes (content region; the box×box
+    * output's remaining bytes are letterbox zeros, contributing nothing).
+    */
+  final case class ResizedImage(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, pad_x: Long, pad_y: Long,
+      n_out_bytes: Long, byte_sum: Long)
+
   /** The decode stub: deterministic fake decode of a payload batch. A real
     * implementation would hand the whole batch to a vectorized decoder; the
     * batch-in/batch-out signature is the contract.
@@ -40,6 +48,42 @@ object MultimodalOps {
         val n = r.data.length.toLong
         val first = if (n > 0) java.lang.Byte.toUnsignedLong(r.data(0)) else 0L
         MediaFeatures(r.doc_id, n, first, n % 640, (n * 7) % 480, n > 0)
+      }
+
+    /** EXECUTE the q154 letterbox plan on the actual payload: for every
+      * output pixel of the fitted content region, nearest-neighbor-map back
+      * to a source coordinate (sx = x·w DIV out_w — the same integer floor
+      * as the plan) and read the REAL payload byte at the stub pixel
+      * address (sy·w + sx) mod n. byte_sum is the checksum of all produced
+      * output bytes (padding is zeros). A real decoder replaces the byte
+      * addressing; the per-batch walk, the geometry, and the checksum
+      * contract stay.
+      */
+    def resizeBatch(batch: Seq[MediaRecord], box: Int): Seq[ResizedImage] =
+      batch.flatMap { r =>
+        val n = r.data.length
+        val width = (n % 640).toLong
+        val height = (n.toLong * 7) % 480
+        if (width <= 0 || height <= 0) None
+        else {
+          val m = math.max(width, height)
+          val outW = width * box / m
+          val outH = height * box / m
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val rowBase = (y * height / outH) * width
+            var x = 0
+            while (x < outW) {
+              val sx = x * width / outW
+              sum += java.lang.Byte.toUnsignedLong(r.data(((rowBase + sx) % n).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          Some(ResizedImage(r.doc_id, width, height, outW, outH,
+            (box - outW) / 2, (box - outH) / 2, box.toLong * box, sum))
+        }
       }
   }
 
@@ -174,7 +218,46 @@ object MultimodalOps {
         ((col("fb") * 31 + col("out_w") * 7 + col("out_h")) % 256).as("stub_checksum"))
       .orderBy(col("doc_id"))
 
+  /** q156 — the EXECUTED letterbox resize ([[StubDecoder.resizeBatch]]):
+    * q154's geometry applied to the actual binary column through the q44
+    * batched-decode path, emitting per-image output-byte checksums. Same
+    * batched mapPartitions stage as [[mediaFeatures]] — no driver hops, row
+    * amplification zero (one row in, one row out), the per-record pixel
+    * walk is executor-CPU exactly like a real resampler.
+    */
+  def imageResizeExec(spark: SparkSession, dir: String, box: Int = 224): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(_.grouped(32).flatMap(b => StubDecoder.resizeBatch(b.toSeq, box)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q156_resize_exec" ->
+      // replay of the pixel walk over the doc's byte list: y = p DIV out_w,
+      // x = p MOD out_w; one list per doc is built once, then indexed per
+      // pixel — the twin of the executor-side nearest-neighbor loop
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) % 640 > 0
+        |    AND (octet_length(encode(text)) * 7) % 480 > 0),
+        |g AS (SELECT doc_id, nb, width, height,
+        |    (width * 224) // greatest(width, height) AS out_w,
+        |    (height * 224) // greatest(width, height) AS out_h,
+        |    list_transform(range(1, nb + 1), i -> ascii(substring(text, CAST(i AS INT), 1))) AS bl
+        |  FROM d)
+        |SELECT doc_id, width, height, out_w, out_h,
+        | CAST((224 - out_w) // 2 AS BIGINT) AS pad_x,
+        | CAST((224 - out_h) // 2 AS BIGINT) AS pad_y,
+        | CAST(224 * 224 AS BIGINT) AS n_out_bytes,
+        | CAST(coalesce(list_sum(list_transform(range(out_w * out_h),
+        |   p -> bl[CAST(1 + (((p // out_w) * height // out_h) * width
+        |                     + (p % out_w) * width // out_w) % nb AS INT)])), 0) AS BIGINT) AS byte_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q154_image_resize" ->
       """SELECT doc_id,
         | CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,

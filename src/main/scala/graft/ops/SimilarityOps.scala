@@ -544,6 +544,24 @@ object SimilarityOps {
   private def sigBitSql(i: Int, weight: Long): String =
     s"(CASE WHEN list_sum(list_transform(generate_series(1,64), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(i)})[j])) > 0 THEN $weight ELSE 0 END)"
 
+  /** Per-band 4-bit key columns bv0..bv7 (shared by q135/q149 twins). */
+  private def annBandColsSql: String = (0 until AnnBands).map { b =>
+    val v = (0 until AnnRowsPerBand)
+      .map(r => sigBitSql(b * AnnRowsPerBand + r, 1L << r)).mkString(" + ")
+    s"CAST($v AS BIGINT) AS bv$b"
+  }.mkString(",\n ")
+
+  /** Band-OR candidate pairs as one hash-joinable equi-join per band,
+    * UNION-deduped (shared by q135/q149 twins).
+    */
+  private def annCandSql: String = {
+    val unions = (0 until AnnBands).map { b =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b\n" +
+        s"  FROM sigs a JOIN sigs b ON a.bv$b = b.bv$b AND a.vec_id < b.vec_id"
+    }.mkString("\n  UNION\n  ")
+    s"cand AS (\n  $unions)"
+  }
+
   def oracle: Map[String, String] = Map(
     "q45_ann_buckets" -> {
       val bucket = (0 until 8).map(i => sigBitSql(i, 1L << i)).mkString(" + ")
@@ -553,38 +571,33 @@ object SimilarityOps {
     "q135_ann_neardup" -> {
       // per-band 4-bit keys bv0..bv7 from the same Weyl planes; candidates
       // share any band; exact cosine verify — the Spark plan's dataflow,
-      // replayed as SQL over literal plane arrays
-      val bandCols = (0 until AnnBands).map { b =>
-        val v = (0 until AnnRowsPerBand)
-          .map(r => sigBitSql(b * AnnRowsPerBand + r, 1L << r)).mkString(" + ")
-        s"CAST($v AS BIGINT) AS bv$b"
-      }.mkString(",\n ")
-      val shareBand = (0 until AnnBands).map(b => s"a.bv$b = b.bv$b").mkString(" OR ")
-      s"""WITH sigs AS (SELECT vec_id, embedding, $bandCols FROM embeddings),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         a.embedding AS ea, b.embedding AS eb
-         |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ($shareBand))
-         |SELECT id_a, id_b, ${OracleMath.stableRoundSql(cosSql("ea", "eb"), 6)} AS sim
-         |FROM cand
-         |WHERE ${cosSql("ea", "eb")} >= 0.35
+      // replayed as SQL over literal plane arrays. One hash-joinable
+      // equi-join per band, UNION-deduped: the prior OR-of-equalities join
+      // forced a quadratic nested loop in DuckDB (the sf0.1 sweep's ~105 s
+      // hot spot); embeddings re-attach AFTER the dedup so each surviving
+      // pair's cosine is computed exactly once.
+      s"""WITH sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+         |$annCandSql,
+         |ver AS (
+         |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b, ${OracleMath.stableRoundSql("s", 6)} AS sim
+         |FROM ver WHERE s >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
     },
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)
-      val bandCols = (0 until AnnBands).map { b =>
-        val v = (0 until AnnRowsPerBand)
-          .map(r => sigBitSql(b * AnnRowsPerBand + r, 1L << r)).mkString(" + ")
-        s"CAST($v AS BIGINT) AS bv$b"
-      }.mkString(",\n ")
-      val shareBand = (0 until AnnBands).map(b => s"a.bv$b = b.bv$b").mkString(" OR ")
-      s"""WITH RECURSIVE sigs AS (SELECT vec_id, embedding, $bandCols FROM embeddings),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         a.embedding AS ea, b.embedding AS eb
-         |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ($shareBand)),
-         |pairs AS (SELECT id_a, id_b FROM cand WHERE ${cosSql("ea", "eb")} >= 0.35),
+      s"""WITH RECURSIVE sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+         |$annCandSql,
+         |ver AS (
+         |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+         |pairs AS (SELECT id_a, id_b FROM ver WHERE s >= 0.35),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |vids AS (SELECT DISTINCT vec_id FROM embeddings),

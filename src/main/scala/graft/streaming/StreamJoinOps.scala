@@ -60,9 +60,14 @@ object StreamJoinOps {
     // interleave in one outer session without yanking each other's conf.
     val s = spark.newSession()
     // newSession() seeds SQLConf from the SparkContext-level conf, not the
-    // caller's runtime session conf — carry over the one semantic setting
-    // (time zone) that event-time correctness depends on.
+    // caller's runtime session conf — carry over the two settings streaming
+    // correctness/benchmarking depend on: the time zone (event-time
+    // semantics) and the state-store provider (a runtime RocksDB selection
+    // would otherwise silently revert to the default provider inside the
+    // clone, which made the provider-agnosticism spec vacuous).
     s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+    spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     if (skipFinalize) s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // Checkpoints (offset log + state-store deltas, fsynced per microbatch)

@@ -198,6 +198,21 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cloned streaming sessions inherit a runtime state-store provider selection") {
+    // without the explicit carry-over in withStatePartitions, a runtime
+    // providerClass set on the outer session silently reverts to the
+    // default inside the clone — and the RocksDB equality test below tests
+    // nothing. This pins the carry-over itself.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    spark.conf.set(key, rocks)
+    try {
+      val inClone = graft.streaming.StreamJoinOps
+        .withStatePartitions(spark, 2)(s => s.conf.getOption(key))
+      assert(inClone.contains(rocks), s"provider not carried into clone: $inClone")
+    } finally spark.conf.unset(key)
+  }
+
   test("stateful streaming is state-store-provider agnostic (RocksDB = default HDFS-backed)") {
     // At 100 TB-scale state the in-memory HDFS-backed provider is replaced by
     // RocksDB (spillable, incremental-checkpointing). Results must not depend
