@@ -125,11 +125,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
+    // exactly ONE JSON line (the driver contract): per-query mins+medians
+    // inline — the per-query map is what makes cross-round regression
+    // attribution possible, so it must be on the line the driver captures
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed}""")
-    // trailing SHORT total-only line: the per-query blob above can overflow
-    // a log tail; whoever captures the last line always gets a parseable
-    // total (the blob line remains for per-query attribution)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir","reps":$reps,"total_median":$totalMed}""")
     spark.stop()
   }
 }

@@ -258,6 +258,11 @@ object SparkEntry {
     "q154_image_resize"     -> ((s, d) => MultimodalOps.imageResize(s, d)),
     "q155_span_fixpoint"    -> ((s, d) => TextOps.spanRemovalFixpoint(s, d)),
     "q156_resize_exec"      -> ((s, d) => MultimodalOps.imageResizeExec(s, d)),
+    // -- retrieval + split hygiene (BM25, eval contamination, leakage-safe split)
+    "q157_bm25_topk"           -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q159_embed_contamination" -> ((s, d) => RetrievalOps.embedContamination(s, d)),
+    "q160_cluster_safe_split"  -> ((s, d) => RetrievalOps.clusterSafeSplit(s, d)),
+    "q161_ivf_recall"          -> ((s, d) => RetrievalOps.ivfRecall(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -356,7 +361,7 @@ object SparkEntry {
   ) ++ EnrichOps.oracle ++ Map(
     "q22_pipeline_e2e" -> graft.pipeline.Pipeline.pipelineOracleSql,
   ) ++ TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-    MultimodalOps.oracle ++ SamplingOps.oracle ++ Map(
+    MultimodalOps.oracle ++ SamplingOps.oracle ++ RetrievalOps.oracle ++ Map(
     "q46_safe_json_chain" ->
       """SELECT event_type, count(*) AS n_rows,
         | CAST(2 * count(*) AS BIGINT) AS n_parsed,

@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval + curation-hygiene operators for a training-data pipeline:
+  * BM25 keyword retrieval over the corpus, embedding-space eval/train
+  * contamination checking, and leakage-safe (cluster-aware) train/test
+  * splitting. These extend the reference's capability surface the same way
+  * the dedup/similarity families do — the reference's own "analytics" are
+  * the two dashboard SQL queries
+  * (`datalens_dashboard/sql_queries/vacancy_analysis.sql:11-31`); a modern
+  * LLM-data pipeline additionally needs retrieval (for targeted curation),
+  * benchmark-contamination checks, and split hygiene.
+  */
+object RetrievalOps {
+
+  // ---------------------------------------------------------------------------
+  // q157: BM25 top-k keyword retrieval
+  // ---------------------------------------------------------------------------
+
+  /** The fixed query-term set (single-sourced into the oracle SQL so the
+    * operator and its twin cannot drift). Terms chosen from the synthetic
+    * vocabulary with distinct document frequencies.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+  val Bm25TopK = 10
+
+  /** BM25-scored top-k retrieval for a fixed conjunctive query.
+    *
+    * Plan shape for 100 TB: the exploded token stream is filtered to the
+    * query terms BEFORE any shuffle, so only matching postings (|terms| ×
+    * matching docs rows, not the corpus) ever move; document length is a
+    * row-local `size(split(...))` (no second pass over tokens); corpus
+    * stats (N, total length) and per-term document frequencies are tiny
+    * aggregates broadcast back; and the global top-k is `orderBy().limit(k)`
+    * — Spark's TakeOrderedAndProject (per-partition heap + driver merge of
+    * k·partitions rows), NOT a single-partition window sort.
+    *
+    * Determinism: the three per-term scores are summed in one fixed textual
+    * order (spark + join + window) via conditional aggregation — never a
+    * data-order-dependent float sum — and ranking uses the 4-dp-rounded
+    * total with doc_id tiebreak, so both engines rank identically.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+
+    val postings = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // idf = ln((N - df + 0.5) / (df + 0.5) + 1.0)  [the "+1" Lucene variant —
+    // always positive]; score = idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl)).
+    // 2.2 and 0.25 are written as literals (not k1+1.0 / 1.0-b expressions):
+    // 1.2+1.0 in doubles lands exactly on a round-to-even boundary, so the
+    // committed literal is the single source of truth in BOTH engines.
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), score.as("score"))
+
+    val perTerm = Bm25Terms.map { t =>
+      max(when(col("term") === t, col("score"))).as(s"s_$t")
+    }
+    val total = Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+
+    val perDoc = scored
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score_total", OracleMath.stableRound(total, 4))
+
+    val top = perDoc
+      .orderBy(col("score_total").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+    val cols = Seq(col("doc_id")) ++
+      Bm25Terms.map(t => OracleMath.stableRound(coalesce(col(s"s_$t"), lit(0.0)), 4).as(s"s_$t")) ++
+      Seq(col("score_total"),
+        row_number().over(Window.orderBy(col("score_total").desc, col("doc_id"))).cast("long").as("rnk"))
+    top.select(cols: _*).orderBy(col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q159: embedding-space eval/train contamination check
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic eval-split predicate: ~`EvalPct`% of vectors by a
+    * multiplicative hash of vec_id (a DIFFERENT multiplier than q83's split
+    * and q103's mixture hashes, so the three stay statistically
+    * independent). At production key ranges this would be xxhash64; the
+    * small constant keeps the oracle arithmetic exactly reproducible in SQL.
+    */
+  val EvalHashMult = 2246822519L
+  val EvalPct = 5L
+  val ContamThreshold = 0.30
+
+  /** Embedding-space contamination check: which training vectors are
+    * near-duplicates (cosine ≥ threshold) of a held-out eval set — the
+    * embedding-level analogue of q139's n-gram benchmark-contamination scan.
+    *
+    * Plan shape for 100 TB: the eval set is a small deterministic slice, so
+    * it is BROADCAST and the train side streams through in ONE pass (scan →
+    * broadcast-nested-loop → per-vector partial max) — no shuffle of the
+    * train corpus; the only exchange is the tiny per-label rollup. max() is
+    * order-independent, so the per-vector max cosine is deterministic under
+    * any partitioning.
+    */
+  def embedContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isEval = pmod(col("vec_id") * lit(EvalHashMult), lit(100L)) < lit(EvalPct)
+    val eval  = e.filter(isEval).select(col("embedding").as("q_emb"))
+    val train = e.filter(!isEval)
+
+    val perVec = train.crossJoin(broadcast(eval))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(SimilarityOps.cosine(col("embedding"), col("q_emb"))).as("max_sim"))
+
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("max_sim") >= lit(ContamThreshold), 1L).otherwise(0L)).as("n_contaminated"),
+        OracleMath.stableRound(max(col("max_sim")), 6).as("max_sim"))
+      .orderBy(col("label"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q160: leakage-safe (cluster-aware) train/test split
+  // ---------------------------------------------------------------------------
+
+  val SplitHashMultNaive = 2654435761L // q83's doc-level split hash — reused AS the naive baseline
+  val SplitTrainPct = 90L
+
+  /** Cluster-aware train/test split: all members of a duplicate group (q36's
+    * sorted-distinct-wordset identity) are assigned to the SAME split by
+    * hashing the group key, not the doc id — a near-duplicate of a training
+    * document can never land in test. The output quantifies exactly the
+    * leakage a naive per-document hash split (q83) would have caused:
+    * `naive_leaky_groups` counts this split's groups whose members straddle
+    * the naive assignment.
+    *
+    * Plan shape for 100 TB: group identity is the md5 of the joined wordset
+    * — a 32-byte derived key — so the single shuffle moves (md5, n_chars,
+    * flags), never document text; both rollups after it are tiny. Split
+    * assignment is a pure function of the group key (retry-stable,
+    * partition-count-invariant), the same 48-bit md5-prefix integer
+    * primitive as q140/q150.
+    */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wkey = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val naiveTrain = pmod(col("doc_id") * lit(SplitHashMultNaive), lit(100L)) < lit(SplitTrainPct)
+
+    val groups = docs
+      .select(wkey.as("wkey"), col("n_chars"),
+        when(naiveTrain, 1L).otherwise(0L).as("naive_train"))
+      .groupBy(col("wkey"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("naive_train")).as("n_naive_train"))
+
+    val splitCol = when(
+      pmod(conv(substring(col("wkey"), 1, 12), 16, 10).cast("long"), lit(100L)) < lit(SplitTrainPct),
+      "train").otherwise("test")
+
+    groups
+      .groupBy(splitCol.as("split"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        sum(when(col("n_naive_train") > 0 && col("n_naive_train") < col("n_docs"), 1L)
+          .otherwise(0L)).as("naive_leaky_groups"))
+      .orderBy(col("split"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q161: measured IVF recall@k against the exact top-k (per query vector)
+  // ---------------------------------------------------------------------------
+
+  val IvfNProbe = 3
+  val IvfK = 10
+
+  /** Measured recall@k of the IVF index (q43 centroids + q56 assignments,
+    * probing `IvfNProbe` of the coarse lists) against the exact brute-force
+    * top-k, over the SAME held-out eval slice q159 uses as its query
+    * workload — the vector-index counterpart of q153's per-band LSH recall
+    * rollup: the instrumentation that tells you whether nprobe is set right
+    * BEFORE you trust the index at 100 TB.
+    *
+    * Plan shape: queries and centroids are tiny broadcasts; the IVF path
+    * touches only `nprobe/nlists` of the train side per query (the point of
+    * the index); the exact path is a one-pass broadcast-nested-loop over
+    * train — brute force by declared role (it is the measurement's ground
+    * truth, run over a sampled query workload, exactly how production recall
+    * audits work). Both top-k sets rank by (6-dp-rounded cosine, vec_id), so
+    * the sets — not just the scores — are deterministic and engine-identical.
+    */
+  def ivfRecall(spark: SparkSession, dir: String, nprobe: Int = IvfNProbe): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isEval = pmod(col("vec_id") * lit(EvalHashMult), lit(100L)) < lit(EvalPct)
+    val qs = e.filter(isEval).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val train = e.filter(!isEval).select(col("vec_id"), col("embedding"))
+
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("c_label"))
+
+    val probes = SimilarityOps.centroidTable(spark, dir).crossJoin(broadcast(qs))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("q_emb"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
+
+    val cand = train
+      .join(SimilarityOps.assignTable(spark, dir).select(col("vec_id"), col("assigned")), "vec_id")
+      .join(broadcast(probes), col("assigned") === col("probe_label"))
+      .select(col("q_id"),  col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+
+    val ivfTop = cand.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("vec_id"))
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
+
+    val exactTop = train.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("vec_id"))
+
+    val hits = exactTop.join(ivfTop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+
+    qs.select(col("q_id"))
+      .join(nCand, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        OracleMath.stableRound(
+          coalesce(col("n_hits"), lit(0L)).cast("double") / lit(IvfK.toDouble), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // oracle twins
+  // ---------------------------------------------------------------------------
+
+  def oracle: Map[String, String] = Map(
+    "q157_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTermSel = Bm25Terms.map { t =>
+        s"max(CASE WHEN term = '$t' THEN score END) AS s_$t"
+      }.mkString(",\n |  ")
+      val totalExpr = Bm25Terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+      val roundedPer = Bm25Terms.map { t =>
+        s"${OracleMath.stableRoundSql(s"coalesce(s_$t, 0.0)", 4)} AS s_$t"
+      }.mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM d),
+         |postings AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d)
+         |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + $Bm25K1 * (0.25 + $Bm25B * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
+         |  FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |  $perTermSel
+         |  FROM scored GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, s_${Bm25Terms.head}, ${Bm25Terms.tail.map(t => s"s_$t").mkString(", ")},
+         |    ${OracleMath.stableRoundSql(totalExpr, 4)} AS score_total
+         |  FROM per_doc)
+         |SELECT doc_id,
+         | $roundedPer,
+         | score_total,
+         | CAST(row_number() OVER (ORDER BY score_total DESC, doc_id) AS BIGINT) AS rnk
+         |FROM tot ORDER BY score_total DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+    "q159_embed_contamination" ->
+      s"""WITH ev AS (SELECT embedding AS q_emb FROM embeddings
+         |            WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),
+         |tr AS (SELECT vec_id, label, embedding FROM embeddings
+         |       WHERE NOT ((vec_id * $EvalHashMult) % 100 < $EvalPct)),
+         |m AS (SELECT t.vec_id, t.label,
+         |        max(${SimilarityOps.cosSql("t.embedding", "e.q_emb")}) AS max_sim
+         |      FROM tr t CROSS JOIN ev e GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_train,
+         | CAST(sum(CASE WHEN max_sim >= $ContamThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         | ${OracleMath.stableRoundSql("max(max_sim)", 6)} AS max_sim
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q161_ivf_recall" ->
+      s"""WITH ${SimilarityOps.centCteSql},
+         |ev AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE NOT ((vec_id * $EvalHashMult) % 100 < $EvalPct)),
+         |${SimilarityOps.assignCteSql},
+         |probe AS (
+         |  SELECT q_id, q_emb, c_label FROM (
+         |    SELECT e.q_id, e.q_emb, c.c_label,
+         |      row_number() OVER (PARTITION BY e.q_id
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.q_emb", "c.centroid"), 6)} DESC,
+         |                 c.c_label) AS rn
+         |    FROM ev e, cent c)
+         |  WHERE rn <= $IvfNProbe),
+         |cand AS (
+         |  SELECT p.q_id, t.vec_id,
+         |    ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "p.q_emb"), 6)} AS sim
+         |  FROM tr t JOIN assign a ON t.vec_id = a.vec_id
+         |  JOIN probe p ON a.assigned = p.c_label),
+         |ivftop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |    FROM cand)
+         |  WHERE rn <= $IvfK),
+         |ncand AS (SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+         |exacttop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT e.q_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY e.q_id
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "e.q_emb"), 6)} DESC,
+         |                 t.vec_id) AS rn
+         |    FROM tr t CROSS JOIN ev e)
+         |  WHERE rn <= $IvfK),
+         |hits AS (SELECT q_id, count(*) AS n_hits FROM exacttop JOIN ivftop USING (q_id, vec_id) GROUP BY 1)
+         |SELECT e.q_id AS q_id,
+         | CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         | CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         | ${OracleMath.stableRoundSql(s"CAST(coalesce(n_hits, 0) AS DOUBLE) / ${IvfK.toDouble}", 4)} AS recall
+         |FROM ev e
+         |LEFT JOIN ncand n ON e.q_id = n.q_id
+         |LEFT JOIN hits h ON e.q_id = h.q_id
+         |ORDER BY q_id""".stripMargin,
+    "q160_cluster_safe_split" ->
+      s"""WITH g AS (
+         |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS wkey,
+         |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(CASE WHEN (doc_id * $SplitHashMultNaive) % 100 < $SplitTrainPct
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_train
+         |  FROM documents GROUP BY 1)
+         |SELECT CASE WHEN ('0x' || substr(wkey, 1, 12))::BIGINT % 100 < $SplitTrainPct
+         |            THEN 'train' ELSE 'test' END AS split,
+         | count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         | CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+         | CAST(sum(CASE WHEN n_naive_train > 0 AND n_naive_train < n_docs
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_groups
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -290,7 +290,7 @@ object SimilarityOps {
     * sequential avg differ in last ulps; rounding at 1e-8 makes every
     * downstream sim computation start from identical doubles.
     */
-  private def centroidTable(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def centroidTable(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("c_label"), col("dim"))
@@ -300,7 +300,7 @@ object SimilarityOps {
       .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
 
   /** Every vector's nearest-centroid assignment (vec_id, label, assigned). */
-  private def assignTable(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def assignTable(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(centroidTable(spark, dir)))
       .select(col("vec_id"), col("label"), col("c_label"),
@@ -528,7 +528,28 @@ object SimilarityOps {
 
   // ---------------------------------------------------------------------------
 
-  private def cosSql(a: String, b: String): String = {
+  /** The label-mean-centroid and nearest-centroid-assignment CTEs, shared
+    * verbatim by the q76 and q161 oracle twins (single-sourced so the IVF
+    * index definition cannot drift between its consumer queries).
+    */
+  private[ops] def centCteSql: String =
+    s"""cent AS (
+       |  SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
+       |    SELECT label AS c_label, i - 1 AS dim,
+       |      ${OracleMath.stableRoundSql("avg(CAST(embedding[i] AS DOUBLE))", 8)} AS cv
+       |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
+
+  private[ops] def assignCteSql: String =
+    s"""assign AS (
+       |  SELECT vec_id, c_label AS assigned FROM (
+       |    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+       |    FROM (SELECT e.vec_id, c.c_label,
+       |            ${OracleMath.stableRoundSql(cosSql("e.embedding", "c.centroid"), 6)} AS sim
+       |          FROM embeddings e, cent c) s)
+       |  WHERE rn = 1)""".stripMargin
+
+  private[ops] def cosSql(a: String, b: String): String = {
     def dotS(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1,64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
@@ -721,25 +742,14 @@ object SimilarityOps {
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q76_ivf_knn" ->
-      s"""WITH cent AS (
-         |  SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
-         |    SELECT label AS c_label, i - 1 AS dim,
-         |      ${OracleMath.stableRoundSql("avg(CAST(embedding[i] AS DOUBLE))", 8)} AS cv
-         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2)
-         |  GROUP BY 1),
+      s"""WITH $centCteSql,
          |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |probe AS (
          |  SELECT c_label FROM (
          |    SELECT c.c_label, ${OracleMath.stableRoundSql(cosSql("c.centroid", "q.q_emb"), 6)} AS csim
          |    FROM cent c, q)
          |  ORDER BY csim DESC, c_label LIMIT 3),
-         |assign AS (
-         |  SELECT vec_id, c_label AS assigned FROM (
-         |    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
-         |    FROM (SELECT e.vec_id, c.c_label,
-         |            ${OracleMath.stableRoundSql(cosSql("e.embedding", "c.centroid"), 6)} AS sim
-         |          FROM embeddings e, cent c) s)
-         |  WHERE rn = 1)
+         |$assignCteSql
          |SELECT e.vec_id, e.label, ${OracleMath.stableRoundSql(cosSql("e.embedding", "q.q_emb"), 6)} AS sim
          |FROM embeddings e
          |JOIN assign a ON e.vec_id = a.vec_id

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.RetrievalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the retrieval / split-hygiene family (q157/q159/q160):
+  * ranking and scoring invariants for BM25, eval-train disjointness and
+  * broadcast shape for the contamination check, and the zero-leakage
+  * guarantee of the cluster-aware split.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q157 BM25: dense ranks, monotone scores, global top-k without a single-partition sort") {
+    val df = RetrievalOps.bm25TopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == RetrievalOps.Bm25TopK)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to RetrievalOps.Bm25TopK).toSeq)
+    val totals = rows.map(_.getAs[Double]("score_total"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b }, "scores not monotone by rank")
+    // per-term scores are nonnegative and the rounded total matches the parts
+    // within rounding slack (both sides 4-dp rounded)
+    rows.foreach { r =>
+      val parts = RetrievalOps.Bm25Terms.map(t => r.getAs[Double](s"s_$t"))
+      assert(parts.forall(_ >= 0.0))
+      assert(math.abs(parts.sum - r.getAs[Double]("score_total")) < 2e-4)
+    }
+    // the global top-k must compile to TakeOrderedAndProject (per-partition
+    // heaps + driver merge), not a 1-partition window sort over all docs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
+  }
+
+  test("q159 contamination: eval slice is disjoint, small, and broadcast; counts bounded") {
+    val e = Tables.embeddings(spark, sf)
+    val isEval = pmod(col("vec_id") * lit(RetrievalOps.EvalHashMult), lit(100L)) <
+      lit(RetrievalOps.EvalPct)
+    val nEval = e.filter(isEval).count()
+    val nAll = e.count()
+    assert(nEval > 0, "eval slice empty — hash constants degenerate on this SF")
+    assert(nEval < nAll / 5, "eval slice too large to justify the broadcast design")
+
+    val df = RetrievalOps.embedContamination(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_train")).sum == nAll - nEval)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
+      assert(r.getAs[Double]("max_sim") <= 1.0 + 1e-9)
+    }
+    // the train side must never shuffle: the eval side is the broadcast input
+    // of a nested-loop join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), "eval side should broadcast")
+  }
+
+  test("q161 IVF recall: bounded, exact at nprobe=all-lists") {
+    val out = RetrievalOps.ivfRecall(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= RetrievalOps.IvfK)
+      assert(math.abs(r.getAs[Double]("recall") - hits.toDouble / RetrievalOps.IvfK) < 1e-9)
+    }
+    // probing every coarse list makes the IVF candidate set the whole train
+    // side, so the measured recall must be exactly 1.0 for every query —
+    // the index's correctness envelope, not a statistical statement
+    val full = RetrievalOps.ivfRecall(spark, sf, nprobe = 10).collect()
+    assert(full.forall(_.getAs[Double]("recall") == 1.0),
+      "nprobe=all-lists must reproduce the exact top-k")
+  }
+
+  test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val out = RetrievalOps.clusterSafeSplit(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "splits must partition the corpus")
+
+    // independent recomputation: per-DOC split assignment via the group key
+    // must never straddle a wordset group (leak-free by construction), and
+    // the naive per-doc hash split's straddle count must match the operator's
+    val perDoc = docs.select(col("doc_id"), col("n_chars"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("wkey"),
+      (pmod(col("doc_id") * lit(RetrievalOps.SplitHashMultNaive), lit(100L)) <
+        lit(RetrievalOps.SplitTrainPct)).as("naive_train"))
+      .withColumn("cluster_split",
+        pmod(conv(substring(col("wkey"), 1, 12), 16, 10).cast("long"), lit(100L)) <
+          lit(RetrievalOps.SplitTrainPct))
+    val straddleCluster = perDoc.groupBy("wkey")
+      .agg(countDistinct(col("cluster_split")).as("k")).filter(col("k") > 1).count()
+    assert(straddleCluster == 0L, "a wordset group straddles the cluster-aware split")
+    val straddleNaive = perDoc.groupBy("wkey")
+      .agg(countDistinct(col("naive_train")).as("k")).filter(col("k") > 1).count()
+    assert(out.map(_.getAs[Long]("naive_leaky_groups")).sum == straddleNaive)
+  }
+}
