@@ -263,6 +263,8 @@ object SparkEntry {
     "q159_embed_contamination" -> ((s, d) => RetrievalOps.embedContamination(s, d)),
     "q160_cluster_safe_split"  -> ((s, d) => RetrievalOps.clusterSafeSplit(s, d)),
     "q161_ivf_recall"          -> ((s, d) => RetrievalOps.ivfRecall(s, d)),
+    // -- BPE tokenizer training inner loop (pair-count → argmax → merge, K rounds)
+    "q162_bpe_merges"          -> ((s, d) => TextOps.bpeMerges(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -673,8 +673,99 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------------
+  // q162: BPE merge-rule learning (K rounds of pair-count → argmax → merge)
+  // ---------------------------------------------------------------------------
+
+  val BpeRounds = 8
+
+  /** Symbol-boundary marker for the BPE rendering. Never occurs in corpus
+    * words (the synthetic vocabulary is `[a-z]`), so a symbol can never
+    * contain it.
+    */
+  private val M = "·" // '·'
+
+  /** Byte-pair-encoding merge-rule learning: starting from characters, run
+    * `BpeRounds` rounds of (count adjacent symbol pairs over the weighted
+    * word dictionary → pick the most frequent pair → merge it everywhere) —
+    * the exact inner loop of BPE tokenizer training.
+    *
+    * Plan shape for 100 TB: ONE corpus pass reduces the text to a
+    * vocabulary-sized (word, count) dictionary — every merge round after
+    * that runs on the dictionary, never the corpus (precisely how production
+    * BPE trainers scale). Each round is one explode + one tiny pair-count
+    * shuffle + a 1-row argmax collect (bounded driver data, the vocab-probe
+    * pattern), and the merge application is a single codegen'd `replace`.
+    *
+    * The boundary-marked rendering `·a··b··c·` (one marker before/after each
+    * symbol, doubled between) makes `replace('·a··b·' → '·ab·')` EXACTLY
+    * greedy left-to-right non-overlapping merge application in both engines:
+    * a match must align on whole symbols (symbols never contain the marker),
+    * and consecutive pairs don't share a boundary character, so `a b a b`
+    * merges to `ab ab`, while `a a a` merges to `aa a` — standard BPE
+    * semantics.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict0 = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"),
+        concat(lit(M), array_join(split(col("word"), ""), M + M), lit(M)).as("r"))
+      .persist()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var dict = dict0
+    for (round <- 1 to BpeRounds) {
+      val syms = split(trim(col("r"), M), M + M)
+      val pairs = dict.select(col("wcnt"), syms.as("s"))
+        .select(col("wcnt"),
+          explode(when(size(col("s")) >= 2,
+            transform(sequence(lit(1), size(col("s")) - 1),
+              i => concat(element_at(col("s"), i), lit(M), element_at(col("s"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      val top = pairs.orderBy(desc("cnt"), col("pair")).limit(1).collect()(0)
+      val Array(a, b) = top.getAs[String]("pair").split(M)
+      merges += ((round.toLong, a, b, a + b, top.getAs[Long]("cnt")))
+      dict = dict.withColumn("r",
+        expr(s"replace(r, '$M$a$M$M$b$M', '$M$a$b$M')"))
+    }
+    dict0.unpersist()
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
+  }
+
+  // ---------------------------------------------------------------------------
 
   def oracle: Map[String, String] = Map(
+    "q162_bpe_merges" -> {
+      // unrolled K-round twin: each round's argmax pair is a 1-row CTE the
+      // next round's replace() consumes — same dictionary, same rendering,
+      // same tie-break (cnt DESC, pair ASC)
+      val dictCte =
+        s"""w AS (SELECT word, count(*) AS wcnt FROM (
+           |       SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+           |d0 AS (SELECT wcnt, '$M' || array_to_string(string_split(word, ''), '$M$M') || '$M' AS r FROM w)""".stripMargin
+      def roundCtes(k: Int): String =
+        s"""p$k AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+           |  SELECT wcnt, unnest(CASE WHEN len(s) >= 2
+           |    THEN list_transform(generate_series(1, len(s) - 1), i -> s[i] || '$M' || s[i+1])
+           |    ELSE []::VARCHAR[] END) AS pair
+           |  FROM (SELECT wcnt, string_split(trim(r, '$M'), '$M$M') AS s FROM d${k - 1}))
+           | GROUP BY 1),
+           |m$k AS (SELECT pair, cnt, string_split(pair, '$M')[1] AS a, string_split(pair, '$M')[2] AS b
+           |        FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |d$k AS (SELECT wcnt, replace(r, '$M' || a || '$M$M' || b || '$M', '$M' || a || b || '$M') AS r
+           |        FROM d${k - 1}, m$k)""".stripMargin
+      val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+      val sel = (1 to BpeRounds).map { k =>
+        s"SELECT $k AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS freq FROM m$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $dictCte,
+         |$rounds
+         |SELECT CAST(round AS BIGINT) AS round, sym_a, sym_b, merged, freq FROM (
+         |$sel
+         |) ORDER BY round""".stripMargin
+    },
     "q152_curation_funnel" ->
       s"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
         |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -70,6 +70,30 @@ class RetrievalSpec extends AnyFunSuite {
       "nprobe=all-lists must reproduce the exact top-k")
   }
 
+  test("q162 BPE: replace() is greedy left-to-right merge; rounds well-formed, freqs non-increasing") {
+    import graft.ops.TextOps
+    // the engine assumption the whole operator rests on: Spark's replace()
+    // consumes matches left-to-right without overlap, so on the boundary-
+    // marked rendering it implements exactly greedy BPE merge application
+    val r = spark.sql(
+      "SELECT replace('·a··b··a··b·', '·a··b·', '·ab·') AS abab, " +
+      "       replace('·a··a··a·',    '·a··a·', '·aa·') AS aaa").head()
+    assert(r.getString(0) == "·ab··ab·", "a b a b must merge to ab ab")
+    assert(r.getString(1) == "·aa··a·", "a a a must merge greedily to aa a")
+
+    val out = TextOps.bpeMerges(spark, sf).collect().sortBy(_.getAs[Long]("round"))
+    assert(out.length == TextOps.BpeRounds)
+    out.foreach { m =>
+      assert(m.getAs[String]("merged") == m.getAs[String]("sym_a") + m.getAs[String]("sym_b"))
+    }
+    // each merge only removes occurrences of existing pairs and creates new
+    // pairs no more frequent than the pair just merged, so the argmax
+    // frequency can never increase across rounds
+    val freqs = out.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "BPE merge freqs must be non-increasing")
+    assert(out.map(r2 => (r2.getAs[String]("sym_a"), r2.getAs[String]("sym_b"))).distinct.length == out.length)
+  }
+
   test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
