@@ -265,6 +265,7 @@ object SparkEntry {
     "q161_ivf_recall"          -> ((s, d) => RetrievalOps.ivfRecall(s, d)),
     // -- BPE tokenizer training inner loop (pair-count → argmax → merge, K rounds)
     "q162_bpe_merges"          -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "q163_bpe_encode"          -> ((s, d) => TextOps.bpeEncode(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

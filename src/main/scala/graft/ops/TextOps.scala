@@ -706,6 +706,13 @@ object TextOps {
     */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainBpe(spark, dir).toDF("round", "sym_a", "sym_b", "merged", "freq")
+  }
+
+  /** The training loop behind [[bpeMerges]]/[[bpeEncode]]: returns the
+    * learned merge rules in application order.
+    */
+  private def trainBpe(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
     val dict0 = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
@@ -731,41 +738,88 @@ object TextOps {
         expr(s"replace(r, '$M$a$M$M$b$M', '$M$a$b$M')"))
     }
     dict0.unpersist()
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
+    merges.toSeq
+  }
+
+  /** BPE encoding of the corpus with the rules [[trainBpe]] just learned —
+    * the tokenizer's APPLY step, reported as per-document subword counts and
+    * chars-per-token (the "fertility" a tokenizer is judged by).
+    *
+    * Plan shape for 100 TB: the distinct-word DICTIONARY is encoded once
+    * (vocabulary-sized — the 8 chained replace()s run per distinct word, not
+    * per occurrence) and broadcast-joined back to the exploded token stream —
+    * the same distinct-keys-then-map-back shape as the reference's classifier
+    * enrichment (`dag/vacancy_pipline_gpt_rerty.py:384-396`), which is what
+    * makes per-occurrence work O(vocab) instead of O(corpus).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainBpe(spark, dir)
+    val rendered = concat(lit(M), array_join(split(col("word"), ""), M + M), lit(M))
+    val applied = rules.foldLeft(rendered) { case (c, (_, a, b, _, _)) =>
+      call_function("replace", c, lit(s"$M$a$M$M$b$M"), lit(s"$M$a$b$M"))
+    }
+    val encDict = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word")).distinct()
+      .select(col("word"),
+        size(split(trim(applied, M), M + M)).cast("long").as("n_sub"))
+
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(encDict), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        OracleMath.stableRound(col("n_chars").cast("double") / col("n_subwords"), 4))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------------
 
+  /** The unrolled BPE-training CTE chain shared by the q162 and q163 oracle
+    * twins: each round's argmax pair is a 1-row CTE (`m$k`) the next round's
+    * replace() consumes — same dictionary, same rendering, same tie-break
+    * (cnt DESC, pair ASC) as [[bpeMerges]].
+    */
+  private def bpeTrainCtes: String = {
+    val dictCte =
+      s"""w AS (SELECT word, count(*) AS wcnt FROM (
+         |       SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+         |d0 AS (SELECT word, wcnt, '$M' || array_to_string(string_split(word, ''), '$M$M') || '$M' AS r FROM w)""".stripMargin
+    def roundCtes(k: Int): String =
+      s"""p$k AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+         |  SELECT wcnt, unnest(CASE WHEN len(s) >= 2
+         |    THEN list_transform(generate_series(1, len(s) - 1), i -> s[i] || '$M' || s[i+1])
+         |    ELSE []::VARCHAR[] END) AS pair
+         |  FROM (SELECT wcnt, string_split(trim(r, '$M'), '$M$M') AS s FROM d${k - 1}))
+         | GROUP BY 1),
+         |m$k AS (SELECT pair, cnt, string_split(pair, '$M')[1] AS a, string_split(pair, '$M')[2] AS b
+         |        FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |d$k AS (SELECT word, wcnt, replace(r, '$M' || a || '$M$M' || b || '$M', '$M' || a || b || '$M') AS r
+         |        FROM d${k - 1}, m$k)""".stripMargin
+    dictCte + ",\n" + (1 to BpeRounds).map(roundCtes).mkString(",\n")
+  }
+
   def oracle: Map[String, String] = Map(
-    "q162_bpe_merges" -> {
-      // unrolled K-round twin: each round's argmax pair is a 1-row CTE the
-      // next round's replace() consumes — same dictionary, same rendering,
-      // same tie-break (cnt DESC, pair ASC)
-      val dictCte =
-        s"""w AS (SELECT word, count(*) AS wcnt FROM (
-           |       SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
-           |d0 AS (SELECT wcnt, '$M' || array_to_string(string_split(word, ''), '$M$M') || '$M' AS r FROM w)""".stripMargin
-      def roundCtes(k: Int): String =
-        s"""p$k AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
-           |  SELECT wcnt, unnest(CASE WHEN len(s) >= 2
-           |    THEN list_transform(generate_series(1, len(s) - 1), i -> s[i] || '$M' || s[i+1])
-           |    ELSE []::VARCHAR[] END) AS pair
-           |  FROM (SELECT wcnt, string_split(trim(r, '$M'), '$M$M') AS s FROM d${k - 1}))
-           | GROUP BY 1),
-           |m$k AS (SELECT pair, cnt, string_split(pair, '$M')[1] AS a, string_split(pair, '$M')[2] AS b
-           |        FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-           |d$k AS (SELECT wcnt, replace(r, '$M' || a || '$M$M' || b || '$M', '$M' || a || b || '$M') AS r
-           |        FROM d${k - 1}, m$k)""".stripMargin
-      val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
-      val sel = (1 to BpeRounds).map { k =>
-        s"SELECT $k AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS freq FROM m$k"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $dictCte,
-         |$rounds
+    "q162_bpe_merges" ->
+      s"""WITH $bpeTrainCtes
          |SELECT CAST(round AS BIGINT) AS round, sym_a, sym_b, merged, freq FROM (
-         |$sel
-         |) ORDER BY round""".stripMargin
-    },
+         |${(1 to BpeRounds).map { k =>
+               s"SELECT $k AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS freq FROM m$k"
+             }.mkString("\nUNION ALL\n")}
+         |) ORDER BY round""".stripMargin,
+    "q163_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
+         |enc AS (SELECT word, CAST(len(string_split(trim(r, '$M'), '$M$M')) AS BIGINT) AS n_sub
+         |        FROM d$BpeRounds),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, count(*) AS n_words,
+         | CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         | CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         | ${OracleMath.stableRoundSql("CAST(sum(len(word)) AS DOUBLE) / sum(n_sub)", 4)} AS chars_per_token
+         |FROM t JOIN enc USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q152_curation_funnel" ->
       s"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
         |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n

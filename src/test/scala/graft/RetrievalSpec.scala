@@ -94,6 +94,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(r2 => (r2.getAs[String]("sym_a"), r2.getAs[String]("sym_b"))).distinct.length == out.length)
   }
 
+  test("q163 BPE encode: subword counts bounded by words below and chars above") {
+    import graft.ops.TextOps
+    val out = TextOps.bpeEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, s, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"), r.getAs[Long]("n_chars"))
+      assert(s >= w, "every word is at least one subword")
+      assert(s <= c, "every subword is at least one char")
+      assert(math.abs(r.getAs[Double]("chars_per_token") - c.toDouble / s) < 1e-3)
+    }
+    // 8 merges must have actually compressed: strictly fewer subwords than chars
+    assert(out.map(_.getAs[Long]("n_subwords")).sum < out.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
