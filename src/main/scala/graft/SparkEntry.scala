@@ -266,6 +266,10 @@ object SparkEntry {
     // -- BPE tokenizer training inner loop (pair-count → argmax → merge, K rounds)
     "q162_bpe_merges"          -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q163_bpe_encode"          -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // -- streaming exact distinct via mergeable bitmap state --------------------
+    "q164_stream_bitmap_distinct" -> ((s, d) => graft.streaming.EventsStream.bitmapDistinctStreaming(s, d)),
+    // -- shuffle-key skew measurement (sizes the q48/q146 salting) --------------
+    "q165_key_skew_profile"    -> ((s, d) => CoreOps.keySkewProfile(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -796,6 +800,22 @@ object SparkEntry {
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
+    "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
+    "q165_key_skew_profile" -> {
+      def side(key: String) =
+        s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  max(cnt) AS max_cnt,
+           |  ${graft.ops.OracleMath.stableRoundSql("quantile_cont(cnt, 0.5)", 4)} AS p50_cnt,
+           |  ${graft.ops.OracleMath.stableRoundSql("quantile_cont(cnt, 0.99)", 4)} AS p99_cnt
+           |FROM (SELECT $key AS k, count(*) AS cnt FROM lineitem GROUP BY 1)""".stripMargin
+      s"""SELECT key_name, n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+         | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(n_keys AS DOUBLE) / n_rows", 4)} AS skew_ratio,
+         | (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+         |FROM (${side("l_suppkey")}
+         |UNION ALL
+         |${side("l_orderkey")})
+         |ORDER BY key_name""".stripMargin
+    },
     // out-of-order ingestion must still converge to the batch sessionization
     "q72_streaming_late" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (

@@ -528,6 +528,32 @@ object CoreOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** Join/group-key skew profile — the MEASUREMENT that decides whether
+    * [[saltedAgg]]/[[saltedJoin]]'s salting (or AQE skew split) is needed and
+    * at what factor, before a 100 TB shuffle finds out the hard way. One
+    * map-side-combined count per key, then a tiny stats aggregate per
+    * profiled key: max/mean ratio (the straggler multiplier of an unsalted
+    * shuffle) and an integer recommended salt factor ⌈max·n_keys∕n_rows⌉
+    * (the replication needed to flatten the hottest key to the mean).
+    * Percentiles are exact here for oracle-ability; production would swap in
+    * the mergeable t-digest (q137) at no plan-shape change.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def profile(keyName: String): DataFrame =
+      li.groupBy(col(keyName).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          OracleMath.stableRound(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+          OracleMath.stableRound(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+        .select(lit(keyName).as("key_name"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          OracleMath.stableRound(
+            col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 4).as("skew_ratio"),
+          expr("(max_cnt * n_keys + n_rows - 1L) DIV n_rows").as("salt_factor"))
+    profile("l_suppkey").unionByName(profile("l_orderkey")).orderBy(col("key_name"))
+  }
+
   /** Skew-resilient two-phase aggregation: salt the group key, partially
     * aggregate on (key, salt), then re-aggregate on the key. Result is
     * identical to a plain groupBy (the oracle computes it that way) but a

@@ -198,4 +198,51 @@ object EventsStream {
     """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
       | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming EXACT distinct users per (day, event_type) with roaring-style
+    * bitmap state — the streaming face of q138's batch bitmap rollup. The
+    * streaming aggregation keys on (window, type, bitmap bucket) and its
+    * state value is the bucket's bitmap (`bitmap_construct_agg` is a
+    * mergeable declarative aggregate, so each microbatch ORs its positions
+    * into state — O(users/8) bytes per bucket, NOT a per-user state row like
+    * `dropDuplicates` would keep); the drained result is reduced to counts
+    * batch-side. At 100 TB the state size is what decides whether exact
+    * streaming distinct is feasible at all — bitmap state is the design that
+    * makes it so, and pairs with the RocksDB provider benched in
+    * StreamScaleSpec.
+    */
+  def bitmapDistinctStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_bmdist_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      val q = s.readStream
+        .schema(rawSchema)
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
+    }
+    drained
+      .groupBy(col("window.start").as("day"), col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Oracle: streaming bitmap distinct must EQUAL the exact batch distinct
+    * (bitmap OR is lossless — no sketch error term to allow for).
+    */
+  val bitmapDistinctOracle: String =
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

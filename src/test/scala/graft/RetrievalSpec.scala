@@ -108,6 +108,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_subwords")).sum < out.map(_.getAs[Long]("n_chars")).sum)
   }
 
+  test("q164 streaming bitmap distinct equals batch exact distinct") {
+    val streamed = graft.streaming.EventsStream.bitmapDistinctStreaming(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    assert(streamed == batch, "bitmap OR is lossless — streaming must EQUAL batch distinct")
+  }
+
+  test("q165 skew profile: totals reconcile, ratios and salt factor well-formed") {
+    val nRows = Tables.lineitem(spark, sf).count()
+    val out = graft.ops.CoreOps.keySkewProfile(spark, sf).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9, "max >= mean always")
+      assert(r.getAs[Long]("salt_factor") >= 1L)
+      assert(r.getAs[Double]("p50_cnt") <= r.getAs[Double]("p99_cnt"))
+      assert(r.getAs[Long]("max_cnt") >= r.getAs[Double]("p99_cnt").toLong)
+    }
+  }
+
   test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
