@@ -270,6 +270,8 @@ object SparkEntry {
     "q164_stream_bitmap_distinct" -> ((s, d) => graft.streaming.EventsStream.bitmapDistinctStreaming(s, d)),
     // -- shuffle-key skew measurement (sizes the q48/q146 salting) --------------
     "q165_key_skew_profile"    -> ((s, d) => CoreOps.keySkewProfile(s, d)),
+    // -- deterministic shard manifest (order-independent content checksum) ------
+    "q158_export_manifest"     -> ((s, d) => SamplingOps.exportManifest(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

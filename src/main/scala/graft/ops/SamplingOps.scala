@@ -99,6 +99,33 @@ object SamplingOps {
     * `partitionBy(shard)` + sortWithinPartitions of the same plan gives the
     * on-disk training shards directly.
     */
+  /** Per-shard export manifest — the integrity record a training job checks
+    * before consuming shards written under [[shardShuffle]]'s deterministic
+    * layout: document and token counts plus an ORDER-INDEPENDENT content
+    * checksum (the SUM of each document's 48-bit md5-prefix integer — the
+    * q140/q150 deterministic-randomness primitive). Sum is commutative, so
+    * the checksum is invariant to partitioning, task order, and retries,
+    * yet any dropped/duplicated/substituted document changes it; both
+    * engines compute it in exact integer arithmetic (≤ 2⁴⁸ per term, far
+    * below the 2⁶³ overflow line at any realistic shard size).
+    *
+    * Plan shape for 100 TB: ONE pass over the corpus, one 16-way (or
+    * 4096-way — widen the nibble) shuffle on the derived shard key; the
+    * manifest is what makes a resumable multi-job export verifiable without
+    * re-reading the data.
+    */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("chk"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("chk")).as("content_checksum"))
+      .orderBy(col("shard"))
+
   def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
@@ -218,6 +245,15 @@ object SamplingOps {
         |  FROM e)
         |SELECT event_type, rank, event_id, n_events
         |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "q158_export_manifest" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |            md5(CAST(doc_id AS VARCHAR)) AS h,
+        |            ('0x' || substr(md5(text), 1, 12))::BIGINT AS chk
+        |          FROM documents)
+        |SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(chk) AS BIGINT) AS content_checksum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q140_shard_shuffle" ->
       """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |s AS (SELECT doc_id, h,

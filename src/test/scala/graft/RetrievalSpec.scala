@@ -131,6 +131,23 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
+    import graft.ops.SamplingOps
+    val docs = Tables.documents(spark, sf)
+    val out = SamplingOps.exportManifest(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // the content checksum must be a pure function of the data — identical
+    // under a different partitioning (the retry/cluster-size invariance the
+    // manifest exists to provide)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    val out2 = SamplingOps.exportManifest(s2, sf).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("content_checksum"))).sortBy(_._1).toSeq
+    assert(key(out) == key(out2), "manifest must be partitioning-invariant")
+  }
+
   test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
