@@ -272,6 +272,8 @@ object SparkEntry {
     "q165_key_skew_profile"    -> ((s, d) => CoreOps.keySkewProfile(s, d)),
     // -- deterministic shard manifest (order-independent content checksum) ------
     "q158_export_manifest"     -> ((s, d) => SamplingOps.exportManifest(s, d)),
+    // -- daily value/volume drift monitor (pipeline observability) --------------
+    "q166_value_drift"         -> ((s, d) => EventOps.valueDrift(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -803,6 +805,7 @@ object SparkEntry {
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
+    "q166_value_drift" -> EventOps.valueDriftOracle,
     "q165_key_skew_profile" -> {
       def side(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,

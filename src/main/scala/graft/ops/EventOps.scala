@@ -524,6 +524,66 @@ object EventOps {
     * columns coalesce to -1 so the oracle compare never faces null-vs-NaN
     * dtype drift.
     */
+  /** Daily value-drift monitor — the data-quality observability primitive a
+    * continuously-ingesting pipeline runs on every landing day: each day's
+    * mean event value and volume compared against its trailing 7-day window
+    * (excluding the current day), with days drifting > 10% flagged. The
+    * pipeline-health counterpart of q165's shuffle-skew profile.
+    *
+    * Numeric design: the trailing window sums DECIMALs and integers ONLY
+    * (exact, order-free — Spark's scan-based and DuckDB's segment-tree
+    * window aggregation sum frames in different float orders, so a double
+    * window sum would drift between engines); every double division happens
+    * per-row AFTER the exact window sums, in one fixed expression shape.
+    * The global day-ordered window runs on the already-aggregated daily
+    * table (one row per day — thousands of rows at 100 TB, not billions).
+    */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("sum_v"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val dayMean = col("sum_v").cast("double") / col("n")
+    val trailMean = col("trail_sum").cast("double") / col("trail_n")
+    daily
+      .withColumn("trail_days", count(lit(1)).over(w))
+      .withColumn("trail_n", sum(col("n")).over(w))
+      .withColumn("trail_sum", sum(col("sum_v")).over(w))
+      .filter(col("trail_days") >= 3)
+      .select(col("day"), col("n"),
+        OracleMath.stableRound(dayMean, 6).as("day_mean"),
+        OracleMath.stableRound(trailMean, 6).as("trail_mean"),
+        OracleMath.stableRound(lit(100.0) * (dayMean - trailMean) / trailMean, 4).as("drift_pct"),
+        OracleMath.stableRound(col("n").cast("double") * col("trail_days") / col("trail_n"), 4)
+          .as("vol_ratio"))
+      .withColumn("flagged", abs(col("drift_pct")) > lit(10.0))
+      .orderBy(col("day"))
+  }
+
+  val valueDriftOracle: String = {
+    val dayMean = "CAST(sum_v AS DOUBLE) / n"
+    val trailMean = "CAST(trail_sum AS DOUBLE) / trail_n"
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n,
+       |                sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+       |               FROM events GROUP BY 1),
+       |t AS (SELECT day, n, sum_v,
+       |        count(*) OVER w AS trail_days,
+       |        sum(n) OVER w AS trail_n,
+       |        sum(sum_v) OVER w AS trail_sum
+       |      FROM daily
+       |      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT day, n, day_mean, trail_mean, drift_pct, vol_ratio,
+       |       abs(drift_pct) > 10.0 AS flagged
+       |FROM (SELECT day, n,
+       |        ${graft.ops.OracleMath.stableRoundSql(dayMean, 6)} AS day_mean,
+       |        ${graft.ops.OracleMath.stableRoundSql(trailMean, 6)} AS trail_mean,
+       |        ${graft.ops.OracleMath.stableRoundSql(s"100.0 * (($dayMean) - ($trailMean)) / ($trailMean)", 4)} AS drift_pct,
+       |        ${graft.ops.OracleMath.stableRoundSql("CAST(n AS DOUBLE) * trail_days / trail_n", 4)} AS vol_ratio
+       |      FROM t WHERE trail_days >= 3)
+       |ORDER BY day""".stripMargin
+  }
+
   /** Forward-fill (last-observation-carried-forward): every event carries the
     * value of the user's most recent *click* — `last(..., ignoreNulls)` over
     * a (user, time)-ordered window, the standard gap-repair primitive for

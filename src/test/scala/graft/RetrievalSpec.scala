@@ -148,6 +148,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(key(out) == key(out2), "manifest must be partitioning-invariant")
   }
 
+  test("q166 drift monitor: warm-up days excluded, flag consistent with drift") {
+    val nDays = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("d")).distinct().count()
+    val out = graft.ops.EventOps.valueDrift(spark, sf).collect()
+    // the first 3 days lack a >= 3-day trailing window and must be excluded
+    assert(out.length == nDays - 3)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("flagged") == (math.abs(r.getAs[Double]("drift_pct")) > 10.0))
+      assert(r.getAs[Double]("vol_ratio") > 0.0)
+    }
+  }
+
   test("q160 split: partitions the corpus, zero cluster straddle, naive straddle reproduced") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
