@@ -274,6 +274,14 @@ object SparkEntry {
     "q158_export_manifest"     -> ((s, d) => SamplingOps.exportManifest(s, d)),
     // -- daily value/volume drift monitor (pipeline observability) --------------
     "q166_value_drift"         -> ((s, d) => EventOps.valueDrift(s, d)),
+    // -- snapshot changelog derivation (full-dump CDC: insert/update/delete) ----
+    "q167_snapshot_changelog"  -> ((s, d) => CoreOps.snapshotChangelog(s, d)),
+    // -- length-proportional sample without replacement (exponential clocks) ----
+    "q168_weighted_sample"     -> ((s, d) => SamplingOps.weightedSample(s, d)),
+    // -- integer-exact PageRank over the q144 co-occurrence graph ---------------
+    "q169_pagerank"            -> ((s, d) => EventOps.pageRank(s, d)),
+    // -- streaming MinHash-LSH near-dup (bucket state across microbatches) ------
+    "q170_stream_lsh_neardup"  -> ((s, d) => graft.streaming.DocsStream.lshNearDupStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -806,6 +814,8 @@ object SparkEntry {
     "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
+    "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,
+    "q169_pagerank" -> EventOps.pageRankOracle,
     "q165_key_skew_profile" -> {
       def side(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,

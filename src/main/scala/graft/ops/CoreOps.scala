@@ -928,4 +928,83 @@ object CoreOps {
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("month"))
   }
+
+  /** Snapshot changelog derivation (CDC the other way around from q96): given
+    * two full snapshots of a keyed table, emit the insert/update/delete
+    * changelog that transforms old into new, with a per-row list of changed
+    * columns. q96 APPLIES a changelog (MERGE); this DERIVES one — the primitive
+    * behind incremental downstream refresh when the upstream only ever ships
+    * full dumps (the reference's daily full-CSV drops are exactly that shape:
+    * `dag/vacancy_pipline_gpt_rerty.py:102-125` re-reads whole files each run).
+    *
+    * Snapshots are derived deterministically from `orders` so the oracle can
+    * replay them: OLD = keys not ≡0 (mod 97) (so ≡0 keys appear as inserts);
+    * NEW drops keys ≡0 (mod 101) (deletes) and mutates keys ≡0 (mod 100)
+    * (status → 'X', price × 1.1 — same mutation family as q96).
+    *
+    * Scale shape: ONE full-outer sort-merge join co-partitioned on the key —
+    * both sides shuffle once on `o_orderkey`; the op classification and the
+    * column-diff mask are row-local expressions, and unchanged rows (the vast
+    * majority of a 100 TB snapshot pair) are filtered before anything else
+    * moves. With both snapshots bucketed on the key at write time the shuffle
+    * disappears entirely. The ×1.1 price mutation is one IEEE double multiply —
+    * bit-identical in both engines, so `<>` on the doubles is exact.
+    */
+  def snapshotChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val oldS = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newS = base.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") * lit(1.1))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val j = oldS.as("a").join(newS.as("b"),
+      col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+    val statusChanged = col("a.o_orderstatus") =!= col("b.o_orderstatus")
+    val priceChanged = col("a.o_totalprice") =!= col("b.o_totalprice")
+    j.filter(col("a.o_orderkey").isNull || col("b.o_orderkey").isNull
+        || statusChanged || priceChanged)
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, lit("insert"))
+          .when(col("b.o_orderkey").isNull, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        when(col("a.o_orderkey").isNull || col("b.o_orderkey").isNull, lit(""))
+          // concat_ws skips nulls in both engines: the mask lists exactly the
+          // changed columns in fixed declaration order
+          .otherwise(concat_ws(",",
+            when(statusChanged, lit("o_orderstatus")),
+            when(priceChanged, lit("o_totalprice")))).as("changed_cols"),
+        coalesce(col("a.o_orderstatus"), lit("")).as("old_status"),
+        coalesce(col("b.o_orderstatus"), lit("")).as("new_status"),
+        coalesce(col("a.o_totalprice"), lit(-1.0)).as("old_price"),
+        coalesce(col("b.o_totalprice"), lit(-1.0)).as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val snapshotChangelogOracle: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |a AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+      |b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      |      FROM base WHERE o_orderkey % 101 <> 0)
+      |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      | CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |      WHEN b.o_orderkey IS NULL THEN 'delete'
+      |      ELSE 'update' END AS op,
+      | CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+      |      ELSE concat_ws(',',
+      |        CASE WHEN a.o_orderstatus <> b.o_orderstatus THEN 'o_orderstatus' END,
+      |        CASE WHEN a.o_totalprice <> b.o_totalprice THEN 'o_totalprice' END) END AS changed_cols,
+      | coalesce(a.o_orderstatus, '') AS old_status,
+      | coalesce(b.o_orderstatus, '') AS new_status,
+      | coalesce(a.o_totalprice, -1.0) AS old_price,
+      | coalesce(b.o_totalprice, -1.0) AS new_price
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_orderstatus <> b.o_orderstatus OR a.o_totalprice <> b.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
 }

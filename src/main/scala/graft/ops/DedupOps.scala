@@ -113,10 +113,21 @@ object DedupOps {
     * started. When ≤64 distinct words exist, the limited collect IS the full
     * vocabulary, so no second scan is needed.
     */
-  private def smallVocab(docs: DataFrame): Option[Array[String]] = {
+  private[graft] def smallVocab(docs: DataFrame): Option[Array[String]] = {
     val probe = docs.select(explode(col("ws0")).as("word")).distinct()
       .limit(65).collect().map(_.getString(0))
     if (probe.length <= 64) Some(probe.sorted) else None
+  }
+
+  /** Word-set → 64-bit membership mask for a ≤64-word vocabulary (the dense
+    * path's one-long set representation; Jaccard = two popcounts).
+    */
+  private[graft] def maskExpr(vocab: Array[String], ws: Column): Column = {
+    val bitMap = map(vocab.zipWithIndex.toIndexedSeq.flatMap {
+      case (w, i) => Seq(lit(w), lit(1L << i))
+    }: _*)
+    aggregate(transform(ws, w => element_at(bitMap, w)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Adaptive pair join over a prepared `(doc_id, ws0)` frame: probe the
@@ -583,7 +594,35 @@ object DedupOps {
     * ([[graft.functions.MinhashSigs]] kernel) instead of k interpreted
     * array_min∘transform scans.
     */
-  private def bandKeys(hashes: Column): Column = {
+  /** Shared q39/q170 oracle: banded MinHash candidates + exact-Jaccard
+    * verification at the default threshold — the batch and streaming LSH
+    * operators are held to the SAME SQL twin.
+    */
+  private[graft] lazy val lshPairsOracleSql: String = {
+    val k = LshBands * LshRows
+    val mhDefs = (0 until k).map { i =>
+      s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % ${P})) AS mh$i"
+    }.mkString(",\n ")
+    val shareBand = (0 until LshBands).map { b =>
+      (0 until LshRows).map(r => s"a.mh${b * LshRows + r} = b.mh${b * LshRows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val jac = "CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE) / len(list_distinct(list_concat(ws_a, ws_b)))"
+    s"""WITH ds AS (
+       |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ws,
+       |         list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, ws, $mhDefs FROM ds),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS ws_a, b.ws AS ws_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($shareBand))
+       |SELECT doc_a, doc_b, ${OracleMath.stableRoundSql(jac, 4)} AS jaccard
+       |FROM cand
+       |WHERE $jac >= $NearDupThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private[graft] def bandKeys(hashes: Column): Column = {
     import graft.functions.VectorFunctions.minhashSigs
     val sig = minhashSigs(hashes, LshBands * LshRows)
     transform(sequence(lit(0), lit(LshBands - 1)),
@@ -608,12 +647,8 @@ object DedupOps {
     */
   private def lshNearDupMask(docsRaw: DataFrame, vocab: Array[String],
                              threshold: Double): DataFrame = {
-    val bitMap = map(vocab.zipWithIndex.toIndexedSeq.flatMap {
-      case (w, i) => Seq(lit(w), lit(1L << i))
-    }: _*)
     val groups = docsRaw.select(col("doc_id"),
-        aggregate(transform(col("ws0"), w => element_at(bitMap, w)),
-          lit(0L), (acc, b) => acc.bitwiseOR(b)).as("mask"))
+        maskExpr(vocab, col("ws0")).as("mask"))
       .groupBy(col("mask"))
       .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
 
@@ -1224,29 +1259,11 @@ object DedupOps {
          | ${OracleMath.stableRoundSql("CAST(sum(n_new_true) OVER (ORDER BY band) AS DOUBLE) / n_true_total", 6)} AS recall
          |FROM r, tot ORDER BY band""".stripMargin
     },
-    "q39_lsh_neardup" -> {
-      val k = LshBands * LshRows
-      val mhDefs = (0 until k).map { i =>
-        s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % ${P})) AS mh$i"
-      }.mkString(",\n ")
-      val shareBand = (0 until LshBands).map { b =>
-        (0 until LshRows).map(r => s"a.mh${b * LshRows + r} = b.mh${b * LshRows + r}")
-          .mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      val jac = "CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE) / len(list_distinct(list_concat(ws_a, ws_b)))"
-      s"""WITH ds AS (
-         |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ws,
-         |         list_transform(list_distinct(string_split(text,' ')), w -> ${wordHashSql("w")}) AS hs
-         |  FROM documents),
-         |sigs AS (SELECT doc_id, ws, $mhDefs FROM ds),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS ws_a, b.ws AS ws_b
-         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($shareBand))
-         |SELECT doc_a, doc_b, ${OracleMath.stableRoundSql(jac, 4)} AS jaccard
-         |FROM cand
-         |WHERE $jac >= 0.9
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q39_lsh_neardup" -> lshPairsOracleSql,
+    // the streaming banded sweep must converge to the SAME pair set as the
+    // batch q39 (banding is deterministic; bucket-state OR across
+    // microbatches is order-independent) — one oracle, two execution models
+    "q170_stream_lsh_neardup" -> lshPairsOracleSql,
     "q142_delta_neardup" ->
       s"""SELECT d.doc_id AS doc_delta, c.doc_id AS doc_corpus,
         | ${OracleMath.stableRoundSql("CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) / len(list_distinct(list_concat(d.ws, c.ws)))", 4)} AS jaccard

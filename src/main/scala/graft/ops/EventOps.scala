@@ -758,16 +758,7 @@ object EventOps {
     */
   def userCommunities(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val au = Tables.events(spark, dir)
-      .select(col("event_type"), date_trunc("minute", col("ts")).as("m"), col("user_id"))
-      .distinct()
-    val sizes = au.groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("asz"))
-    val capped = au.join(sizes.filter(col("asz").between(2, 8)), Seq("event_type", "m"))
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.event_type") === col("b.event_type") && col("a.m") === col("b.m")
-          && col("a.user_id") < col("b.user_id"))
-      .select(col("a.user_id").as("doc_a"), col("b.user_id").as("doc_b"))
-      .distinct()
+    val pairs = cooccurrencePairs(spark, dir)
     // persist: the label-prop loop re-reads the edge set twice per round —
     // without this the anchor-cap join + pair self-join re-execute each time
     val edges = pairs.select(explode(array(
@@ -793,6 +784,118 @@ object EventOps {
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("community_id"))))
       .orderBy(col("user_id"))
+  }
+
+  /** Distinct undirected co-occurrence pairs (user_a < user_b) under the
+    * 2..8 anchor-degree cap — the shared edge definition for q144's
+    * communities and q169's PageRank (one construction, two consumers, and
+    * ONE `edges` CTE in both oracles so the twins cannot drift).
+    */
+  private def cooccurrencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val au = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("m"), col("user_id"))
+      .distinct()
+    val sizes = au.groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("asz"))
+    val capped = au.join(sizes.filter(col("asz").between(2, 8)), Seq("event_type", "m"))
+    capped.as("a").join(capped.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.m") === col("b.m")
+          && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("doc_a"), col("b.user_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The `edges` oracle CTE chain matching [[cooccurrencePairs]] — shared
+    * verbatim by the q144 and q169 twins.
+    */
+  private[graft] val cooccurrenceEdgesCte: String =
+    """au AS (SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
+      |            FROM events),
+      |sz AS (SELECT event_type, m, count(*) AS asz FROM au GROUP BY 1, 2),
+      |capped AS (SELECT au.event_type, au.m, au.user_id
+      |           FROM au JOIN sz USING (event_type, m) WHERE asz BETWEEN 2 AND 8),
+      |pairs AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      |          FROM capped a JOIN capped b
+      |          ON a.event_type = b.event_type AND a.m = b.m AND a.user_id < b.user_id),
+      |edges AS (SELECT ua AS src, ub AS dst FROM pairs
+      |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
+
+  /** PageRank rank-mass scale: ranks are integers in units of 10⁻¹² of one
+    * initial unit of mass, so EVERY iteration step is exact integer
+    * arithmetic — `rank DIV deg` out-contributions, `(85·Σ) DIV 100`
+    * damping — and the fixpoint trajectory is bit-identical in any engine
+    * and any partitioning. (Float PageRank sums contributions in shuffle
+    * order; a cross-engine hash-match would be luck. Floor-division loses
+    * < deg·10⁻¹² per node per round — irrelevant to ranking, everything to
+    * determinism.)
+    */
+  private[graft] val PrScale = 1000000000000L
+  private[graft] val PrRounds = 5
+
+  /** PageRank over the capped user co-occurrence graph ([[cooccurrencePairs]]
+    * — q144's exact edge set): damping 0.85, [[PrRounds]] synchronous
+    * iterations from a uniform [[PrScale]] mass per node, dangling-free by
+    * construction (the symmetric edge set gives every graph node degree ≥ 1;
+    * users with no co-occurrence are simply not graph nodes). The authority
+    * score that turns q144's flat communities into a ranked influence order.
+    *
+    * Scale shape per round: one shuffle joining ranks to edges on `src`
+    * (ranks are one row per NODE — the narrow side; with edges
+    * pre-partitioned on src this is the co-partitioned standard), one
+    * aggregate shuffle on `dst`, and a `localCheckpoint` to truncate the
+    * growing lineage (the same measured pattern as the q101/q144 CC loops).
+    * Rounds are a fixed small constant: at 100 TB the edge table is the only
+    * big operand and it is scanned once per round — the canonical Pregel
+    * cost profile, expressed in plain DataFrame joins so AQE/codegen apply.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrencePairs(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val teleport = PrScale * 15L / 100L
+    var ranks = deg.select(col("src").as("node"), col("deg"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrRounds) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = deg.select(col("src").as("node"), col("deg"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    val total = ranks.agg(sum(col("rank")).as("total_rank"))
+    ranks.crossJoin(broadcast(total))
+      .select(col("node").as("user_id"), col("deg").cast("long").as("degree"),
+        col("rank").as("rank_scaled"),
+        OracleMath.stableRound(col("rank") * lit(100.0) / col("total_rank"), 6)
+          .as("share_pct"))
+      .orderBy(col("user_id"))
+  }
+
+  val pageRankOracle: String = {
+    val rounds = (1 to PrRounds).map { k =>
+      s"""r$k AS (SELECT d.src AS node, d.deg,
+         |  ${PrScale * 15L / 100L} + (85 * coalesce(s.in_sum, 0)) // 100 AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(r.rank // r.deg) AS in_sum
+         |    FROM r${k - 1} r JOIN edges e ON e.src = r.node GROUP BY 1) s
+         |  ON s.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cooccurrenceEdgesCte,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS node, deg, CAST($PrScale AS BIGINT) AS rank FROM deg),
+       |$rounds,
+       |tot AS (SELECT sum(rank) AS total_rank FROM r$PrRounds)
+       |SELECT node AS user_id, CAST(deg AS BIGINT) AS degree,
+       | CAST(rank AS BIGINT) AS rank_scaled,
+       | ${OracleMath.stableRoundSql("CAST(rank AS DOUBLE) * 100.0 / CAST(total_rank AS DOUBLE)", 6)} AS share_pct
+       |FROM r$PrRounds, tot ORDER BY user_id""".stripMargin
   }
 
   /** VariantType ingestion (Spark 4's semi-structured path): `parse_json`

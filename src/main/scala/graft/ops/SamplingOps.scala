@@ -214,7 +214,56 @@ object SamplingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis–Spirakis
+    * via exponential clocks): each doc draws a deterministic uniform
+    * u = (h + ½)/2⁴⁸ from its 48-bit md5 prefix and gets selection key
+    * ln(u)/w with w = n_chars; the k LARGEST keys are exactly a PPS sample
+    * without replacement (ln(u)/w is −Exp(w); taking the k largest keys =
+    * the k smallest exponential clocks = sequential weighted sampling).
+    * This is the token-budget-aware cousin of [[uniformGroupSample]]: docs
+    * are picked proportionally to their length, the right default when the
+    * unit of value is a TOKEN (an eval slice of k docs weighted by length
+    * covers k·E[len] tokens without biasing toward tiny docs).
+    *
+    * Scale shape: the key is row-local (no shuffle to score), and top-k by
+    * key plans as `TakeOrderedAndProject` — bounded per-partition heaps, no
+    * global sort; the only global structure is k rows on the driver. The
+    * rank window runs on the k selected rows, not the corpus. ln() is the
+    * one transcendental — both engines evaluate it on the SAME double
+    * (already relied on by q84's ln-based tf-idf oracle), and the output
+    * key is stable-rounded at 8 dp so a last-ulp libm divergence cannot
+    * flip the hash.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + lit(0.5)) / lit(TwoPow48)
+    val key = log(u) / col("n_chars")
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("sel_key").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_chars"),
+        OracleMath.stableRound(col("sel_key"), 8).as("sel_key_r"))
+      .orderBy(col("rank"))
+  }
+
+  /** 2⁴⁸ — the md5-prefix hash domain used for deterministic uniforms. */
+  private val TwoPow48 = 281474976710656.0
+
   def oracle: Map[String, String] = Map(
+    "q168_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, source, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+        |       / $TwoPow48) / n_chars AS sel_key
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rank,
+        | doc_id, source, n_chars,
+        | ${OracleMath.stableRoundSql("sel_key", 8)} AS sel_key_r
+        |FROM s ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin,
     "q150_budget_sample" ->
       """WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT count(*) AS total FROM documents),

@@ -39,7 +39,7 @@ object EventsStream {
     * treats each file as one arrival; `mtime` > 0 pins modification time so
     * arrival order is deterministic under `latestFirst=false`).
     */
-  private def writeOneFile(spark: SparkSession, df: DataFrame, base: String,
+  private[streaming] def writeOneFile(spark: SparkSession, df: DataFrame, base: String,
                            fileName: String, mtime: Long): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val conf = spark.sparkContext.hadoopConfiguration

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{CoreOps, EventOps, SamplingOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-6 additions: snapshot-changelog derivation (q167),
+  * length-weighted sampling (q168), integer-exact PageRank (q169), and the
+  * streaming LSH near-dup's batch equivalence (q170).
+  */
+class GraphCdcSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q167 changelog: ops partition correctly and reconstruct the new snapshot size") {
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey")).distinct()
+    val nAll = orders.count()
+    val nOld = orders.filter(col("o_orderkey") % 97 =!= 0).count()
+    val nNew = orders.filter(col("o_orderkey") % 101 =!= 0).count()
+
+    val rows = CoreOps.snapshotChangelog(spark, sf).collect()
+    val byOp = rows.groupBy(_.getAs[String]("op")).map { case (k, v) => k -> v.length }
+    // inserts = keys in NEW but not OLD; deletes = keys in OLD but not NEW
+    assert(byOp.getOrElse("insert", 0).toLong ==
+      orders.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 101 =!= 0).count())
+    assert(byOp.getOrElse("delete", 0).toLong ==
+      orders.filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0).count())
+    // applying the changelog reconciles the snapshot SIZES
+    assert(nOld + byOp.getOrElse("insert", 0) - byOp.getOrElse("delete", 0) == nNew)
+    assert(nAll >= nNew && nAll >= nOld)
+    // every update names at least one changed column; inserts/deletes none
+    rows.foreach { r =>
+      val mask = r.getAs[String]("changed_cols")
+      if (r.getAs[String]("op") == "update") assert(mask.nonEmpty)
+      else assert(mask.isEmpty)
+    }
+    // updates are exactly the mod-100 mutation (minus keys deleted/inserted)
+    rows.filter(_.getAs[String]("op") == "update").foreach { r =>
+      assert(r.getAs[Long]("o_orderkey") % 100 == 0)
+      assert(r.getAs[String]("new_status") == "X")
+      assert(r.getAs[Double]("new_price") > r.getAs[Double]("old_price"))
+    }
+  }
+
+  test("q168 weighted sample: k rows, dense ranks, length-biased, heap top-k plan") {
+    val df = SamplingOps.weightedSample(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 50L).toSeq)
+    // PPS-by-length must overrepresent long docs: the sample's mean length
+    // exceeds the corpus mean (a uniform sample would match it in
+    // expectation; length-weighting pulls it up by ~E[w²]/E[w]²)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // top-k by selection key must plan as per-partition heaps, not a sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q169 PageRank: mass conserved within floor loss, teleport floor, share sums to 100") {
+    // sf0.001 has no capped co-occurrence pairs — use the correctness SF
+    val dir = "/root/testdata/sf0.01"
+    val rows = EventOps.pageRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("rank_scaled")).sum
+    val ideal = n * EventOps.PrScale
+    // floor division loses < (deg_sum + n) * rounds units in total — tiny
+    assert(total <= ideal, "integer PageRank cannot create mass")
+    assert(total > (ideal * 999L) / 1000L, s"mass loss too large: $total vs $ideal")
+    rows.foreach { r =>
+      // every node keeps at least the teleport mass
+      assert(r.getAs[Long]("rank_scaled") >= EventOps.PrScale * 15L / 100L)
+      assert(r.getAs[Long]("degree") >= 1L)
+    }
+    val shareSum = rows.map(_.getAs[Double]("share_pct")).sum
+    assert(math.abs(shareSum - 100.0) < 1e-3)
+    // rank must correlate with degree at the extremes: the max-degree node
+    // outranks the min-degree node (sanity of the propagation direction)
+    val byDeg = rows.sortBy(_.getAs[Long]("degree"))
+    assert(byDeg.last.getAs[Long]("rank_scaled") > byDeg.head.getAs[Long]("rank_scaled"))
+  }
+
+  test("q170 streaming LSH equals batch q39 row-for-row") {
+    val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    val batch = graft.ops.DedupOps.lshNearDupPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(streaming == batch,
+      s"streaming/batch LSH diverged: ${(streaming diff batch).size} extra, " +
+        s"${(batch diff streaming).size} missing")
+    assert(streaming.nonEmpty)
+  }
+}
