@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-snapshot regression harness: pin the `.explain("formatted")` output
+  * of plan-sensitive headline queries as normalized text files, and fail the
+  * build when a plan silently changes shape — a broadcast degrading to a
+  * sort-merge join, a runtime filter disappearing, a WindowGroupLimit
+  * decorrelation regressing to a cartesian — BEFORE the regression costs
+  * bench seconds (the cross-round perf signal is noisy enough that a 2×
+  * plan regression on one query can hide in host variance for a round).
+  *
+  * Normalization strips run-varying tokens (expression ids, plan ids, file
+  * paths) so the snapshot is stable across sessions while preserving every
+  * structural fact: operator tree, join strategies, pushed filters, read
+  * schemas, partitioning.
+  *
+  * Workflow: `tools/run.sh graft.PlanDigestGen` regenerates the snapshot
+  * files under `src/test/resources/plans` after an INTENTIONAL plan change;
+  * the git diff of those files is the review artifact. `PlanDigestSpec`
+  * compares live plans against the pinned files.
+  */
+object PlanDigest {
+
+  /** Queries pinned by the harness — each exercises a distinct planner
+    * decision worth guarding: broadcast joins (q03), unpartitioned window
+    * (q04), custom as-of exec + pushdown rule (q61), runtime bloom filter
+    * (q89), HAVING join-back (q118), LATERAL→WindowGroupLimit (q126),
+    * null-aware anti join (q129), replicated-salt join (q146), postings
+    * pre-filter + TakeOrderedAndProject (q157).
+    */
+  val pinned: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_nation", "q04_market_share",
+    "q61_asof_join", "q89_runtime_filter", "q118_big_spenders",
+    "q126_lateral_topk", "q129_not_in_nullaware", "q146_salted_join",
+    "q157_bm25_topk")
+
+  val snapshotDir = "src/test/resources/plans"
+
+  /** Build the query and return its normalized formatted plan. */
+  def planFor(spark: SparkSession, name: String, sfDir: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")), sfDir)
+  }
+
+  /** Strip run-varying tokens, keep plan structure. */
+  def normalize(plan: String, sfDir: String): String =
+    plan
+      .replace(sfDir, "<sf>")
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("file:[^\\s\\],)\\]]*", "<path>")
+      .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <loc>")
+      .replaceAll("(?m)\\s+$", "")
+
+  /** The session shape the snapshots are pinned under — MUST match the test
+    * session (`TestSpark`): partition counts appear inside Exchange nodes.
+    */
+  def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plan-digest")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** Regenerator main: rewrites the pinned snapshots from the CURRENT plans.
+  * Run after an intentional plan change; review the git diff.
+  */
+object PlanDigestGen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = PlanDigest.session()
+    val dir = new java.io.File(PlanDigest.snapshotDir)
+    dir.mkdirs()
+    PlanDigest.pinned.foreach { name =>
+      val plan = PlanDigest.planFor(spark, name, sfDir)
+      val f = new java.io.File(dir, s"$name.txt")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(plan) finally w.close()
+      println(s"[plan-digest] wrote ${f.getPath} (${plan.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -583,7 +583,109 @@ object SimilarityOps {
     s"cand AS (\n  $unions)"
   }
 
+  /** k-means configuration — single source for the Scala defaults AND the
+    * q171 oracle twin. Centroid components are quantized to integer units of
+    * 10⁻⁷ after every update step, which is what makes Lloyd's ITERATION
+    * engine-identical: the mean's float sum is order-dependent (Spark's
+    * parallel partials vs DuckDB's sequential scan), but `Σ floor(x·10⁷)`
+    * is an exact integer in both, and the floor-divided mean re-enters the
+    * next round as the identical double. The +10⁹ offset keeps every
+    * operand positive so `DIV`/`//` (both truncating) agree with floor.
+    */
+  val KmK = 5
+  val KmRounds = 3
+  private[graft] val KmQ = 1.0e7
+  private[graft] val KmOff = 1000000000L
+
+  /** Lloyd's k-means over the embedding table — the ITERATIVE counterpart of
+    * q43's one-shot label centroids: K seed vectors (vec_id 0..K−1 — a
+    * deterministic stand-in for k-means++ at test scale), then
+    * [[KmRounds]] × (assign → quantized-mean update), then a final
+    * assignment emitting each vector's cluster and squared distance.
+    *
+    * Scale shape per round: the K×64 codebook broadcasts (a few KB at any
+    * corpus size); assignment is one narrow pass with the codegen'd
+    * [[graft.functions.SquaredDistance]] kernel + a K-row argmin window per
+    * vector; the update is one shuffle of (cluster, dim, q) triples —
+    * partial-aggregated map-side, so the shuffle moves K×64 rows per
+    * partition, not the corpus. `localCheckpoint` truncates the per-round
+    * lineage (the q101/q144/q169 loop pattern). Empty clusters keep their
+    * previous centroid (left join + coalesce) — deterministic, no reseeding
+    * randomness.
+    */
+  def kmeans(spark: SparkSession, dir: String, rounds: Int = KmRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents = v.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cent"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    def assign(c: DataFrame): DataFrame = v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        call_function("graft_dist2", col("embedding"), col("cent")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    for (_ <- 1 to rounds) {
+      val upd = assign(cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"),
+          (floor(col("x").cast("double") * lit(KmQ)).cast("long") + lit(KmOff)).as("qo"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("qo")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), (expr("sq DIV n") - lit(KmOff)).as("ci"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("ci")))).as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("ci").cast("double") / lit(KmQ))
+            .as("cent2"))
+      cents = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cent2"), col("cent")).as("cent"))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        OracleMath.stableRound(col("dist"), 6).as("dist_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Squared-L2 between a float-list column and a double-list column — the
+    * SQL twin of the `graft_dist2` kernel's left-to-right fold.
+    */
+  private def dist2Sql(e: String, c: String): String =
+    s"list_sum(list_transform(generate_series(1,64), i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])))"
+
   def oracle: Map[String, String] = Map(
+    "q171_kmeans" -> {
+      val off = KmOff
+      val q = s"${KmQ.toLong}.0"
+      def assignCte(k: Int, centCte: String) =
+        s"""d$k AS (SELECT v.vec_id, c.cid, ${dist2Sql("v.embedding", "c.cent")} AS dist
+           |        FROM v, $centCte c),
+           |s$k AS (SELECT vec_id, cid, dist FROM (
+           |          SELECT vec_id, cid, dist,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |          FROM d$k) WHERE rn = 1)""".stripMargin
+      val roundCtes = (1 to KmRounds).map { k =>
+        s"""${assignCte(k, s"c${k - 1}")},
+           |u$k AS (SELECT s.cid, i.i AS dim,
+           |          (sum(CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * $q) AS BIGINT) + $off)
+           |           // count(*)) - $off AS ci
+           |        FROM s$k s JOIN v e USING (vec_id)
+           |        CROSS JOIN generate_series(1, 64) AS i(i)
+           |        GROUP BY 1, 2),
+           |c$k AS (SELECT p.cid, coalesce(u.cent, p.cent) AS cent
+           |        FROM c${k - 1} p LEFT JOIN (
+           |          SELECT cid, list(CAST(ci AS DOUBLE) / $q ORDER BY dim) AS cent
+           |          FROM u$k GROUP BY cid) u USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |       FROM v WHERE vec_id < $KmK),
+         |$roundCtes,
+         |${assignCte(KmRounds + 1, s"c$KmRounds")}
+         |SELECT vec_id, cid AS cluster, ${OracleMath.stableRoundSql("dist", 6)} AS dist_r
+         |FROM s${KmRounds + 1} ORDER BY vec_id""".stripMargin
+    },
     "q45_ann_buckets" -> {
       val bucket = (0 until 8).map(i => sigBitSql(i, 1L << i)).mkString(" + ")
       s"""SELECT CAST($bucket AS BIGINT) AS bucket, count(*) AS n_vectors

@@ -82,6 +82,24 @@ class GraphCdcSpec extends AnyFunSuite {
     assert(byDeg.last.getAs[Long]("rank_scaled") > byDeg.head.getAs[Long]("rank_scaled"))
   }
 
+  test("q171 k-means: total assignment, valid clusters, inertia improves with rounds") {
+    import graft.ops.SimilarityOps
+    val nVecs = Tables.embeddings(spark, sf).count()
+    def inertia(rounds: Int): Double = {
+      val rows = SimilarityOps.kmeans(spark, sf, rounds).collect()
+      assert(rows.length.toLong == nVecs, "every vector must be assigned")
+      assert(rows.forall { r =>
+        val c = r.getAs[Long]("cluster"); c >= 0 && c < SimilarityOps.KmK
+      })
+      rows.map(_.getAs[Double]("dist_r")).sum
+    }
+    val i1 = inertia(1)
+    val i3 = inertia(SimilarityOps.KmRounds)
+    // Lloyd descends; quantization perturbs at 1e-7 per component, far below
+    // the inertia scale — three rounds must not be worse than one
+    assert(i3 <= i1 + 1e-6, s"inertia regressed: 1 round $i1 -> ${SimilarityOps.KmRounds} rounds $i3")
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
