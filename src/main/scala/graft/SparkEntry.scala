@@ -282,6 +282,14 @@ object SparkEntry {
     "q169_pagerank"            -> ((s, d) => EventOps.pageRank(s, d)),
     // -- streaming MinHash-LSH near-dup (bucket state across microbatches) ------
     "q170_stream_lsh_neardup"  -> ((s, d) => graft.streaming.DocsStream.lshNearDupStreaming(s, d)),
+    // -- quantized Lloyd k-means (engine-identical iterative clustering) --------
+    "q171_kmeans"              -> ((s, d) => SimilarityOps.kmeans(s, d)),
+    // -- a-priori pruned frequent word-pair mining ------------------------------
+    "q172_frequent_pairs"      -> ((s, d) => TextOps.frequentPairs(s, d)),
+    // -- count-min sketch point queries, exact-audited --------------------------
+    "q173_cms_counts"          -> ((s, d) => EventOps.cmsCounts(s, d)),
+    // -- first-order Markov transition model of user behavior -------------------
+    "q174_markov_transitions"  -> ((s, d) => EventOps.markovTransitions(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -816,6 +824,8 @@ object SparkEntry {
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
+    "q173_cms_counts" -> EventOps.cmsCountsOracle,
+    "q174_markov_transitions" -> EventOps.markovTransitionsOracle,
     "q165_key_skew_profile" -> {
       def side(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,

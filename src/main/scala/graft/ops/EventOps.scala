@@ -878,6 +878,107 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Count-min sketch geometry — depth×width counters; the hash family is
+    * the MinHash pairwise family ((2i+3)·x + (7i+1) mod P) mod W, single
+    * source for Scala and the twin.
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64
+  private[graft] val CmsP = 1000003L
+
+  /** Count-min sketch per-user event counts, audited against the exact
+    * count — the point-query sibling of the q147 Misra-Gries heavy-hitter
+    * sketch: MG answers "who is heavy", CMS answers "how often is X" in
+    * depth×width integers REGARDLESS of key cardinality. Counters are a
+    * plain (row, bucket) SUM aggregate, so partials merge by addition
+    * (map-side combined, associative across partitions/days — the same
+    * mergeability contract as q123/q124/q138); estimates come from joining
+    * each key's depth buckets against the broadcast sketch and taking the
+    * row-wise min.
+    *
+    * Unlike probabilistic-looking sketches, the whole thing is
+    * DETERMINISTIC given the fixed hash family: the estimate — and thus
+    * the per-key overcount — is hash-matchable exactly, and the CMS
+    * guarantee est ≥ exact is a hard invariant the twin re-derives. At
+    * 100 TB the sketch is 4×64 longs while the exact side (run here as the
+    * audit) is a full key-cardinality shuffle.
+    */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def bucket(r: Column, x: Column): Column =
+      (((lit(2L) * r + 3L) * x + (lit(7L) * r + 1L)) % CmsP) % CmsWidth
+    val rows = sequence(lit(0L), lit(CmsDepth - 1L))
+    val cells = ev
+      .select(explode(transform(rows, r => struct(r.as("r"),
+        bucket(r, col("user_id")).as("b")))).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    users
+      .select(col("user_id"), col("n_exact"),
+        explode(transform(rows, r => struct(r.as("r"),
+          bucket(r, col("user_id")).as("b")))).as("c"))
+      .join(broadcast(cells),
+        col("c.r") === cells("r") && col("c.b") === cells("b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("user_id"))
+  }
+
+  val cmsCountsOracle: String = {
+    val b = s"(((2*r + 3) * user_id + (7*r + 1)) % $CmsP) % $CmsWidth"
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |rws AS (SELECT unnest(range($CmsDepth)) AS r),
+       |cells AS (SELECT r, $b AS bkt, count(*) AS cnt
+       |          FROM ev, rws GROUP BY 1, 2),
+       |users AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1)
+       |SELECT u.user_id, u.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_est,
+       |       CAST(min(c.cnt) - u.n_exact AS BIGINT) AS overcount
+       |FROM users u CROSS JOIN rws r
+       |JOIN cells c ON c.r = r.r
+       |  AND c.bkt = (((2*r.r + 3) * u.user_id + (7*r.r + 1)) % $CmsP) % $CmsWidth
+       |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+  }
+
+  /** First-order Markov transition model of user behavior: P(next event
+    * type | current event type), from per-user time-ordered event streams.
+    * The lag runs under one shuffle on user_id with a unique (ts, event_id)
+    * order (RANGE-peer ambiguity impossible); transition counts and row
+    * totals are integers, the probability divides them per-row at the end
+    * (the q166 exact-types-then-divide discipline). The "what do users do
+    * next" primitive behind session simulators and next-event features.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("n_from", sum(col("n")).over(totals))
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        OracleMath.stableRound(col("n").cast("double") / col("n_from"), 6).as("p_r"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val markovTransitionsOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+       |      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev_type, next_type, n,
+       |       CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       |       ${OracleMath.stableRoundSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)", 6)} AS p_r
+       |FROM t ORDER BY prev_type, next_type""".stripMargin
+
   val pageRankOracle: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""r$k AS (SELECT d.src AS node, d.deg,

@@ -801,7 +801,70 @@ object TextOps {
     dictCte + ",\n" + (1 to BpeRounds).map(roundCtes).mkString(",\n")
   }
 
+  /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
+    * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
+    * (`df · 20 ≥ n_docs`), single-sourced with the oracle.
+    */
+  val PairSupportDenom = 20L
+
+  /** Frequent co-occurring word-pair mining with a-priori support pruning —
+    * the association-rule primitive (market-basket over documents: which
+    * vocabulary co-occurs more than chance?). The a-priori monotonicity
+    * (a frequent pair needs both members frequent) is applied BEFORE pair
+    * expansion: the (doc, word) stream semi-joins the frequent-word table
+    * first, so the quadratic within-doc self-join runs over frequent
+    * members only — at 100 TB this gate is the difference between
+    * |doc|² pair generation over a web vocabulary and over the (tiny)
+    * frequent slice, which is exactly why A-priori exists. Output adds
+    * lift = support·N / (df_a·df_b) — an integer-ratio double, rounded
+    * stably.
+    *
+    * Plan shape: one df aggregate (map-side combined), a broadcast
+    * semi-join gate, one doc_id-shuffled self-join whose expansion is
+    * support-bounded, one pair aggregate. Set semantics per doc
+    * (distinct words), as in q36.
+    */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    val tot = d.agg(count(lit(1)).as("n_docs"))
+    val fw = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val keep = fw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * PairSupportDenom >= col("n_docs"))
+    val fk = fw.join(broadcast(keep.select(col("w"))), Seq("w"), "left_semi")
+    val pairs = fk.as("a").join(fk.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .crossJoin(broadcast(tot))
+      .filter(col("support") * PairSupportDenom >= col("n_docs"))
+      .join(broadcast(keep.select(col("w").as("w_a"), col("df").as("df_a"))), "w_a")
+      .join(broadcast(keep.select(col("w").as("w_b"), col("df").as("df_b"))), "w_b")
+      .select(col("w_a"), col("w_b"), col("support"), col("df_a"), col("df_b"),
+        OracleMath.stableRound(
+          col("support").cast("double") * col("n_docs") / (col("df_a") * col("df_b")), 6)
+          .as("lift_r"))
+      .orderBy(desc("support"), col("w_a"), col("w_b"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q172_frequent_pairs" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |tot AS (SELECT count(*) AS n_docs FROM d),
+        |fw AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |keep AS (SELECT w, count(*) AS df FROM fw GROUP BY 1
+        |         HAVING count(*) * $PairSupportDenom >= (SELECT n_docs FROM tot)),
+        |fk AS (SELECT fw.doc_id, fw.w FROM fw JOIN keep USING (w)),
+        |p AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS support
+        |      FROM fk a JOIN fk b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY 1, 2)
+        |SELECT w_a, w_b, support, ka.df AS df_a, kb.df AS df_b,
+        | ${OracleMath.stableRoundSql("CAST(support AS DOUBLE) * n_docs / (ka.df * kb.df)", 6)} AS lift_r
+        |FROM p JOIN keep ka ON ka.w = p.w_a JOIN keep kb ON kb.w = p.w_b, tot
+        |WHERE support * $PairSupportDenom >= n_docs
+        |ORDER BY support DESC, w_a, w_b""".stripMargin,
     "q162_bpe_merges" ->
       s"""WITH $bpeTrainCtes
          |SELECT CAST(round AS BIGINT) AS round, sym_a, sym_b, merged, freq FROM (

@@ -100,6 +100,45 @@ class GraphCdcSpec extends AnyFunSuite {
     assert(i3 <= i1 + 1e-6, s"inertia regressed: 1 round $i1 -> ${SimilarityOps.KmRounds} rounds $i3")
   }
 
+  test("q172 frequent pairs: a-priori monotonicity and lift consistency") {
+    import graft.ops.TextOps
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = TextOps.frequentPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, dfA, dfB) = (r.getAs[Long]("support"), r.getAs[Long]("df_a"), r.getAs[Long]("df_b"))
+      // pair support can't exceed either member's df (monotonicity), and
+      // every emitted pair and both members clear the support gate
+      assert(s <= math.min(dfA, dfB))
+      assert(s * TextOps.PairSupportDenom >= nDocs)
+      assert(dfA * TextOps.PairSupportDenom >= nDocs && dfB * TextOps.PairSupportDenom >= nDocs)
+      // lift = s·N/(dfA·dfB) ≤ N/max(dfA,dfB) · 1 … basic positivity
+      assert(r.getAs[Double]("lift_r") > 0.0)
+    }
+  }
+
+  test("q173 CMS: estimate dominates exact count on every key (hard CMS invariant)") {
+    val rows = graft.ops.EventOps.cmsCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_exact")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, s"CMS undercounted ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("n_est") == r.getAs[Long]("n_exact") + r.getAs[Long]("overcount"))
+      // a counter can never exceed the stream length
+      assert(r.getAs[Long]("n_est") <= total)
+    }
+  }
+
+  test("q174 Markov: per-state transition probabilities sum to 1") {
+    val rows = graft.ops.EventOps.markovTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, ts) =>
+      assert(math.abs(ts.map(_.getAs[Double]("p_r")).sum - 1.0) < 1e-4)
+      // n_from is the shared row total
+      assert(ts.map(_.getAs[Long]("n")).sum == ts.head.getAs[Long]("n_from"))
+    }
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
