@@ -290,6 +290,12 @@ object SparkEntry {
     "q173_cms_counts"          -> ((s, d) => EventOps.cmsCounts(s, d)),
     // -- first-order Markov transition model of user behavior -------------------
     "q174_markov_transitions"  -> ((s, d) => EventOps.markovTransitions(s, d)),
+    // -- incremental JOINED-view maintenance (merged == direct proof) -----------
+    "q175_incremental_view"    -> ((s, d) => EventOps.incrementalViewMerge(s, d)),
+    // -- trailing 7-day RANGE window frame on the daily pre-aggregate -----------
+    "q176_range_window"        -> ((s, d) => EventOps.rangeWindowSpend(s, d)),
+    // -- bucketed co-located fact join: zero join-side shuffles -----------------
+    "q177_bucketed_join"       -> ((s, d) => CoreOps.bucketedJoin(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -826,6 +832,9 @@ object SparkEntry {
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,
+    "q175_incremental_view" -> EventOps.incrementalViewMergeOracle,
+    "q176_range_window" -> EventOps.rangeWindowSpendOracle,
+    "q177_bucketed_join" -> CoreOps.bucketedJoinOracle,
     "q165_key_skew_profile" -> {
       def side(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,

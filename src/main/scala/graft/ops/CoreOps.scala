@@ -929,6 +929,53 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** Co-located (bucketed) fact⋈fact join — the zero-shuffle answer to the
+    * biggest cost in any 100 TB star join: both sides are written ONCE as
+    * bucketed tables (8 buckets on the join key, sorted within buckets), and
+    * every subsequent join on that key needs NO Exchange on either side —
+    * Spark's bucketed scan hands the sort-merge join pre-partitioned,
+    * pre-sorted inputs. At warehouse scale this turns the nightly
+    * lineitem⋈orders from two full-table shuffles into a file-local merge;
+    * the write-side cost is paid once and amortized over every downstream
+    * join on the same key (the same trade the streaming stagers make).
+    *
+    * The join runs on a cloned session with auto-broadcast disabled so the
+    * plan is the genuine big-big sort-merge shape at every SF (at test SFs
+    * the optimizer would otherwise broadcast the small side and hide the
+    * bucketing evidence). PlanSpec-style assertion lives in GraphCdcSpec:
+    * exactly one hash Exchange in the whole plan (the final aggregate) —
+    * the join itself moves nothing.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = math.abs(dir.hashCode).toString
+    val tO = s"graft_orders_bkt_$sfx"
+    val tL = s"graft_lineitem_bkt_$sfx"
+    val s = spark.newSession() // shares the persistent catalog + context
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def ensure(name: String, df: => DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        df.repartition(8, col(key)) // one file per bucket: scan stays sorted
+          .write.format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", sys.props("java.io.tmpdir") + s"/graft_bkt_${sfx}_$name")
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+    ensure(tO, Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+    ensure(tL, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey")
+    s.table(tL).join(s.table(tO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot changelog derivation (CDC the other way around from q96): given
     * two full snapshots of a keyed table, emit the insert/update/delete
     * changelog that transforms old into new, with a per-row list of changed

@@ -979,6 +979,89 @@ object EventOps {
        |       ${OracleMath.stableRoundSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)", 6)} AS p_r
        |FROM t ORDER BY prev_type, next_type""".stripMargin
 
+  /** Incremental maintenance of a JOINED aggregate view — the warehouse
+    * pattern q123 (pure agg merge) doesn't cover: the view joins facts to a
+    * dimension before aggregating, and on each landing day only the DELTA
+    * is joined (broadcast against the dim) and merged into yesterday's
+    * partials; history is never re-joined or re-scanned. Emitted next to
+    * the from-scratch recomputation: `n_merged`/`sum_merged` must EQUAL
+    * `n_direct`/`sum_direct` on every row (the q138 merged-vs-direct
+    * shape), which is precisely the correctness contract incremental view
+    * maintenance has to prove. Sums ride DECIMAL partials (order-free);
+    * the split point (latest landed day) is an aggregate, not a collect.
+    */
+  def incrementalViewMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val maxDay = ev.agg(max(col("day")).as("max_day"))
+    val tagged = ev.crossJoin(broadcast(maxDay))
+    def viewAgg(df: DataFrame): DataFrame = df
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val oldAgg = viewAgg(tagged.filter(col("day") < col("max_day")))
+    val deltaAgg = viewAgg(tagged.filter(col("day") === col("max_day")))
+    val merged = oldAgg.unionByName(deltaAgg)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_merged"), sum(col("s")).as("sum_merged"))
+    val direct = viewAgg(tagged)
+      .select(col("c_mktsegment"), col("n").as("n_direct"), col("s").as("sum_direct"))
+    merged.join(direct, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_merged"), col("n_direct"),
+        col("sum_merged").cast("double").as("sum_merged"),
+        col("sum_direct").cast("double").as("sum_direct"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val incrementalViewMergeOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_merged, count(*) AS n_direct,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_merged,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_direct
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Trailing 7-DAY spend per user via a RANGE (value-based) window frame —
+    * semantically different from the ROWS frames used elsewhere (q63/q86/
+    * q166): the frame is defined by the ORDER-BY VALUE distance (day number
+    * within 6 of the current row's), so inactivity gaps genuinely shrink
+    * the window instead of reaching back 6 physical rows. The window runs
+    * on the user's DAILY pre-aggregate (one shuffle to daily grain, then
+    * the frame scans ≤ 7 tiny rows per day) — at 100 TB the pre-agg is
+    * what keeps a per-event range frame from re-scanning raw history.
+    * Frame sums are COUNT/DECIMAL only (the q166 exact-types discipline).
+    */
+  def rangeWindowSpend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("day_num", datediff(col("day").cast("date"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("rev_7d", sum(col("rev")).over(w).cast("double"))
+      .select(col("user_id"), col("day"), col("n"), col("n_7d"), col("rev_7d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val rangeWindowSpendOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS rev,
+      |         date_diff('day', DATE '1995-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT user_id, day, n,
+      | CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+      | CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   val pageRankOracle: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""r$k AS (SELECT d.src AS node, d.deg,

@@ -139,6 +139,61 @@ class GraphCdcSpec extends AnyFunSuite {
     }
   }
 
+  test("q175 incremental view merge equals direct recomputation on every row") {
+    val rows = graft.ops.EventOps.incrementalViewMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_merged") == r.getAs[Long]("n_direct"))
+      assert(r.getAs[Double]("sum_merged") == r.getAs[Double]("sum_direct"))
+    }
+  }
+
+  test("q176 RANGE frame is gap-aware (never wider than the 7-row ROWS frame)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.EventOps.rangeWindowSpend(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // re-derive the ROWS-frame counterpart: for users with day gaps the
+    // RANGE frame must be strictly smaller somewhere
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wRows = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+    val rowsFrame = daily.withColumn("n_7r", sum(col("n")).over(wRows))
+      .select(col("user_id"), col("day"), col("n_7r")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day")) -> r.getAs[Long]("n_7r"))
+      .toMap
+    var strictlySmaller = 0
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day"))
+      val n7d = r.getAs[Long]("n_7d")
+      assert(n7d <= rowsFrame(key), "RANGE frame can never exceed the ROWS frame")
+      if (n7d < rowsFrame(key)) strictlySmaller += 1
+    }
+    assert(strictlySmaller > 0, "no day gaps found — RANGE vs ROWS indistinguishable on this data")
+  }
+
+  test("q177 bucketed join plans with zero join-side exchanges") {
+    val df = graft.ops.CoreOps.bucketedJoin(spark, sf)
+    val nHashEx = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    // only the final aggregate repartitions; the SMJ reads bucketed scans
+    assert(nHashEx == 1, s"expected 1 hash exchange (agg only), got $nHashEx")
+    // the same join from raw parquet (broadcast disabled) shuffles BOTH sides
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(s2, sf).select(col("l_orderkey"), col("l_extendedprice"))
+      .join(Tables.orders(s2, sf).select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_items"))
+    val nRaw = "Exchange hashpartitioning".r
+      .findAllIn(raw.queryExecution.executedPlan.toString).length
+    assert(nRaw == 3, s"raw twin should shuffle both join sides + agg, got $nRaw")
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
