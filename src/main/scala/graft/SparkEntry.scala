@@ -296,6 +296,8 @@ object SparkEntry {
     "q176_range_window"        -> ((s, d) => EventOps.rangeWindowSpend(s, d)),
     // -- bucketed co-located fact join: zero join-side shuffles -----------------
     "q177_bucketed_join"       -> ((s, d) => CoreOps.bucketedJoin(s, d)),
+    // -- stream-stream LEFT OUTER join (watermark-gated null emission) ----------
+    "q178_stream_outer_join"   -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionOuterStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -835,6 +837,30 @@ object SparkEntry {
     "q175_incremental_view" -> EventOps.incrementalViewMergeOracle,
     "q176_range_window" -> EventOps.rangeWindowSpendOracle,
     "q177_bucketed_join" -> CoreOps.bucketedJoinOracle,
+    // unmatched-left emission is gated by the FINAL global watermark
+    // (min of both sides' max event time, ms-truncated as Spark tracks
+    // watermarks in milliseconds, minus the 1 h delay) — the q131
+    // append-cutoff discipline applied to outer-join state; matched pairs
+    // emit on match and need no cutoff (empirically pinned at sf0.001 and
+    // sf0.01: the emitted/missing boundary sits exactly at this watermark)
+    "q178_stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |          FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT date_trunc('milliseconds',
+        |         least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c)))
+        |         - INTERVAL 1 HOUR AS cutoff),
+        |j AS (SELECT p.purchase_id, p.user_id, c.click_id, p.p_ts,
+        |        date_diff('second', c.c_ts, p.p_ts) AS lag_seconds
+        |      FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |        AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 5 MINUTES)
+        |SELECT purchase_id, user_id,
+        | coalesce(click_id, -1) AS click_id,
+        | coalesce(lag_seconds, -1) AS lag_seconds
+        |FROM j, wm
+        |WHERE click_id IS NOT NULL OR p_ts < cutoff
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q165_key_skew_profile" -> {
       def side(key: String) =
         s"""SELECT '$key' AS key_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,

@@ -151,6 +151,53 @@ object StreamJoinOps {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the capability
+    * q87's inner join doesn't prove: a purchase with NO click in its 5-minute
+    * lookback must still emit (click columns null), and an append-only sink
+    * can only receive that row once the CLICK watermark guarantees no
+    * matching click can still arrive (c_ts ≤ p_ts ⇒ finalizable when the
+    * click watermark passes p_ts). Matched pairs emit in their matching
+    * batch, exactly as the inner join; the trailing no-data batch advances
+    * the final watermark to (max event time − 1 h), so unmatched purchases
+    * AT OR ABOVE that boundary are still open state at termination and are
+    * not emitted — the oracle applies exactly that cutoff to its unmatched
+    * side (the q131 append-mode discipline, applied to join state).
+    * Null click columns coalesce to −1 (null-vs-NaN dtype drift).
+    */
+  def clickAttributionOuterStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+    val drained = withStatePartitions(spark, 2) { s =>
+      val purchases = eventsStream(s, srcDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(s, srcDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"),
+        "left_outer")
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(s, name)
+    }
+    drained
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000"),
+          lit(-1L)).as("lag_seconds"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment join: the streaming side joins a STATIC
     * dimension (customer) broadcast to every microbatch — stateless (no
     * watermark, no join state; the dimension is re-resolved per batch, which

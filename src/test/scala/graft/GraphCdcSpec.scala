@@ -194,6 +194,31 @@ class GraphCdcSpec extends AnyFunSuite {
     assert(nRaw == 3, s"raw twin should shuffle both join sides + agg, got $nRaw")
   }
 
+  test("q178 outer stream join: matched part equals inner join, nulls only below watermark") {
+    import org.apache.spark.sql.functions._
+    val outer = graft.streaming.StreamJoinOps.clickAttributionOuterStreaming(spark, sf).collect()
+    val inner = graft.streaming.StreamJoinOps.clickAttributionStreaming(spark, sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    val matched = outer.filter(_.getAs[Long]("click_id") != -1L)
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(matched == inner, "outer join's matched subset must equal the inner join")
+    val unmatched = outer.filter(_.getAs[Long]("click_id") == -1L)
+    assert(unmatched.nonEmpty, "no null-extended rows — outer semantics untested")
+    // every unmatched purchase is strictly below the final global watermark
+    val ev = Tables.events(spark, sf)
+    val maxP = ev.filter(col("event_type") === "purchase").agg(max(col("ts"))).head.getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click").agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffMs = (math.min(maxP.getTime, maxC.getTime)) - 3600L * 1000
+    val pTs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    unmatched.foreach { r =>
+      val ts = pTs(r.getAs[Long]("purchase_id"))
+      assert(ts.getTime < cutoffMs + 1000,
+        s"unmatched purchase at $ts emitted above the watermark cutoff")
+    }
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
