@@ -298,6 +298,12 @@ object SparkEntry {
     "q177_bucketed_join"       -> ((s, d) => CoreOps.bucketedJoin(s, d)),
     // -- stream-stream LEFT OUTER join (watermark-gated null emission) ----------
     "q178_stream_outer_join"   -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionOuterStreaming(s, d)),
+    // -- linear multi-touch attribution (credit split over the lookback) --------
+    "q179_multitouch"          -> ((s, d) => EventOps.multiTouchAttribution(s, d)),
+    // -- mergeSchema read over drifting file vintages ---------------------------
+    "q180_schema_evolution"    -> ((s, d) => EventOps.schemaEvolution(s, d)),
+    // -- streaming Misra-Gries heavy hitters (k counters as streaming state) ----
+    "q181_stream_heavy_hitters" -> ((s, d) => graft.streaming.DocsStream.mgHeavyHittersStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -834,6 +840,9 @@ object SparkEntry {
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,
+    "q179_multitouch" -> EventOps.multiTouchAttributionOracle,
+    "q181_stream_heavy_hitters" -> graft.streaming.DocsStream.mgHeavyHittersOracle,
+    "q180_schema_evolution" -> EventOps.schemaEvolutionOracle,
     "q175_incremental_view" -> EventOps.incrementalViewMergeOracle,
     "q176_range_window" -> EventOps.rangeWindowSpendOracle,
     "q177_bucketed_join" -> CoreOps.bucketedJoinOracle,

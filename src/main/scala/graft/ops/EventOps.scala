@@ -1062,6 +1062,92 @@ object EventOps {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
 
+  /** Linear multi-touch attribution — the credit-splitting counterpart of
+    * q61's last-touch as-of join: EVERY click in the purchase's 5-minute
+    * lookback (the q87 interval-join shape) receives an equal 1/n share of
+    * the purchase value. The per-purchase touch count is a window over the
+    * already-joined pairs (each purchase's group is its own touches — tiny),
+    * and the credit division happens per-row AFTER exact integer counting.
+    * Single-touch purchases get weight 1.0 exactly; the weight and credit
+    * are engine-identical doubles (1/n and value/n, one IEEE divide each).
+    */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_ts") <= col("p_ts")
+        && col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"))
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("click_id"), col("n_touch"),
+        OracleMath.stableRound(lit(1.0) / col("n_touch"), 6).as("weight_r"),
+        OracleMath.stableRound(col("value") / col("n_touch"), 6).as("credit_r"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val multiTouchAttributionOracle: String =
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+       |          FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+       |      FROM events WHERE event_type = 'click'),
+       |j AS (SELECT p.purchase_id, c.click_id, p.value,
+       |        count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+       |      FROM p JOIN c ON p.user_id = c.c_user
+       |        AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 5 MINUTES)
+       |SELECT purchase_id, click_id, n_touch,
+       | ${OracleMath.stableRoundSql("1.0 / n_touch", 6)} AS weight_r,
+       | ${OracleMath.stableRoundSql("value / n_touch", 6)} AS credit_r
+       |FROM j ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Schema-evolution ingestion: a landing zone whose LATER files carry a
+    * column the earlier vintage lacks (`channel`, added mid-stream — the
+    * drift every long-lived pipeline hits). `mergeSchema` unifies the
+    * per-file schemas at read time; legacy rows surface the new column as
+    * null and are bucketed under 'legacy'. At 100 TB the point is that the
+    * old petabytes are NOT rewritten: the merged schema is a read-time
+    * union (footer-only work per file), and writers simply start emitting
+    * the new column. Staged once per sf dir ([[graft.ops.Staging.ensure]]);
+    * the oracle replays the vintage split from the source table.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") + s"/graft_schema_evo_${math.abs(dir.hashCode)}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"),
+        date_trunc("day", col("ts")).as("day"))
+    val staged = graft.ops.Staging.ensure(spark, base,
+      Seq("vintage_old", "vintage_new")) {
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      val tagged = ev.crossJoin(broadcast(maxDay))
+      tagged.filter(col("day") < col("max_day"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(base + "/vintage_old")
+      tagged.filter(col("day") === col("max_day"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type").as("channel"))
+        .coalesce(1).write.mode("overwrite").parquet(base + "/vintage_new")
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(staged + "/vintage_old", staged + "/vintage_new")
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("channel"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """WITH ev AS (SELECT event_type, value, date_trunc('day', ts) AS day FROM events),
+      |m AS (SELECT max(day) AS max_day FROM ev)
+      |SELECT CASE WHEN day < max_day THEN 'legacy' ELSE event_type END AS channel,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev, m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val pageRankOracle: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""r$k AS (SELECT d.src AS node, d.deg,

@@ -67,6 +67,69 @@ object DocsStream {
     * State lives in the state store (2 partitions here; RocksDB-provider
     * equality is covered by StreamScaleSpec for the events family).
     */
+  /** Streaming Misra-Gries heavy hitters — the q147 sketch as STREAMING
+    * aggregation state: each microbatch's word stream folds into one ≤k-entry
+    * MG counter table held in the state store (the same
+    * `TypedImperativeAggregate` buffer the batch op uses; streaming state
+    * stores the serialized buffer and merges per batch, exactly the
+    * mergeability MG was chosen for). The drained sketch is audited
+    * batch-side: the exact global top-10 words must all sit inside the MG
+    * theorem envelope est ∈ [exact − N/(k+1), exact]. The envelope — not the
+    * raw counters — is the output contract, because MG counter values
+    * depend on merge order (q147's same discipline); the BOOLEANS are
+    * deterministic theorems. At 100 TB the state is k counters per group
+    * TOTAL, the only way streaming heavy hitters fits in a state store at
+    * web-vocabulary cardinality.
+    */
+  def mgHeavyHittersStreaming(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import graft.ops.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val name = "graft_stream_mg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageDocsDirMulti(spark, dir, nFiles = 2)
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      graft.functions.VectorFunctions.register(s)
+      val q = s.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy()
+        .agg(call_function("graft_mg", col("word"), lit(k)).as("sk"),
+          count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
+    }
+    val est = drained.select(col("n"), explode(col("sk")).as(Seq("word", "est")))
+    val top10 = graft.Tables.documents(spark, dir)
+      .select(explode(TextFunctions.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt_exact"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cnt_exact"), col("word"))))
+      .filter(col("rk") <= 10)
+    top10
+      .crossJoin(broadcast(drained.select(col("n"))))
+      .join(est.select(col("word"), col("est")), Seq("word"), "left")
+      .select(col("word"), col("cnt_exact"),
+        (coalesce(col("est"), lit(0L)) <= col("cnt_exact") &&
+          coalesce(col("est"), lit(0L)) >= col("cnt_exact") - expr(s"n DIV ${k + 1}"))
+          .as("mg_ok"))
+      .orderBy(col("word"))
+  }
+
+  val mgHeavyHittersOracle: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |cnt AS (SELECT word, count(*) AS cnt_exact FROM toks GROUP BY 1),
+      |top10 AS (SELECT word, cnt_exact FROM (
+      |  SELECT *, row_number() OVER (ORDER BY cnt_exact DESC, word) AS rk FROM cnt)
+      |  WHERE rk <= 10)
+      |SELECT word, cnt_exact, TRUE AS mg_ok FROM top10 ORDER BY word""".stripMargin
+
   def lshNearDupStreaming(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.{DedupOps, OracleMath, TextFunctions}
     val name = "graft_stream_lsh_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -219,6 +219,21 @@ class GraphCdcSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 multitouch: per-purchase weights sum to 1") {
+    val rows = graft.ops.EventOps.multiTouchAttribution(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("purchase_id")).foreach { case (_, touches) =>
+      assert(touches.forall(_.getAs[Long]("n_touch") == touches.length))
+      assert(math.abs(touches.map(_.getAs[Double]("weight_r")).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("q181 streaming MG: every exact top-10 word sits inside the theorem envelope") {
+    val rows = graft.streaming.DocsStream.mgHeavyHittersStreaming(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Boolean]("mg_ok")), "MG envelope violated in streaming state")
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
