@@ -304,6 +304,10 @@ object SparkEntry {
     "q180_schema_evolution"    -> ((s, d) => EventOps.schemaEvolution(s, d)),
     // -- streaming Misra-Gries heavy hitters (k counters as streaming state) ----
     "q181_stream_heavy_hitters" -> ((s, d) => graft.streaming.DocsStream.mgHeavyHittersStreaming(s, d)),
+    // -- hybrid retrieval: BM25 + kNN reciprocal-rank fusion --------------------
+    "q182_hybrid_rrf"          -> ((s, d) => RetrievalOps.hybridRetrieval(s, d)),
+    // -- greedy quality-ordered per-source token-budget trim --------------------
+    "q183_budget_trim"         -> ((s, d) => TextOps.budgetTrim(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -48,6 +48,21 @@ object RetrievalOps {
     * total with doc_id tiebreak, so both engines rank identically.
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = bm25PerDoc(spark, dir)
+    val top = perDoc
+      .orderBy(col("score_total").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    val cols = Seq(col("doc_id")) ++
+      Bm25Terms.map(t => OracleMath.stableRound(coalesce(col(s"s_$t"), lit(0.0)), 4).as(s"s_$t")) ++
+      Seq(col("score_total"),
+        row_number().over(Window.orderBy(col("score_total").desc, col("doc_id"))).cast("long").as("rnk"))
+    top.select(cols: _*).orderBy(col("rnk"))
+  }
+
+  /** Per-matching-doc BM25 scores (doc_id, s_<term>…, score_total) — shared
+    * by q157's top-k and q182's rank-fusion.
+    */
+  private def bm25PerDoc(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("long").as("dl"))
@@ -85,20 +100,64 @@ object RetrievalOps {
     val total = Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
       .reduceLeft(_ + _)
 
-    val perDoc = scored
+    scored
       .groupBy(col("doc_id"))
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score_total", OracleMath.stableRound(total, 4))
+  }
 
-    val top = perDoc
-      .orderBy(col("score_total").desc, col("doc_id"))
-      .limit(Bm25TopK)
+  /** RRF fusion constants (Cormack et al.'s k=60) — single-sourced into the
+    * q182 twin.
+    */
+  val RrfK = 60L
+  val RrfCandidates = 50L
+  val RrfTopK = 20
 
-    val cols = Seq(col("doc_id")) ++
-      Bm25Terms.map(t => OracleMath.stableRound(coalesce(col(s"s_$t"), lit(0.0)), 4).as(s"s_$t")) ++
-      Seq(col("score_total"),
-        row_number().over(Window.orderBy(col("score_total").desc, col("doc_id"))).cast("long").as("rnk"))
-    top.select(cols: _*).orderBy(col("rnk"))
+  /** Hybrid retrieval: BM25 keyword ranks fused with embedding-kNN ranks by
+    * reciprocal-rank fusion — rrf(d) = Σ 1/(k + rank_i(d)) over the rankers
+    * that surfaced d in their top-[[RrfCandidates]]. The standard "sparse +
+    * dense" production retrieval stack (each ranker covers the other's
+    * blind spots) expressed as two independent rank lists and ONE full-outer
+    * join on the doc id; the fusion arithmetic is two fixed-order IEEE
+    * divisions and one add — engine-identical, so the fused ranking
+    * hash-matches.
+    *
+    * Scale shape: each ranker's candidate list is already top-N-bounded
+    * (BM25 postings are term-filtered before any shuffle; kNN is one narrow
+    * broadcast pass), so the fusion join moves ≤ 2N skinny rows regardless
+    * of corpus size. Rank windows run on the CANDIDATE lists, not the
+    * corpus.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val rb = bm25PerDoc(spark, dir)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("score_total").desc, col("doc_id"))).cast("long"))
+      .filter(col("rb") <= RrfCandidates)
+      .select(col("doc_id").as("id_b"), col("rb"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    val rv = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rv") <= RrfCandidates)
+      .select(col("vec_id").as("id_v"), col("rv"))
+    val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0))
+    rb.join(rv, col("id_b") === col("id_v"), "full_outer")
+      .select(coalesce(col("id_b"), col("id_v")).as("id"),
+        coalesce(col("rb"), lit(-1L)).as("rank_bm25"),
+        coalesce(col("rv"), lit(-1L)).as("rank_knn"),
+        rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(RrfTopK)
+      .select(col("id"), col("rank_bm25"), col("rank_knn"),
+        OracleMath.stableRound(col("rrf"), 8).as("rrf_r"),
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long").as("rank"))
+      .orderBy(col("rank"))
   }
 
   // ---------------------------------------------------------------------------
@@ -265,43 +324,70 @@ object RetrievalOps {
   // oracle twins
   // ---------------------------------------------------------------------------
 
+  /** The q157 scoring CTE chain (through `tot` = per-matching-doc rounded
+    * totals) — shared verbatim by the q157 and q182 twins.
+    */
+  private lazy val bm25CtesSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val perTermSel = Bm25Terms.map { t =>
+      s"max(CASE WHEN term = '$t' THEN score END) AS s_$t"
+    }.mkString(",\n |  ")
+    val totalExpr = Bm25Terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+    s"""d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM d),
+       |postings AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d)
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2)
+       |      / (tf + $Bm25K1 * (0.25 + $Bm25B * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
+       |  FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |  $perTermSel
+       |  FROM scored GROUP BY 1),
+       |tot AS (
+       |  SELECT doc_id, s_${Bm25Terms.head}, ${Bm25Terms.tail.map(t => s"s_$t").mkString(", ")},
+       |    ${OracleMath.stableRoundSql(totalExpr, 4)} AS score_total
+       |  FROM per_doc)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q157_bm25_topk" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      val perTermSel = Bm25Terms.map { t =>
-        s"max(CASE WHEN term = '$t' THEN score END) AS s_$t"
-      }.mkString(",\n |  ")
-      val totalExpr = Bm25Terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
       val roundedPer = Bm25Terms.map { t =>
         s"${OracleMath.stableRoundSql(s"coalesce(s_$t, 0.0)", 4)} AS s_$t"
       }.mkString(",\n | ")
-      s"""WITH d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM d),
-         |postings AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-         |    SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d)
-         |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
-         |scored AS (
-         |  SELECT doc_id, term,
-         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * 2.2)
-         |      / (tf + $Bm25K1 * (0.25 + $Bm25B * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
-         |  FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
-         |per_doc AS (
-         |  SELECT doc_id,
-         |  $perTermSel
-         |  FROM scored GROUP BY 1),
-         |tot AS (
-         |  SELECT doc_id, s_${Bm25Terms.head}, ${Bm25Terms.tail.map(t => s"s_$t").mkString(", ")},
-         |    ${OracleMath.stableRoundSql(totalExpr, 4)} AS score_total
-         |  FROM per_doc)
+      s"""WITH $bm25CtesSql
          |SELECT doc_id,
          | $roundedPer,
          | score_total,
          | CAST(row_number() OVER (ORDER BY score_total DESC, doc_id) AS BIGINT) AS rnk
          |FROM tot ORDER BY score_total DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
+    "q182_hybrid_rrf" ->
+      s"""WITH $bm25CtesSql,
+         |rb AS (SELECT doc_id AS id_b,
+         |         CAST(row_number() OVER (ORDER BY score_total DESC, doc_id) AS BIGINT) AS rb
+         |       FROM tot QUALIFY rb <= $RrfCandidates),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sims AS (SELECT e.vec_id,
+         |           ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.embedding", "q.q_emb"), 6)} AS sim
+         |         FROM embeddings e, q WHERE e.vec_id <> 0),
+         |rv AS (SELECT vec_id AS id_v,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rv
+         |       FROM sims QUALIFY rv <= $RrfCandidates),
+         |fused AS (SELECT coalesce(id_b, id_v) AS id,
+         |            coalesce(rb, -1) AS rank_bm25, coalesce(rv, -1) AS rank_knn,
+         |            coalesce(1.0 / ($RrfK + rb), 0.0) + coalesce(1.0 / ($RrfK + rv), 0.0) AS rrf
+         |          FROM rb FULL OUTER JOIN rv ON id_b = id_v)
+         |SELECT id, rank_bm25, rank_knn,
+         | ${OracleMath.stableRoundSql("rrf", 8)} AS rrf_r,
+         | CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         |FROM fused ORDER BY rrf DESC, id LIMIT $RrfTopK""".stripMargin,
     "q159_embed_contamination" ->
       s"""WITH ev AS (SELECT embedding AS q_emb FROM embeddings
          |            WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),

@@ -801,6 +801,49 @@ object TextOps {
     dictCte + ",\n" + (1 to BpeRounds).map(roundCtes).mkString(",\n")
   }
 
+  /** Per-source token budget for [[budgetTrim]] — single source for the
+    * Scala default and the q183 twin.
+    */
+  val TrimBudgetTokens = 800L
+
+  /** Greedy quality-ordered token-budget trim: within every source, keep
+    * documents in DESCENDING quality order while the running token count
+    * BEFORE each doc is under the budget (whole docs only — the last kept
+    * doc may overshoot; that convention is what makes the cut integer-exact
+    * and engine-identical). The token-budget knob a curation pipeline turns
+    * when quality — not doc count (q150's apportionment) — decides what
+    * survives.
+    *
+    * Scale shape: quality is row-local (the q32 expression); the running
+    * sum is a window PARTITIONED by source (parallel across sources, unlike
+    * a global cumsum — the q102 two-pass trick applies if one source
+    * dominates); ordering is (4-dp quality desc, doc_id), fully
+    * deterministic in both engines.
+    */
+  def budgetTrim(spark: SparkSession, dir: String,
+                 budget: Long = TrimBudgetTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(ws).cast("long").as("n_tokens"),
+        OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4).as("quality_r"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_r").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("source"), col("doc_id"), col("quality_r"), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+      .orderBy(col("source"), col("quality_r").desc, col("doc_id"))
+  }
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.
@@ -850,6 +893,22 @@ object TextOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q183_budget_trim" ->
+      s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+         |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+         |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+         |      FROM documents),
+         |q AS (SELECT doc_id, source, n_tok,
+         |       ${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS quality_r
+         |      FROM base),
+         |c AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+         |        ORDER BY quality_r DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM q)
+         |SELECT source, doc_id, quality_r, CAST(n_tok AS BIGINT) AS n_tokens,
+         | CAST(cum_before + n_tok AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_before < $TrimBudgetTokens
+         |ORDER BY source, quality_r DESC, doc_id""".stripMargin,
     "q172_frequent_pairs" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
         |tot AS (SELECT count(*) AS n_docs FROM d),

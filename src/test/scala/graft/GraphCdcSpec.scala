@@ -234,6 +234,49 @@ class GraphCdcSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("mg_ok")), "MG envelope violated in streaming state")
   }
 
+  test("q182 RRF fusion: dense ranks, recomputable scores, both rankers represented") {
+    import graft.ops.RetrievalOps
+    val rows = RetrievalOps.hybridRetrieval(spark, sf).collect()
+    assert(rows.length == RetrievalOps.RrfTopK)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to RetrievalOps.RrfTopK).toSeq)
+    val scores = rows.map(_.getAs[Double]("rrf_r"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "rrf not monotone by rank")
+    rows.foreach { r =>
+      val (rb, rv) = (r.getAs[Long]("rank_bm25"), r.getAs[Long]("rank_knn"))
+      assert(rb != -1L || rv != -1L)
+      val expected = (if (rb == -1L) 0.0 else 1.0 / (RetrievalOps.RrfK + rb)) +
+        (if (rv == -1L) 0.0 else 1.0 / (RetrievalOps.RrfK + rv))
+      assert(math.abs(expected - r.getAs[Double]("rrf_r")) < 1e-7)
+    }
+    assert(rows.exists(_.getAs[Long]("rank_bm25") == 1L) ||
+      rows.exists(_.getAs[Long]("rank_knn") == 1L), "neither ranker's #1 made the fusion")
+  }
+
+  test("q183 budget trim: kept docs are the quality prefix and respect the budget") {
+    import graft.ops.TextOps
+    val kept = TextOps.budgetTrim(spark, sf).collect()
+    assert(kept.nonEmpty)
+    val all = TextOps.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.length < all.size, "budget never binds — nothing was trimmed")
+    kept.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      // every kept doc started under budget (cum BEFORE it < B)
+      docs.foreach { d =>
+        assert(d.getAs[Long]("cum_tokens") - d.getAs[Long]("n_tokens") < TextOps.TrimBudgetTokens)
+      }
+      // the kept set is a quality-ordered prefix: no dropped doc of this
+      // source outranks the worst kept one (strictly — ties broken by id)
+      val worstKept = docs.map(_.getAs[Double]("quality_r")).min
+      val srcDocs = Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("source") === docs.head.getAs[String]("source"))
+        .select("doc_id").collect().map(_.getLong(0))
+      srcDocs.filterNot(keptIds).foreach { dropped =>
+        assert(all(dropped) <= worstKept, s"dropped doc $dropped outranks kept set")
+      }
+    }
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
