@@ -233,6 +233,40 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 streaming state ops are provider-agnostic under RocksDB (q170, q178, q181)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // streaming LSH bucket state: must still equal the batch banded sweep
+      // (set compare — exceptAll trips an attribute-binding quirk over the
+      // localCheckpointed streaming plan)
+      val lsh = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.DedupOps.lshNearDupPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == batch)
+      // outer-join state: unmatched emission must not depend on the provider
+      val outerRocks = graft.streaming.StreamJoinOps
+        .clickAttributionOuterStreaming(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      spark.conf.unset(key)
+      val outerDefault = graft.streaming.StreamJoinOps
+        .clickAttributionOuterStreaming(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(outerRocks == outerDefault)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // MG sketch buffer in RocksDB state: envelope must still hold
+      val mg = graft.streaming.DocsStream.mgHeavyHittersStreaming(spark, sf).collect()
+      assert(mg.nonEmpty && mg.forall(_.getAs[Boolean]("mg_ok")))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch parquet sink appends across real microbatches, losslessly (q100)") {
     val sunk = graft.streaming.StreamJoinOps.streamParquetSink(spark, sf)
     val direct = Tables.events(spark, sf)
