@@ -308,6 +308,12 @@ object SparkEntry {
     "q182_hybrid_rrf"          -> ((s, d) => RetrievalOps.hybridRetrieval(s, d)),
     // -- greedy quality-ordered per-source token-budget trim --------------------
     "q183_budget_trim"         -> ((s, d) => TextOps.budgetTrim(s, d)),
+    // -- CDC round trip: derived changelog applied == direct new snapshot -------
+    "q184_changelog_roundtrip" -> ((s, d) => CoreOps.changelogRoundTrip(s, d)),
+    // -- Pearson r from exact mergeable sufficient statistics -------------------
+    "q185_exact_corr"          -> ((s, d) => EventOps.exactCorr(s, d)),
+    // -- robust median/MAD daily-volume anomaly days ----------------------------
+    "q186_mad_anomaly"         -> ((s, d) => EventOps.madAnomalyDays(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -845,6 +851,9 @@ object SparkEntry {
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,
     "q179_multitouch" -> EventOps.multiTouchAttributionOracle,
+    "q184_changelog_roundtrip" -> CoreOps.changelogRoundTripOracle,
+    "q185_exact_corr" -> EventOps.exactCorrOracle,
+    "q186_mad_anomaly" -> EventOps.madAnomalyDaysOracle,
     "q181_stream_heavy_hitters" -> graft.streaming.DocsStream.mgHeavyHittersOracle,
     "q180_schema_evolution" -> EventOps.schemaEvolutionOracle,
     "q175_incremental_view" -> EventOps.incrementalViewMergeOracle,

@@ -997,16 +997,27 @@ object CoreOps {
     * disappears entirely. The ×1.1 price mutation is one IEEE double multiply —
     * bit-identical in both engines, so `<>` on the doubles is exact.
     */
-  def snapshotChangelog(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
+  /** The two synthetic snapshots q167/q184 operate on (OLD drops ≡0 mod 97;
+    * NEW drops ≡0 mod 101 and mutates ≡0 mod 100).
+    */
+  private def snapshotOld(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val oldS = base.filter(col("o_orderkey") % 97 =!= 0)
-    val newS = base.filter(col("o_orderkey") % 101 =!= 0)
+      .filter(col("o_orderkey") % 97 =!= 0)
+
+  private def snapshotNew(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 101 =!= 0)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 100 === 0, lit("X"))
           .otherwise(col("o_orderstatus")).as("o_orderstatus"),
         when(col("o_orderkey") % 100 === 0, col("o_totalprice") * lit(1.1))
           .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  def snapshotChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val oldS = snapshotOld(spark, dir)
+    val newS = snapshotNew(spark, dir)
     val j = oldS.as("a").join(newS.as("b"),
       col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
     val statusChanged = col("a.o_orderstatus") =!= col("b.o_orderstatus")
@@ -1030,6 +1041,47 @@ object CoreOps {
         coalesce(col("b.o_totalprice"), lit(-1.0)).as("new_price"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** CDC round-trip: APPLY the q167-derived changelog to the OLD snapshot
+    * and prove the reconstruction equals the NEW snapshot — the end-to-end
+    * contract a derive→ship→apply pipeline rests on (q167 derives, q96
+    * applies; this closes the loop). Apply is the standard compaction:
+    * anti-join OLD against every changed key, union the insert/update rows
+    * with their new values (deleted keys are in the changed-key set and not
+    * re-added). Evidence is per-status (n, Σprice-as-DECIMAL) from BOTH the
+    * reconstruction and the direct NEW snapshot — pairwise equal on every
+    * row, the q138/q175 merged-vs-direct shape. One key-partitioned
+    * anti-join + union at any scale; nothing is compared row-by-row.
+    */
+  def changelogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val oldS = snapshotOld(spark, dir)
+    val log = snapshotChangelog(spark, dir)
+    val upserts = log.filter(col("op") =!= "delete")
+      .select(col("o_orderkey"), col("new_status").as("o_orderstatus"),
+        col("new_price").as("o_totalprice"))
+    val reconstructed = oldS
+      .join(log.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(upserts)
+    def agg(df: DataFrame, nName: String, sName: String): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as(nName),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as(sName))
+    agg(reconstructed, "n_applied", "sum_applied")
+      .join(agg(snapshotNew(spark, dir), "n_direct", "sum_direct"), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_applied"), col("n_direct"),
+        col("sum_applied"), col("sum_direct"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val changelogRoundTripOracle: String =
+    """WITH b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 101 <> 0)
+      |SELECT o_orderstatus, count(*) AS n_applied, count(*) AS n_direct,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_applied,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_direct
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   val snapshotChangelogOracle: String =
     """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

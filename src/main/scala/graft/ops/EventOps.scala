@@ -1148,6 +1148,97 @@ object EventOps {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM ev, m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pearson correlation from EXACT partial sums — the distributed-stats
+    * discipline the built-in `corr` can't offer cross-engine: `corr`
+    * accumulates floating co-moments in partition order (Spark's partials
+    * vs DuckDB's sequential scan disagree in last ulps), while the six
+    * sufficient statistics here (n, Σx, Σy, Σxy, Σx², Σy²) are DECIMAL/
+    * integer sums — order-free, mergeable, one map-side-combined shuffle —
+    * and r is assembled per-group in ONE fixed double expression at the
+    * end. Correlates event value with hour-of-day per event type (the "is
+    * value time-structured" check). The same six-sum shape is how any
+    * co-moment (covariance, OLS slope, R²) distributes exactly.
+    */
+  def exactCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val y = hour(col("ts")).cast("long")
+    val s = Tables.events(spark, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val r = (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    s.select(col("event_type"), col("n"), OracleMath.stableRound(r, 6).as("corr_r"))
+      .orderBy(col("event_type"))
+  }
+
+  val exactCorrOracle: String = {
+    val r = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    s"""WITH s AS (SELECT event_type, count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS sx,
+       |    sum(CAST(hour(ts) AS BIGINT)) AS sy,
+       |    sum(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS BIGINT)) AS sxy,
+       |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+       |    sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS syy
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n, ${OracleMath.stableRoundSql(r, 6)} AS corr_r
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  /** Robust daily-volume anomaly detection: median / median-absolute-
+    * deviation instead of q166's trailing mean — the estimator a single
+    * crazy landing day cannot drag (mean-based drift flags its NEIGHBORS;
+    * MAD flags the day itself). Medians are EXACT middle-rank averages
+    * computed on the daily aggregate (days-sized — tiny at any corpus
+    * scale, so the rank windows are free; the corpus-sized work is one
+    * map-side-combined daily count). All arithmetic stays exact: counts
+    * are integers, medians are k or k.5 (sum of ≤2 ints over 2), MAD
+    * deviations are .25-granular — every one a dyadic rational, exactly
+    * representable and engine-identical; the only rounding is the final
+    * 4.4478·MAD (≈3σ for normal data) literal threshold, written as ONE
+    * literal in both engines (the q157 constant-folding lesson).
+    */
+  def madAnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val nRows = daily.agg(count(lit(1)).as("n_rows"))
+    def medianOf(df: DataFrame, c: String): DataFrame = df
+      .withColumn("rn", row_number().over(Window.orderBy(col(c))).cast("long"))
+      .crossJoin(broadcast(nRows))
+      .filter(col("rn") === expr("(n_rows + 1) DIV 2") ||
+        col("rn") === expr("(n_rows + 2) DIV 2"))
+      .agg(avg(col(c)).as("m"))
+    val med = medianOf(daily, "n").select(col("m").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = medianOf(dev.select(col("dev")), "dev").select(col("m").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"), col("med"), col("mad"), col("dev"),
+        (col("dev") > lit(4.4478) * col("mad")).as("flagged"))
+      .orderBy(col("day"))
+  }
+
+  val madAnomalyDaysOracle: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n_rows FROM daily),
+      |r1 AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM daily),
+      |med AS (SELECT avg(n) AS med FROM r1, st
+      |        WHERE rn = (n_rows + 1) // 2 OR rn = (n_rows + 2) // 2),
+      |d AS (SELECT day, n, med, abs(n - med) AS dev FROM daily, med),
+      |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM d),
+      |mad AS (SELECT avg(dev) AS mad FROM r2, st
+      |        WHERE rn = (n_rows + 1) // 2 OR rn = (n_rows + 2) // 2)
+      |SELECT day, n, med, mad, dev, dev > 4.4478 * mad AS flagged
+      |FROM d, mad ORDER BY day""".stripMargin
+
   val pageRankOracle: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""r$k AS (SELECT d.src AS node, d.deg,

@@ -277,6 +277,44 @@ class GraphCdcSpec extends AnyFunSuite {
     }
   }
 
+  test("q184 changelog round trip reconstructs the new snapshot exactly") {
+    val rows = graft.ops.CoreOps.changelogRoundTrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_applied") == r.getAs[Long]("n_direct"))
+      assert(r.getAs[Double]("sum_applied") == r.getAs[Double]("sum_direct"))
+    }
+  }
+
+  test("q185 exact-corr: r in [-1,1]; agrees with built-in corr to float tolerance") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.EventOps.exactCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val builtin = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(corr(col("value"), hour(col("ts")).cast("double")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val v = r.getAs[Double]("corr_r")
+      assert(v >= -1.0 && v <= 1.0)
+      // same statistic, different accumulation: must agree well within 1e-6
+      assert(math.abs(v - builtin(r.getAs[String]("event_type"))) < 1e-6)
+    }
+  }
+
+  test("q186 MAD: median/MAD are exact dyadic rationals; flags are threshold-consistent") {
+    val rows = graft.ops.EventOps.madAnomalyDays(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val med = rows.head.getAs[Double]("med")
+    val mad = rows.head.getAs[Double]("mad")
+    // exact middle-rank medians of integers are k or k.5 (×4 integral covers both)
+    assert((med * 4).isWhole && (mad * 4).isWhole)
+    // at least half the days sit within one MAD-ish band of the median
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("flagged") == (r.getAs[Double]("dev") > 4.4478 * mad))
+    }
+  }
+
   test("q170 streaming LSH equals batch q39 row-for-row") {
     val streaming = graft.streaming.DocsStream.lshNearDupStreaming(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
