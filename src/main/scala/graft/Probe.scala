@@ -268,6 +268,21 @@ object Steps {
       df.explain("formatted")
       println("rows=" + df.count())
       df.show(5, false)
+    case "q187parts" =>
+      val nb = expr("octet_length(encode(text, 'UTF-8'))")
+      val hashed = Tables.documents(spark, dir)
+        .select(col("doc_id"), nb.cast("long").as("nb"), col("text"))
+        .filter(col("nb") > 0)
+        .withColumn("bs", expr(
+          "transform(sequence(0, 63), i -> CAST(ascii(substring(text, CAST((i * nb) DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
+        .withColumn("total", expr("aggregate(bs, 0L, (acc, b) -> acc + b)"))
+        .withColumn("phash", expr(
+          "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + IF(element_at(bs, i + 1) * 64 > total, shiftleft(1L, CAST(i AS INT)), 0L))"))
+        .select(col("doc_id"), col("phash"))
+      time("hashed")(hashed.count())
+      time("hashed2")(hashed.count())
+      time("q187 full")(ops.MultimodalOps.phashNearDup(spark, dir).count())
+      ops.MultimodalOps.phashNearDup(spark, dir).explain("formatted")
     case "all" =>
       time("q38")(ops.DedupOps.nearDupJaccard(spark, dir).count())
       time("q39")(ops.DedupOps.lshNearDupPairs(spark, dir).count())

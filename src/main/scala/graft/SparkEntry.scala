@@ -314,6 +314,8 @@ object SparkEntry {
     "q185_exact_corr"          -> ((s, d) => EventOps.exactCorr(s, d)),
     // -- robust median/MAD daily-volume anomaly days ----------------------------
     "q186_mad_anomaly"         -> ((s, d) => EventOps.madAnomalyDays(s, d)),
+    // -- perceptual-hash (aHash) media near-dup: banded Hamming join ------------
+    "q187_phash_neardup"       -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -233,7 +233,93 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash (average-hash) near-duplicate detection over the media
+    * payloads — the image member of the dedup family (q39 dedups text by
+    * word sets; THIS dedups media by content signature): 64 payload samples
+    * on a uniform grid, bit i set when sample i is above the 64-sample mean
+    * (integer-exact: `64·bᵢ > Σb` avoids the division), Hamming-banded
+    * candidate join (four 16-bit bands — only same-band hashes meet, the
+    * SimHash/q59 shuffle shape), popcount verify at distance ≤
+    * [[PhashMaxHamming]]. Everything is row-local integer arithmetic until
+    * the band shuffle, and the band keys are 2-byte ints — at 100 TB the
+    * hash computation rides the decode scan and the join moves 10-byte
+    * rows. Recall caveat (same as q39/q59): a ≤6-bit difference CAN touch
+    * all four bands; the banding is deterministic, so Spark and the twin
+    * agree on exactly which pairs are candidates.
+    */
+  val PhashMaxHamming = 6L
+
+  /** The per-payload 64-bit average-hash (doc_id, phash) — exposed so the
+    * spec can brute-force the candidate+verify semantics against it. */
+  def phashes(spark: SparkSession, dir: String): DataFrame = {
+    // 64 grid samples; mean test via 64·b > total (integer-exact). The
+    // sample list `bs` and its sum `total` are LET-BOUND via singleton-array
+    // `transform` lambdas: as separate withColumns, Catalyst's pushed-down
+    // isnotnull(join key) + CollapseProject inline `total` (itself a
+    // 64-substring text scan) into every one of the 64 bit-test iterations
+    // — 4096 O(n) scans per row, measured 17 s at sf0.01. Lambda-bound, the
+    // text is scanned once per evaluation no matter where Catalyst copies
+    // the expression (probe: 17.6 s → sub-second).
+    val phashExpr = expr(
+      """element_at(transform(array(
+        |    transform(sequence(0, 63), i -> CAST(ascii(substring(text,
+        |      CAST((i * CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)) DIV 64 AS INT) + 1, 1)) AS BIGINT))
+        |  ), bs ->
+        |    element_at(transform(array(aggregate(bs, 0L, (acc, b) -> acc + b)), total ->
+        |      aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |        acc + IF(element_at(bs, i + 1) * 64 > total, shiftleft(1L, CAST(i AS INT)), 0L))
+        |    ), 1)
+        |), 1)""".stripMargin)
+    Tables.documents(spark, dir)
+      .filter(expr("octet_length(encode(text, 'UTF-8')) > 0"))
+      .select(col("doc_id"), phashExpr.as("phash"))
+  }
+
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = phashes(spark, dir)
+    val banded = hashed.select(col("doc_id"), col("phash"),
+        explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(phash, CAST(k * 16 AS INT)) & 65535L AS key))")).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q187_phash_neardup" -> {
+      val bandJoins = (0 to 3).map { k =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS ph_a, b.phash AS ph_b\n" +
+          s"  FROM h a JOIN h b ON ((a.phash >> ${k * 16}) & 65535) = ((b.phash >> ${k * 16}) & 65535)\n" +
+          s"   AND a.doc_id < b.doc_id"
+      }.mkString("\n  UNION\n  ")
+      s"""WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |          FROM documents WHERE octet_length(encode(text)) > 0),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(0, 64),
+         |          i -> CAST(ascii(substring(text, CAST((i * nb) // 64 AS INT) + 1, 1)) AS BIGINT)) AS bs
+         |      FROM d),
+         |h AS (SELECT doc_id,
+         |        -- bit 63 is the BIGINT sign bit: DuckDB range-checks 1<<63,
+         |        -- so emit the min-long value directly (Spark's shiftleft
+         |        -- wraps to the same two's-complement value)
+         |        CAST(list_sum(list_transform(range(0, 64),
+         |          i -> CASE WHEN bs[CAST(i AS INT) + 1] * 64 > list_sum(bs)
+         |               THEN (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+         |                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+         |               ELSE 0 END)) AS BIGINT) AS phash
+         |      FROM g),
+         |cand AS (
+         |  $bandJoins)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ph_a, ph_b)) <= $PhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q156_resize_exec" ->
       // replay of the pixel walk over the doc's byte list: y = p DIV out_w,
       // x = p MOD out_w; one list per doc is built once, then indexed per

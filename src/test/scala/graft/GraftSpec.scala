@@ -898,6 +898,27 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("phash near-dup pairs equal the in-JVM banded brute force (q187)") {
+    // Collect every (doc_id, phash), brute-force all pairs in the JVM with
+    // the SAME candidate rule (some 16-bit band equal) + verify rule
+    // (hamming <= max), and demand set equality with the operator output —
+    // proves the band shuffle loses exactly the pairs the blocking scheme
+    // says it may, and nothing else.
+    val hs = MultimodalOps.phashes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(hs.nonEmpty)
+    val expect = (for {
+      i <- hs.indices.iterator; j <- (i + 1) until hs.length
+      (ida, a) = hs(i); (idb, b) = hs(j)
+      if (0 to 3).exists(k => ((a >>> (k * 16)) & 0xffffL) == ((b >>> (k * 16)) & 0xffffL))
+      h = java.lang.Long.bitCount(a ^ b)
+      if h <= MultimodalOps.PhashMaxHamming
+    } yield (ida, idb, h.toLong)).toSet
+    val got = MultimodalOps.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("secondary-sort gap stats equal the window-lag computation (q128)") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
