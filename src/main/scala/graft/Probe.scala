@@ -268,6 +268,14 @@ object Steps {
       df.explain("formatted")
       println("rows=" + df.count())
       df.show(5, false)
+    case "rcte" =>
+      val df = spark.sql(
+        """WITH RECURSIVE t(n) AS (
+          |  SELECT 1
+          |  UNION ALL
+          |  SELECT n + 1 FROM t WHERE n < 5
+          |) SELECT * FROM t""".stripMargin)
+      df.show()
     case "q187parts" =>
       val nb = expr("octet_length(encode(text, 'UTF-8'))")
       val hashed = Tables.documents(spark, dir)

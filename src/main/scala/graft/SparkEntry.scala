@@ -316,6 +316,8 @@ object SparkEntry {
     "q186_mad_anomaly"         -> ((s, d) => EventOps.madAnomalyDays(s, d)),
     // -- perceptual-hash (aHash) media near-dup: banded Hamming join ------------
     "q187_phash_neardup"       -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
+    // -- WITH RECURSIVE hierarchy rollup (Spark 4 recursive CTE surface) --------
+    "q188_recursive_rollup"    -> ((s, d) => CoreOps.recursiveRollup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -849,6 +851,7 @@ object SparkEntry {
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,
+    "q188_recursive_rollup" -> CoreOps.recursiveRollupOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

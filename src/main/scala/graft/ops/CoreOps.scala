@@ -1106,4 +1106,58 @@ object CoreOps {
       |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
       |   OR a.o_orderstatus <> b.o_orderstatus OR a.o_totalprice <> b.o_totalprice
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Hierarchy rollup through Spark 4's `WITH RECURSIVE` SQL surface — the
+    * iterative capability (q101/q169 loop-in-Scala) expressed DECLARATIVELY:
+    * each account walks a decimal-digit parent chain (`parent = key DIV 10`,
+    * a synthetic but deterministic tree over `c_custkey`) to its single-digit
+    * root, then order spend is rolled up per root with member count and max
+    * chain depth. Scale shape: the recursion runs ⌈log₁₀ N⌉ rounds, each one
+    * keyed shuffle of (k, anc, depth) triples — bounded by KEY DIGITS, not
+    * data size, the same O(log) round structure as the q169 PageRank loop,
+    * but planned by Catalyst's UnionLoop instead of hand-rolled
+    * localCheckpoint rounds. Spend sums are DECIMAL(18,2)-exact before the
+    * final double cast (the repo-wide float-parity rule).
+    */
+  def recursiveRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_rec_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_rec_orders")
+    spark.sql("""
+      WITH RECURSIVE walk AS (
+        SELECT c_custkey AS k, c_custkey AS anc, 0 AS depth FROM graft_rec_customer
+        UNION ALL
+        SELECT k, anc DIV 10, depth + 1 FROM walk WHERE anc >= 10
+      ),
+      membership AS (SELECT k, anc AS root, depth FROM walk WHERE anc < 10),
+      spend AS (SELECT o_custkey AS k, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                       count(*) AS n
+                FROM graft_rec_orders GROUP BY o_custkey)
+      SELECT m.root AS root,
+             count(*) AS n_members,
+             max(m.depth) AS max_depth,
+             CAST(coalesce(sum(s.s), 0) AS DOUBLE) AS total_spend,
+             CAST(coalesce(sum(s.n), 0) AS BIGINT) AS n_orders
+      FROM membership m LEFT JOIN spend s ON m.k = s.k
+      GROUP BY m.root
+      ORDER BY m.root""")
+  }
+
+  val recursiveRollupOracle: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS k, c_custkey AS anc, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT k, anc // 10, depth + 1 FROM walk WHERE anc >= 10
+      |),
+      |membership AS (SELECT k, anc AS root, depth FROM walk WHERE anc < 10),
+      |spend AS (SELECT o_custkey AS k, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+      |                 count(*) AS n
+      |          FROM orders GROUP BY o_custkey)
+      |SELECT m.root AS root,
+      |       count(*) AS n_members,
+      |       max(m.depth) AS max_depth,
+      |       CAST(coalesce(sum(s.s), 0) AS DOUBLE) AS total_spend,
+      |       CAST(coalesce(sum(s.n), 0) AS BIGINT) AS n_orders
+      |FROM membership m LEFT JOIN spend s ON m.k = s.k
+      |GROUP BY m.root
+      |ORDER BY m.root""".stripMargin
 }

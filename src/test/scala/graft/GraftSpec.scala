@@ -52,6 +52,19 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(full.startsWith(k))
   }
 
+  test("recursive hierarchy rollup partitions customers and orders (q188)") {
+    val rows = CoreOps.recursiveRollup(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    // every customer lands under exactly one single-digit root; every order
+    // is counted once; depth equals digits-1 of the deepest key
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    assert(rows.map(_.getLong(4)).sum === nOrd)
+    val maxKey = Tables.customer(spark, sf).agg(max(col("c_custkey"))).head.getLong(0)
+    assert(rows.map(_.getInt(2)).max === maxKey.toString.length - 1)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
+  }
+
   test("semi and anti join partition the left relation (J3)") {
     val semi = CoreOps.semiJoinOrders(spark, sf).count()
     val orders = Tables.orders(spark, sf).count()
