@@ -318,6 +318,8 @@ object SparkEntry {
     "q187_phash_neardup"       -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
     // -- WITH RECURSIVE hierarchy rollup (Spark 4 recursive CTE surface) --------
     "q188_recursive_rollup"    -> ((s, d) => CoreOps.recursiveRollup(s, d)),
+    // -- declarative data-quality gate (one conditional-agg scan per table) -----
+    "q189_dq_audit"            -> ((s, d) => CoreOps.dqAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -852,6 +854,7 @@ object SparkEntry {
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,
     "q188_recursive_rollup" -> CoreOps.recursiveRollupOracle,
+    "q189_dq_audit" -> CoreOps.dqAuditSql("orders", "lineitem"),
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

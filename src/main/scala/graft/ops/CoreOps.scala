@@ -1142,6 +1142,56 @@ object CoreOps {
       ORDER BY m.root""")
   }
 
+  /** Declarative data-quality gate (the Deequ/expectation pattern as a
+    * query): a rule set over two tables — completeness, key uniqueness,
+    * accepted values, numeric range, referential integrity — evaluated with
+    * ONE conditional-aggregation scan per table (every per-column rule is a
+    * `sum(CASE …)` in the same Aggregate; no per-rule re-scan), the
+    * uniqueness rule as a `count(DISTINCT key)` in that same pass, and the
+    * FK rule as one left join against the unique parent key. At 100 TB the
+    * whole audit costs two table scans plus one keyed join — the shape that
+    * makes a per-ingest quality gate affordable. Violation counts are exact
+    * integers; `pass` is derived per-row.
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_dq_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_dq_lineitem")
+    spark.sql(dqAuditSql("graft_dq_orders", "graft_dq_lineitem"))
+  }
+
+  /** The audit SQL is engine-portable ANSI — the SAME text (modulo table
+    * names) is the DuckDB oracle, so the rule semantics cannot drift. */
+  def dqAuditSql(orders: String, lineitem: String): String =
+    s"""WITH ostats AS (
+       |  SELECT count(*) AS n,
+       |         count(o_custkey) AS nn_cust,
+       |         count(DISTINCT o_orderkey) AS nd_key,
+       |         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS bad_status,
+       |         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS bad_price
+       |  FROM $orders),
+       |lstats AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS bad_qty,
+       |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship,
+       |         CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS bad_disc
+       |  FROM $lineitem),
+       |ref AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol
+       |  FROM $lineitem l LEFT JOIN $orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT rule, n_checked, n_violations, (n_violations = 0) AS pass
+       |FROM (
+       |  SELECT 'orders.o_custkey.complete' AS rule, n AS n_checked, n - nn_cust AS n_violations FROM ostats
+       |  UNION ALL SELECT 'orders.o_orderkey.unique', n, n - nd_key FROM ostats
+       |  UNION ALL SELECT 'orders.o_orderstatus.accepted', n, bad_status FROM ostats
+       |  UNION ALL SELECT 'orders.o_totalprice.positive', n, bad_price FROM ostats
+       |  UNION ALL SELECT 'lineitem.l_quantity.range_1_50', n, bad_qty FROM lstats
+       |  UNION ALL SELECT 'lineitem.l_shipdate.complete', n, null_ship FROM lstats
+       |  UNION ALL SELECT 'lineitem.l_discount.range_0_01', n, bad_disc FROM lstats
+       |  UNION ALL SELECT 'lineitem.l_orderkey.ref_orders', n, viol FROM ref
+       |) r
+       |ORDER BY rule""".stripMargin
+
   val recursiveRollupOracle: String =
     """WITH RECURSIVE walk AS (
       |  SELECT c_custkey AS k, c_custkey AS anc, 0 AS depth FROM customer

@@ -65,6 +65,36 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("dq audit rules fire with exact violation counts on dirty rows (q189)") {
+    import spark.implicits._
+    // 5 orders: one null custkey, one dup key, one bad status, one <=0 price
+    Seq(
+      (1L, Option(10L), "O", 100.0), (1L, Option(11L), "F", 50.0),
+      (2L, Option.empty[Long], "P", 20.0), (3L, Option(12L), "Z", 30.0),
+      (4L, Option(13L), "O", 0.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("dq_t_orders")
+    // 4 lineitems: one orphan FK, one qty out of range, one null shipdate,
+    // one discount out of range
+    Seq(
+      (1L, 10.0, Option("2024-01-01"), 0.05), (99L, 5.0, Option("2024-01-02"), 0.0),
+      (2L, 60.0, Option.empty[String], 0.02), (3L, 1.0, Option("2024-01-03"), 0.5))
+      .toDF("l_orderkey", "l_quantity", "l_shipdate", "l_discount")
+      .createOrReplaceTempView("dq_t_lineitem")
+    val got = spark.sql(CoreOps.dqAuditSql("dq_t_orders", "dq_t_lineitem"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("orders.o_custkey.complete") === ((1L, false)))
+    assert(got("orders.o_orderkey.unique") === ((1L, false)))
+    assert(got("orders.o_orderstatus.accepted") === ((1L, false)))
+    assert(got("orders.o_totalprice.positive") === ((1L, false)))
+    assert(got("lineitem.l_orderkey.ref_orders") === ((1L, false)))
+    assert(got("lineitem.l_quantity.range_1_50") === ((1L, false)))
+    assert(got("lineitem.l_shipdate.complete") === ((1L, false)))
+    assert(got("lineitem.l_discount.range_0_01") === ((1L, false)))
+    // and on the real tables everything is green
+    assert(CoreOps.dqAudit(spark, sf).collect().forall(_.getBoolean(3)))
+  }
+
   test("semi and anti join partition the left relation (J3)") {
     val semi = CoreOps.semiJoinOrders(spark, sf).count()
     val orders = Tables.orders(spark, sf).count()
