@@ -320,6 +320,8 @@ object SparkEntry {
     "q188_recursive_rollup"    -> ((s, d) => CoreOps.recursiveRollup(s, d)),
     // -- declarative data-quality gate (one conditional-agg scan per table) -----
     "q189_dq_audit"            -> ((s, d) => CoreOps.dqAudit(s, d)),
+    // -- scene-cut detection over per-frame fingerprints ------------------------
+    "q190_scene_cuts"          -> ((s, d) => MultimodalOps.sceneCuts(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -249,6 +249,42 @@ object MultimodalOps {
     */
   val PhashMaxHamming = 6L
 
+  /** Scene-cut detection over the per-frame fingerprint stream — the video
+    * segmentation member of the family (q69 samples frames; THIS finds the
+    * boundaries between visually-distinct runs): every frame's fingerprint
+    * is the payload byte at the frame's start offset (stub for a real
+    * frame-histogram; deterministic from content, unlike q69's ramp
+    * feature), a cut is a fingerprint jump > `threshold` vs the PREVIOUS
+    * frame (lag window partitioned per doc — embarrassingly parallel
+    * across docs, ordered by bounded frame index within), rolled up to
+    * per-doc cut count / max jump / first cut. Row amplification is the
+    * frame count (payload_bytes/40), then immediately re-aggregated under
+    * the same doc key — one shuffle of 3-int rows at 100 TB.
+    */
+  def sceneCuts(spark: SparkSession, dir: String, frameBytes: Int = 40,
+                threshold: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"octet_length(encode(text, 'UTF-8')) DIV $frameBytes").cast("long").as("nf"))
+      .filter(col("nf") > 0)
+    val frames = doc
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("f"))
+      .select(col("doc_id"), col("f"),
+        ascii(substring(col("text"), (col("f") * frameBytes + 1).cast("int"), lit(1)))
+          .cast("long").as("fp"))
+    val w = Window.partitionBy("doc_id").orderBy("f")
+    frames
+      .withColumn("delta", abs(col("fp") - lag(col("fp"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("delta")), lit(0L)).as("max_jump"),
+        min(when(col("delta") > threshold, col("f"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The per-payload 64-bit average-hash (doc_id, phash) — exposed so the
     * spec can brute-force the candidate+verify semantics against it. */
   def phashes(spark: SparkSession, dir: String): DataFrame = {
@@ -291,6 +327,21 @@ object MultimodalOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q190_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) // 40 AS nf
+        |          FROM documents WHERE octet_length(encode(text)) // 40 > 0),
+        |f AS (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d),
+        |fp AS (SELECT doc_id, f,
+        |         CAST(ascii(substring(text, CAST(f * 40 + 1 AS INT), 1)) AS BIGINT) AS fp
+        |       FROM f),
+        |dl AS (SELECT doc_id, f,
+        |         abs(fp - lag(fp) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+        |       FROM fp)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(CASE WHEN delta > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(coalesce(max(delta), 0) AS BIGINT) AS max_jump,
+        |       min(CASE WHEN delta > 64 THEN f END) AS first_cut
+        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q187_phash_neardup" -> {
       val bandJoins = (0 to 3).map { k =>
         s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS ph_a, b.phash AS ph_b\n" +

@@ -941,6 +941,25 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cuts match an in-JVM fingerprint walk per document (q190)") {
+    val got = MultimodalOps.sceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(30).collect()
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val nf = bytes.length / 40
+      if (nf > 0) {
+        // corpus is ASCII (the audioChunks invariant), so byte == char
+        val fps = (0 until nf).map(f => bytes(f * 40).toLong & 0xffL)
+        val deltas = fps.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.toSeq
+        val expect = (nf.toLong, deltas.count(_ > 64).toLong,
+          if (deltas.isEmpty) 0L else deltas.max)
+        assert(got(r.getLong(0)) === expect, s"doc ${r.getLong(0)}")
+      } else assert(!got.contains(r.getLong(0)))
+    }
+  }
+
   test("phash near-dup pairs equal the in-JVM banded brute force (q187)") {
     // Collect every (doc_id, phash), brute-force all pairs in the JVM with
     // the SAME candidate rule (some 16-bit band equal) + verify rule
