@@ -322,6 +322,8 @@ object SparkEntry {
     "q189_dq_audit"            -> ((s, d) => CoreOps.dqAudit(s, d)),
     // -- scene-cut detection over per-frame fingerprints ------------------------
     "q190_scene_cuts"          -> ((s, d) => MultimodalOps.sceneCuts(s, d)),
+    // -- dyadic-weight EWMA daily smoothing (exact-decimal weighted sums) -------
+    "q191_ewma_daily"          -> ((s, d) => EventOps.ewmaDaily(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -857,6 +859,7 @@ object SparkEntry {
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,
     "q188_recursive_rollup" -> CoreOps.recursiveRollupOracle,
     "q189_dq_audit" -> CoreOps.dqAuditSql("orders", "lineitem"),
+    "q191_ewma_daily" -> EventOps.ewmaDailyOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

@@ -1337,4 +1337,66 @@ object EventOps {
           lit(-1L)).as("lag_seconds"))
       .orderBy(col("purchase_id"))
   }
+
+  /** Exponentially-weighted daily smoothing (half-life = 1 day) of per-type
+    * spend — the trend-following counterpart of q166's flat trailing mean.
+    * Numeric design that makes EWMA hash-matchable at all: the weights are
+    * DYADIC (2⁻ᵏ for day-distance k ≤ 6 — 1, 0.5, …, 0.015625), so every
+    * weight is an exact DECIMAL(8,6), every weighted term an exact decimal
+    * product, and both the numerator and the present-weight normalizer are
+    * order-free decimal sums; the only float op is one per-row division at
+    * the end. A geometric-α EWMA with α∉{2⁻ᵏ} cannot do this — the weights
+    * themselves would be floats. Missing days drop out of BOTH sums
+    * (normalized EWMA over the present subset — the value-gap behavior
+    * RANGE frames give q176). The value-range self-join runs on the tiny
+    * per-(type, day) aggregate, never on raw events.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_v"))
+    val wt = expr(
+      """CASE datediff(d.day, w.day)
+        | WHEN 0 THEN CAST(1.0 AS DECIMAL(8,6)) WHEN 1 THEN CAST(0.5 AS DECIMAL(8,6))
+        | WHEN 2 THEN CAST(0.25 AS DECIMAL(8,6)) WHEN 3 THEN CAST(0.125 AS DECIMAL(8,6))
+        | WHEN 4 THEN CAST(0.0625 AS DECIMAL(8,6)) WHEN 5 THEN CAST(0.03125 AS DECIMAL(8,6))
+        | ELSE CAST(0.015625 AS DECIMAL(8,6)) END""".stripMargin)
+    daily.as("d").join(daily.as("w"),
+        col("d.event_type") === col("w.event_type") &&
+          datediff(col("d.day"), col("w.day")).between(0, 6))
+      .select(col("d.event_type").as("event_type"), col("d.day").as("day"),
+        col("d.sum_v").as("day_sum"), (col("w.sum_v") * wt).as("wv"), wt.as("wt"))
+      .groupBy(col("event_type"), col("day"), col("day_sum"))
+      .agg(sum(col("wv")).as("num"), sum(col("wt")).as("den"),
+        count(lit(1)).as("n_present"))
+      .select(col("event_type"), col("day"),
+        col("day_sum").cast("double").as("day_total"),
+        OracleMath.stableRound(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"),
+        col("n_present"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaDailyOracle: String = {
+    val ewma = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |                 sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+       |               FROM events GROUP BY 1, 2),
+       |j AS (SELECT d.event_type, d.day, d.sum_v AS day_sum, w.sum_v AS w_sum,
+       |        CASE date_diff('day', w.day, d.day)
+       |         WHEN 0 THEN CAST(1.0 AS DECIMAL(8,6)) WHEN 1 THEN CAST(0.5 AS DECIMAL(8,6))
+       |         WHEN 2 THEN CAST(0.25 AS DECIMAL(8,6)) WHEN 3 THEN CAST(0.125 AS DECIMAL(8,6))
+       |         WHEN 4 THEN CAST(0.0625 AS DECIMAL(8,6)) WHEN 5 THEN CAST(0.03125 AS DECIMAL(8,6))
+       |         ELSE CAST(0.015625 AS DECIMAL(8,6)) END AS wt
+       |      FROM daily d JOIN daily w
+       |        ON d.event_type = w.event_type
+       |       AND date_diff('day', w.day, d.day) BETWEEN 0 AND 6)
+       |SELECT event_type, day, CAST(day_sum AS DOUBLE) AS day_total,
+       |       ${OracleMath.stableRoundSql(ewma, 6)} AS ewma,
+       |       n_present
+       |FROM (SELECT event_type, day, day_sum, sum(w_sum * wt) AS num,
+       |             sum(wt) AS den, count(*) AS n_present
+       |      FROM j GROUP BY 1, 2, 3) t
+       |ORDER BY event_type, day""".stripMargin
+  }
 }

@@ -941,6 +941,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma is a convex combination of its window's day totals (q191)") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(2)).toMap
+    val dayMs = 86400000L
+    EventOps.ewmaDaily(spark, sf).collect().foreach { r =>
+      val (et, day) = (r.getString(0), r.getTimestamp(1).getTime)
+      val window = (0 to 6).flatMap(k => daily.get((et, day - k * dayMs)))
+      val ewma = r.getDouble(3)
+      assert(ewma >= window.min - 1e-6 && ewma <= window.max + 1e-6, s"$et $day")
+      assert(r.getLong(4) === window.size.toLong)
+      if (window.size == 1) assert(math.abs(ewma - r.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("scene cuts match an in-JVM fingerprint walk per document (q190)") {
     val got = MultimodalOps.sceneCuts(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
