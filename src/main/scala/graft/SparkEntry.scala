@@ -324,6 +324,8 @@ object SparkEntry {
     "q190_scene_cuts"          -> ((s, d) => MultimodalOps.sceneCuts(s, d)),
     // -- dyadic-weight EWMA daily smoothing (exact-decimal weighted sums) -------
     "q191_ewma_daily"          -> ((s, d) => EventOps.ewmaDaily(s, d)),
+    // -- k-anonymity audit with generalization lattice --------------------------
+    "q192_k_anonymity"         -> ((s, d) => CoreOps.kAnonymity(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -860,6 +862,7 @@ object SparkEntry {
     "q188_recursive_rollup" -> CoreOps.recursiveRollupOracle,
     "q189_dq_audit" -> CoreOps.dqAuditSql("orders", "lineitem"),
     "q191_ewma_daily" -> EventOps.ewmaDailyOracle,
+    "q192_k_anonymity" -> CoreOps.kAnonymityOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

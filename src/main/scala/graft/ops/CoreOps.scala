@@ -1192,6 +1192,62 @@ object CoreOps {
        |) r
        |ORDER BY rule""".stripMargin
 
+  /** k-anonymity audit with a 2-level generalization lattice — the privacy
+    * gate a training-data release runs before shipping quasi-identifiable
+    * rows: equivalence classes over (nation, segment) that are smaller than
+    * k get GENERALIZED one level up the hierarchy (nation → region); classes
+    * still under k after generalization are suppressed outright (reported as
+    * one `*`/`*` row so the audit's row inventory is complete). Shape at
+    * 100 TB: two groupBy passes — the second only over the rows the first
+    * failed (a shrinking re-aggregation, not a rescan) — and the dimension
+    * joins are broadcast (nation/region are tiny). All outputs are exact
+    * integer class sizes.
+    */
+  /** Single source for the anonymity threshold — interpolated into the
+    * oracle so the Scala default and the SQL twin cannot drift (the q153
+    * lesson). */
+  val KAnonymityK = 5L
+
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = KAnonymityK): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"),
+        col("c_mktsegment").as("segment"))
+    val l0 = cust.groupBy(col("nation"), col("segment")).agg(count(lit(1)).as("n"))
+    val ok0 = l0.filter(col("n") >= k)
+      .select(lit(0L).as("qi_level"), col("nation").as("qi1"), col("segment").as("qi2"), col("n"))
+    val promoted = cust.join(broadcast(l0.filter(col("n") < k).select(col("nation"), col("segment"))),
+      Seq("nation", "segment"))
+    val l1 = promoted.groupBy(col("region"), col("segment")).agg(count(lit(1)).as("n"))
+    val ok1 = l1.filter(col("n") >= k)
+      .select(lit(1L).as("qi_level"), col("region").as("qi1"), col("segment").as("qi2"), col("n"))
+    val supp = l1.filter(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit(2L).as("qi_level"), lit("*").as("qi1"), lit("*").as("qi2"), col("n"))
+    ok0.unionByName(ok1).unionByName(supp)
+      .orderBy(col("qi_level"), col("qi1"), col("qi2"))
+  }
+
+  val kAnonymityOracle: String =
+    s"""WITH cust AS (
+      |  SELECT c_custkey, n_name AS nation, r_name AS region, c_mktsegment AS segment
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey),
+      |l0 AS (SELECT nation, segment, count(*) AS n FROM cust GROUP BY 1, 2),
+      |promoted AS (SELECT c.* FROM cust c
+      |             JOIN l0 ON c.nation = l0.nation AND c.segment = l0.segment
+      |             WHERE l0.n < $KAnonymityK),
+      |l1 AS (SELECT region, segment, count(*) AS n FROM promoted GROUP BY 1, 2)
+      |SELECT CAST(0 AS BIGINT) AS qi_level, nation AS qi1, segment AS qi2, n
+      |FROM l0 WHERE n >= $KAnonymityK
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), region, segment, n FROM l1 WHERE n >= $KAnonymityK
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), '*', '*',
+      |       CAST(coalesce(sum(n), 0) AS BIGINT) FROM l1 WHERE n < $KAnonymityK
+      |ORDER BY qi_level, qi1, qi2""".stripMargin
+
   val recursiveRollupOracle: String =
     """WITH RECURSIVE walk AS (
       |  SELECT c_custkey AS k, c_custkey AS anc, 0 AS depth FROM customer

@@ -65,6 +65,17 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("k-anonymity classes cover every customer and honor k (q192)") {
+    val rows = CoreOps.kAnonymity(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum === nCust)
+    rows.filter(_.getLong(0) < 2L).foreach { r =>
+      assert(r.getLong(3) >= CoreOps.KAnonymityK, s"${r.getString(1)}/${r.getString(2)}")
+    }
+    // the suppressed bucket is always reported, even when empty
+    assert(rows.count(_.getLong(0) === 2L) === 1)
+  }
+
   test("dq audit rules fire with exact violation counts on dirty rows (q189)") {
     import spark.implicits._
     // 5 orders: one null custkey, one dup key, one bad status, one <=0 price
