@@ -326,6 +326,8 @@ object SparkEntry {
     "q191_ewma_daily"          -> ((s, d) => EventOps.ewmaDaily(s, d)),
     // -- k-anonymity audit with generalization lattice --------------------------
     "q192_k_anonymity"         -> ((s, d) => CoreOps.kAnonymity(s, d)),
+    // -- per-group OLS trend from exact sufficient statistics -------------------
+    "q193_ols_trend"           -> ((s, d) => EventOps.olsTrend(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -863,6 +865,7 @@ object SparkEntry {
     "q189_dq_audit" -> CoreOps.dqAuditSql("orders", "lineitem"),
     "q191_ewma_daily" -> EventOps.ewmaDailyOracle,
     "q192_k_anonymity" -> CoreOps.kAnonymityOracle,
+    "q193_ols_trend" -> EventOps.olsTrendOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

@@ -1338,6 +1338,63 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Per-group OLS trend line from exact sufficient statistics — the
+    * regression sibling of [[exactCorr]]: each event type's DAILY total
+    * value regressed on the day index (days since a fixed 2020-01-01
+    * anchor, so x is a small exact integer with no data-dependent pass for
+    * the minimum). One map-side-combined shuffle accumulates the five
+    * sums (n, Σx, Σy, Σxy, Σx²) in integer/DECIMAL arithmetic; slope,
+    * intercept and R² are then assembled per-group in ONE fixed double
+    * expression (Spark's built-in `regr_slope` accumulates float
+    * co-moments in partition order — not hash-matchable; the
+    * sufficient-stats route is). The daily pre-aggregate means the
+    * regression runs over days × types rows — thousands at 100 TB.
+    */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("2020-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("y"))
+    val s = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n_days").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    s.select(col("event_type"), col("n_days"),
+        OracleMath.stableRound(slope, 6).as("slope"),
+        OracleMath.stableRound(intercept, 4).as("intercept"),
+        OracleMath.stableRound(r2, 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val olsTrendOracle: String = {
+    val n = "CAST(n_days AS DOUBLE)"
+    val (sx, sy, sxy, sxx, syy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val slope = s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+    val intercept = s"($sy - ($slope) * $sx) / $n"
+    val r2 = s"(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) / " +
+      s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(date_diff('day', DATE '2020-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM daily GROUP BY 1)
+       |SELECT event_type, n_days,
+       |       ${OracleMath.stableRoundSql(slope, 6)} AS slope,
+       |       ${OracleMath.stableRoundSql(intercept, 4)} AS intercept,
+       |       ${OracleMath.stableRoundSql(r2, 6)} AS r2
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   /** Exponentially-weighted daily smoothing (half-life = 1 day) of per-type
     * spend — the trend-following counterpart of q166's flat trailing mean.
     * Numeric design that makes EWMA hash-matchable at all: the weights are

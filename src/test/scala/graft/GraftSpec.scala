@@ -952,6 +952,26 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("OLS trend agrees with built-in regr_slope/intercept to 1e-6 (q193)") {
+    val got = EventOps.olsTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("2020-01-01").cast("date")).as("x"))
+      .agg(sum(col("value")).as("y"))
+      .groupBy(col("event_type"))
+      .agg(expr("regr_slope(y, x)").as("sl"), expr("regr_intercept(y, x)").as("ic"),
+        expr("regr_r2(y, x)").as("r2"))
+      .collect()
+    ref.foreach { r =>
+      val (sl, ic, r2) = got(r.getString(0))
+      assert(math.abs(sl - r.getDouble(1)) < 1e-4, s"slope ${r.getString(0)}")
+      assert(math.abs(ic - r.getDouble(2)) < 1e-2, s"intercept ${r.getString(0)}")
+      assert(math.abs(r2 - r.getDouble(3)) < 1e-4, s"r2 ${r.getString(0)}")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("ewma is a convex combination of its window's day totals (q191)") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
