@@ -328,6 +328,8 @@ object SparkEntry {
     "q192_k_anonymity"         -> ((s, d) => CoreOps.kAnonymity(s, d)),
     // -- per-group OLS trend from exact sufficient statistics -------------------
     "q193_ols_trend"           -> ((s, d) => EventOps.olsTrend(s, d)),
+    // -- stream-stream FULL OUTER interval join (completes q87/q178 family) -----
+    "q194_stream_full_outer"   -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionFullOuterStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -884,6 +886,27 @@ object SparkEntry {
     // append-cutoff discipline applied to outer-join state; matched pairs
     // emit on match and need no cutoff (empirically pinned at sf0.001 and
     // sf0.01: the emitted/missing boundary sits exactly at this watermark)
+    "q194_stream_full_outer" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |          FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT date_trunc('milliseconds',
+        |         least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c)))
+        |         - INTERVAL 1 HOUR AS cutoff),
+        |j AS (SELECT p.purchase_id, p.user_id, c.click_id, c.c_user, p.p_ts, c.c_ts,
+        |        date_diff('second', c.c_ts, p.p_ts) AS lag_seconds
+        |      FROM p FULL JOIN c ON p.user_id = c.c_user
+        |        AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 5 MINUTES)
+        |SELECT coalesce(purchase_id, -1) AS purchase_id,
+        | coalesce(user_id, c_user) AS user_id,
+        | coalesce(click_id, -1) AS click_id,
+        | coalesce(lag_seconds, -1) AS lag_seconds
+        |FROM j, wm
+        |WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+        |   OR (click_id IS NULL AND p_ts < cutoff)
+        |   OR (purchase_id IS NULL AND c_ts + INTERVAL 5 MINUTES < cutoff)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q178_stream_outer_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
         |          FROM events WHERE event_type = 'purchase'),

@@ -198,6 +198,54 @@ object StreamJoinOps {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Watermarked stream-stream FULL OUTER interval join — completes the
+    * q87 (inner) / q178 (left outer) family: BOTH unmatched sides emit
+    * null-extended, each when its own eviction condition clears. An
+    * unmatched purchase finalizes once the click watermark passes `p_ts`
+    * (no earlier click can arrive — the q178 condition); an unmatched CLICK
+    * finalizes once the purchase watermark passes `c_ts + 5 min`, the
+    * latest purchase time it could still match (`p_ts < c_ts + 5 min` from
+    * the join bound). The final global watermark is min(max event time of
+    * both sides) ms-truncated − 1 h, so the oracle's two cutoffs are
+    * `p_ts < cutoff` and `c_ts + 5 min < cutoff` — both boundaries pinned
+    * empirically at two SFs (the q178 discipline). Unmatched ids/lags
+    * coalesce to −1.
+    */
+  def clickAttributionFullOuterStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_fojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+    val drained = withStatePartitions(spark, 2) { s =>
+      val purchases = eventsStream(s, srcDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(s, srcDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"),
+        "full_outer")
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(s, name)
+    }
+    drained
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("unix_micros(p_ts) DIV 1000000 - unix_micros(c_ts) DIV 1000000"),
+          lit(-1L)).as("lag_seconds"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment join: the streaming side joins a STATIC
     * dimension (customer) broadcast to every microbatch — stateless (no
     * watermark, no join state; the dimension is re-resolved per batch, which

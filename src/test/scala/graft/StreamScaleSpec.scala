@@ -267,6 +267,23 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("full outer join nests left outer nests inner, right-nulls below cutoff (q194)") {
+    val full = graft.streaming.StreamJoinOps
+      .clickAttributionFullOuterStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val left = graft.streaming.StreamJoinOps
+      .clickAttributionOuterStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the full outer result is exactly the left-outer result plus
+    // right-only rows (purchase_id = -1)
+    assert(full.filter(_._1 >= 0L) === left)
+    val rightOnly = full.filter(_._1 === -1L)
+    assert(rightOnly.nonEmpty)
+    rightOnly.foreach { case (_, _, clickId, lag) =>
+      assert(clickId >= 0L && lag === -1L)
+    }
+  }
+
   test("foreachBatch parquet sink appends across real microbatches, losslessly (q100)") {
     val sunk = graft.streaming.StreamJoinOps.streamParquetSink(spark, sf)
     val direct = Tables.events(spark, sf)
