@@ -330,6 +330,8 @@ object SparkEntry {
     "q193_ols_trend"           -> ((s, d) => EventOps.olsTrend(s, d)),
     // -- stream-stream FULL OUTER interval join (completes q87/q178 family) -----
     "q194_stream_full_outer"   -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionFullOuterStreaming(s, d)),
+    // -- trapezoidal time-weighted average per user ------------------------------
+    "q195_time_weighted_avg"   -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -868,6 +870,7 @@ object SparkEntry {
     "q191_ewma_daily" -> EventOps.ewmaDailyOracle,
     "q192_k_anonymity" -> CoreOps.kAnonymityOracle,
     "q193_ols_trend" -> EventOps.olsTrendOracle,
+    "q195_time_weighted_avg" -> EventOps.timeWeightedAvgOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

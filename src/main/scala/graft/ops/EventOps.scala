@@ -1338,6 +1338,55 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Time-weighted average value per user — trapezoidal integration over
+    * the user's event timeline, the correct mean for irregularly-sampled
+    * series (the plain mean over-weights bursts; TWA weights each value by
+    * how long it held). Exactness: segment durations are integer seconds
+    * (`unix_micros DIV 1e6` diffs ≡ DuckDB `date_diff('second', …)` — the
+    * q87 identity), values are DECIMAL(18,2), so every trapezoid term
+    * `(vᵢ + vᵢ₊₁)·Δtᵢ` and both rollup sums are order-free exact
+    * arithmetic; the single float op is the final per-user division (the
+    * ÷2 of the trapezoid rule folded into it). One user-keyed shuffle for
+    * the lead window, re-aggregated under the same key — the q128
+    * secondary-sort shape.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = expr("unix_micros(ts) DIV 1000000")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("next_v", lead(col("v"), 1).over(w))
+      .withColumn("dt", lead(sec, 1).over(w) - sec)
+      .filter(col("next_v").isNotNull && col("dt") > 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt")).as("total_seconds"),
+        sum((col("v") + col("next_v")) * col("dt")).as("twa_num"))
+      .select(col("user_id"), col("n_segments"), col("total_seconds"),
+        OracleMath.stableRound(
+          col("twa_num").cast("double") / (lit(2.0) * col("total_seconds").cast("double")), 6)
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeWeightedAvgOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |seg AS (SELECT user_id, v,
+       |    lead(v) OVER w AS next_v,
+       |    lead(sec) OVER w - sec AS dt
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, count(*) AS n_segments,
+       |        CAST(sum(dt) AS BIGINT) AS total_seconds,
+       |        sum((v + next_v) * dt) AS twa_num
+       |      FROM seg WHERE next_v IS NOT NULL AND dt > 0 GROUP BY 1)
+       |SELECT user_id, n_segments, total_seconds,
+       |  ${OracleMath.stableRoundSql("CAST(twa_num AS DOUBLE) / (2.0 * CAST(total_seconds AS DOUBLE))", 6)} AS twa
+       |FROM s ORDER BY user_id""".stripMargin
+
   /** Per-group OLS trend line from exact sufficient statistics — the
     * regression sibling of [[exactCorr]]: each event type's DAILY total
     * value regressed on the day index (days since a fixed 2020-01-01

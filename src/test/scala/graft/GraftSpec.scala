@@ -952,6 +952,35 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("time-weighted avg matches an in-JVM trapezoid walk per user (q195)") {
+    val got = EventOps.timeWeightedAvg(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("micros"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (uid, rows) =>
+      // window order is full-precision (ts, event_id); durations truncate
+      // to whole seconds only afterwards — mirror that exactly
+      val sorted = rows.sortBy(r => (r._3, r._2)).toSeq
+      val segs = sorted.sliding(2).collect {
+        case Seq(a, b) if b._3 / 1000000 > a._3 / 1000000 =>
+          (b._3 / 1000000 - a._3 / 1000000,
+            (BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) +
+              BigDecimal(b._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)) *
+              (b._3 / 1000000 - a._3 / 1000000))
+      }.toSeq
+      if (segs.nonEmpty) {
+        val (n, tot, twa) = got(uid)
+        assert(n === segs.size.toLong)
+        assert(tot === segs.map(_._1).sum)
+        val expect = (segs.map(_._2).sum / (2 * segs.map(_._1).sum)).toDouble
+        assert(math.abs(twa - expect) < 1e-5, s"user $uid")
+      } else assert(!got.contains(uid))
+    }
+  }
+
   test("OLS trend agrees with built-in regr_slope/intercept to 1e-6 (q193)") {
     val got = EventOps.olsTrend(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
