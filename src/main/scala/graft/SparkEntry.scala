@@ -332,6 +332,8 @@ object SparkEntry {
     "q194_stream_full_outer"   -> ((s, d) => graft.streaming.StreamJoinOps.clickAttributionFullOuterStreaming(s, d)),
     // -- trapezoidal time-weighted average per user ------------------------------
     "q195_time_weighted_avg"   -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
+    // -- chi-square contingency drilldown (type x day-of-week) ------------------
+    "q196_chi2_cells"          -> ((s, d) => EventOps.chi2Cells(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -871,6 +873,7 @@ object SparkEntry {
     "q192_k_anonymity" -> CoreOps.kAnonymityOracle,
     "q193_ols_trend" -> EventOps.olsTrendOracle,
     "q195_time_weighted_avg" -> EventOps.timeWeightedAvgOracle,
+    "q196_chi2_cells" -> EventOps.chi2CellsOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

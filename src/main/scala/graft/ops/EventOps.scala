@@ -1338,6 +1338,54 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Chi-square contingency drilldown — independence audit of event type vs
+    * day-of-week (is traffic mix shifting across the week?), reported
+    * PER CELL: observed count, expected count under independence
+    * (row·col/N), and the cell's χ² contribution. Per-cell reporting is
+    * the numeric-parity trick: each contribution is ONE fixed double
+    * expression over exact integer window sums — no cross-cell float total
+    * to drift between engines (the spec totals them in-JVM instead). The
+    * corpus-sized work is a single map-side-combined count; the three
+    * marginal window sums run on the cells table (types × 7 rows —
+    * constant at any corpus size, so even the unpartitioned total-window
+    * is free).
+    */
+  def chi2Cells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("observed"))
+    val expected = col("row_tot").cast("double") * col("col_tot").cast("double") /
+      col("total").cast("double")
+    val contrib = (col("observed").cast("double") - expected) *
+      (col("observed").cast("double") - expected) / expected
+    cells
+      .withColumn("row_tot", sum(col("observed")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_tot", sum(col("observed")).over(Window.partitionBy(col("dow"))))
+      .withColumn("total", sum(col("observed")).over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("observed"),
+        OracleMath.stableRound(expected, 4).as("expected"),
+        OracleMath.stableRound(contrib, 6).as("chi2_contrib"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val chi2CellsOracle: String = {
+    val expected = "CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(total AS DOUBLE)"
+    val contrib = s"(CAST(observed AS DOUBLE) - ($expected)) * (CAST(observed AS DOUBLE) - ($expected)) / ($expected)"
+    s"""WITH cells AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    count(*) AS observed
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, dow, observed,
+       |        sum(observed) OVER (PARTITION BY event_type) AS row_tot,
+       |        sum(observed) OVER (PARTITION BY dow) AS col_tot,
+       |        sum(observed) OVER () AS total
+       |      FROM cells)
+       |SELECT event_type, dow, observed,
+       |  ${OracleMath.stableRoundSql(expected, 4)} AS expected,
+       |  ${OracleMath.stableRoundSql(contrib, 6)} AS chi2_contrib
+       |FROM m ORDER BY event_type, dow""".stripMargin
+  }
+
   /** Time-weighted average value per user — trapezoidal integration over
     * the user's event timeline, the correct mean for irregularly-sampled
     * series (the plain mean over-weights bursts; TWA weights each value by

@@ -952,6 +952,21 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("chi2 cells: marginals reconstruct N and contributions are sane (q196)") {
+    val rows = EventOps.chi2Cells(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    // expected-count marginals must also total N (independence preserves mass)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - n.toDouble) < 1e-2)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+    // the total chi2 statistic, assembled in-JVM from the exact cells
+    val chi2 = rows.map(r => {
+      val e = r.getDouble(3); val o = r.getLong(2).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    assert(chi2 >= 0.0 && !chi2.isNaN)
+  }
+
   test("time-weighted avg matches an in-JVM trapezoid walk per user (q195)") {
     val got = EventOps.timeWeightedAvg(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
