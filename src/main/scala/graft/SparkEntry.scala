@@ -334,6 +334,8 @@ object SparkEntry {
     "q195_time_weighted_avg"   -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
     // -- chi-square contingency drilldown (type x day-of-week) ------------------
     "q196_chi2_cells"          -> ((s, d) => EventOps.chi2Cells(s, d)),
+    // -- clamped running balance (floor-at-zero left fold) ----------------------
+    "q197_clamped_balance"     -> ((s, d) => EventOps.clampedBalance(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -874,6 +876,7 @@ object SparkEntry {
     "q193_ols_trend" -> EventOps.olsTrendOracle,
     "q195_time_weighted_avg" -> EventOps.timeWeightedAvgOracle,
     "q196_chi2_cells" -> EventOps.chi2CellsOracle,
+    "q197_clamped_balance" -> EventOps.clampedBalanceOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

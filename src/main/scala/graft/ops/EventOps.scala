@@ -1338,6 +1338,54 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Clamped running balance (floor at zero) per user — the prepaid-account
+    * scan that NO window frame can express: the clamp makes each step
+    * depend on the post-clamp value of the previous one, so it's a true
+    * left fold. Here it's a row-local `aggregate()` HOF over the user's
+    * time-ordered delta list (purchases debit, everything else credits):
+    * one user-keyed shuffle collects the list, the fold runs inside the
+    * row. State per user is the user's own history — bounded by per-user
+    * activity, the same assumption every sessionization op here makes (an
+    * unbounded-history user would move to flatMapGroupsWithState).
+    * Exactness: deltas are integer CENTS (DECIMAL(18,2)·100 — exact in
+    * both engines), the fold is integer add + clamp, and the fold ORDER is
+    * pinned by sorting (micros, event_id, delta) structs — lexicographic
+    * struct sort in Spark ≡ `ORDER BY ts, event_id` list aggregation in
+    * DuckDB (its list_reduce seeds with the first element, so the twin
+    * prepends the zero).
+    */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val signed = when(col("event_type") === "purchase", -cents).otherwise(cents)
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("m"), col("event_id").as("e"),
+          signed.as("d")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), collect_list(col("rec")).as("recs"))
+      .withColumn("balance_cents", expr(
+        "aggregate(transform(array_sort(recs), r -> r.d), 0L, (acc, d) -> greatest(acc + d, 0L))"))
+      .select(col("user_id"), col("n_events"), col("balance_cents"),
+        (col("balance_cents").cast("double") / 100.0).as("balance"))
+      .orderBy(col("user_id"))
+  }
+
+  val clampedBalanceOracle: String =
+    """WITH d AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         ELSE  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS dc
+      |  FROM events),
+      |g AS (SELECT user_id, count(*) AS n_events,
+      |        list(dc ORDER BY ts, event_id) AS ds
+      |      FROM d GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+      |              (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT))) AS balance_cents,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+      |              (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT))) AS DOUBLE) / 100.0 AS balance
+      |FROM g ORDER BY user_id""".stripMargin
+
   /** Chi-square contingency drilldown — independence audit of event type vs
     * day-of-week (is traffic mix shifting across the week?), reported
     * PER CELL: observed count, expected count under independence

@@ -952,6 +952,28 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("clamped balance equals an in-JVM fold and differs from unclamped (q197)") {
+    val got = EventOps.clampedBalance(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("m"), col("event_id"),
+        col("event_type"), col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        (r.getDecimal(4).movePointRight(2)).longValueExact()))
+      .groupBy(_._1)
+    var clampMattered = false
+    events.foreach { case (uid, rows) =>
+      val ds = rows.sortBy(r => (r._2, r._3)).map(r => if (r._4 == "purchase") -r._5 else r._5)
+      val clamped = ds.foldLeft(0L)((acc, d) => math.max(acc + d, 0L))
+      val raw = ds.sum
+      assert(got(uid) === clamped, s"user $uid")
+      if (clamped != math.max(raw, 0L)) clampMattered = true
+    }
+    // the dataset must actually exercise the clamp (otherwise this op is a sum)
+    assert(clampMattered)
+  }
+
   test("chi2 cells: marginals reconstruct N and contributions are sane (q196)") {
     val rows = EventOps.chi2Cells(spark, sf).collect()
     val n = Tables.events(spark, sf).count()
