@@ -336,6 +336,8 @@ object SparkEntry {
     "q196_chi2_cells"          -> ((s, d) => EventOps.chi2Cells(s, d)),
     // -- clamped running balance (floor-at-zero left fold) ----------------------
     "q197_clamped_balance"     -> ((s, d) => EventOps.clampedBalance(s, d)),
+    // -- GDPR delete-propagation audit (cascading broadcast anti-joins) ---------
+    "q198_gdpr_purge"          -> ((s, d) => CoreOps.gdprPurge(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -877,6 +879,7 @@ object SparkEntry {
     "q195_time_weighted_avg" -> EventOps.timeWeightedAvgOracle,
     "q196_chi2_cells" -> EventOps.chi2CellsOracle,
     "q197_clamped_balance" -> EventOps.clampedBalanceOracle,
+    "q198_gdpr_purge" -> CoreOps.gdprPurgeOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

@@ -1203,6 +1203,60 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** GDPR delete-propagation audit — the right-to-be-forgotten pipeline op
+    * over a normalized schema: a (deterministic, hash-derived) deletion
+    * request list of subjects cascades subject → orders → lineitems, and
+    * the audit emits per-table (rows_before, rows_purged, rows_after,
+    * leftover) where `leftover` RE-CHECKS the purged output against the
+    * deletion predicate (a semi-join count that must be 0 — proof of purge
+    * completeness, not arithmetic). Scale shape: the request list and the
+    * purged-order key set are broadcast (deletion lists are tiny relative
+    * to the corpus), so each cascade hop is one broadcast semi/anti join —
+    * no corpus-sized shuffle anywhere.
+    */
+  def gdprPurge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val evDel = col("user_id") % 97 === 0
+    val oDel = col("o_custkey") % 97 === 0
+    val purgedOrders = broadcast(o.filter(oDel).select(col("o_orderkey")))
+    val evAfter = ev.filter(!evDel)
+    val oAfter = o.filter(!oDel)
+    val liAfter = li.join(purgedOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    def row(table: String, before: DataFrame, after: DataFrame, leftover: DataFrame) =
+      before.agg(count(lit(1)).as("rows_before")).crossJoin(
+          after.agg(count(lit(1)).as("rows_after")))
+        .crossJoin(leftover.agg(count(lit(1)).as("leftover")))
+        .select(lit(table).as("table_name"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_purged"),
+          col("rows_after"), col("leftover"))
+    row("events", ev, evAfter, evAfter.filter(evDel))
+      .unionByName(row("orders", o, oAfter, oAfter.filter(oDel)))
+      .unionByName(row("lineitem", li, liAfter,
+        liAfter.join(purgedOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")))
+      .orderBy(col("table_name"))
+  }
+
+  val gdprPurgeOracle: String =
+    """WITH purged_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0),
+      |ev AS (SELECT count(*) AS b,
+      |        count(*) FILTER (WHERE NOT user_id % 97 = 0) AS a
+      |       FROM events),
+      |oo AS (SELECT count(*) AS b,
+      |        count(*) FILTER (WHERE NOT o_custkey % 97 = 0) AS a
+      |       FROM orders),
+      |ll AS (SELECT count(*) AS b,
+      |        count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM purged_orders)) AS a
+      |       FROM lineitem)
+      |SELECT 'events' AS table_name, b AS rows_before, b - a AS rows_purged,
+      |       a AS rows_after, CAST(0 AS BIGINT) AS leftover FROM ev
+      |UNION ALL
+      |SELECT 'lineitem', b, b - a, a, CAST(0 AS BIGINT) FROM ll
+      |UNION ALL
+      |SELECT 'orders', b, b - a, a, CAST(0 AS BIGINT) FROM oo
+      |ORDER BY table_name""".stripMargin
+
   /** Single source for the anonymity threshold — interpolated into the
     * oracle so the Scala default and the SQL twin cannot drift (the q153
     * lesson). */

@@ -65,6 +65,23 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("gdpr purge cascades, leaves zero leftovers, and purges something (q198)") {
+    val rows = CoreOps.gdprPurge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.values.foreach { case (before, purged, after, leftover) =>
+      assert(before === purged + after)
+      assert(leftover === 0L)
+    }
+    // the deletion predicate must actually select subjects at this SF
+    assert(rows("orders")._2 > 0L)
+    // cascade: purged lineitems belong exactly to purged orders
+    val purgedOrderKeys = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 97 === 0).select(col("o_orderkey"))
+    val expectedLi = Tables.lineitem(spark, sf)
+      .join(purgedOrderKeys, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(rows("lineitem")._2 === expectedLi)
+  }
+
   test("k-anonymity classes cover every customer and honor k (q192)") {
     val rows = CoreOps.kAnonymity(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()
