@@ -338,6 +338,8 @@ object SparkEntry {
     "q197_clamped_balance"     -> ((s, d) => EventOps.clampedBalance(s, d)),
     // -- GDPR delete-propagation audit (cascading broadcast anti-joins) ---------
     "q198_gdpr_purge"          -> ((s, d) => CoreOps.gdprPurge(s, d)),
+    // -- type inference over a string-rendered landing table --------------------
+    "q199_type_inference"      -> ((s, d) => CoreOps.typeInference(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -880,6 +882,7 @@ object SparkEntry {
     "q196_chi2_cells" -> EventOps.chi2CellsOracle,
     "q197_clamped_balance" -> EventOps.clampedBalanceOracle,
     "q198_gdpr_purge" -> CoreOps.gdprPurgeOracle,
+    "q199_type_inference" -> CoreOps.typeInferenceOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

@@ -1257,6 +1257,67 @@ object CoreOps {
       |SELECT 'orders', b, b - a, a, CAST(0 AS BIGINT) FROM oo
       |ORDER BY table_name""".stripMargin
 
+  /** Schema type-inference profiler over a string-rendered landing table —
+    * the CSV-onboarding primitive: every column arrives as text, and the
+    * engine must vote a type per column from full-scan parse evidence.
+    * The numeric detectors are REGEXES, not try_cast — deliberately:
+    * Spark's ANSI `try_cast('1.5' AS BIGINT)` yields NULL while DuckDB's
+    * TRY_CAST rounds to 2, so a cast-based integer vote diverges between
+    * engines; a `^-?[0-9]+$` match is one semantics everywhere. Dates use
+    * an ISO `yyyy-mm-dd` regex AND try_cast — Spark's lenient date cast
+    * accepts bare digit strings as years, so the shape gate comes first
+    * and the cast only rejects impossible calendar values. Rendering ties
+    * (Java `%.2f` HALF_UP vs C printf round-half-even) cannot affect the
+    * vote: any rendering of a number still matches the number pattern.
+    * One `stack` unpivot + one conditional-agg scan — the q189 audit shape
+    * over inferred rather than declared types.
+    */
+  def typeInference(spark: SparkSession, dir: String): DataFrame = {
+    val rendered = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("string").as("c_orderkey"),
+      col("o_orderstatus").as("c_status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_date"),
+      format_string("%.2f", col("o_totalprice")).as("c_price"))
+    rendered
+      .select(expr(
+        "stack(4, 'orderkey', c_orderkey, 'status', c_status, " +
+          "'orderdate', c_date, 'price', c_price) AS (col_name, val)"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("val").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("val").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L)).as("n_double"),
+        sum(when(col("val").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$") &&
+            expr("try_cast(val AS DATE)").isNotNull, 1L).otherwise(0L)).as("n_date"))
+      .withColumn("inferred",
+        when(col("n_int") === col("n"), "bigint")
+          .when(col("n_double") === col("n"), "double")
+          .when(col("n_date") === col("n"), "date")
+          .otherwise("string"))
+      .orderBy(col("col_name"))
+  }
+
+  val typeInferenceOracle: String =
+    """WITH rendered AS (SELECT CAST(o_orderkey AS VARCHAR) AS c_orderkey,
+      |    o_orderstatus AS c_status,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+      |    printf('%.2f', o_totalprice) AS c_price
+      |  FROM orders),
+      |lng AS (
+      |  SELECT 'orderkey' AS col_name, c_orderkey AS val FROM rendered
+      |  UNION ALL SELECT 'status', c_status FROM rendered
+      |  UNION ALL SELECT 'orderdate', c_date FROM rendered
+      |  UNION ALL SELECT 'price', c_price FROM rendered),
+      |p AS (SELECT col_name, count(*) AS n,
+      |  CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      |  CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+      |  CAST(sum(CASE WHEN regexp_matches(val, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+      |                  AND TRY_CAST(val AS DATE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+      |  FROM lng GROUP BY 1)
+      |SELECT col_name, n, n_int, n_double, n_date,
+      |  CASE WHEN n_int = n THEN 'bigint' WHEN n_double = n THEN 'double'
+      |       WHEN n_date = n THEN 'date' ELSE 'string' END AS inferred
+      |FROM p ORDER BY col_name""".stripMargin
+
   /** Single source for the anonymity threshold — interpolated into the
     * oracle so the Scala default and the SQL twin cannot drift (the q153
     * lesson). */

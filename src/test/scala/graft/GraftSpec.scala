@@ -65,6 +65,19 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("type inference votes the right type per rendered column (q199)") {
+    val got = CoreOps.typeInference(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(got === Map("orderkey" -> "bigint", "status" -> "string",
+      "orderdate" -> "date", "price" -> "double"))
+    // every detector's count is bounded by n, and int implies double
+    CoreOps.typeInference(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1)
+        && r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(3), "integer strings must also match the double pattern")
+    }
+  }
+
   test("gdpr purge cascades, leaves zero leftovers, and purges something (q198)") {
     val rows = CoreOps.gdprPurge(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
