@@ -74,6 +74,49 @@ object SketchKernels {
 }
 
 /** 64-bit SimHash fingerprint of an ArrayType(LongType) word-hash column. */
+object AvgHashKernel {
+  /** One-pass 64-bit average-hash of a payload string — the q187 kernel.
+    * Semantics are EXACTLY the SQL formulation the oracle checks
+    * (`ascii(substring(text, (i·nb) DIV 64 + 1, 1))`, Spark `ascii` =
+    * codePointAt(0) of the 1-char substring, 0 past the end; mean test
+    * `64·bᵢ > Σb`), compiled: the HOF version pays 64 interpreted lambda
+    * frames per row and re-derives the sample list inside the pushed-down
+    * join-key null filter — this stays inside whole-stage codegen.
+    */
+  def avgHash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val nb = s.numBytes.toLong
+    val bs = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val p = ((i * nb) / 64).toInt + 1
+      val sub = s.substringSQL(p, 1)
+      val b = if (sub.numChars > 0) sub.toString.codePointAt(0).toLong else 0L
+      bs(i) = b; total += b
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) { if (bs(i) * 64 > total) h |= (1L << i); i += 1 }
+    h
+  }
+}
+
+/** 64-bit average-hash of a StringType payload column (the q187 kernel). */
+case class AvgHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    AvgHashKernel.avgHash64(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.AvgHashKernel.avgHash64($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash fingerprint (see above). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

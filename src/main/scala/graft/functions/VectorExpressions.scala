@@ -172,6 +172,8 @@ object VectorFunctions {
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_avghash64",
+      exprs => AvgHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       exprs => MinhashSigs(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
@@ -197,6 +199,8 @@ object VectorFunctions {
   def dist2(a: Column, b: Column): Column = call_function("graft_dist2", a, b)
 
   def simhash64(hashes: Column): Column = call_function("graft_simhash64", hashes)
+
+  def avghash64(payload: Column): Column = call_function("graft_avghash64", payload)
 
   def minhashSigs(hashes: Column, k: Int): Column =
     call_function("graft_minhash_sigs", hashes, org.apache.spark.sql.functions.lit(k))

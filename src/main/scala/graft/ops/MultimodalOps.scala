@@ -288,27 +288,21 @@ object MultimodalOps {
   /** The per-payload 64-bit average-hash (doc_id, phash) — exposed so the
     * spec can brute-force the candidate+verify semantics against it. */
   def phashes(spark: SparkSession, dir: String): DataFrame = {
-    // 64 grid samples; mean test via 64·b > total (integer-exact). The
-    // sample list `bs` and its sum `total` are LET-BOUND via singleton-array
-    // `transform` lambdas: as separate withColumns, Catalyst's pushed-down
-    // isnotnull(join key) + CollapseProject inline `total` (itself a
-    // 64-substring text scan) into every one of the 64 bit-test iterations
-    // — 4096 O(n) scans per row, measured 17 s at sf0.01. Lambda-bound, the
-    // text is scanned once per evaluation no matter where Catalyst copies
-    // the expression (probe: 17.6 s → sub-second).
-    val phashExpr = expr(
-      """element_at(transform(array(
-        |    transform(sequence(0, 63), i -> CAST(ascii(substring(text,
-        |      CAST((i * CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)) DIV 64 AS INT) + 1, 1)) AS BIGINT))
-        |  ), bs ->
-        |    element_at(transform(array(aggregate(bs, 0L, (acc, b) -> acc + b)), total ->
-        |      aggregate(sequence(0, 63), 0L, (acc, i) ->
-        |        acc + IF(element_at(bs, i + 1) * 64 > total, shiftleft(1L, CAST(i AS INT)), 0L))
-        |    ), 1)
-        |), 1)""".stripMargin)
+    // 64 grid samples; mean test via 64·b > total (integer-exact), computed
+    // by the one-pass codegen kernel [[graft.functions.AvgHash64]]. History:
+    // the pure-SQL HOF formulation (separate bs/total withColumns) measured
+    // 17 s at sf0.01 because Catalyst's pushed-down isnotnull(join key) +
+    // CollapseProject inlined `total` (a 64-substring scan) into every
+    // bit-test iteration; singleton-array lambda-binding fixed the blowup
+    // (2.2 s), and the compiled kernel removes the remaining 64 interpreted
+    // lambda frames per row while staying inside whole-stage codegen
+    // (bench: 2.6 s → sub-second at sf0.1). The kernel's semantics are the
+    // SQL formulation the DuckDB oracle still checks verbatim.
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, dir)
       .filter(expr("octet_length(encode(text, 'UTF-8')) > 0"))
-      .select(col("doc_id"), phashExpr.as("phash"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.avghash64(col("text")).as("phash"))
   }
 
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
