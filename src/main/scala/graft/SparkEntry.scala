@@ -340,6 +340,8 @@ object SparkEntry {
     "q198_gdpr_purge"          -> ((s, d) => CoreOps.gdprPurge(s, d)),
     // -- type inference over a string-rendered landing table --------------------
     "q199_type_inference"      -> ((s, d) => CoreOps.typeInference(s, d)),
+    // -- deterministic half-sample bootstrap confidence intervals ---------------
+    "q200_bootstrap_ci"        -> ((s, d) => EventOps.bootstrapCI(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -883,6 +885,7 @@ object SparkEntry {
     "q197_clamped_balance" -> EventOps.clampedBalanceOracle,
     "q198_gdpr_purge" -> CoreOps.gdprPurgeOracle,
     "q199_type_inference" -> CoreOps.typeInferenceOracle,
+    "q200_bootstrap_ci" -> EventOps.bootstrapCIOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

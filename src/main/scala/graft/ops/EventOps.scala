@@ -1338,6 +1338,74 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Deterministic half-sample bootstrap CI for the per-type mean value —
+    * uncertainty quantification as a QUERY: 32 bootstrap replicas, where
+    * replica b contains a row iff bit b of the row's 32-bit md5 integer is
+    * set (ONE hash per row drives all 32 replicas — deterministic, so both
+    * engines build the identical replica ensemble). The scan shape is the
+    * 100 TB-correct one: 32 conditional (count, DECIMAL-sum) pairs in ONE
+    * map-side-combined aggregation — no 32× row amplification — then the
+    * tiny per-type stats row unpivots to 32 replica means (one fixed float
+    * division each) and the CI takes EXACT RANKS over them (2nd / 16-17
+    * midrank / 31st of 32) — rank selection, not float re-summation, so
+    * nothing order-dependent ever happens to a float.
+    */
+  val BootstrapReplicas = 32
+
+  def bootstrapCI(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = expr("conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)").cast("long")
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"), mask.as("mask"))
+    val aggs = (0 until BootstrapReplicas).flatMap { b =>
+      Seq(sum(when(expr(s"shiftright(mask, $b) & 1 = 1"), col("v"))).as(s"s$b"),
+        sum(when(expr(s"shiftright(mask, $b) & 1 = 1"), 1L).otherwise(0L)).as(s"c$b"))
+    }
+    val stats = base.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until BootstrapReplicas)
+      .map(b => s"$b, s$b, c$b").mkString(", ")
+    val reps = stats.select(col("event_type"),
+        expr(s"stack($BootstrapReplicas, $stackArgs) AS (b, s, c)"))
+      .select(col("event_type"), col("b"),
+        (col("s").cast("double") / col("c").cast("double")).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"), col("b"))
+    reps.withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_replicas"),
+        OracleMath.stableRound(max(when(col("rn") === 2, col("m"))), 6).as("ci_lo"),
+        OracleMath.stableRound(
+          (max(when(col("rn") === 16, col("m"))) + max(when(col("rn") === 17, col("m"))))
+            / lit(2.0), 6).as("ci_mid"),
+        OracleMath.stableRound(max(when(col("rn") === 31, col("m"))), 6).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val bootstrapCIOracle: String = {
+    val sums = (0 until BootstrapReplicas).map { b =>
+      s"sum(CASE WHEN (mask >> $b) & 1 = 1 THEN v END) AS s$b,\n" +
+        s"        CAST(sum(CASE WHEN (mask >> $b) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c$b"
+    }.mkString(",\n        ")
+    val unions = (0 until BootstrapReplicas)
+      .map(b => s"SELECT event_type, $b AS b, CAST(s$b AS DOUBLE) / CAST(c$b AS DOUBLE) AS m FROM stats")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS mask
+       |  FROM events),
+       |stats AS (SELECT event_type,
+       |        $sums
+       |      FROM base GROUP BY 1),
+       |reps AS (
+       |  $unions),
+       |rk AS (SELECT event_type, b, m,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+       |       FROM reps)
+       |SELECT event_type, count(*) AS n_replicas,
+       |  ${OracleMath.stableRoundSql("max(CASE WHEN rn = 2 THEN m END)", 6)} AS ci_lo,
+       |  ${OracleMath.stableRoundSql("(max(CASE WHEN rn = 16 THEN m END) + max(CASE WHEN rn = 17 THEN m END)) / 2.0", 6)} AS ci_mid,
+       |  ${OracleMath.stableRoundSql("max(CASE WHEN rn = 31 THEN m END)", 6)} AS ci_hi
+       |FROM rk GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   /** Clamped running balance (floor at zero) per user — the prepaid-account
     * scan that NO window frame can express: the clamp makes each step
     * depend on the post-clamp value of the previous one, so it's a true

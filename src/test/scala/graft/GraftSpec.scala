@@ -982,6 +982,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap CI brackets the full-sample mean and is ordered (q200)") {
+    val fullMeans = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / count(lit(1))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    EventOps.bootstrapCI(spark, sf).collect().foreach { r =>
+      val (et, lo, mid, hi) = (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(1) === EventOps.BootstrapReplicas.toLong)
+      assert(lo <= mid && mid <= hi, et)
+      // half-sample replica means concentrate around the true mean; the CI
+      // must bracket it at these sample sizes
+      assert(fullMeans(et) >= lo && fullMeans(et) <= hi, s"$et: ${fullMeans(et)} not in [$lo, $hi]")
+    }
+  }
+
   test("clamped balance equals an in-JVM fold and differs from unclamped (q197)") {
     val got = EventOps.clampedBalance(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
