@@ -342,6 +342,8 @@ object SparkEntry {
     "q199_type_inference"      -> ((s, d) => CoreOps.typeInference(s, d)),
     // -- deterministic half-sample bootstrap confidence intervals ---------------
     "q200_bootstrap_ci"        -> ((s, d) => EventOps.bootstrapCI(s, d)),
+    // -- CBO join-cardinality estimate vs join-free actual ----------------------
+    "q201_join_card"           -> ((s, d) => CoreOps.joinCardEstimate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -886,6 +888,7 @@ object SparkEntry {
     "q198_gdpr_purge" -> CoreOps.gdprPurgeOracle,
     "q199_type_inference" -> CoreOps.typeInferenceOracle,
     "q200_bootstrap_ci" -> EventOps.bootstrapCIOracle,
+    "q201_join_card" -> CoreOps.joinCardEstimateOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

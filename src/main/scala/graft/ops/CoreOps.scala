@@ -1203,6 +1203,59 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** Join-cardinality estimator audit — the cost-based-optimizer statistic
+    * evaluated as a query: the TRUE output size of orders ⋈ events on the
+    * customer key computed WITHOUT executing the join (Σ cntₐ·cntᵦ over the
+    * joined per-key count tables — two corpus scans plus a join of two
+    * key-sized tables), next to the textbook uniform-NDV estimate
+    * |A|·|B|∕max(ndvA, ndvB) every CBO starts from, and the error ratio
+    * between them. This is how a planner should VALIDATE its stats at
+    * 100 TB: the per-key count tables are the expensive-join-avoiding
+    * sketch, and the error ratio is the skew signal (uniform estimates
+    * collapse exactly when q165's skew profile says they will). Counts and
+    * the actual size are exact integers; the estimate is one fixed float
+    * expression.
+    */
+  def joinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val b = Tables.events(spark, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val joined = a.join(b, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual_rows"),
+        count(lit(1)).as("n_matched_keys"))
+    val statsA = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_a"), countDistinct(col("o_custkey")).as("ndv_a"))
+    val statsB = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_b"), countDistinct(col("user_id")).as("ndv_b"))
+    statsA.crossJoin(statsB).crossJoin(joined)
+      .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        OracleMath.stableRound(
+          col("n_a").cast("double") * col("n_b").cast("double") /
+            greatest(col("ndv_a"), col("ndv_b")).cast("double"), 2).as("est_rows"),
+        col("actual_rows"), col("n_matched_keys"),
+        OracleMath.stableRound(
+          col("actual_rows").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") /
+              greatest(col("ndv_a"), col("ndv_b")).cast("double")), 6).as("actual_over_est"))
+  }
+
+  val joinCardEstimateOracle: String = {
+    val est = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(greatest(ndv_a, ndv_b) AS DOUBLE)"
+    s"""WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+       |b AS (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1),
+       |j AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS actual_rows,
+       |             count(*) AS n_matched_keys
+       |      FROM a JOIN b USING (k)),
+       |sa AS (SELECT count(*) AS n_a, count(DISTINCT o_custkey) AS ndv_a FROM orders),
+       |sb AS (SELECT count(*) AS n_b, count(DISTINCT user_id) AS ndv_b FROM events)
+       |SELECT n_a, n_b, ndv_a, ndv_b,
+       |  ${OracleMath.stableRoundSql(est, 2)} AS est_rows,
+       |  actual_rows, n_matched_keys,
+       |  ${OracleMath.stableRoundSql(s"CAST(actual_rows AS DOUBLE) / ($est)", 6)} AS actual_over_est
+       |FROM sa, sb, j""".stripMargin
+  }
+
   /** GDPR delete-propagation audit — the right-to-be-forgotten pipeline op
     * over a normalized schema: a (deterministic, hash-derived) deletion
     * request list of subjects cascades subject → orders → lineitems, and

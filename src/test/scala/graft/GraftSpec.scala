@@ -65,6 +65,15 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("join-free actual cardinality equals the executed join's count (q201)") {
+    val r = CoreOps.joinCardEstimate(spark, sf).head
+    val executed = Tables.orders(spark, sf)
+      .join(Tables.events(spark, sf), col("o_custkey") === col("user_id")).count()
+    assert(r.getLong(5) === executed)
+    assert(r.getDouble(7) > 0.0)
+    assert(r.getLong(6) <= math.min(r.getLong(2), r.getLong(3)))
+  }
+
   test("type inference votes the right type per rendered column (q199)") {
     val got = CoreOps.typeInference(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(5)).toMap
