@@ -344,6 +344,8 @@ object SparkEntry {
     "q200_bootstrap_ci"        -> ((s, d) => EventOps.bootstrapCI(s, d)),
     // -- CBO join-cardinality estimate vs join-free actual ----------------------
     "q201_join_card"           -> ((s, d) => CoreOps.joinCardEstimate(s, d)),
+    // -- burst detection via trailing-60s RANGE frame ---------------------------
+    "q202_burst_detect"        -> ((s, d) => EventOps.burstDetect(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -889,6 +891,7 @@ object SparkEntry {
     "q199_type_inference" -> CoreOps.typeInferenceOracle,
     "q200_bootstrap_ci" -> EventOps.bootstrapCIOracle,
     "q201_join_card" -> CoreOps.joinCardEstimateOracle,
+    "q202_burst_detect" -> EventOps.burstDetectOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

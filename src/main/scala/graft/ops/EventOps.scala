@@ -1338,6 +1338,42 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Burst (rate-limit) detection — per user, the maximum number of events
+    * in ANY trailing 60-second window, via a value-based RANGE frame over
+    * integer epoch seconds (the q176 discipline at second granularity:
+    * a ROWS frame would be wrong whenever activity has gaps, which is the
+    * whole point of burst detection). Ties on the same second are RANGE
+    * peers — included identically by both engines. One user-keyed shuffle;
+    * the frame count is integers only. Flag threshold single-sourced into
+    * the oracle.
+    */
+  val BurstFlagThreshold = 5L
+
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-59, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst_60s"))
+      .withColumn("flagged", col("max_burst_60s") > BurstFlagThreshold)
+      .orderBy(col("user_id"))
+  }
+
+  val burstDetectOracle: String =
+    s"""WITH e AS (SELECT user_id,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |b AS (SELECT user_id,
+       |        count(*) OVER (PARTITION BY user_id ORDER BY sec
+       |          RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst
+       |      FROM e)
+       |SELECT user_id, count(*) AS n_events, max(burst) AS max_burst_60s,
+       |       max(burst) > $BurstFlagThreshold AS flagged
+       |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Deterministic half-sample bootstrap CI for the per-type mean value —
     * uncertainty quantification as a QUERY: 32 bootstrap replicas, where
     * replica b contains a row iff bit b of the row's 32-bit md5 integer is

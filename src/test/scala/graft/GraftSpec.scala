@@ -991,6 +991,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("burst detection matches an in-JVM sliding count and flags fire (q202)") {
+    val got = EventOps.burstDetect(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byUser.foreach { case (uid, rows) =>
+      val secs = rows.map(_._2).sorted
+      val maxBurst = secs.map(s => secs.count(t => t >= s - 59 && t <= s)).max
+      val (n, burst, flagged) = got(uid)
+      assert(n === secs.length.toLong)
+      assert(burst === maxBurst.toLong, s"user $uid")
+      assert(flagged === (maxBurst > EventOps.BurstFlagThreshold))
+    }
+  }
+
   test("bootstrap CI brackets the full-sample mean and is ordered (q200)") {
     val fullMeans = Tables.events(spark, sf)
       .groupBy(col("event_type"))
