@@ -346,6 +346,8 @@ object SparkEntry {
     "q201_join_card"           -> ((s, d) => CoreOps.joinCardEstimate(s, d)),
     // -- burst detection via trailing-60s RANGE frame ---------------------------
     "q202_burst_detect"        -> ((s, d) => EventOps.burstDetect(s, d)),
+    // -- funnel stage-transition timing percentiles -----------------------------
+    "q203_funnel_timing"       -> ((s, d) => EventOps.funnelTiming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -892,6 +894,7 @@ object SparkEntry {
     "q200_bootstrap_ci" -> EventOps.bootstrapCIOracle,
     "q201_join_card" -> CoreOps.joinCardEstimateOracle,
     "q202_burst_detect" -> EventOps.burstDetectOracle,
+    "q203_funnel_timing" -> EventOps.funnelTimingOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

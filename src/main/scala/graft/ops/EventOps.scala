@@ -1338,6 +1338,88 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Funnel stage-transition timing — how long converting users take
+    * between stages, the drop-off DIAGNOSIS on top of q99's drop-off
+    * counts. Reuses q99's exact stage semantics (first-event times,
+    * strictly increasing), emits per transition: user count, EXACT
+    * middle-rank median gap, exact-rank p90 (element at ⌈0.9n⌉ — rank
+    * SELECTION, like q186/q200: the value at a rank is well-defined even
+    * when row_number breaks gap ties differently per engine), and max.
+    * Gaps are integer seconds; the only float is the median's dyadic ÷2.
+    * Scale: one user-keyed agg (corpus-sized) → per-pair rank windows on
+    * the converting-users table.
+    */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def minTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    def gapSec(a: String, b: String) =
+      expr(s"unix_micros(t_$b) DIV 1000000 - unix_micros(t_$a) DIV 1000000")
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    val gaps = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(minTs("signup"), minTs("view"), minTs("click"), minTs("purchase"))
+      .withColumn("stage", when(s4, 4L).when(s3, 3L).when(s2, 2L).when(s1, 1L).otherwise(0L))
+      .select(explode(array(
+        struct(lit("1_signup_to_view").as("pair"),
+          when(col("stage") >= 2, gapSec("signup", "view")).as("gap")),
+        struct(lit("2_view_to_click").as("pair"),
+          when(col("stage") >= 3, gapSec("view", "click")).as("gap")),
+        struct(lit("3_click_to_purchase").as("pair"),
+          when(col("stage") >= 4, gapSec("click", "purchase")).as("gap")))).as("p"))
+      .select(col("p.pair").as("pair"), col("p.gap").as("gap"))
+      .filter(col("gap").isNotNull)
+    val n = count(lit(1)).over(Window.partitionBy(col("pair")))
+    val rn = row_number().over(Window.partitionBy(col("pair")).orderBy(col("gap")))
+    gaps.withColumn("n", n).withColumn("rn", rn)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_users"),
+        OracleMath.stableRound(
+          (max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap"))) +
+            max(when(col("rn") === expr("(n + 2) DIV 2"), col("gap")))).cast("double") / 2.0, 1)
+          .as("median_gap_s"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("gap"))).as("p90_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+      .orderBy(col("pair"))
+  }
+
+  val funnelTimingOracle: String =
+    s"""WITH m AS (SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT *,
+       |    CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+       |          AND t_click > t_view AND t_purchase > t_click THEN 4
+       |         WHEN t_signup IS NOT NULL AND t_view > t_signup
+       |          AND t_click > t_view THEN 3
+       |         WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 2
+       |         WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage
+       |  FROM m),
+       |gaps AS (
+       |  SELECT '1_signup_to_view' AS pair,
+       |    date_diff('second', t_signup, t_view) AS gap FROM st WHERE stage >= 2
+       |  UNION ALL SELECT '2_view_to_click',
+       |    date_diff('second', t_view, t_click) FROM st WHERE stage >= 3
+       |  UNION ALL SELECT '3_click_to_purchase',
+       |    date_diff('second', t_click, t_purchase) FROM st WHERE stage >= 4),
+       |rk AS (SELECT pair, gap,
+       |         count(*) OVER (PARTITION BY pair) AS n,
+       |         row_number() OVER (PARTITION BY pair ORDER BY gap) AS rn
+       |       FROM gaps)
+       |SELECT pair, count(*) AS n_users,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) + " +
+            "max(CASE WHEN rn = (n + 2) // 2 THEN gap END) AS DOUBLE) / 2.0", 1)} AS median_gap_s,
+       |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END) AS p90_gap_s,
+       |  max(gap) AS max_gap_s
+       |FROM rk GROUP BY 1 ORDER BY pair""".stripMargin
+
   /** Burst (rate-limit) detection — per user, the maximum number of events
     * in ANY trailing 60-second window, via a value-based RANGE frame over
     * integer epoch seconds (the q176 discipline at second granularity:

@@ -991,6 +991,20 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel timing percentiles are ordered and counts agree with q99 (q203)") {
+    val timing = EventOps.funnelTiming(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val stages = EventOps.funnelStages(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def atLeast(s: Long) = stages.filter(_._1 >= s).values.sum
+    assert(timing("1_signup_to_view")._1 === atLeast(2))
+    assert(timing("2_view_to_click")._1 === atLeast(3))
+    assert(timing("3_click_to_purchase")._1 === atLeast(4))
+    timing.values.foreach { case (n, med, p90, mx) =>
+      assert(n > 0 && med > 0.0 && med <= p90.toDouble && p90 <= mx)
+    }
+  }
+
   test("burst detection matches an in-JVM sliding count and flags fire (q202)") {
     val got = EventOps.burstDetect(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
