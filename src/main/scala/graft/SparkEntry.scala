@@ -348,6 +348,8 @@ object SparkEntry {
     "q202_burst_detect"        -> ((s, d) => EventOps.burstDetect(s, d)),
     // -- funnel stage-transition timing percentiles -----------------------------
     "q203_funnel_timing"       -> ((s, d) => EventOps.funnelTiming(s, d)),
+    // -- sampled range-partition planner + balance audit ------------------------
+    "q204_range_buckets"       -> ((s, d) => CoreOps.rangeBucketAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -895,6 +897,7 @@ object SparkEntry {
     "q201_join_card" -> CoreOps.joinCardEstimateOracle,
     "q202_burst_detect" -> EventOps.burstDetectOracle,
     "q203_funnel_timing" -> EventOps.funnelTimingOracle,
+    "q204_range_buckets" -> CoreOps.rangeBucketAuditOracle,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

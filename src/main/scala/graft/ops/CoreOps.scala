@@ -1203,6 +1203,61 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** Sampled range-partition planner + balance audit — Spark's
+    * RangePartitioner pipeline made inspectable: a deterministic ~1 % md5
+    * sample yields 7 exact-rank boundary values (ranks ⌈k·nₛ∕8⌉ within the
+    * sample), the FULL table is then assigned bucket = #(boundaries < v),
+    * and the audit reports per-bucket count/min/max plus the skew ratio vs
+    * the ideal n∕8 — the number that tells you whether a range write/sort
+    * would produce balanced tasks BEFORE paying for it. Assignment here is
+    * a broadcast cross-join against the 7-row boundary table + conditional
+    * sum (at 100 TB the boundaries ride a broadcast array and assignment is
+    * a row-local binary search — same data flow, the 7-row broadcast IS
+    * that array). The rank windows run on the ~1 % sample only.
+    */
+  def rangeBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = Tables.orders(spark, dir)
+      .filter(expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100 = 0"))
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("okey"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("okey"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+    val bounds = sampled
+      .select(explode(expr("sequence(1, 7)")).as("k"), col("rn"), col("ns"), col("v"))
+      .filter(col("rn") === expr("(k * ns) DIV 8"))
+      .select(col("v").as("b"))
+    val total = Tables.orders(spark, dir).agg(count(lit(1)).as("n_total"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(when(col("o_totalprice") > col("b"), 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_v"), max(col("o_totalprice")).as("max_v"))
+      .crossJoin(total)
+      .select(col("bucket"), col("n_rows"), col("min_v"), col("max_v"),
+        OracleMath.stableRound(
+          col("n_rows").cast("double") * 8.0 / col("n_total").cast("double"), 4)
+          .as("skew_vs_ideal"))
+      .orderBy(col("bucket"))
+  }
+
+  val rangeBucketAuditOracle: String =
+    s"""WITH s AS (SELECT o_totalprice AS v, o_orderkey AS okey FROM orders
+       |           WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 = 0),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v, okey) AS rn,
+       |        count(*) OVER () AS ns FROM s),
+       |bounds AS (SELECT r.v AS b FROM r, (SELECT unnest(range(1, 8)) AS k) ks
+       |           WHERE r.rn = (ks.k * r.ns) // 8),
+       |assigned AS (SELECT o_orderkey, o_totalprice,
+       |        CAST(sum(CASE WHEN o_totalprice > b THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM orders CROSS JOIN bounds GROUP BY 1, 2),
+       |t AS (SELECT count(*) AS n_total FROM orders)
+       |SELECT bucket, count(*) AS n_rows, min(o_totalprice) AS min_v,
+       |       max(o_totalprice) AS max_v,
+       |  ${OracleMath.stableRoundSql("CAST(count(*) AS DOUBLE) * 8.0 / CAST((SELECT n_total FROM t) AS DOUBLE)", 4)} AS skew_vs_ideal
+       |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Join-cardinality estimator audit — the cost-based-optimizer statistic
     * evaluated as a query: the TRUE output size of orders ⋈ events on the
     * customer key computed WITHOUT executing the join (Σ cntₐ·cntᵦ over the

@@ -65,6 +65,22 @@ class CoreOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L))
   }
 
+  test("range buckets partition all rows into ordered, roughly-even ranges (q204)") {
+    val rows = CoreOps.rangeBucketAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).sum === Tables.orders(spark, sf).count())
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // value ranges must not overlap across ascending buckets
+    rows.sliding(2).foreach { case Array((_, _, _, maxLo, _), (_, _, minHi, _, _)) =>
+      assert(maxLo <= minHi)
+    case _ => ()
+    }
+    // the ~15-row sample at this SF is honestly noisy — that's what the
+    // audit exists to expose; assert sanity, not tight balance
+    rows.foreach { case (b, _, _, _, skew) => assert(skew > 0.0 && skew < 4.0, s"bucket $b: $skew") }
+    assert(rows.count { case (_, _, _, _, skew) => skew >= 0.5 && skew <= 2.0 } >= 4)
+  }
+
   test("join-free actual cardinality equals the executed join's count (q201)") {
     val r = CoreOps.joinCardEstimate(spark, sf).head
     val executed = Tables.orders(spark, sf)
