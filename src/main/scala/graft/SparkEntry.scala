@@ -350,6 +350,8 @@ object SparkEntry {
     "q203_funnel_timing"       -> ((s, d) => EventOps.funnelTiming(s, d)),
     // -- sampled range-partition planner + balance audit ------------------------
     "q204_range_buckets"       -> ((s, d) => CoreOps.rangeBucketAudit(s, d)),
+    // -- Spark 4 transformWithState stateful processor --------------------------
+    "q205_tws_spend"           -> ((s, d) => graft.streaming.TwsSpendStream.spendStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -898,6 +900,7 @@ object SparkEntry {
     "q202_burst_detect" -> EventOps.burstDetectOracle,
     "q203_funnel_timing" -> EventOps.funnelTimingOracle,
     "q204_range_buckets" -> CoreOps.rangeBucketAuditOracle,
+    "q205_tws_spend" -> graft.streaming.TwsSpendStream.oracleSql,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

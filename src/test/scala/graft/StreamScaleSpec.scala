@@ -267,6 +267,18 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState spend profile equals the batch aggregation (q205)") {
+    val got = graft.streaming.TwsSpendStream.spendStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("t"), max(col("cents")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === batch)
+  }
+
   test("full outer join nests left outer nests inner, right-nulls below cutoff (q194)") {
     val full = graft.streaming.StreamJoinOps
       .clickAttributionFullOuterStreaming(spark, sf).collect()
