@@ -352,6 +352,8 @@ object SparkEntry {
     "q204_range_buckets"       -> ((s, d) => CoreOps.rangeBucketAudit(s, d)),
     // -- Spark 4 transformWithState stateful processor --------------------------
     "q205_tws_spend"           -> ((s, d) => graft.streaming.TwsSpendStream.spendStreaming(s, d)),
+    // -- transformWithState event-time timers (q80 semantics, new API) ----------
+    "q206_tws_timer_sessions"  -> ((s, d) => graft.streaming.TwsTimerSessionStream.sessionsTimerStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -901,6 +903,13 @@ object SparkEntry {
     "q203_funnel_timing" -> EventOps.funnelTimingOracle,
     "q204_range_buckets" -> CoreOps.rangeBucketAuditOracle,
     "q205_tws_spend" -> graft.streaming.TwsSpendStream.oracleSql,
+    "q206_tws_timer_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, date_trunc('minute', ts) AS m,
+        |   lag(date_trunc('minute', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('minute', ts), event_id) AS prev_m
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q169_pagerank" -> EventOps.pageRankOracle,
     "q173_cms_counts" -> EventOps.cmsCountsOracle,
     "q174_markov_transitions" -> EventOps.markovTransitionsOracle,

@@ -267,6 +267,17 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-based transformWithState equals the EventTimeTimeout machine (q206)") {
+    val tws = graft.streaming.TwsTimerSessionStream.sessionsTimerStreaming(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val classic = graft.streaming.TimeoutSessionStream.sessionsTimeoutStreaming(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventOps.sessionCounts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tws === classic)
+    assert(tws === batch)
+  }
+
   test("transformWithState spend profile equals the batch aggregation (q205)") {
     val got = graft.streaming.TwsSpendStream.spendStreaming(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
