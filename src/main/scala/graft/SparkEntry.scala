@@ -354,6 +354,8 @@ object SparkEntry {
     "q205_tws_spend"           -> ((s, d) => graft.streaming.TwsSpendStream.spendStreaming(s, d)),
     // -- transformWithState event-time timers (q80 semantics, new API) ----------
     "q206_tws_timer_sessions"  -> ((s, d) => graft.streaming.TwsTimerSessionStream.sessionsTimerStreaming(s, d)),
+    // -- transformWithState ListState bounded last-K cache ----------------------
+    "q207_tws_lastk"           -> ((s, d) => graft.streaming.TwsLastKStream.lastKStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -903,6 +905,7 @@ object SparkEntry {
     "q203_funnel_timing" -> EventOps.funnelTimingOracle,
     "q204_range_buckets" -> CoreOps.rangeBucketAuditOracle,
     "q205_tws_spend" -> graft.streaming.TwsSpendStream.oracleSql,
+    "q207_tws_lastk" -> graft.streaming.TwsLastKStream.oracleSql,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

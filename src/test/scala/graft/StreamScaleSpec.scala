@@ -267,6 +267,27 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ListState last-K cache equals the batch top-K and stays bounded (q207)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.streaming.TwsLastKStream.lastKStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+    val batch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(when(col("rn") === 1, col("cents"))), lit(-1L)).as("c1"),
+        coalesce(max(when(col("rn") === 2, col("cents"))), lit(-1L)).as("c2"),
+        coalesce(max(when(col("rn") === 3, col("cents"))), lit(-1L)).as("c3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === batch)
+    // users with more purchases than K prove the cache actually truncated
+    assert(got.exists(_._2 > 3L))
+  }
+
   test("timer-based transformWithState equals the EventTimeTimeout machine (q206)") {
     val tws = graft.streaming.TwsTimerSessionStream.sessionsTimerStreaming(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
