@@ -979,6 +979,65 @@ object EventOps {
        |       ${OracleMath.stableRoundSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)", 6)} AS p_r
        |FROM t ORDER BY prev_type, next_type""".stripMargin
 
+  /** Markov next-event prediction accuracy — model EVALUATION inside the
+    * engine, on top of q174's transition counts: the predictor is
+    * argmax_next n(prev, next) with a deterministic tie-break (higher
+    * count, then lexicographic next type), its in-sample accuracy per
+    * state is chosen-count ∕ row-total, plus one `_overall` row. Every
+    * number is an exact integer until the one fixed per-row division —
+    * the eval-metric discipline the bootstrap (q200) and χ² (q196) ops
+    * follow. The transitions table is states² rows; everything after the
+    * corpus-sized lag shuffle is free.
+    */
+  def markovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val pick = Window.partitionBy(col("prev_type"))
+      .orderBy(desc("n"), col("next_type"))
+    val best = trans
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"),
+        col("n").as("n_correct"), col("n_from"))
+    val overall = best
+      .agg(sum(col("n_correct")).as("n_correct"), sum(col("n_from")).as("n_from"))
+      .select(lit("_overall").as("prev_type"), lit("*").as("predicted_next"),
+        col("n_correct"), col("n_from"))
+    best.unionByName(overall)
+      .select(col("prev_type"), col("predicted_next"), col("n_correct"), col("n_from"),
+        OracleMath.stableRound(col("n_correct").cast("double") / col("n_from"), 6)
+          .as("accuracy"))
+      .orderBy(col("prev_type"))
+  }
+
+  val markovAccuracyOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+       |      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT prev_type, next_type, n,
+       |        CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       |        row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+       |      FROM t),
+       |best AS (SELECT prev_type, next_type AS predicted_next,
+       |           n AS n_correct, n_from FROM r WHERE rn = 1),
+       |u AS (SELECT * FROM best
+       |      UNION ALL
+       |      SELECT '_overall', '*', CAST(sum(n_correct) AS BIGINT),
+       |             CAST(sum(n_from) AS BIGINT) FROM best)
+       |SELECT prev_type, predicted_next, n_correct, n_from,
+       |       ${OracleMath.stableRoundSql("CAST(n_correct AS DOUBLE) / n_from", 6)} AS accuracy
+       |FROM u ORDER BY prev_type""".stripMargin
+
   /** Incremental maintenance of a JOINED aggregate view — the warehouse
     * pattern q123 (pure agg merge) doesn't cover: the view joins facts to a
     * dimension before aggregating, and on each landing day only the DELTA

@@ -1007,6 +1007,25 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("markov accuracy beats the majority-class floor per state (q208)") {
+    val rows = EventOps.markovAccuracy(spark, sf).collect()
+    val trans = EventOps.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.filter(_.getString(0) != "_overall").foreach { r =>
+      val (prev, pred) = (r.getString(0), r.getString(1))
+      val counts = trans.filter(_._1 == prev)
+      // the prediction is the true argmax (ties by name) and its count matches
+      val best = counts.maxBy(c => (c._3, -1))._3
+      assert(counts.filter(_._3 == best).map(_._2).min === pred || counts.find(_._2 == pred).get._3 === best)
+      assert(r.getLong(2) === counts.find(_._2 == pred).get._3)
+      assert(r.getLong(3) === counts.map(_._3).sum)
+      // accuracy of the argmax predictor is >= uniform-guess floor
+      assert(r.getDouble(4) >= 1.0 / counts.length)
+    }
+    val overall = rows.find(_.getString(0) == "_overall").get
+    assert(overall.getLong(2) === rows.filter(_.getString(0) != "_overall").map(_.getLong(2)).sum)
+  }
+
   test("funnel timing percentiles are ordered and counts agree with q99 (q203)") {
     val timing = EventOps.funnelTiming(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
