@@ -358,6 +358,8 @@ object SparkEntry {
     "q207_tws_lastk"           -> ((s, d) => graft.streaming.TwsLastKStream.lastKStreaming(s, d)),
     // -- Markov next-event predictor accuracy (in-sample model eval) ------------
     "q208_markov_accuracy"     -> ((s, d) => EventOps.markovAccuracy(s, d)),
+    // -- Wilson-score conversion-rate confidence intervals ----------------------
+    "q209_wilson_rates"        -> ((s, d) => CoreOps.wilsonRates(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -909,6 +911,7 @@ object SparkEntry {
     "q205_tws_spend" -> graft.streaming.TwsSpendStream.oracleSql,
     "q207_tws_lastk" -> graft.streaming.TwsLastKStream.oracleSql,
     "q208_markov_accuracy" -> EventOps.markovAccuracyOracle,
+    "q209_wilson_rates" -> CoreOps.wilsonRatesOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

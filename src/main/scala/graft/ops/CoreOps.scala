@@ -1203,6 +1203,58 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** Wilson-score confidence intervals for per-segment conversion rates —
+    * the statistically-honest rate report (a plain ±1.96·√(p(1−p)/n) Wald
+    * interval lies badly at small n or extreme p; Wilson doesn't): per
+    * market segment, the fraction of customers with an urgent order, with
+    * the 95 % Wilson bounds. Exactness discipline: k and n are exact
+    * integers from one broadcast-semi-join flag + conditional count; the
+    * interval is ONE fixed float expression per row whose constants
+    * (1.96, 3.8416, 1.9208, 0.9604) are written as literals — never as
+    * `z*z`-style foldable expressions (the q157 round-to-even lesson) —
+    * and `sqrt` is IEEE-exact on both engines for identical inputs.
+    */
+  def wilsonRates(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val flagged = Tables.customer(spark, dir)
+      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_mktsegment"), col("o_custkey").isNotNull.as("converted"))
+    val s = flagged.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val denom = lit(1.0) + lit(3.8416) / n
+    val center = (p + lit(1.9208) / n) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n + lit(0.9604) / (n * n)) / denom
+    s.select(col("c_mktsegment"), col("n"), col("k"),
+        OracleMath.stableRound(p, 6).as("rate"),
+        OracleMath.stableRound(center - half, 6).as("wilson_lo"),
+        OracleMath.stableRound(center + half, 6).as("wilson_hi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val wilsonRatesOracle: String = {
+    val n = "CAST(n AS DOUBLE)"
+    val p = s"CAST(k AS DOUBLE) / $n"
+    val denom = s"(1.0 + 3.8416 / $n)"
+    val center = s"(($p) + 1.9208 / $n) / $denom"
+    val half = s"1.96 * sqrt(($p) * (1.0 - ($p)) / $n + 0.9604 / ($n * $n)) / $denom"
+    s"""WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |f AS (SELECT c_mktsegment, (o_custkey IS NOT NULL) AS converted
+       |      FROM customer LEFT JOIN u ON c_custkey = o_custkey),
+       |s AS (SELECT c_mktsegment, count(*) AS n,
+       |        CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |      FROM f GROUP BY 1)
+       |SELECT c_mktsegment, n, k,
+       |  ${OracleMath.stableRoundSql(p, 6)} AS rate,
+       |  ${OracleMath.stableRoundSql(s"($center) - ($half)", 6)} AS wilson_lo,
+       |  ${OracleMath.stableRoundSql(s"($center) + ($half)", 6)} AS wilson_hi
+       |FROM s ORDER BY c_mktsegment""".stripMargin
+  }
+
   /** Sampled range-partition planner + balance audit — Spark's
     * RangePartitioner pipeline made inspectable: a deterministic ~1 % md5
     * sample yields 7 exact-rank boundary values (ranks ⌈k·nₛ∕8⌉ within the

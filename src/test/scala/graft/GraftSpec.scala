@@ -1007,6 +1007,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("wilson interval brackets the rate and narrows with n (q209)") {
+    val rows = CoreOps.wilsonRates(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, k, rate, lo, hi) = (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(k <= n)
+      assert(lo <= rate && rate <= hi, r.getString(0))
+      assert(lo >= 0.0 && hi <= 1.0, "wilson bounds stay inside [0,1] — wald's would not")
+      // in-JVM wilson recompute
+      val p = k.toDouble / n
+      val denom = 1.0 + 3.8416 / n
+      val center = (p + 1.9208 / n) / denom
+      val half = 1.96 * math.sqrt(p * (1.0 - p) / n + 0.9604 / (n.toDouble * n)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-5 && math.abs(hi - (center + half)) < 1e-5)
+    }
+  }
+
   test("markov accuracy beats the majority-class floor per state (q208)") {
     val rows = EventOps.markovAccuracy(spark, sf).collect()
     val trans = EventOps.markovTransitions(spark, sf).collect()
