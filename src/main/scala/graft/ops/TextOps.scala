@@ -844,6 +844,71 @@ object TextOps {
       .orderBy(col("source"), col("quality_r").desc, col("doc_id"))
   }
 
+  /** Cross-source token-budget allocation — the training-data MIXING op on
+    * top of q183's within-source trim: sources are ranked by mean document
+    * quality and a global budget (half the corpus's tokens — derived from
+    * the data, no magic constant) is filled greedily down the ranking:
+    * `allocated = clamp(budget − tokens_taken_by_better_sources, 0, avail)`.
+    * Numeric discipline: per-doc quality is the 4-dp-rounded q183 score,
+    * summed as DECIMAL(12,4) (exact, order-free) before the one per-source
+    * mean division; token counts and the greedy fill are pure integer
+    * window arithmetic. The ranking window is unpartitioned but runs on
+    * the SOURCES table — constant-size at any corpus scale.
+    */
+  def mixAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(ws).cast("long").as("n_tokens"),
+        OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 4)).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail_tokens"),
+        sum(col("q")).as("q_sum"))
+    val rankW = Window.orderBy(
+      (col("q_sum").cast("double") / col("n_docs")).desc, col("source"))
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy()
+    perSource
+      .withColumn("fill_rank", row_number().over(rankW).cast("long"))
+      .withColumn("budget", (sum(col("avail_tokens")).over(totW) / 2).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("avail_tokens")).over(cumW), lit(0L)))
+      .select(col("source"), col("fill_rank"), col("n_docs"), col("avail_tokens"),
+        OracleMath.stableRound(col("q_sum").cast("double") / col("n_docs"), 6)
+          .as("mean_quality"),
+        greatest(lit(0L), least(col("avail_tokens"), col("budget") - col("cum_before")))
+          .as("allocated_tokens"))
+      .orderBy(col("fill_rank"))
+  }
+
+  val mixAllocationOracle: String =
+    s"""WITH base AS (SELECT source, len(string_split(text,' ')) AS n_tok,
+       |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+       |      FROM documents),
+       |q AS (SELECT source, n_tok,
+       |       CAST(${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS DECIMAL(12,4)) AS qr
+       |      FROM base),
+       |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
+       |        sum(qr) AS q_sum
+       |      FROM q GROUP BY 1),
+       |r AS (SELECT *,
+       |        CAST(row_number() OVER w AS BIGINT) AS fill_rank,
+       |        CAST(sum(avail_tokens) OVER () // 2 AS BIGINT) AS budget,
+       |        CAST(coalesce(sum(avail_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM s
+       |      WINDOW w AS (ORDER BY CAST(q_sum AS DOUBLE) / n_docs DESC, source))
+       |SELECT source, fill_rank, n_docs, avail_tokens,
+       |  ${OracleMath.stableRoundSql("CAST(q_sum AS DOUBLE) / n_docs", 6)} AS mean_quality,
+       |  greatest(CAST(0 AS BIGINT), least(avail_tokens, budget - cum_before)) AS allocated_tokens
+       |FROM r ORDER BY fill_rank""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

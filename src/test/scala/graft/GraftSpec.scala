@@ -1007,6 +1007,27 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("mix allocation fills the budget greedily by quality rank (q210)") {
+    val rows = TextOps.mixAllocation(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail / 2
+    assert(rows.map(_._4).sum === budget, "greedy fill exactly exhausts the budget")
+    // quality ranking is descending; allocation is a prefix: full, then one
+    // partial, then zeros
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted.reverse)
+    val kinds = rows.map { case (_, avail, _, alloc) =>
+      if (alloc == avail) "full" else if (alloc == 0L) "zero" else "partial"
+    }
+    val collapsed = kinds.foldLeft(List.empty[String]) {
+      case (acc, k) if acc.headOption.contains(k) => acc
+      case (acc, k) => k :: acc
+    }.reverse
+    assert(Seq(Seq("full", "partial", "zero"), Seq("full", "partial"), Seq("full", "zero"),
+      Seq("full"), Seq("partial", "zero"), Seq("partial")).contains(collapsed))
+  }
+
   test("wilson interval brackets the rate and narrows with n (q209)") {
     val rows = CoreOps.wilsonRates(spark, sf).collect()
     rows.foreach { r =>
