@@ -362,6 +362,8 @@ object SparkEntry {
     "q209_wilson_rates"        -> ((s, d) => CoreOps.wilsonRates(s, d)),
     // -- cross-source token-budget mixing allocation ----------------------------
     "q210_mix_allocation"      -> ((s, d) => TextOps.mixAllocation(s, d)),
+    // -- per-dimension embedding feature-scaling stats --------------------------
+    "q211_feature_scaling"     -> ((s, d) => SimilarityOps.featureScaling(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -915,6 +917,7 @@ object SparkEntry {
     "q208_markov_accuracy" -> EventOps.markovAccuracyOracle,
     "q209_wilson_rates" -> CoreOps.wilsonRatesOracle,
     "q210_mix_allocation" -> TextOps.mixAllocationOracle,
+    "q211_feature_scaling" -> SimilarityOps.featureScalingOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

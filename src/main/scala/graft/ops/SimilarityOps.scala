@@ -654,6 +654,56 @@ object SimilarityOps {
   private def dist2Sql(e: String, c: String): String =
     s"list_sum(list_transform(generate_series(1,64), i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])))"
 
+  /** Per-dimension feature-scaling statistics over the embedding corpus —
+    * the standardization pre-pass (mean/std per dim) every vector pipeline
+    * runs before training or indexing. Cross-row float sums are the parity
+    * trap here, so each component is QUANTIZED to integer micro-units
+    * first (`floor(x·10⁶ + 0.5)` — the q171 quantize-then-sum discipline):
+    * Σxq and Σxq² are exact integers, and mean/std are assembled per-dim
+    * in one fixed double expression. One posexplode (64× amplification of
+    * 12-byte rows) into a 64-key map-side-combined shuffle; the stats
+    * table is dims-sized regardless of corpus scale.
+    */
+  def featureScaling(spark: SparkSession, dir: String): DataFrame = {
+    val q = expr("CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), q.as("xq"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        min(col("xq")).as("mnq"), max(col("xq")).as("mxq"))
+      .select(col("dim"), col("n"),
+        OracleMath.stableRound(
+          col("sx").cast("double") / col("n").cast("double") / lit(1000000.0), 6).as("mean"),
+        OracleMath.stableRound(
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))) / lit(1000000.0), 6).as("std"),
+        OracleMath.stableRound(col("mnq").cast("double") / lit(1000000.0), 6).as("min_v"),
+        OracleMath.stableRound(col("mxq").cast("double") / lit(1000000.0), 6).as("max_v"))
+      .orderBy(col("dim"))
+  }
+
+  val featureScalingOracle: String = {
+    val mean = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"
+    val std = "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1000000.0"
+    s"""WITH e AS (SELECT CAST(r.i AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) r),
+       |s AS (SELECT dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+       |        CAST(sum(xq * xq) AS BIGINT) AS sxx,
+       |        min(xq) AS mnq, max(xq) AS mxq
+       |      FROM e GROUP BY 1)
+       |SELECT dim, n,
+       |  ${OracleMath.stableRoundSql(mean, 6)} AS mean,
+       |  ${OracleMath.stableRoundSql(std, 6)} AS std,
+       |  ${OracleMath.stableRoundSql("CAST(mnq AS DOUBLE) / 1000000.0", 6)} AS min_v,
+       |  ${OracleMath.stableRoundSql("CAST(mxq AS DOUBLE) / 1000000.0", 6)} AS max_v
+       |FROM s ORDER BY dim""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q171_kmeans" -> {
       val off = KmOff

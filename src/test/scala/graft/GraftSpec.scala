@@ -1007,6 +1007,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("feature scaling stats agree with built-in avg/stddev_pop (q211)") {
+    val got = SimilarityOps.featureScaling(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"), expr("stddev_pop(CAST(x AS DOUBLE))").as("s"))
+      .collect()
+    assert(got.size === 64)
+    ref.foreach { r =>
+      val (_, m, s) = got(r.getInt(0).toLong)
+      // micro-unit quantization bounds the drift at 1e-6 scale
+      assert(math.abs(m - r.getDouble(1)) < 1e-5, s"dim ${r.getInt(0)} mean")
+      assert(math.abs(s - r.getDouble(2)) < 1e-4, s"dim ${r.getInt(0)} std")
+    }
+  }
+
   test("mix allocation fills the budget greedily by quality rank (q210)") {
     val rows = TextOps.mixAllocation(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5)))
