@@ -819,6 +819,68 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** Triangle counting + local clustering coefficients — the third consumer
+    * of the q144/q169 co-occurrence graph (one edge definition, three
+    * algorithms): triangles enumerated by the classic ordered wedge join
+    * (pairs are already a<b, so each triangle a<b<c is found exactly once:
+    * wedge (a<b)⋈(b<c) closed by (a<c)), per-node counts by exploding each
+    * triangle to its three corners, clustering = 2·T_v∕(deg·(deg−1)). The
+    * wedge join is the quadratic step; its fanout is bounded by the same
+    * 2..8 anchor cap that bounds the graph itself (at web scale you'd
+    * additionally direct edges low-degree→high — the cap plays that role
+    * here). Counts and degrees are exact integers; one fixed float division
+    * per node. A `user_id = −1` row carries the global triangle total.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cooccurrencePairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val p2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val p3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    val tri = p1.join(p2, col("b") === col("b2"))
+      .join(p3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val deg = pairs.select(explode(array(
+        struct(col("doc_a").as("node")), struct(col("doc_b").as("node")))).as("e"))
+      .select(col("e.node").as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node").as("user_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        OracleMath.stableRound(
+          lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0))), 6)
+          .as("clustering"))
+    val global = tri.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(-1L).as("user_id"), lit(0L).as("deg"), col("n_triangles"),
+        lit(0.0).as("clustering"))
+    nodes.unionByName(global).orderBy(col("user_id"))
+  }
+
+  val triangleStatsOracle: String = {
+    val clus = "2.0 * CAST(coalesce(t, 0) AS DOUBLE) / " +
+      "(CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0))"
+    s"""WITH $cooccurrenceEdgesCte,
+       |tri AS (SELECT p1.ua AS a, p1.ub AS b, p2.ub AS c
+       |        FROM pairs p1 JOIN pairs p2 ON p1.ub = p2.ua
+       |        JOIN pairs p3 ON p3.ua = p1.ua AND p3.ub = p2.ub),
+       |pn AS (SELECT node, count(*) AS t FROM (
+       |         SELECT a AS node FROM tri
+       |         UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri) x GROUP BY 1),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+       |SELECT d.node AS user_id, d.deg, CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       |  ${OracleMath.stableRoundSql(clus, 6)} AS clustering
+       |FROM deg d LEFT JOIN pn ON pn.node = d.node
+       |WHERE d.deg >= 2
+       |UNION ALL
+       |SELECT -1, 0, CAST(count(*) AS BIGINT), 0.0 FROM tri
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** PageRank rank-mass scale: ranks are integers in units of 10⁻¹² of one
     * initial unit of mass, so EVERY iteration step is exact integer
     * arithmetic — `rank DIV deg` out-contributions, `(85·Σ) DIV 100`

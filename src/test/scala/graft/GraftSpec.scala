@@ -1007,6 +1007,19 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle corners sum to 3x the global count; clustering in [0,1] (q212)") {
+    val rows = EventOps.triangleStats(spark, sf).collect()
+    val global = rows.find(_.getLong(0) === -1L).get.getLong(2)
+    val perNode = rows.filter(_.getLong(0) >= 0L)
+    assert(perNode.map(_.getLong(2)).sum === 3L * global)
+    perNode.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      // T_v is bounded by the wedges at v
+      val d = r.getLong(1)
+      assert(r.getLong(2) <= d * (d - 1) / 2)
+    }
+  }
+
   test("feature scaling stats agree with built-in avg/stddev_pop (q211)") {
     val got = SimilarityOps.featureScaling(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
