@@ -366,6 +366,8 @@ object SparkEntry {
     "q211_feature_scaling"     -> ((s, d) => SimilarityOps.featureScaling(s, d)),
     // -- triangle counting + clustering coefficients ----------------------------
     "q212_triangles"           -> ((s, d) => EventOps.triangleStats(s, d)),
+    // -- canonical representative per duplicate group ---------------------------
+    "q213_canonical_pick"      -> ((s, d) => TextOps.canonicalPick(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -921,6 +923,7 @@ object SparkEntry {
     "q210_mix_allocation" -> TextOps.mixAllocationOracle,
     "q211_feature_scaling" -> SimilarityOps.featureScalingOracle,
     "q212_triangles" -> EventOps.triangleStatsOracle,
+    "q213_canonical_pick" -> TextOps.canonicalPickOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

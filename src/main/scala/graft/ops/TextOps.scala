@@ -909,6 +909,60 @@ object TextOps {
        |  greatest(CAST(0 AS BIGINT), least(avail_tokens, budget - cum_before)) AS allocated_tokens
        |FROM r ORDER BY fill_rank""".stripMargin
 
+  /** Canonical-representative selection per duplicate group — the curation
+    * step AFTER dedup detection: q36/q160's wordset-group identity keyed by
+    * its md5 (32-byte shuffle key, never text — the r5 dedupExact lesson),
+    * and within each multi-member group the KEPT doc is the quality argmax
+    * (4-dp q183 score, doc_id tie-break) instead of q36's min-doc_id — "keep
+    * the best duplicate", which is what a training-corpus dedup actually
+    * wants. Emits per group: canonical doc + quality, and the doc/token
+    * volume the drop reclaims. One keyed shuffle of (md5, id, tokens,
+    * quality) rows; groups of size 1 are filtered before the rollup.
+    */
+  def canonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val wkey = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val scored = Tables.documents(spark, dir)
+      .select(wkey.as("wkey"), col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4).as("quality_r"))
+    val pick = Window.partitionBy(col("wkey")).orderBy(col("quality_r").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+      .filter(col("gsz") > 1)
+      .groupBy(col("wkey"))
+      .agg(max(col("gsz")).as("group_size"),
+        max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+        max(when(col("rn") === 1, col("quality_r"))).as("canonical_quality"),
+        coalesce(sum(when(col("rn") > 1, col("n_tokens"))), lit(0L)).as("reclaimed_tokens"))
+      .orderBy(col("wkey"))
+  }
+
+  val canonicalPickOracle: String =
+    s"""WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+       |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl,
+       |       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS wkey
+       |      FROM documents),
+       |q AS (SELECT wkey, doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |       ${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS quality_r
+       |      FROM base),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY wkey ORDER BY quality_r DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY wkey) AS gsz
+       |      FROM q)
+       |SELECT wkey, CAST(max(gsz) AS BIGINT) AS group_size,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       |  max(CASE WHEN rn = 1 THEN quality_r END) AS canonical_quality,
+       |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_tokens END), 0) AS BIGINT) AS reclaimed_tokens
+       |FROM r WHERE gsz > 1 GROUP BY 1 ORDER BY wkey""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

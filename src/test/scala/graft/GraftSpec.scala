@@ -1007,6 +1007,19 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical pick keeps the quality argmax of each dup group (q213)") {
+    val rows = TextOps.canonicalPick(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // group count and representative membership agree with q36's groups
+    val q36 = DedupOps.dedupWordSet(spark, sf).collect()
+      .filter(_.getLong(1) > 1L)
+    assert(rows.length === q36.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1L)
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("triangle corners sum to 3x the global count; clustering in [0,1] (q212)") {
     val rows = EventOps.triangleStats(spark, sf).collect()
     val global = rows.find(_.getLong(0) === -1L).get.getLong(2)
