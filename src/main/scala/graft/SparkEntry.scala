@@ -368,6 +368,8 @@ object SparkEntry {
     "q212_triangles"           -> ((s, d) => EventOps.triangleStats(s, d)),
     // -- canonical representative per duplicate group ---------------------------
     "q213_canonical_pick"      -> ((s, d) => TextOps.canonicalPick(s, d)),
+    // -- rendezvous-hash shard rebalance audit ----------------------------------
+    "q214_rendezvous"          -> ((s, d) => CoreOps.rendezvousRebalance(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -924,6 +926,7 @@ object SparkEntry {
     "q211_feature_scaling" -> SimilarityOps.featureScalingOracle,
     "q212_triangles" -> EventOps.triangleStatsOracle,
     "q213_canonical_pick" -> TextOps.canonicalPickOracle,
+    "q214_rendezvous" -> CoreOps.rendezvousRebalanceOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -1203,6 +1203,72 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** Rendezvous (highest-random-weight) hashing rebalance audit — the shard
+    * assignment scheme whose selling point is PROVABLE minimal disruption:
+    * shard(doc) = argmax over nodes of md5(doc ‖ node), so adding node 9 to
+    * an 8-node ring moves exactly the docs whose new argmax IS the new node
+    * (expected 1∕9 of the corpus) and nothing else — no old node ever GAINS
+    * a doc. This query computes both assignments in one docs×9 pass
+    * (48-bit md5-prefix weights, rank windows per doc) and emits the
+    * per-node before/after/gained/lost matrix; the oracle hash-match pins
+    * the exact same assignment in both engines, which is the property a
+    * resumable 100 TB shard layout lives on (any engine, any partitioning,
+    * same shards).
+    */
+  val RendezvousOldNodes = 8
+
+  def rendezvousRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = RendezvousOldNodes
+    val weighted = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"sequence(0, $n)")).as("node"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(node AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+    val rnAll = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(desc("h"), col("node")))
+    val rnOld = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(desc("h"), col("node")))
+    val after = weighted.withColumn("rn", rnAll).filter(col("rn") === 1)
+      .select(col("doc_id"), col("node").as("node_after"))
+    val before = weighted.filter(col("node") < n).withColumn("rn", rnOld)
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("node").as("node_before"))
+    val moves = before.join(after, Seq("doc_id"))
+    val perNode = moves.select(
+        explode(expr(s"transform(sequence(0, $n), x -> CAST(x AS BIGINT))")).as("node"),
+        col("node_before"), col("node_after"))
+      .groupBy(col("node"))
+      .agg(
+        sum(when(col("node_before") === col("node"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("node_after") === col("node"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("node_after") === col("node") && col("node_before") =!= col("node"), 1L)
+          .otherwise(0L)).as("gained"),
+        sum(when(col("node_before") === col("node") && col("node_after") =!= col("node"), 1L)
+          .otherwise(0L)).as("lost"))
+    perNode.orderBy(col("node"))
+  }
+
+  val rendezvousRebalanceOracle: String = {
+    val n = RendezvousOldNodes
+    s"""WITH w AS (SELECT doc_id, r.node,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.node AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM documents, (SELECT unnest(range(0, ${n + 1})) AS node) r),
+       |aft AS (SELECT doc_id, node AS node_after FROM (
+       |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node) AS rn
+       |    FROM w) x WHERE rn = 1),
+       |bef AS (SELECT doc_id, node AS node_before FROM (
+       |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node) AS rn
+       |    FROM w WHERE node < $n) x WHERE rn = 1),
+       |m AS (SELECT bef.doc_id, node_before, node_after FROM bef JOIN aft USING (doc_id))
+       |SELECT r.node,
+       |  CAST(sum(CASE WHEN node_before = r.node THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       |  CAST(sum(CASE WHEN node_after = r.node THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |  CAST(sum(CASE WHEN node_after = r.node AND node_before <> r.node THEN 1 ELSE 0 END) AS BIGINT) AS gained,
+       |  CAST(sum(CASE WHEN node_before = r.node AND node_after <> r.node THEN 1 ELSE 0 END) AS BIGINT) AS lost
+       |FROM m, (SELECT unnest(range(0, ${n + 1})) AS node) r
+       |GROUP BY 1 ORDER BY r.node""".stripMargin
+  }
+
   /** Wilson-score confidence intervals for per-segment conversion rates —
     * the statistically-honest rate report (a plain ±1.96·√(p(1−p)/n) Wald
     * interval lies badly at small n or extreme p; Wilson doesn't): per

@@ -1007,6 +1007,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvous rebalance moves docs only to the new node (q214)") {
+    val rows = CoreOps.rendezvousRebalance(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.values.map(_._1).sum === nDocs && rows.values.map(_._2).sum === nDocs)
+    // the minimal-disruption invariant: only the NEW node gains
+    rows.foreach { case (node, (_, _, gained, lost)) =>
+      if (node < CoreOps.RendezvousOldNodes) assert(gained === 0L, s"node $node gained")
+      else assert(lost === 0L, "new node cannot lose")
+    }
+    val moved = rows(CoreOps.RendezvousOldNodes.toLong)._3
+    assert(moved === rows.values.map(_._4).sum)
+    // expected ~1/9 of the corpus moves
+    assert(moved > 0L && moved < nDocs / 4)
+  }
+
   test("canonical pick keeps the quality argmax of each dup group (q213)") {
     val rows = TextOps.canonicalPick(spark, sf).collect()
     assert(rows.nonEmpty)
