@@ -370,6 +370,8 @@ object SparkEntry {
     "q213_canonical_pick"      -> ((s, d) => TextOps.canonicalPick(s, d)),
     // -- rendezvous-hash shard rebalance audit ----------------------------------
     "q214_rendezvous"          -> ((s, d) => CoreOps.rendezvousRebalance(s, d)),
+    // -- mutual nearest neighbors (reciprocal best match) -----------------------
+    "q215_mutual_nn"           -> ((s, d) => SimilarityOps.mutualNearestNeighbors(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -927,6 +929,7 @@ object SparkEntry {
     "q212_triangles" -> EventOps.triangleStatsOracle,
     "q213_canonical_pick" -> TextOps.canonicalPickOracle,
     "q214_rendezvous" -> CoreOps.rendezvousRebalanceOracle,
+    "q215_mutual_nn" -> SimilarityOps.mutualNearestNeighborsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -654,6 +654,57 @@ object SimilarityOps {
   private def dist2Sql(e: String, c: String): String =
     s"list_sum(list_transform(generate_series(1,64), i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])))"
 
+  /** Mutual nearest neighbors (reciprocal best match) — the entity-alignment
+    * primitive: pairs where each vector is the OTHER's top-1 cosine
+    * neighbor, a far stronger match signal than one-directional top-1 (the
+    * standard filter for bitext mining / record linkage). Runs on a
+    * deterministic id-subset (vec_id % [[MnnSubsetMod]] = 0) so the exact
+    * all-pairs argmax stays oracle-priced; the 100 TB path swaps the pair
+    * join for the q76 IVF candidate generation and keeps everything
+    * downstream (per-side argmax + reciprocal self-join) unchanged.
+    * Tie-breaks on (sim desc, id); the cosine is the codegen DotProduct
+    * fold, bit-equal to the twin's sequential list_sum.
+    */
+  val MnnSubsetMod = 5L
+
+  def mutualNearestNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val s0 = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % MnnSubsetMod === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val a = s0.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("label").as("la"))
+    val b = s0.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("label").as("lb"))
+    val w = Window.partitionBy(col("ida")).orderBy(desc("sim"), col("idb"))
+    val best = a.join(b, col("ida") =!= col("idb"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ida"), col("idb"), col("sim"), col("la"), col("lb"))
+    best.as("x").join(best.as("y"),
+        col("x.ida") === col("y.idb") && col("x.idb") === col("y.ida")
+          && col("x.ida") < col("x.idb"))
+      .select(col("x.ida").as("vec_a"), col("x.idb").as("vec_b"),
+        OracleMath.stableRound(col("x.sim"), 6).as("sim"),
+        (col("x.la") === col("x.lb")).as("same_label"))
+      .orderBy(col("vec_a"))
+  }
+
+  val mutualNearestNeighborsOracle: String =
+    s"""WITH s AS (SELECT vec_id, embedding, label FROM embeddings
+       |           WHERE vec_id % $MnnSubsetMod = 0),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.label AS la, b.label AS lb,
+       |        ${cosSql("a.embedding", "b.embedding")} AS sim
+       |      FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rn
+       |    FROM p) z WHERE rn = 1)
+       |SELECT x.ida AS vec_a, x.idb AS vec_b,
+       |  ${OracleMath.stableRoundSql("x.sim", 6)} AS sim,
+       |  x.la = x.lb AS same_label
+       |FROM best x JOIN best y ON x.ida = y.idb AND x.idb = y.ida AND x.ida < x.idb
+       |ORDER BY vec_a""".stripMargin
+
   /** Per-dimension feature-scaling statistics over the embedding corpus —
     * the standardization pre-pass (mean/std per dim) every vector pipeline
     * runs before training or indexing. Cross-row float sums are the parity

@@ -1007,6 +1007,32 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual-NN pairs are symmetric best matches in-JVM (q215)") {
+    val pairs = SimilarityOps.mutualNearestNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // recompute top-1 per vector in-JVM over the same subset
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % SimilarityOps.MnnSubsetMod === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .maxBy { case (j, s) => (s, -j) }._1
+    }.toMap
+    val expect = top1.collect {
+      case (a, b) if top1(b) == a && a < b => (a, b)
+    }.toSet
+    assert(pairs === expect)
+  }
+
   test("rendezvous rebalance moves docs only to the new node (q214)") {
     val rows = CoreOps.rendezvousRebalance(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
