@@ -374,6 +374,8 @@ object SparkEntry {
     "q215_mutual_nn"           -> ((s, d) => SimilarityOps.mutualNearestNeighbors(s, d)),
     // -- A/B sample-ratio-mismatch guard ----------------------------------------
     "q216_srm_check"           -> ((s, d) => EventOps.srmCheck(s, d)),
+    // -- chained stateful streaming: dedup -> windowed agg ----------------------
+    "q217_stream_dedup_agg"    -> ((s, d) => graft.streaming.StreamJoinOps.dedupThenHourly(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -933,6 +935,7 @@ object SparkEntry {
     "q214_rendezvous" -> CoreOps.rendezvousRebalanceOracle,
     "q215_mutual_nn" -> SimilarityOps.mutualNearestNeighborsOracle,
     "q216_srm_check" -> EventOps.srmCheckOracle,
+    "q217_stream_dedup_agg" -> graft.streaming.StreamJoinOps.dedupThenHourlyOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -379,6 +379,56 @@ object StreamJoinOps {
       .orderBy(col("event_type"))
   }
 
+  /** CHAINED stateful streaming — dedup state feeding windowed-aggregation
+    * state in ONE query (q111 proves dedup, q131 proves the window; this
+    * proves they compose): exactly-once ingest semantics (re-delivered
+    * (user, type, minute) keys dropped by watermarked dropDuplicates)
+    * flowing straight into hourly per-type distinct-activity counts. The
+    * watermark is defined ONCE on the dedup's event-time column and
+    * propagates through it to gate the window's append emission — the
+    * multi-stateful-operator pipeline Spark 3.4+ supports when every stage
+    * shares the event-time watermark. Oracle: the batch distinct-then-count
+    * with the q131 append cutoff (windows whose END the final watermark —
+    * max event time − 1 h — hasn't passed are still open state and never
+    * emit).
+    */
+  def dedupThenHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_chain_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2)
+    val drained = withStatePartitions(spark, 2) { s =>
+      val agg = s.readStream
+        .schema(SessionStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", timestamp_micros(col("ts"))).as("m"))
+        .withWatermark("m", "1 hour")
+        .dropDuplicates("user_id", "event_type", "m")
+        .groupBy(window(col("m"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_active"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(s, name)
+    }
+    drained
+      .select(col("window.start").as("hour"), col("event_type"), col("n_active"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val dedupThenHourlyOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      |           FROM events)
+      |SELECT date_trunc('hour', m) AS hour, event_type, count(*) AS n_active
+      |FROM d
+      |WHERE date_trunc('hour', m) + INTERVAL 1 HOUR
+      |      <= (SELECT max(date_trunc('minute', ts)) FROM events) - INTERVAL 1 HOUR
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Streaming dedup with `dropDuplicatesWithinWatermark` — the bounded-state
     * API: unlike [[dedupStreaming]]'s `dropDuplicates` (whose state for a key
     * lives until the WATERMARK passes the key's event time), this variant

@@ -267,6 +267,22 @@ class StreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("chained dedup->window agg matches batch distinct-then-count (q217)") {
+    val got = graft.streaming.StreamJoinOps.dedupThenHourly(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val maxM = graft.Tables.events(spark, sf)
+      .agg(max(date_trunc("minute", col("ts")))).head.getTimestamp(0).getTime
+    val cutoff = maxM - 3600000L
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .distinct()
+      .groupBy(date_trunc("hour", col("m")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .filter { case (h, _, _) => h + 3600000L <= cutoff }.toSet
+    assert(got === batch)
+  }
+
   test("ListState last-K cache equals the batch top-K and stays bounded (q207)") {
     import org.apache.spark.sql.expressions.Window
     val got = graft.streaming.TwsLastKStream.lastKStreaming(spark, sf).collect()
