@@ -376,6 +376,8 @@ object SparkEntry {
     "q216_srm_check"           -> ((s, d) => EventOps.srmCheck(s, d)),
     // -- chained stateful streaming: dedup -> windowed agg ----------------------
     "q217_stream_dedup_agg"    -> ((s, d) => graft.streaming.StreamJoinOps.dedupThenHourly(s, d)),
+    // -- Pareto-frontier (skyline) document selection ---------------------------
+    "q218_pareto_docs"         -> ((s, d) => TextOps.paretoDocs(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -936,6 +938,7 @@ object SparkEntry {
     "q215_mutual_nn" -> SimilarityOps.mutualNearestNeighborsOracle,
     "q216_srm_check" -> EventOps.srmCheckOracle,
     "q217_stream_dedup_agg" -> graft.streaming.StreamJoinOps.dedupThenHourlyOracle,
+    "q218_pareto_docs" -> TextOps.paretoDocsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -963,6 +963,67 @@ object TextOps {
        |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_tokens END), 0) AS BIGINT) AS reclaimed_tokens
        |FROM r WHERE gsz > 1 GROUP BY 1 ORDER BY wkey""".stripMargin
 
+  /** Pareto-frontier (skyline) document selection — docs not DOMINATED in
+    * (quality ↑, token cost ↓): the multi-objective curation cut that no
+    * single weighted score (q183/q210) can express, because the frontier
+    * adapts to the data's own trade-off curve. Computed in O(n log n), not
+    * the naive N² dominance anti-join: after one sort by quality, a doc
+    * survives iff it is shorter than EVERY strictly-higher-quality doc
+    * (min-length over a strict-preceding RANGE frame on the 4-dp integer
+    * quality key) and is minimal within its own quality tie group. One
+    * global sort at 100 TB — the standard skyline shape (per-partition
+    * local skylines then merge would be the next step; the RANGE-frame
+    * formulation IS the merge).
+    */
+  def paretoDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        // floor(x·10⁴ + 0.5): Spark's long cast TRUNCATES and DuckDB's
+        // ROUNDS — the explicit half-up floor is the one shape both agree on
+        floor(OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4) * 10000.0 + lit(0.5))
+          .cast("long").as("q4"))
+    val better = Window.orderBy(col("q4").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy(col("q4"))
+    scored
+      .withColumn("min_better", min(col("n_tokens")).over(better))
+      .withColumn("min_same", min(col("n_tokens")).over(same))
+      .filter((col("min_better").isNull || col("n_tokens") < col("min_better")) &&
+        col("n_tokens") === col("min_same"))
+      .select(col("doc_id"),
+        OracleMath.stableRound(col("q4").cast("double") / 10000.0, 4).as("quality_r"),
+        col("n_tokens"))
+      .orderBy(col("quality_r").desc, col("doc_id"))
+  }
+
+  val paretoDocsOracle: String =
+    s"""WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+       |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+       |      FROM documents),
+       |q AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |       CAST(floor(${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} * 10000.0 + 0.5) AS BIGINT) AS q4
+       |      FROM base),
+       |m AS (SELECT *,
+       |        min(n_tokens) OVER (ORDER BY q4 DESC
+       |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_better,
+       |        min(n_tokens) OVER (PARTITION BY q4) AS min_same
+       |      FROM q)
+       |SELECT doc_id,
+       |  ${OracleMath.stableRoundSql("CAST(q4 AS DOUBLE) / 10000.0", 4)} AS quality_r,
+       |  n_tokens
+       |FROM m
+       |WHERE (min_better IS NULL OR n_tokens < min_better) AND n_tokens = min_same
+       |ORDER BY quality_r DESC, doc_id""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

@@ -1007,6 +1007,33 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto frontier equals the N-squared dominance filter in-JVM (q218)") {
+    val sky = TextOps.paretoDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // recompute all (q4, len) points and brute-force dominance
+    val all = {
+      import org.apache.spark.sql.functions._
+      val ws = split(col("text"), " ")
+      val nTok = size(ws).cast("double")
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), size(ws).cast("long").as("len"),
+          floor(graft.ops.OracleMath.stableRound(
+            least(nTok / 100.0, lit(1.0)) * 0.4 +
+              (size(filter(ws, w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
+                .cast("double") / nTok) * 0.3 +
+              least((aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+                .cast("double") / nTok) / 8.0, lit(1.0)) * 0.3, 4) * 10000.0 + lit(0.5))
+            .cast("long").as("q4"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val expect = all.filter { case (id, len, q4) =>
+      !all.exists { case (id2, len2, q42) =>
+        id2 != id && ((q42 > q4 && len2 <= len) || (q42 == q4 && len2 < len))
+      }
+    }.map(_._1).toSet
+    assert(sky.map(_._1).toSet === expect)
+  }
+
   test("srm guard: arms partition users and the flag fires on imbalance (q216)") {
     EventOps.srmCheck(spark, sf).collect().foreach { r =>
       assert(r.getLong(2) + r.getLong(3) === r.getLong(1))
