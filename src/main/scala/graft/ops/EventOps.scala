@@ -819,6 +819,53 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** Daily-volume autocorrelation at lags 1..7 — periodicity detection (the
+    * lag-7 spike IS weekly seasonality): for each lag, Pearson r between
+    * (day t volume, day t−k volume) from the q185 exact-sufficient-stats
+    * shape — integer daily counts self-joined on day arithmetic, six exact
+    * sums per lag, r assembled in one fixed double expression. Everything
+    * runs on the daily aggregate (days-sized); the corpus pays one count
+    * scan. Pairs require exact day-k adjacency, so calendar gaps shrink n
+    * rather than misalign the series.
+    */
+  def volumeAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val lagged = daily.as("a").join(daily.as("b"),
+        expr("datediff(a.day, b.day) BETWEEN 1 AND 7"))
+      .select(expr("CAST(datediff(a.day, b.day) AS BIGINT)").as("lag"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    val s = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val r = (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    s.select(col("lag"), col("n"), OracleMath.stableRound(r, 6).as("autocorr_r"))
+      .orderBy(col("lag"))
+  }
+
+  val volumeAutocorrOracle: String = {
+    val r = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS v
+       |               FROM events GROUP BY 1),
+       |lagged AS (SELECT CAST(date_diff('day', b.day, a.day) AS BIGINT) AS lag,
+       |             a.v AS x, b.v AS y
+       |           FROM daily a JOIN daily b
+       |             ON date_diff('day', b.day, a.day) BETWEEN 1 AND 7),
+       |s AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM lagged GROUP BY 1)
+       |SELECT lag, n, ${OracleMath.stableRoundSql(r, 6)} AS autocorr_r
+       |FROM s ORDER BY lag""".stripMargin
+  }
+
   /** Sample-ratio-mismatch (SRM) guard — the first sanity check any A/B
     * platform runs before reading an experiment: users are hash-assigned
     * 50/50 (md5 parity — deterministic, both engines agree user-for-user),

@@ -1007,6 +1007,30 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorrelation matches an in-JVM lagged pearson per lag (q219)") {
+    val got = EventOps.volumeAutocorr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day")).agg(count(lit(1)).as("v"))
+      .collect().map(r => r.getTimestamp(0).getTime / 86400000L -> r.getLong(1)).toMap
+    (1L to 7L).foreach { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d - lag).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gn, gr) = got(lag)
+      assert(gn === pairs.length.toLong, s"lag $lag n")
+      assert(math.abs(gr - r) < 1e-5, s"lag $lag r")
+      assert(gr >= -1.0 - 1e-9 && gr <= 1.0 + 1e-9)
+    }
+  }
+
   test("pareto frontier equals the N-squared dominance filter in-JVM (q218)") {
     val sky = TextOps.paretoDocs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
