@@ -380,6 +380,8 @@ object SparkEntry {
     "q218_pareto_docs"         -> ((s, d) => TextOps.paretoDocs(s, d)),
     // -- daily-volume autocorrelation (weekly-seasonality detection) ------------
     "q219_autocorr"            -> ((s, d) => EventOps.volumeAutocorr(s, d)),
+    // -- posting-list delta-varint compression estimate -------------------------
+    "q220_index_compression"   -> ((s, d) => TextOps.indexCompression(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -942,6 +944,7 @@ object SparkEntry {
     "q217_stream_dedup_agg" -> graft.streaming.StreamJoinOps.dedupThenHourlyOracle,
     "q218_pareto_docs" -> TextOps.paretoDocsOracle,
     "q219_autocorr" -> EventOps.volumeAutocorrOracle,
+    "q220_index_compression" -> TextOps.indexCompressionOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -1024,6 +1024,59 @@ object TextOps {
        |WHERE (min_better IS NULL OR n_tokens < min_better) AND n_tokens = min_same
        |ORDER BY quality_r DESC, doc_id""".stripMargin
 
+  /** Posting-list delta-varint compression estimate — the storage-planning
+    * number behind every inverted index (q157 scores with postings; THIS
+    * prices them): per frequent term, the byte cost of the sorted doc-id
+    * list stored raw (8 B/id) vs delta-encoded varints (gaps between
+    * consecutive sorted ids, 7 bits per byte — the Lucene/ES layout).
+    * Everything is exact integer arithmetic: gaps from a lag window under
+    * one term-keyed shuffle, varint size as a CASE ladder on gap
+    * magnitude, first posting delta-encoded from id 0. The ratio column is
+    * the compressibility signal: dense terms (small gaps) approach 1 B/id.
+    */
+  /** Single-sourced with the oracle's LIMIT (the q153 drift lesson). */
+  val IndexCompressionTopK = 50
+
+  def indexCompression(spark: SparkSession, dir: String,
+                       topK: Int = IndexCompressionTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val gapped = postings
+      .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+      .withColumn("vbytes", expr(
+        """CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+          | WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+          | ELSE 5 END""".stripMargin).cast("long"))
+    gapped.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+      .select(col("term"), col("df"), (col("df") * 8L).as("raw_bytes"), col("varint_bytes"),
+        OracleMath.stableRound(
+          col("varint_bytes").cast("double") / (col("df").cast("double") * 8.0), 4)
+          .as("compression_ratio"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
+
+  val indexCompressionOracle: String =
+    s"""WITH p AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |           FROM documents),
+       |g AS (SELECT term, doc_id,
+       |        doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+       |      FROM p),
+       |v AS (SELECT term,
+       |        CAST(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+       |             WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+       |             ELSE 5 END AS BIGINT) AS vbytes
+       |      FROM g),
+       |s AS (SELECT term, count(*) AS df, CAST(sum(vbytes) AS BIGINT) AS varint_bytes
+       |      FROM v GROUP BY 1)
+       |SELECT term, df, df * 8 AS raw_bytes, varint_bytes,
+       |  ${OracleMath.stableRoundSql("CAST(varint_bytes AS DOUBLE) / (CAST(df AS DOUBLE) * 8.0)", 4)} AS compression_ratio
+       |FROM s ORDER BY df DESC, term LIMIT $IndexCompressionTopK""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

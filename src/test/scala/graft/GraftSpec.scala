@@ -1007,6 +1007,25 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("varint estimate matches an in-JVM delta encode per term (q220)") {
+    val got = TextOps.indexCompression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val postings = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .distinct().collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1)
+    def vb(g: Long): Long =
+      if (g < 128) 1 else if (g < 16384) 2 else if (g < 2097152) 3
+      else if (g < 268435456) 4 else 5
+    got.foreach { case (term, (df, vbytes)) =>
+      val ids = postings(term).map(_._2).sorted
+      assert(df === ids.length.toLong)
+      val gaps = (0L +: ids.init.toSeq).zip(ids).map { case (p, c) => c - p }
+      assert(vbytes === gaps.map(vb).sum, term)
+      assert(vbytes >= df && vbytes <= df * 8)
+    }
+  }
+
   test("autocorrelation matches an in-JVM lagged pearson per lag (q219)") {
     val got = EventOps.volumeAutocorr(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
