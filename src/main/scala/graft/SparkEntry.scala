@@ -382,6 +382,8 @@ object SparkEntry {
     "q219_autocorr"            -> ((s, d) => EventOps.volumeAutocorr(s, d)),
     // -- posting-list delta-varint compression estimate -------------------------
     "q220_index_compression"   -> ((s, d) => TextOps.indexCompression(s, d)),
+    // -- SCD2 point-in-time reconstruction (self-verifying as-of read) ----------
+    "q221_scd2_asof"           -> ((s, d) => CoreOps.scd2AsOf(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -945,6 +947,7 @@ object SparkEntry {
     "q218_pareto_docs" -> TextOps.paretoDocsOracle,
     "q219_autocorr" -> EventOps.volumeAutocorrOracle,
     "q220_index_compression" -> TextOps.indexCompressionOracle,
+    "q221_scd2_asof" -> CoreOps.scd2AsOfOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

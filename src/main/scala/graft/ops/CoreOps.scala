@@ -726,6 +726,61 @@ object CoreOps {
       .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
   }
 
+  /** Point-in-time reconstruction from SCD2 history — the read side of
+    * q113 (which builds the history): AS OF a literal date, each key's
+    * surviving row is the one interval with `valid_from ≤ D < valid_to`
+    * (intervals partition the key's timeline by construction, so exactly
+    * one matches). The query is self-verifying: it emits the
+    * interval-reconstructed value NEXT TO the direct argmax over the raw
+    * facts ≤ D (the q175 merged-vs-direct shape) plus a match flag the
+    * oracle pins true — a wrong history build OR a wrong as-of filter is a
+    * hash mismatch. The history scan prunes to one row per key; the direct
+    * side is a window argmax over date-filtered facts.
+    */
+  val Scd2AsOfDate = "1996-06-01"
+
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val d = lit(Scd2AsOfDate).cast("timestamp")
+    val rec = scd2History(spark, dir)
+      .filter(col("valid_from") <= d && (col("valid_to").isNull || col("valid_to") > d))
+      .select(col("o_custkey"), col("priority").as("prio_asof"),
+        col("valid_from").as("since"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val direct = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") <= d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("prio_direct"))
+    rec.join(direct, Seq("o_custkey"))
+      .select(col("o_custkey"), col("prio_asof"), col("since"), col("prio_direct"),
+        (col("prio_asof") === col("prio_direct")).as("consistent"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val scd2AsOfOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+       |         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders),
+       |changes AS (SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority),
+       |hist AS (SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+       |           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+       |         FROM changes),
+       |rec AS (SELECT o_custkey, priority AS prio_asof, valid_from AS since
+       |        FROM hist
+       |        WHERE valid_from <= TIMESTAMP '$Scd2AsOfDate 00:00:00'
+       |          AND (valid_to IS NULL OR valid_to > TIMESTAMP '$Scd2AsOfDate 00:00:00')),
+       |direct AS (SELECT o_custkey, o_orderpriority AS prio_direct FROM (
+       |    SELECT o_custkey, o_orderpriority,
+       |           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderdate <= TIMESTAMP '$Scd2AsOfDate 00:00:00') x
+       |  WHERE rn = 1)
+       |SELECT rec.o_custkey, prio_asof, since, prio_direct,
+       |       prio_asof = prio_direct AS consistent
+       |FROM rec JOIN direct ON rec.o_custkey = direct.o_custkey
+       |ORDER BY rec.o_custkey""".stripMargin
+
   /** Max concurrent shipments in transit per month (interval = 7 days from
     * ship date), by the classic sweep-line: explode each interval into a +1
     * and a −1 event, order by (time, delta) — the −1-first tie order encodes

@@ -1007,6 +1007,18 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 as-of picks exactly one interval per key and is consistent (q221)") {
+    val rows = CoreOps.scd2AsOf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length, "one row per key")
+    rows.foreach(r => assert(r.getBoolean(4), s"key ${r.getLong(0)} inconsistent"))
+    // keys as-of D = keys with any order on or before D
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") <= lit(CoreOps.Scd2AsOfDate).cast("timestamp"))
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.length.toLong === expected)
+  }
+
   test("varint estimate matches an in-JVM delta encode per term (q220)") {
     val got = TextOps.indexCompression(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
