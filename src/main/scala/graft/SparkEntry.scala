@@ -384,6 +384,8 @@ object SparkEntry {
     "q220_index_compression"   -> ((s, d) => TextOps.indexCompression(s, d)),
     // -- SCD2 point-in-time reconstruction (self-verifying as-of read) ----------
     "q221_scd2_asof"           -> ((s, d) => CoreOps.scd2AsOf(s, d)),
+    // -- proportional interleave (stride-scheduling) audit ----------------------
+    "q222_interleave_audit"    -> ((s, d) => TextOps.interleaveAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -948,6 +950,7 @@ object SparkEntry {
     "q219_autocorr" -> EventOps.volumeAutocorrOracle,
     "q220_index_compression" -> TextOps.indexCompressionOracle,
     "q221_scd2_asof" -> CoreOps.scd2AsOfOracle,
+    "q222_interleave_audit" -> TextOps.interleaveAuditOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -1077,6 +1077,56 @@ object TextOps {
        |  ${OracleMath.stableRoundSql("CAST(varint_bytes AS DOUBLE) / (CAST(df AS DOUBLE) * 8.0)", 4)} AS compression_ratio
        |FROM s ORDER BY df DESC, term LIMIT $IndexCompressionTopK""".stripMargin
 
+  /** Proportional interleave schedule audit — q210 decides HOW MUCH of each
+    * source to train on; this decides the ORDER: every source is paced
+    * through the global schedule by the integer key
+    * `(rank_in_source · corpus_total) DIV source_size` (a source with k
+    * docs emits every total∕k positions — stride scheduling / WFQ virtual
+    * time, exactly), and the audit checks the first
+    * [[InterleaveAuditSlots]] slots contain each source in proportion to
+    * its size (pacing error bounded by ±1 emission — the stride-scheduling
+    * guarantee). Keys are pure integers, the global order is total
+    * (key, source, rank), and at 100 TB the first-K cut is a
+    * TakeOrdered-style bounded sort, not a global one.
+    */
+  val InterleaveAuditSlots = 200
+
+  def interleaveAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = InterleaveAuditSlots
+    val keyed = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("slot_key", expr("(r * total) DIV n_src"))
+    keyed.orderBy(col("slot_key"), col("source"), col("r")).limit(k)
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"), max(col("total")).as("n_total"),
+        count(lit(1)).as("n_in_first"))
+      .select(col("source"), col("n_docs"), col("n_in_first"),
+        OracleMath.stableRound(
+          col("n_in_first").cast("double") -
+            lit(k.toDouble) * col("n_docs").cast("double") / col("n_total").cast("double"), 4)
+          .as("pacing_error"))
+      .orderBy(col("source"))
+  }
+
+  val interleaveAuditOracle: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n_src,
+       |    count(*) OVER () AS total
+       |  FROM documents),
+       |firstk AS (SELECT * FROM (
+       |    SELECT source, r, n_src, total, (r * total) // n_src AS slot_key FROM d) x
+       |  ORDER BY slot_key, source, r LIMIT $InterleaveAuditSlots)
+       |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs, count(*) AS n_in_first,
+       |  ${OracleMath.stableRoundSql(
+          s"CAST(count(*) AS DOUBLE) - $InterleaveAuditSlots.0 * CAST(max(n_src) AS DOUBLE) / CAST(max(total) AS DOUBLE)", 4)} AS pacing_error
+       |FROM firstk GROUP BY 1 ORDER BY source""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

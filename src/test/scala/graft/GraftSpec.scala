@@ -1007,6 +1007,16 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("interleave pacing error stays within the stride bound (q222)") {
+    val rows = TextOps.interleaveAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === TextOps.InterleaveAuditSlots.toLong)
+    rows.foreach { r =>
+      // stride scheduling guarantees each source is within ~1 emission of
+      // its proportional share at every prefix
+      assert(math.abs(r.getDouble(3)) <= 2.0, s"${r.getString(0)}: ${r.getDouble(3)}")
+    }
+  }
+
   test("scd2 as-of picks exactly one interval per key and is consistent (q221)") {
     val rows = CoreOps.scd2AsOf(spark, sf).collect()
     assert(rows.nonEmpty)
