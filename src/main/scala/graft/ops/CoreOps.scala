@@ -1258,6 +1258,81 @@ object CoreOps {
     * joins are broadcast (nation/region are tiny). All outputs are exact
     * integer class sizes.
     */
+  /** Decile-bucket distribution drift — the shape-drift detector that mean
+    * monitors (q166) are blind to: order values bucketed by the EXACT
+    * overall deciles (rank positions (k·n) DIV 10 under a unique total
+    * order — no sampling, unlike q204's planner), then each era's bucket
+    * occupancy compared (early vs late by a literal date split). A
+    * mean-preserving variance change moves these ratios while q166 stays
+    * flat. The PSI-style per-bucket ratio is reported WITHOUT the ln (libm
+    * `ln` is not bit-identical across engines — the spec computes PSI
+    * in-JVM from the exact counts instead). Bucket assignment is the q204
+    * broadcast 9-row boundary table + conditional sum.
+    */
+  val DecileDriftSplitDate = "1998-05-01"
+
+  def decileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("okey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("okey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val bounds = ranked
+      .select(explode(expr("sequence(1, 9)")).as("k"), col("rn"), col("n"), col("v"))
+      .filter(col("rn") === expr("(k * n) DIV 10"))
+      .select(col("v").as("b"))
+    val d = lit(DecileDriftSplitDate).cast("timestamp")
+    val assigned = Tables.orders(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("o_orderkey"), col("o_totalprice"), (col("o_orderdate") < d).as("early"))
+      .agg(sum(when(col("o_totalprice") > col("b"), 1L).otherwise(0L)).as("bucket"))
+    val cells = assigned.groupBy(col("bucket"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val tots = Window.partitionBy()
+    cells
+      .withColumn("tot_early", sum(col("n_early")).over(tots))
+      .withColumn("tot_late", sum(col("n_late")).over(tots))
+      .select(col("bucket"), col("n_early"), col("n_late"),
+        OracleMath.stableRound(
+          col("n_early").cast("double") / col("tot_early").cast("double"), 6).as("pct_early"),
+        OracleMath.stableRound(
+          col("n_late").cast("double") / col("tot_late").cast("double"), 6).as("pct_late"),
+        when(col("n_early") === 0L, lit(-1.0)).otherwise(
+          OracleMath.stableRound(
+            (col("n_late").cast("double") / col("tot_late").cast("double")) /
+              (col("n_early").cast("double") / col("tot_early").cast("double")), 6))
+          .as("occupancy_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val decileDriftOracle: String = {
+    val pe = "CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)"
+    val pl = "CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE)"
+    s"""WITH r AS (SELECT o_totalprice AS v, o_orderkey AS okey,
+       |        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+       |        count(*) OVER () AS n
+       |      FROM orders),
+       |bounds AS (SELECT r.v AS b FROM r, (SELECT unnest(range(1, 10)) AS k) ks
+       |           WHERE r.rn = (ks.k * r.n) // 10),
+       |assigned AS (SELECT o_orderkey,
+       |        o_orderdate < TIMESTAMP '$DecileDriftSplitDate 00:00:00' AS early,
+       |        CAST(sum(CASE WHEN o_totalprice > b THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM orders CROSS JOIN bounds GROUP BY 1, 2),
+       |cells AS (SELECT bucket,
+       |        CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       |        CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |      FROM assigned GROUP BY 1),
+       |t AS (SELECT *, sum(n_early) OVER () AS tot_early, sum(n_late) OVER () AS tot_late
+       |      FROM cells)
+       |SELECT bucket, n_early, n_late,
+       |  ${OracleMath.stableRoundSql(pe, 6)} AS pct_early,
+       |  ${OracleMath.stableRoundSql(pl, 6)} AS pct_late,
+       |  CASE WHEN n_early = 0 THEN -1.0
+       |       ELSE ${OracleMath.stableRoundSql(s"($pl) / ($pe)", 6)} END AS occupancy_ratio
+       |FROM t ORDER BY bucket""".stripMargin
+  }
+
   /** Rendezvous (highest-random-weight) hashing rebalance audit — the shard
     * assignment scheme whose selling point is PROVABLE minimal disruption:
     * shard(doc) = argmax over nodes of md5(doc ‖ node), so adding node 9 to

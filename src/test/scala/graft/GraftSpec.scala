@@ -1007,6 +1007,24 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("decile drift cells cover all orders; PSI computable from cells (q223)") {
+    val rows = CoreOps.decileDrift(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n)
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L))
+    // exact-decile buckets hold ~10% of the corpus each
+    rows.foreach { r =>
+      val share = (r.getLong(1) + r.getLong(2)).toDouble / n
+      assert(share > 0.05 && share < 0.15, s"bucket ${r.getLong(0)}: $share")
+    }
+    // PSI from the exact cells (the ln stays OUT of the query on purpose)
+    val psi = rows.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0).map { r =>
+      val (pe, pl) = (r.getDouble(3), r.getDouble(4))
+      (pl - pe) * math.log(pl / pe)
+    }.sum
+    assert(psi >= 0.0 && !psi.isNaN)
+  }
+
   test("interleave pacing error stays within the stride bound (q222)") {
     val rows = TextOps.interleaveAudit(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum === TextOps.InterleaveAuditSlots.toLong)
