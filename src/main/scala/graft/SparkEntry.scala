@@ -388,6 +388,8 @@ object SparkEntry {
     "q222_interleave_audit"    -> ((s, d) => TextOps.interleaveAudit(s, d)),
     // -- decile-bucket distribution drift (shape drift, not mean drift) ---------
     "q223_decile_drift"        -> ((s, d) => CoreOps.decileDrift(s, d)),
+    // -- relational Bloom filter with hash-matched FP count ---------------------
+    "q224_bloom_membership"    -> ((s, d) => CoreOps.bloomMembership(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -954,6 +956,7 @@ object SparkEntry {
     "q221_scd2_asof" -> CoreOps.scd2AsOfOracle,
     "q222_interleave_audit" -> TextOps.interleaveAuditOracle,
     "q223_decile_drift" -> CoreOps.decileDriftOracle,
+    "q224_bloom_membership" -> CoreOps.bloomMembershipOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

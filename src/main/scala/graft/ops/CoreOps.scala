@@ -1333,6 +1333,78 @@ object CoreOps {
        |FROM t ORDER BY bucket""".stripMargin
   }
 
+  /** Relational Bloom-filter membership audit — the sketch family's Bloom
+    * member (HLL/CMS/MG/t-digest/histogram/bitmap are covered; this
+    * completes it) built PORTABLY: k=4 bit positions per key from md5
+    * slices mod m=65536, the filter materialized as the distinct-positions
+    * TABLE (bit-set union is order-independent, so both engines build the
+    * identical filter), and membership = "all 4 positions present" via a
+    * positions join — which makes even the FALSE-POSITIVE COUNT an exact
+    * hash-matched integer, something an opaque `bloom_filter_agg` blob
+    * could never oracle. Probes are the true negatives (event users with
+    * no orders, by anti join), so every passing probe is a genuine FP.
+    * The measured FP rate is spec-checked against the (1−e^{−kn∕m})^k
+    * theory in-JVM (exp stays out of the query — the ln lesson); m = 2²⁰
+    * keeps the k·n∕m load ≤ 0.06 at every test SF (production sizes m to
+    * the key count the same way).
+    */
+  val BloomBits = 1048576L
+  val BloomHashes = 4
+
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    def positions(keyCol: String): Column =
+      explode(expr(
+        s"""transform(sequence(0, ${BloomHashes - 1}), j ->
+           |  CAST(conv(substring(md5(concat(CAST($keyCol AS STRING), ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % $BloomBits)""".stripMargin))
+    val keys = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    val bits = keys.select(positions("o_custkey").as("pos")).distinct()
+    // the natural negatives are empty at every SF (each event user has
+    // orders), so the probe workload is the id space shifted past the key
+    // domain — still anti-joined so every probe is PROVABLY a non-member
+    val negatives = Tables.events(spark, dir)
+      .select((col("user_id") + lit(10000000L)).as("user_id")).distinct()
+      .join(keys, col("user_id") === col("o_custkey"), "left_anti")
+    val probed = negatives
+      .select(col("user_id"), positions("user_id").as("pos"))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes.toLong)
+    keys.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(negatives.agg(count(lit(1)).as("n_neg_probes")))
+      .crossJoin(probed.agg(count(lit(1)).as("n_fp")))
+      .select(col("n_keys"), col("n_bits_set"), col("n_neg_probes"), col("n_fp"),
+        when(col("n_neg_probes") === 0L, lit(0.0)).otherwise(
+          OracleMath.stableRound(
+            col("n_fp").cast("double") / col("n_neg_probes").cast("double"), 6))
+          .as("fp_rate"))
+      .withColumn("fp_ok", col("fp_rate") < lit(0.05))
+  }
+
+  val bloomMembershipOracle: String = {
+    def pos(key: String) =
+      s"('0x' || substr(md5(CAST($key AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12))::BIGINT % $BloomBits"
+    s"""WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+       |bits AS (SELECT DISTINCT ${pos("o_custkey")} AS pos
+       |         FROM keys, (SELECT unnest(range(0, $BloomHashes)) AS j) js),
+       |negs AS (SELECT DISTINCT user_id + 10000000 AS user_id FROM events
+       |         WHERE user_id + 10000000 NOT IN (SELECT o_custkey FROM keys)),
+       |probes AS (SELECT user_id, ${pos("user_id")} AS pos
+       |           FROM negs, (SELECT unnest(range(0, $BloomHashes)) AS j) js),
+       |fp AS (SELECT p.user_id FROM probes p JOIN bits USING (pos)
+       |       GROUP BY 1 HAVING count(*) = $BloomHashes),
+       |s AS (SELECT (SELECT count(*) FROM keys) AS n_keys,
+       |             (SELECT count(*) FROM bits) AS n_bits_set,
+       |             (SELECT count(*) FROM negs) AS n_neg_probes,
+       |             (SELECT count(*) FROM fp) AS n_fp)
+       |SELECT n_keys, n_bits_set, n_neg_probes, n_fp,
+       |  CASE WHEN n_neg_probes = 0 THEN 0.0
+       |       ELSE ${OracleMath.stableRoundSql("CAST(n_fp AS DOUBLE) / CAST(n_neg_probes AS DOUBLE)", 6)} END AS fp_rate,
+       |  CASE WHEN n_neg_probes = 0 THEN 0.0
+       |       ELSE ${OracleMath.stableRoundSql("CAST(n_fp AS DOUBLE) / CAST(n_neg_probes AS DOUBLE)", 6)} END < 0.05 AS fp_ok
+       |FROM s""".stripMargin
+  }
+
   /** Rendezvous (highest-random-weight) hashing rebalance audit — the shard
     * assignment scheme whose selling point is PROVABLE minimal disruption:
     * shard(doc) = argmax over nodes of md5(doc ‖ node), so adding node 9 to

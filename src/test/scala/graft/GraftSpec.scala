@@ -1007,6 +1007,34 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filter: no false negatives, FP rate within 3x theory (q224)") {
+    val r = CoreOps.bloomMembership(spark, sf).head
+    val (nKeys, nBits, nProbes, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nBits <= nKeys * CoreOps.BloomHashes)
+    assert(nProbes > 0)
+    // zero false negatives BY CONSTRUCTION: every key's positions are in
+    // the filter — verify on a sample of true members
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).distinct()
+    val bits = keys.select(explode(expr(
+        s"""transform(sequence(0, ${CoreOps.BloomHashes - 1}), j ->
+           |  CAST(conv(substring(md5(concat(CAST(o_custkey AS STRING), ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % ${CoreOps.BloomBits}""".stripMargin + ")"))
+        .as("pos")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    keys.limit(20).collect().map(_.getLong(0)).foreach { k =>
+      (0 until CoreOps.BloomHashes).foreach { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:$j".getBytes).take(6)
+          .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) % CoreOps.BloomBits
+        assert(bits.contains(h), s"member $k pos $j missing")
+      }
+    }
+    // FP rate vs theory
+    val theory = math.pow(1.0 - math.exp(-CoreOps.BloomHashes.toDouble * nKeys / CoreOps.BloomBits),
+      CoreOps.BloomHashes)
+    assert(nFp.toDouble / nProbes <= theory * 3 + 0.001)
+  }
+
   test("decile drift cells cover all orders; PSI computable from cells (q223)") {
     val rows = CoreOps.decileDrift(spark, sf).collect()
     val n = Tables.orders(spark, sf).count()
