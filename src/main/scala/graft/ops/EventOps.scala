@@ -819,6 +819,84 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** CUPED variance reduction for the A/B readout — the standard
+    * experimentation-platform adjustment: each user's metric y (spend after
+    * the split date) is debiased by their pre-period covariate x (spend
+    * before), ŷ = y − θ(x − x̄) with θ = cov(x,y)∕var(x). EVERYTHING is
+    * assembled from exact sufficient statistics: per-user integer-cent
+    * (x, y) from one scan, global (Σx, Σy, Σxy, Σx², Σy², n) in one more
+    * reduce, per-arm sums likewise — θ, the adjusted means and the
+    * variance-reduction percentage are then a handful of fixed float
+    * expressions over those exact sums (no per-row float accumulation
+    * anywhere). Arms are q216's md5 parity. Var reduction = 1 − (1−ρ²),
+    * reported as ρ²·100 — the number that says how much smaller the
+    * experiment could be.
+    */
+  val CupedSplitDate = "2024-01-16"
+
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val d = lit(CupedSplitDate).cast("timestamp")
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val arm = expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 2")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < d, col("c")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= d, col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm", arm)
+    val g = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"), sum(col("x")).as("sx_arm"), sum(col("y")).as("sy_arm"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"), col("sxx").cast("double"),
+      col("syy").cast("double"))
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val rho2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    arms.crossJoin(g)
+      .select(col("arm"), col("n_arm"),
+        OracleMath.stableRound(col("sy_arm").cast("double") / col("n_arm") / 100.0, 4)
+          .as("mean_raw"),
+        OracleMath.stableRound(
+          (col("sy_arm").cast("double") -
+            theta * (col("sx_arm").cast("double") - col("n_arm").cast("double") * sx / n))
+            / col("n_arm") / 100.0, 4).as("mean_cuped"),
+        OracleMath.stableRound(theta, 6).as("theta"),
+        OracleMath.stableRound(rho2 * 100.0, 4).as("var_reduction_pct"))
+      .orderBy(col("arm"))
+  }
+
+  val cupedAdjustOracle: String = {
+    val (n, sx, sy, sxy, sxx, syy) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val theta = s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+    val rho2 = s"(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) / " +
+      s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
+    s"""WITH pu AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplitDate 00:00:00'
+       |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplitDate 00:00:00'
+       |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM pu),
+       |arms AS (SELECT arm, count(*) AS n_arm, CAST(sum(x) AS BIGINT) AS sx_arm,
+       |           CAST(sum(y) AS BIGINT) AS sy_arm
+       |         FROM pu GROUP BY 1)
+       |SELECT arm, n_arm,
+       |  ${OracleMath.stableRoundSql("CAST(sy_arm AS DOUBLE) / n_arm / 100.0", 4)} AS mean_raw,
+       |  ${OracleMath.stableRoundSql(
+          s"(CAST(sy_arm AS DOUBLE) - ($theta) * (CAST(sx_arm AS DOUBLE) - CAST(n_arm AS DOUBLE) * $sx / $n)) / n_arm / 100.0", 4)} AS mean_cuped,
+       |  ${OracleMath.stableRoundSql(theta, 6)} AS theta,
+       |  ${OracleMath.stableRoundSql(s"($rho2) * 100.0", 4)} AS var_reduction_pct
+       |FROM arms, g ORDER BY arm""".stripMargin
+  }
+
   /** Daily-volume autocorrelation at lags 1..7 — periodicity detection (the
     * lag-7 spike IS weekly seasonality): for each lag, Pearson r between
     * (day t volume, day t−k volume) from the q185 exact-sufficient-stats

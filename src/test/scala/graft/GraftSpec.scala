@@ -1007,6 +1007,21 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("cuped: theta matches regression slope; adjustment preserves totals (q225)") {
+    val rows = EventOps.cupedAdjust(spark, sf).collect()
+    assert(rows.length === 2)
+    val theta = rows.head.getDouble(4)
+    assert(rows.forall(r => math.abs(r.getDouble(4) - theta) < 1e-9), "theta is global")
+    val r2 = rows.head.getDouble(5)
+    assert(r2 >= 0.0 && r2 <= 100.0)
+    // weighted mean of cuped means equals weighted mean of raw means:
+    // the adjustment is mean-preserving over the pooled population
+    val nTot = rows.map(_.getLong(1)).sum.toDouble
+    val rawPool = rows.map(r => r.getDouble(2) * r.getLong(1)).sum / nTot
+    val cupedPool = rows.map(r => r.getDouble(3) * r.getLong(1)).sum / nTot
+    assert(math.abs(rawPool - cupedPool) < 1e-3)
+  }
+
   test("bloom filter: no false negatives, FP rate within 3x theory (q224)") {
     val r = CoreOps.bloomMembership(spark, sf).head
     val (nKeys, nBits, nProbes, nFp) =
