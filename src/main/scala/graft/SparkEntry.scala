@@ -392,6 +392,8 @@ object SparkEntry {
     "q224_bloom_membership"    -> ((s, d) => CoreOps.bloomMembership(s, d)),
     // -- CUPED variance-reduced A/B readout -------------------------------------
     "q225_cuped"               -> ((s, d) => EventOps.cupedAdjust(s, d)),
+    // -- Benford first-digit audit ----------------------------------------------
+    "q226_benford"             -> ((s, d) => CoreOps.benfordAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -960,6 +962,7 @@ object SparkEntry {
     "q223_decile_drift" -> CoreOps.decileDriftOracle,
     "q224_bloom_membership" -> CoreOps.bloomMembershipOracle,
     "q225_cuped" -> EventOps.cupedAdjustOracle,
+    "q226_benford" -> CoreOps.benfordAuditOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

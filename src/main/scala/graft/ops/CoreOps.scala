@@ -1333,6 +1333,69 @@ object CoreOps {
        |FROM t ORDER BY bucket""".stripMargin
   }
 
+  /** Benford first-digit audit — the classic fraud / synthetic-data smell
+    * test: the leading digit of order values against Benford's
+    * log₁₀(1+1∕d) expectation, with per-digit χ² contributions. Digit
+    * extraction is EXACT: values become integer cents (DECIMAL·100 — the
+    * q197 primitive) and the leading digit is the first character of the
+    * INTEGER's decimal rendering — identical in both engines, unlike a
+    * float's printf (whose cent rounding could flip 9.995→10). The nine
+    * Benford expectations are written literals (the q157 rule); per-digit
+    * contributions are fixed float expressions — no cross-digit float sum
+    * (the q196 discipline). TPC-H prices are uniform-ish, so the audit
+    * SHOULD flag non-conformance — the spec asserts the mechanism, the
+    * flag column reports the verdict honestly.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digit = expr(
+      "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+    val expectedSql =
+      """CASE digit WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+        | WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+        | WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+        | WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+        | ELSE 0.045757490560675 END""".stripMargin
+    val cells = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("n", sum(col("observed")).over(tot))
+      .withColumn("p_benford", expr(expectedSql).cast("double"))
+      .select(col("digit"), col("observed"),
+        OracleMath.stableRound(col("observed").cast("double") / col("n").cast("double"), 6)
+          .as("p_observed"),
+        col("p_benford"),
+        OracleMath.stableRound(
+          (col("observed").cast("double") - col("n").cast("double") * col("p_benford")) *
+            (col("observed").cast("double") - col("n").cast("double") * col("p_benford")) /
+            (col("n").cast("double") * col("p_benford")), 4).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditOracle: String = {
+    val expected =
+      """CASE digit WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+        | WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+        | WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+        | WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+        | ELSE 0.045757490560675 END""".stripMargin
+    val contrib = "(CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * p_benford) * " +
+      "(CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * p_benford) / (CAST(n AS DOUBLE) * p_benford)"
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |cells AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+       |t AS (SELECT *, sum(observed) OVER () AS n,
+       |        $expected AS p_benford
+       |      FROM cells)
+       |SELECT digit, observed,
+       |  ${OracleMath.stableRoundSql("CAST(observed AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS p_observed,
+       |  p_benford,
+       |  ${OracleMath.stableRoundSql(contrib, 4)} AS chi2_contrib
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
   /** Relational Bloom-filter membership audit — the sketch family's Bloom
     * member (HLL/CMS/MG/t-digest/histogram/bitmap are covered; this
     * completes it) built PORTABLY: k=4 bit positions per key from md5

@@ -1007,6 +1007,16 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("benford audit: probabilities sum to 1, digits partition orders (q226)") {
+    val rows = CoreOps.benfordAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
+    val n = Tables.orders(spark, sf).filter(col("o_totalprice") > 0.0).count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("cuped: theta matches regression slope; adjustment preserves totals (q225)") {
     val rows = EventOps.cupedAdjust(spark, sf).collect()
     assert(rows.length === 2)
