@@ -394,6 +394,8 @@ object SparkEntry {
     "q225_cuped"               -> ((s, d) => EventOps.cupedAdjust(s, d)),
     // -- Benford first-digit audit ----------------------------------------------
     "q226_benford"             -> ((s, d) => CoreOps.benfordAudit(s, d)),
+    // -- label-centroid affinity matrix (domain-shift map) ----------------------
+    "q227_label_affinity"      -> ((s, d) => SimilarityOps.labelAffinity(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -963,6 +965,7 @@ object SparkEntry {
     "q224_bloom_membership" -> CoreOps.bloomMembershipOracle,
     "q225_cuped" -> EventOps.cupedAdjustOracle,
     "q226_benford" -> CoreOps.benfordAuditOracle,
+    "q227_label_affinity" -> SimilarityOps.labelAffinityOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -654,6 +654,31 @@ object SimilarityOps {
   private def dist2Sql(e: String, c: String): String =
     s"list_sum(list_transform(generate_series(1,64), i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])))"
 
+  /** Label-centroid affinity matrix — the domain-shift map: pairwise cosine
+    * between every pair of per-label mean embeddings (the q43/q76 coarse
+    * codebook, 1e-8-stable-rounded so both engines start from identical
+    * doubles). The matrix is labels², computed on the 10-row centroid
+    * table — constant cost at any corpus scale; the corpus pays exactly
+    * the one centroid aggregation it already pays for IVF. High-affinity
+    * label pairs are the merge/contamination candidates a taxonomy
+    * curator reviews.
+    */
+  def labelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cent = centroidTable(spark, dir)
+    cent.as("a").join(cent.as("b"), col("a.c_label") < col("b.c_label"))
+      .select(col("a.c_label").as("label_a"), col("b.c_label").as("label_b"),
+        OracleMath.stableRound(cosine(col("a.centroid"), col("b.centroid")), 6).as("sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val labelAffinityOracle: String =
+    s"""WITH $centCteSql
+       |SELECT a.c_label AS label_a, b.c_label AS label_b,
+       |  ${OracleMath.stableRoundSql(cosSql("a.centroid", "b.centroid"), 6)} AS sim
+       |FROM cent a JOIN cent b ON a.c_label < b.c_label
+       |ORDER BY label_a, label_b""".stripMargin
+
   /** Mutual nearest neighbors (reciprocal best match) — the entity-alignment
     * primitive: pairs where each vector is the OTHER's top-1 cosine
     * neighbor, a far stronger match signal than one-directional top-1 (the

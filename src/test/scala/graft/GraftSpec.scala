@@ -1007,6 +1007,16 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("label affinity is a full symmetric-free matrix with bounded sims (q227)") {
+    val rows = SimilarityOps.labelAffinity(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select(col("label")).distinct().count()
+    assert(rows.length.toLong === labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1))
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
+
   test("benford audit: probabilities sum to 1, digits partition orders (q226)") {
     val rows = CoreOps.benfordAudit(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
