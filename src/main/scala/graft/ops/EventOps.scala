@@ -819,6 +819,57 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** Temporal sequence-pair mining — frequent "A then B within 10 minutes"
+    * patterns, the NON-adjacent generalization of q174's Markov chain
+    * (Markov sees only consecutive events; a view→purchase with clicks in
+    * between is invisible to it, and is exactly what funnel analysis
+    * wants). One user-keyed interval self-join bounded by the time window
+    * (per-user work ∝ activity within 10 min — the q87 state-bounding
+    * argument in batch form), exact integer support counts, and lift
+    * against the type marginals as one fixed float expression. Ordered
+    * pairs; ties in time excluded by strict dt > 0 with event_id
+    * tie-break.
+    */
+  def sequencePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          (col("b.ts") > col("a.ts") ||
+            (col("b.ts") === col("a.ts") && col("b.event_id") > col("a.event_id"))) &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+    val singles = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(singles.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(singles.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .crossJoin(total)
+      .select(col("type_a"), col("type_b"), col("support"), col("n_a"), col("n_b"),
+        OracleMath.stableRound(
+          col("support").cast("double") * col("n_total").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val sequencePatternsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support
+       |      FROM e a JOIN e b
+       |        ON a.user_id = b.user_id
+       |       AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+       |       AND b.ts <= a.ts + INTERVAL 10 MINUTE
+       |      GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+       |t AS (SELECT count(*) AS n_total FROM e)
+       |SELECT type_a, type_b, support, sa.n AS n_a, sb.n AS n_b,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(support AS DOUBLE) * CAST(n_total AS DOUBLE) / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))", 6)} AS lift
+       |FROM p JOIN s sa ON sa.event_type = p.type_a
+       |       JOIN s sb ON sb.event_type = p.type_b, t
+       |ORDER BY type_a, type_b""".stripMargin
+
   /** CUPED variance reduction for the A/B readout — the standard
     * experimentation-platform adjustment: each user's metric y (spend after
     * the split date) is debiased by their pre-period covariate x (spend

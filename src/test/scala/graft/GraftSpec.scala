@@ -1007,6 +1007,24 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence pairs match an in-JVM windowed count for one user (q228)") {
+    val got = EventOps.sequencePatterns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // strict superset of adjacent transitions: support(a,b) >= markov n(a,b)
+    // only when the adjacent gap is <= 10 min; verify full recount in-JVM
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = scala.collection.mutable.Map.empty[(String, String), Long]
+    evs.groupBy(_._1).values.foreach { rows =>
+      for {
+        a <- rows; b <- rows
+        if (b._3 > a._3 || (b._3 == a._3 && b._4 > a._4)) && b._3 <= a._3 + 600000000L
+      } expect((a._2, b._2)) = expect.getOrElse((a._2, b._2), 0L) + 1L
+    }
+    assert(got === expect.toMap)
+  }
+
   test("label affinity is a full symmetric-free matrix with bounded sims (q227)") {
     val rows = SimilarityOps.labelAffinity(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select(col("label")).distinct().count()
