@@ -398,6 +398,8 @@ object SparkEntry {
     "q227_label_affinity"      -> ((s, d) => SimilarityOps.labelAffinity(s, d)),
     // -- temporal sequence-pair mining (A then B within 10 min) -----------------
     "q228_seq_patterns"        -> ((s, d) => EventOps.sequencePatterns(s, d)),
+    // -- multi-level share-of-parent rollup -------------------------------------
+    "q229_share_of_parent"     -> ((s, d) => CoreOps.shareOfParent(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -969,6 +971,7 @@ object SparkEntry {
     "q226_benford" -> CoreOps.benfordAuditOracle,
     "q227_label_affinity" -> SimilarityOps.labelAffinityOracle,
     "q228_seq_patterns" -> EventOps.sequencePatternsOracle,
+    "q229_share_of_parent" -> CoreOps.shareOfParentOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

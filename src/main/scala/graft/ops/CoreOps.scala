@@ -1333,6 +1333,60 @@ object CoreOps {
        |FROM t ORDER BY bucket""".stripMargin
   }
 
+  /** Multi-level share-of-parent rollup — the drill-down report every
+    * revenue dashboard renders: nation revenue as a share of ITS region,
+    * region revenue as a share of global, in one result (q04's market
+    * share is single-level; this is the hierarchy version). Revenue sums
+    * are DECIMAL-exact through both levels — the parent totals are window
+    * sums over the already-aggregated nation table (nations-sized), so the
+    * corpus pays one join + one aggregation; every share is one fixed
+    * float division.
+    */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nationRev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val withTotals = nationRev
+      .withColumn("region_rev", sum(col("rev")).over(Window.partitionBy(col("region"))))
+      .withColumn("global_rev", sum(col("rev")).over(Window.partitionBy()))
+    val nations = withTotals.select(
+      lit("nation").as("level"), col("nation").as("name"), col("region").as("parent"),
+      col("rev").cast("double").as("revenue"),
+      OracleMath.stableRound(col("rev").cast("double") / col("region_rev").cast("double"), 6)
+        .as("share_of_parent"))
+    val regions = withTotals
+      .groupBy(col("region")).agg(max(col("region_rev")).as("rr"), max(col("global_rev")).as("gr"))
+      .select(lit("region").as("level"), col("region").as("name"), lit("global").as("parent"),
+        col("rr").cast("double").as("revenue"),
+        OracleMath.stableRound(col("rr").cast("double") / col("gr").cast("double"), 6)
+          .as("share_of_parent"))
+    nations.unionByName(regions).orderBy(col("level"), col("parent"), col("name"))
+  }
+
+  val shareOfParentOracle: String =
+    s"""WITH nr AS (SELECT r_name AS region, n_name AS nation,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |       JOIN nation ON c_nationkey = n_nationkey
+       |       JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |t AS (SELECT *, sum(rev) OVER (PARTITION BY region) AS region_rev,
+       |        sum(rev) OVER () AS global_rev
+       |      FROM nr)
+       |SELECT 'nation' AS level, nation AS name, region AS parent,
+       |  CAST(rev AS DOUBLE) AS revenue,
+       |  ${OracleMath.stableRoundSql("CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE)", 6)} AS share_of_parent
+       |FROM t
+       |UNION ALL
+       |SELECT 'region', region, 'global', CAST(max(region_rev) AS DOUBLE),
+       |  ${OracleMath.stableRoundSql("CAST(max(region_rev) AS DOUBLE) / CAST(max(global_rev) AS DOUBLE)", 6)}
+       |FROM t GROUP BY region
+       |ORDER BY level, parent, name""".stripMargin
+
   /** Benford first-digit audit — the classic fraud / synthetic-data smell
     * test: the leading digit of order values against Benford's
     * log₁₀(1+1∕d) expectation, with per-digit χ² contributions. Digit

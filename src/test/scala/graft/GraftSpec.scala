@@ -1007,6 +1007,20 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("share-of-parent sums to 1 within every parent (q229)") {
+    val rows = CoreOps.shareOfParent(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(r => (r._1, r._3)).foreach { case ((_, parent), group) =>
+      assert(math.abs(group.map(_._5).sum - 1.0) < 1e-3, s"parent $parent")
+    }
+    // region revenue equals the sum of its nations' revenues
+    val nations = rows.filter(_._1 == "nation").groupBy(_._3)
+    val regions = rows.filter(_._1 == "region").map(r => r._2 -> r._4).toMap
+    nations.foreach { case (region, ns) =>
+      assert(math.abs(ns.map(_._4).sum - regions(region)) < 1e-2, region)
+    }
+  }
+
   test("sequence pairs match an in-JVM windowed count for one user (q228)") {
     val got = EventOps.sequencePatterns(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
