@@ -1127,6 +1127,51 @@ object TextOps {
           s"CAST(count(*) AS DOUBLE) - $InterleaveAuditSlots.0 * CAST(max(n_src) AS DOUBLE) / CAST(max(total) AS DOUBLE)", 4)} AS pacing_error
        |FROM firstk GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Inter-source duplication overlap — which sources copy from each other:
+    * for every source pair, the Jaccard overlap of their CONTENT-identITY
+    * sets (q36's wordset md5 groups — 32-byte keys, never text). The
+    * source-pair counts come from one distinct (source, wkey) table: the
+    * pair join runs per wkey over the ≤ n_sources sources sharing it
+    * (bounded fanout — a group shared by all 20 sources emits 190 pairs,
+    * not corpus²), and per-source group counts are one more aggregate.
+    * This is the provenance matrix a curation team reads before deciding
+    * which source to drop — q213 says WHAT to keep per group; this says
+    * WHO is duplicating WHOM.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val wkey = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val sk = Tables.documents(spark, dir)
+      .select(col("source"), wkey.as("wkey")).distinct()
+    val perSource = sk.groupBy(col("source")).agg(count(lit(1)).as("n_groups"))
+    val shared = sk.as("a").join(sk.as("b"),
+        col("a.wkey") === col("b.wkey") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(perSource.select(col("source").as("source_a"), col("n_groups").as("g_a")), Seq("source_a"))
+      .join(perSource.select(col("source").as("source_b"), col("n_groups").as("g_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("g_a"), col("g_b"),
+        OracleMath.stableRound(
+          col("n_shared").cast("double") /
+            (col("g_a") + col("g_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH sk AS (SELECT DISTINCT source,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS wkey
+       |  FROM documents),
+       |ps AS (SELECT source, count(*) AS n_groups FROM sk GROUP BY 1),
+       |sh AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |       FROM sk a JOIN sk b ON a.wkey = b.wkey AND a.source < b.source
+       |       GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared, pa.n_groups AS g_a, pb.n_groups AS g_b,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(n_shared AS DOUBLE) / CAST(pa.n_groups + pb.n_groups - n_shared AS DOUBLE)", 6)} AS jaccard
+       |FROM sh JOIN ps pa ON pa.source = sh.source_a
+       |        JOIN ps pb ON pb.source = sh.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

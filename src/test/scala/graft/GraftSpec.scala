@@ -1007,6 +1007,17 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap jaccard is bounded and shared counts symmetric (q230)") {
+    val rows = TextOps.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shared, ga, gb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(shared >= 1L && shared <= math.min(ga, gb))
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
   test("share-of-parent sums to 1 within every parent (q229)") {
     val rows = CoreOps.shareOfParent(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
