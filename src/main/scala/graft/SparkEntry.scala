@@ -402,6 +402,8 @@ object SparkEntry {
     "q229_share_of_parent"     -> ((s, d) => CoreOps.shareOfParent(s, d)),
     // -- inter-source duplication overlap matrix --------------------------------
     "q230_source_overlap"      -> ((s, d) => TextOps.sourceOverlap(s, d)),
+    // -- Zipf head/torso/tail vocabulary segmentation ---------------------------
+    "q231_vocab_segments"      -> ((s, d) => TextOps.vocabSegments(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -975,6 +977,7 @@ object SparkEntry {
     "q228_seq_patterns" -> EventOps.sequencePatternsOracle,
     "q229_share_of_parent" -> CoreOps.shareOfParentOracle,
     "q230_source_overlap" -> TextOps.sourceOverlapOracle,
+    "q231_vocab_segments" -> TextOps.vocabSegmentsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

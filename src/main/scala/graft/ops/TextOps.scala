@@ -1172,6 +1172,52 @@ object TextOps {
        |        JOIN ps pb ON pb.source = sh.source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Vocabulary head/torso/tail segmentation — the Zipf-mass report that
+    * sizes tokenizer vocabularies and embedding tables: terms sorted by
+    * frequency, segmented at 50 % and 90 % of cumulative occurrence mass
+    * (head = the few terms covering half the corpus; tail = the long
+    * sparse rest). The segment predicate is INTEGER-exact —
+    * `2·cum_before < total` (strictly-before mass under 50 %) and
+    * `10·cum_before < 9·total` — no float mass fractions; the cumulative
+    * sum runs over the vocabulary table (terms-sized, q102's two-pass
+    * trick if a corpus's vocabulary ever outgrows one partition's
+    * window). Per segment: term count, occurrence mass, exact-integer
+    * bounds on where the cut fell.
+    */
+  def vocabSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(desc("f"), col("term")).rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("cum_before", coalesce(sum(col("f")).over(w), lit(0L)))
+      .withColumn("total", sum(col("f")).over(Window.partitionBy()))
+      .withColumn("segment",
+        when(col("cum_before") * 2 < col("total"), "1_head")
+          .when(col("cum_before") * 10 < col("total") * 9, "2_torso")
+          .otherwise("3_tail"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("occurrences"),
+        min(col("f")).as("min_freq"), max(col("f")).as("max_freq"))
+      .orderBy(col("segment"))
+  }
+
+  val vocabSegmentsOracle: String =
+    s"""WITH f AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS f FROM f GROUP BY 1),
+       |c AS (SELECT term, f,
+       |        coalesce(sum(f) OVER (ORDER BY f DESC, term
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |        sum(f) OVER () AS total
+       |      FROM freq)
+       |SELECT CASE WHEN cum_before * 2 < total THEN '1_head'
+       |            WHEN cum_before * 10 < total * 9 THEN '2_torso'
+       |            ELSE '3_tail' END AS segment,
+       |  count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS occurrences,
+       |  min(f) AS min_freq, max(f) AS max_freq
+       |FROM c GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** Support gate for [[frequentPairs]]: an item/pair is frequent when it
     * appears in ≥ 1/20 (5%) of documents. Integer-exact predicate
     * (`df · 20 ≥ n_docs`), single-sourced with the oracle.

@@ -1007,6 +1007,21 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab segments partition mass with head<torso<tail term counts (q231)") {
+    val rows = TextOps.vocabSegments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("1_head", "2_torso", "3_tail"))
+    val totalTerms = rows.values.map(_._1).sum
+    val totalMass = rows.values.map(_._2).sum
+    // head holds >= ~50% of mass with far fewer terms than the tail
+    assert(rows("1_head")._2.toDouble / totalMass >= 0.5)
+    assert(rows("1_head")._1 < rows("3_tail")._1)
+    // frequency bands are ordered: head min >= torso max is NOT required
+    // (ties split on term), but head max must dominate tail max
+    assert(rows("1_head")._4 >= rows("3_tail")._4)
+    assert(totalTerms > 0L && totalMass > 0L)
+  }
+
   test("source overlap jaccard is bounded and shared counts symmetric (q230)") {
     val rows = TextOps.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
