@@ -404,6 +404,8 @@ object SparkEntry {
     "q230_source_overlap"      -> ((s, d) => TextOps.sourceOverlap(s, d)),
     // -- Zipf head/torso/tail vocabulary segmentation ---------------------------
     "q231_vocab_segments"      -> ((s, d) => TextOps.vocabSegments(s, d)),
+    // -- discrete survival/hazard table with right-censoring --------------------
+    "q232_survival"            -> ((s, d) => EventOps.survivalTable(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -978,6 +980,7 @@ object SparkEntry {
     "q229_share_of_parent" -> CoreOps.shareOfParentOracle,
     "q230_source_overlap" -> TextOps.sourceOverlapOracle,
     "q231_vocab_segments" -> TextOps.vocabSegmentsOracle,
+    "q232_survival" -> EventOps.survivalTableOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

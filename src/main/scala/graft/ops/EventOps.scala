@@ -819,6 +819,71 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** Discrete survival table (Kaplan-Meier inputs) for time-to-first-
+    * purchase after signup, WITH right-censoring: users who never purchase
+    * are censored at the observation horizon (the data's max day), not
+    * dropped — dropping them is the classic survivorship bias this
+    * estimator exists to avoid. Emitted per duration-day: users at risk,
+    * events, censored, and the discrete hazard d∕n — each row exact
+    * integers plus one fixed division. The KM product Π(1−dᵢ∕nᵢ) is NOT
+    * emitted (a cross-row float product would be order/engine-dependent —
+    * the spec composes it in-JVM from the exact rows; the q223 ln lesson).
+    * at-risk counts come from one cumulative window over the tiny
+    * duration histogram, never a per-user rescan.
+    */
+  def survivalTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", date_trunc("day", col("ts")))).as("t0"),
+        min(when(col("event_type") === "purchase", date_trunc("day", col("ts")))).as("tp"))
+      .filter(col("t0").isNotNull)
+    val horizon = Tables.events(spark, dir)
+      .agg(max(date_trunc("day", col("ts"))).as("h"))
+    val durations = perUser.crossJoin(horizon)
+      .select(
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("h"), col("t0"))).cast("long").as("t"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("event"))
+    val hist = durations.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("total", sum(col("d") + col("c")).over(Window.partitionBy()))
+      .withColumn("gone_before", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .select(col("t"), (col("total") - col("gone_before")).as("at_risk"),
+        col("d").as("events"), col("c").as("censored"),
+        OracleMath.stableRound(
+          col("d").cast("double") / (col("total") - col("gone_before")).cast("double"), 6)
+          .as("hazard"))
+      .orderBy(col("t"))
+  }
+
+  val survivalTableOracle: String =
+    s"""WITH pu AS (SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN date_trunc('day', ts) END) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS tp
+       |  FROM events GROUP BY 1),
+       |h AS (SELECT max(date_trunc('day', ts)) AS hz FROM events),
+       |dur AS (SELECT
+       |    CAST(CASE WHEN tp IS NOT NULL AND tp >= t0 THEN date_diff('day', t0, tp)
+       |         ELSE date_diff('day', t0, hz) END AS BIGINT) AS t,
+       |    (tp IS NOT NULL AND tp >= t0) AS event
+       |  FROM pu, h WHERE t0 IS NOT NULL),
+       |hist AS (SELECT t,
+       |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN NOT event THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM dur GROUP BY 1),
+       |k AS (SELECT *, sum(d + c) OVER () AS total,
+       |        coalesce(sum(d + c) OVER (ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gone_before
+       |      FROM hist)
+       |SELECT t, CAST(total - gone_before AS BIGINT) AS at_risk, d AS events, c AS censored,
+       |  ${OracleMath.stableRoundSql("CAST(d AS DOUBLE) / CAST(total - gone_before AS DOUBLE)", 6)} AS hazard
+       |FROM k ORDER BY t""".stripMargin
+
   /** Temporal sequence-pair mining — frequent "A then B within 10 minutes"
     * patterns, the NON-adjacent generalization of q174's Markov chain
     * (Markov sees only consecutive events; a view→purchase with clicks in

@@ -1007,6 +1007,25 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("survival table: at-risk telescopes and KM curve is monotone (q232)") {
+    val rows = EventOps.survivalTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // at_risk(t_{i+1}) = at_risk(t_i) - events - censored
+    rows.sliding(2).foreach {
+      case Array((_, ar1, d1, c1), (_, ar2, _, _)) => assert(ar2 === ar1 - d1 - c1)
+      case _ => ()
+    }
+    // KM composed in-JVM from the exact rows is a valid survival curve
+    var s = 1.0
+    rows.foreach { case (_, ar, d, _) =>
+      s *= (1.0 - d.toDouble / ar)
+      assert(s >= -1e-12 && s <= 1.0 + 1e-12)
+    }
+    // both events and censoring must occur in this data
+    assert(rows.map(_._3).sum > 0 && rows.map(_._4).sum > 0)
+  }
+
   test("vocab segments partition mass with head<torso<tail term counts (q231)") {
     val rows = TextOps.vocabSegments(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
