@@ -406,6 +406,8 @@ object SparkEntry {
     "q231_vocab_segments"      -> ((s, d) => TextOps.vocabSegments(s, d)),
     // -- discrete survival/hazard table with right-censoring --------------------
     "q232_survival"            -> ((s, d) => EventOps.survivalTable(s, d)),
+    // -- two-sample Kolmogorov-Smirnov drift test -------------------------------
+    "q233_ks_test"             -> ((s, d) => CoreOps.ksTest(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -981,6 +983,7 @@ object SparkEntry {
     "q230_source_overlap" -> TextOps.sourceOverlapOracle,
     "q231_vocab_segments" -> TextOps.vocabSegmentsOracle,
     "q232_survival" -> EventOps.survivalTableOracle,
+    "q233_ks_test" -> CoreOps.ksTestOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -1333,6 +1333,67 @@ object CoreOps {
        |FROM t ORDER BY bucket""".stripMargin
   }
 
+  /** Two-sample Kolmogorov-Smirnov test — the distribution-equality test
+    * behind q223's decile view: D = max over values of |ECDF₁ − ECDF₂|
+    * between the early and late order eras. ECDFs come from exact
+    * cumulative integer counts over the value-sorted distinct-value table;
+    * each per-value difference is one fixed float expression and the MAX
+    * aggregate is order-free (unlike a sum — that's why KS hash-matches
+    * while a float-summed statistic wouldn't). The 5 % critical value
+    * 1.358·√((n₁+n₂)∕(n₁n₂)) uses a written literal. One sort-ordered
+    * window over distinct values (the q102 two-pass trick at 100 TB).
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = lit(DecileDriftSplitDate).cast("timestamp")
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), (col("o_orderdate") < d).as("early"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ecdf = cells
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double")).as("dv"))
+    ecdf.groupBy(col("n1"), col("n2"))
+      .agg(OracleMath.stableRound(max(col("dv")), 6).as("ks_d"))
+      .select(col("n1"), col("n2"), col("ks_d"),
+        OracleMath.stableRound(
+          lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))), 6).as("ks_crit_05"),
+        (col("ks_d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))).as("reject_equality"))
+  }
+
+  val ksTestOracle: String = {
+    val crit = "1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    s"""WITH cells AS (SELECT o_totalprice AS v,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$DecileDriftSplitDate 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$DecileDriftSplitDate 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+       |  FROM orders GROUP BY 1),
+       |e AS (SELECT
+       |    CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+       |    CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+       |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+       |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+       |  FROM cells),
+       |s AS (SELECT n1, n2,
+       |        max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+       |                CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dmax
+       |      FROM e GROUP BY 1, 2)
+       |SELECT n1, n2,
+       |  ${OracleMath.stableRoundSql("dmax", 6)} AS ks_d,
+       |  ${OracleMath.stableRoundSql(crit, 6)} AS ks_crit_05,
+       |  ${OracleMath.stableRoundSql("dmax", 6)} > $crit AS reject_equality
+       |FROM s""".stripMargin
+  }
+
   /** Multi-level share-of-parent rollup — the drill-down report every
     * revenue dashboard renders: nation revenue as a share of ITS region,
     * region revenue as a share of global, in one result (q04's market

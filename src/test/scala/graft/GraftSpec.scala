@@ -1007,6 +1007,24 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("KS statistic matches an in-JVM ECDF sweep (q233)") {
+    val r = CoreOps.ksTest(spark, sf).head
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val vals = Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        (col("o_orderdate") < lit(CoreOps.DecileDriftSplitDate).cast("timestamp")).as("early"))
+      .collect()
+      .map(x => (x.getDouble(0), x.getBoolean(1)))
+    val (a, b) = (vals.filter(_._2).map(_._1).sorted, vals.filterNot(_._2).map(_._1).sorted)
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val points = (a ++ b).distinct.sorted
+    val dExpect = points.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(d - dExpect) < 1e-5)
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
   test("survival table: at-risk telescopes and KM curve is monotone (q232)") {
     val rows = EventOps.survivalTable(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
