@@ -1394,6 +1394,59 @@ object CoreOps {
        |FROM s""".stripMargin
   }
 
+  /** Mann-Whitney U (rank-sum) test — the nonparametric two-sample location
+    * test beside q233's KS shape test. Tie-averaged ranks are kept EXACT by
+    * working in DOUBLED rank units: a tie group of size c starting after
+    * cum rows has doubled-average-rank `2·cum + c + 1` (an integer), so the
+    * rank sum, U₁ = (ΣR₁·2 − n₁(n₁+1))∕2 and the common-language effect
+    * size U₁∕(n₁n₂) are integer arithmetic until two final divisions —
+    * no float rank sums anywhere. Same value-grouped cumulative window as
+    * q233; the two tests share one scan shape.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = lit(DecileDriftSplitDate).cast("timestamp")
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), (col("o_orderdate") < d).as("early"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("cum_before", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      .withColumn("r2sum_1", col("c1") * (col("cum_before") * 2 + col("c1") + col("c2") + 1))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("r2sum_1")).as("r1_doubled"))
+      .select(col("n1"), col("n2"),
+        ((col("r1_doubled") - col("n1") * (col("n1") + 1)).cast("double") / 2.0).as("u1"),
+        OracleMath.stableRound(
+          (col("r1_doubled") - col("n1") * (col("n1") + 1)).cast("double") / 2.0 /
+            (col("n1").cast("double") * col("n2").cast("double")), 6).as("cles"))
+  }
+
+  val mannWhitneyOracle: String =
+    s"""WITH cells AS (SELECT o_totalprice AS v,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$DecileDriftSplitDate 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$DecileDriftSplitDate 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT c1, c2,
+       |    CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+       |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+       |  FROM cells),
+       |s AS (SELECT n1, n2,
+       |        CAST(sum(c1 * (cum_before * 2 + c1 + c2 + 1)) AS BIGINT) AS r1_doubled
+       |      FROM r GROUP BY 1, 2)
+       |SELECT n1, n2,
+       |  CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)} AS cles
+       |FROM s""".stripMargin
+
   /** Multi-level share-of-parent rollup — the drill-down report every
     * revenue dashboard renders: nation revenue as a share of ITS region,
     * region revenue as a share of global, in one result (q04's market

@@ -1007,6 +1007,31 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("mann-whitney U matches an in-JVM tie-averaged rank sum (q234)") {
+    val r = CoreOps.mannWhitney(spark, sf).head
+    val (n1, n2, u1, cles) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val vals = Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        (col("o_orderdate") < lit(CoreOps.DecileDriftSplitDate).cast("timestamp")).as("early"))
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val sorted = vals.sortBy(_._1)
+    // tie-averaged ranks
+    val ranks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val avg = (i + 1 + j).toDouble / 2.0
+      (i until j).foreach(k => ranks += ((sorted(k)._2, avg)))
+      i = j
+    }
+    val r1 = ranks.filter(_._1).map(_._2).sum
+    val u1Expect = r1 - n1.toDouble * (n1 + 1) / 2.0
+    assert(math.abs(u1 - u1Expect) < 1e-6)
+    assert(math.abs(cles - u1Expect / (n1.toDouble * n2)) < 1e-5)
+    assert(cles >= 0.0 && cles <= 1.0)
+  }
+
   test("KS statistic matches an in-JVM ECDF sweep (q233)") {
     val r = CoreOps.ksTest(spark, sf).head
     val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
