@@ -410,6 +410,8 @@ object SparkEntry {
     "q233_ks_test"             -> ((s, d) => CoreOps.ksTest(s, d)),
     // -- Mann-Whitney U rank-sum test (exact doubled ranks) ---------------------
     "q234_mann_whitney"        -> ((s, d) => CoreOps.mannWhitney(s, d)),
+    // -- RFM customer segmentation (deterministic quintiles) --------------------
+    "q235_rfm_segments"        -> ((s, d) => CoreOps.rfmSegments(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -987,6 +989,7 @@ object SparkEntry {
     "q232_survival" -> EventOps.survivalTableOracle,
     "q233_ks_test" -> CoreOps.ksTestOracle,
     "q234_mann_whitney" -> CoreOps.mannWhitneyOracle,
+    "q235_rfm_segments" -> CoreOps.rfmSegmentsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

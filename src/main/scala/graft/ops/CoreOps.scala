@@ -1394,6 +1394,52 @@ object CoreOps {
        |FROM s""".stripMargin
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic CRM
+    * partition, computed with ntile(5) quintiles under fully deterministic
+    * orderings (each metric tie-breaks on the customer key, so both
+    * engines cut identical quintiles — ntile over a non-unique order would
+    * be engine-dependent). Recency ranks by last order date DESC (recent =
+    * high score), frequency by order count, monetary by DECIMAL-exact
+    * spend; the three digits concatenate to the familiar '555' segment
+    * code and the rollup counts customers per code with per-code exact
+    * spend. One aggregation over orders + three windows on the
+    * customers-sized table.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    val r = ntile(5).over(Window.orderBy(col("last_order"), col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("spend"), col("o_custkey")))
+    per
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS m_score
+      |  FROM per)
+      |SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(spend) AS DOUBLE) AS segment_spend
+      |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** Mann-Whitney U (rank-sum) test — the nonparametric two-sample location
     * test beside q233's KS shape test. Tie-averaged ranks are kept EXACT by
     * working in DOUBLED rank units: a tie group of size c starting after

@@ -1007,6 +1007,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm segments partition customers; codes are valid quintiles (q235)") {
+    val rows = CoreOps.rfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    rows.foreach { r =>
+      val code = r.getString(0)
+      assert(code.length === 3 && code.forall(c => c >= '1' && c <= '5'), code)
+      assert(r.getDouble(2) > 0.0)
+    }
+    // top RFM cell must out-spend per customer vs the bottom cell when both exist
+    val byCode = rows.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (t <- byCode.get("555"); b <- byCode.get("111")) {
+      assert(t._2 / t._1 > b._2 / b._1)
+    }
+  }
+
   test("mann-whitney U matches an in-JVM tie-averaged rank sum (q234)") {
     val r = CoreOps.mannWhitney(spark, sf).head
     val (n1, n2, u1, cles) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
