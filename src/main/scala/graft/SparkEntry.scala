@@ -412,6 +412,8 @@ object SparkEntry {
     "q234_mann_whitney"        -> ((s, d) => CoreOps.mannWhitney(s, d)),
     // -- RFM customer segmentation (deterministic quintiles) --------------------
     "q235_rfm_segments"        -> ((s, d) => CoreOps.rfmSegments(s, d)),
+    // -- cohort LTV accumulation curves -----------------------------------------
+    "q236_cohort_ltv"          -> ((s, d) => EventOps.cohortLtv(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -990,6 +992,7 @@ object SparkEntry {
     "q233_ks_test" -> CoreOps.ksTestOracle,
     "q234_mann_whitney" -> CoreOps.mannWhitneyOracle,
     "q235_rfm_segments" -> CoreOps.rfmSegmentsOracle,
+    "q236_cohort_ltv" -> EventOps.cohortLtvOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -654,6 +654,67 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Cohort LTV accumulation — the revenue half of q122's retention
+    * triangle: per signup cohort (first-activity week) and week offset,
+    * the period's spend and the cohort's RUNNING cumulative spend (the
+    * LTV curve), divided by cohort size into LTV-per-user. Cumulative
+    * spend is a DECIMAL window sum over the already-aggregated
+    * (cohort, offset) table (cohorts × weeks rows — tiny at any corpus
+    * scale), so the running curve is order-free exact; the only float is
+    * the final per-row division. Cohort sizes join back from the q122
+    * cohort definition, so the two reports can never disagree about who
+    * belongs to which cohort.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val joined = ev.join(first, "user_id")
+      .select(date_trunc("week", col("cohort_day")).as("cohort_week"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_offset"),
+        col("user_id"), col("v"))
+    val cohortSize = joined.select(col("cohort_week"), col("user_id")).distinct()
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    val spend = joined.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("v")).as("spend"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend
+      .withColumn("cum_spend", sum(col("spend")).over(w))
+      .join(cohortSize, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        col("spend").cast("double").as("spend"),
+        col("cum_spend").cast("double").as("cum_spend"),
+        OracleMath.stableRound(
+          col("cum_spend").cast("double") / col("cohort_users").cast("double"), 4)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortLtvOracle: String =
+    s"""WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day,
+       |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+       |j AS (SELECT date_trunc('week', cohort_day) AS cohort_week,
+       |        CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT) AS week_offset,
+       |        ev.user_id, v
+       |      FROM ev JOIN f USING (user_id)),
+       |cs AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+       |       FROM j GROUP BY 1),
+       |sp AS (SELECT cohort_week, week_offset, sum(v) AS spend
+       |       FROM j GROUP BY 1, 2),
+       |c AS (SELECT *, sum(spend) OVER (PARTITION BY cohort_week ORDER BY week_offset
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+       |      FROM sp)
+       |SELECT c.cohort_week, week_offset, cohort_users,
+       |  CAST(spend AS DOUBLE) AS spend,
+       |  CAST(cum_spend AS DOUBLE) AS cum_spend,
+       |  ${OracleMath.stableRoundSql("CAST(cum_spend AS DOUBLE) / CAST(cohort_users AS DOUBLE)", 4)} AS ltv_per_user
+       |FROM c JOIN cs USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Incremental aggregate maintenance: per-day partial aggregate states
     * (count / sum / min / max) merged into the monthly rollup by
     * RE-aggregation — sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes.

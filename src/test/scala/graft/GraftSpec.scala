@@ -1007,6 +1007,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort ltv curve is monotone and totals reconcile with raw spend (q236)") {
+    val rows = EventOps.cohortLtv(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (_, curve) =>
+      val sorted = curve.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5 - 1e-9, "cum_spend monotone")
+        case _ => ()
+      }
+      assert(math.abs(sorted.map(_._4).sum - sorted.last._5) < 1e-6, "cum = sum of periods")
+    }
+    val total = Tables.events(spark, sf)
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .head.getDecimal(0).doubleValue()
+    assert(math.abs(rows.groupBy(_._1).values.map(_.maxBy(_._2)._5).sum - total) < 1e-4)
+  }
+
   test("rfm segments partition customers; codes are valid quintiles (q235)") {
     val rows = CoreOps.rfmSegments(spark, sf).collect()
     val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
