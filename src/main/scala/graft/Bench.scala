@@ -97,9 +97,39 @@ object Bench {
 
     // Dev-only subset filter (driver never sets it): SPARK_GRAFT_ONLY=q38,q59
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only match {
+    val selected0 = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
       case None        => SparkEntry.queries
+    }
+    // Dev-only fault injection (driver never sets it): make the named
+    // queries throw, to prove the err marker below actually surfaces — a
+    // broken query must show up MARKED on the contract line, never as a
+    // silently fast-failing timing that shrinks the headline total (the r4
+    // artifact).
+    val breakSet = sys.env.get("SPARK_GRAFT_BENCH_BREAK").map(_.split(",").toSet)
+    val selected = breakSet match {
+      case Some(names) => selected0.map { case (n, fn) =>
+        if (names.exists(n.startsWith))
+          n -> ((_: SparkSession, _: String) =>
+            sys.error(s"injected bench fault for $n"): org.apache.spark.sql.DataFrame)
+        else n -> fn
+      }
+      case None => selected0
+    }
+    // Opt-in per-query shuffle attribution (SPARK_GRAFT_BENCH_SHUFFLE=1): a
+    // SparkListener tallies executor shuffle-write volume; the per-query
+    // delta across the timed reps (listener bus drained at each boundary)
+    // rides the contract line as bytes-per-execution. Wall-time alone can
+    // hide a plan regression on a fast host — shuffle volume cannot.
+    val tallyShuffle = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("1")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    if (tallyShuffle) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     }
     // sorted execution: deterministic per-query attribution (q01 takes the
     // one-time session warmup, not whichever key hashes first)
@@ -112,23 +142,39 @@ object Bench {
     // emitted alongside for anyone auditing run-to-run spread.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (tallyShuffle)
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
+      val bytes0 = shuffleBytes.get()
+      var err = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => err = true; -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times.head, times(times.size / 2))
+      val perExecBytes = if (tallyShuffle) {
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
+        (shuffleBytes.get() - bytes0) / reps
+      } else 0L
+      (name, times.head, times(times.size / 2), err, perExecBytes)
     }
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+    val qs = results.map { case (k, mn, _, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, md) => s"\"" + k + "\":" + md }
+    val qsMed = results.map { case (k, _, md, _, _) => s"\"" + k + "\":" + md }
       .mkString("{", ",", "}")
+    // a query that threw records its fail-fast time — MARKED, so it can
+    // never silently shrink the headline total (the r4 artifact)
+    val errs = results.collect { case (k, _, _, true, _) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val shuffleField = if (tallyShuffle)
+      results.map { case (k, _, _, _, b) => s"\"" + k + "\":" + b }
+        .mkString(",\"queries_shuffle_bytes\":{", ",", "}")
+    else ""
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
     // exactly ONE JSON line (the driver contract): per-query mins+medians
     // inline — the per-query map is what makes cross-round regression
     // attribution possible, so it must be on the line the driver captures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField}""")
     spark.stop()
   }
 }

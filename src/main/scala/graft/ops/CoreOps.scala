@@ -1002,20 +1002,25 @@ object CoreOps {
     * the join itself moves nothing.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sfx = math.abs(dir.hashCode).toString
+    // the staged-table identity encodes the SANITIZED sf dir name (collision-
+    // free across sf dirs, unlike a bare hashCode) and ensure() re-stages when
+    // the catalog entry survived but the tmp-dir backing files did not
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tO = s"graft_orders_bkt_$sfx"
     val tL = s"graft_lineitem_bkt_$sfx"
     val s = spark.newSession() // shares the persistent catalog + context
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    def ensure(name: String, df: => DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(name)) {
+    def ensure(name: String, df: => DataFrame, key: String): Unit = {
+      val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bkt_${sfx}_$name")
+      if (!s.catalog.tableExists(name) || !path.exists()) {
         df.repartition(8, col(key)) // one file per bucket: scan stays sorted
           .write.format("parquet")
           .bucketBy(8, key).sortBy(key)
-          .option("path", sys.props("java.io.tmpdir") + s"/graft_bkt_${sfx}_$name")
+          .option("path", path.getAbsolutePath)
           .mode("overwrite")
           .saveAsTable(name)
       }
+    }
     ensure(tO, Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
     ensure(tL, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey")
     s.table(tL).join(s.table(tO), col("l_orderkey") === col("o_orderkey"))
@@ -1273,13 +1278,31 @@ object CoreOps {
 
   def decileDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = Tables.orders(spark, dir)
-      .select(col("o_totalprice").as("v"), col("o_orderkey").as("okey"), col("o_orderdate"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("okey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val bounds = ranked
-      .select(explode(expr("sequence(1, 9)")).as("k"), col("rn"), col("n"), col("v"))
-      .filter(col("rn") === expr("(k * n) DIV 10"))
+    // Global rank via the q102 two-pass distributed prefix-sum (PrefixSum):
+    // range-partition on the unique (v, okey) order, partition-local
+    // row_number + broadcast per-partition offsets — never an unpartitioned
+    // `row_number() OVER (ORDER BY ...)` that would sort ALL orders in ONE
+    // task. The total row count n falls out of the same collect as a driver
+    // Long, so the 9 target rank positions (k·n) DIV 10 become a 9-row
+    // broadcast table instead of a 9× explode over the ranked input; the
+    // rank→target join keeps target multiplicity so duplicate positions at
+    // tiny n (n < 10) yield duplicate bounds exactly as the rank-equality
+    // filter did.
+    val d0 = lit(DecileDriftSplitDate).cast("timestamp")
+    val ranked = PrefixSum.cumSums(
+      Tables.orders(spark, dir)
+        .select(col("o_totalprice").as("v"), col("o_orderkey").as("okey"),
+          when(col("o_orderdate") < d0, 1L).otherwise(0L).as("is_early")),
+      Seq(col("v"), col("okey")),
+      Seq("rn" -> lit(1L), "e" -> col("is_early")), PrefixSum.defaultParts(spark))
+    val n = ranked.totals("rn")
+    val totEarly = ranked.totals("e")
+    val totLate = n - totEarly
+    val targets = (1 to 9).map(k => k.toLong * n / 10L)
+    val targetDf = spark.createDataset(targets)(org.apache.spark.sql.Encoders.scalaLong).toDF("t")
+    val bounds = ranked.df
+      .filter(col("cum_rn").isin(targets.distinct: _*))
+      .join(broadcast(targetDf), col("cum_rn") === col("t"))
       .select(col("v").as("b"))
     val d = lit(DecileDriftSplitDate).cast("timestamp")
     val assigned = Tables.orders(spark, dir)
@@ -1289,10 +1312,11 @@ object CoreOps {
     val cells = assigned.groupBy(col("bucket"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
         sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
-    val tots = Window.partitionBy()
+    // era totals are driver Longs from the SAME prefix-sum collect — the
+    // former `sum() OVER ()` whole-input windows are gone
     cells
-      .withColumn("tot_early", sum(col("n_early")).over(tots))
-      .withColumn("tot_late", sum(col("n_late")).over(tots))
+      .withColumn("tot_early", lit(totEarly))
+      .withColumn("tot_late", lit(totLate))
       .select(col("bucket"), col("n_early"), col("n_late"),
         OracleMath.stableRound(
           col("n_early").cast("double") / col("tot_early").cast("double"), 6).as("pct_early"),
@@ -1340,35 +1364,40 @@ object CoreOps {
     * each per-value difference is one fixed float expression and the MAX
     * aggregate is order-free (unlike a sum — that's why KS hash-matches
     * while a float-summed statistic wouldn't). The 5 % critical value
-    * 1.358·√((n₁+n₂)∕(n₁n₂)) uses a written literal. One sort-ordered
-    * window over distinct values (the q102 two-pass trick at 100 TB).
+    * 1.358·√((n₁+n₂)∕(n₁n₂)) uses a written literal.
+    *
+    * Scale shape: the cumulative counts come from [[PrefixSum.cumSums]] —
+    * the q102 two-pass distributed prefix-sum (range-partition by value,
+    * per-partition totals collected as one row per partition, broadcast
+    * offsets + partition-LOCAL window) — never an unpartitioned
+    * `Window.orderBy` that would sort the whole distinct-value table (≈
+    * orders cardinality) in ONE task. The era totals n₁/n₂ fall out of the
+    * same per-partition collect as exact driver Longs, so the former
+    * whole-input `sum() OVER ()` windows are gone too; the final max is an
+    * ordinary partial+final global aggregate.
     */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = lit(DecileDriftSplitDate).cast("timestamp")
     val cells = Tables.orders(spark, dir)
       .select(col("o_totalprice").as("v"), (col("o_orderdate") < d).as("early"))
       .groupBy(col("v"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val ecdf = cells
-      .withColumn("cum1", sum(col("c1")).over(w))
-      .withColumn("cum2", sum(col("c2")).over(w))
-      .withColumn("n1", sum(col("c1")).over(tot))
-      .withColumn("n2", sum(col("c2")).over(tot))
-      .select(col("n1"), col("n2"),
-        abs(col("cum1").cast("double") / col("n1").cast("double") -
-          col("cum2").cast("double") / col("n2").cast("double")).as("dv"))
-    ecdf.groupBy(col("n1"), col("n2"))
+    val cum = PrefixSum.cumSums(cells, Seq(col("v")),
+      Seq("c1" -> col("c1"), "c2" -> col("c2")), PrefixSum.defaultParts(spark))
+    val n1 = cum.totals("c1")
+    val n2 = cum.totals("c2")
+    val ecdf = cum.df
+      .select(abs(col("cum_c1").cast("double") / lit(n1).cast("double") -
+        col("cum_c2").cast("double") / lit(n2).cast("double")).as("dv"))
+    ecdf
       .agg(OracleMath.stableRound(max(col("dv")), 6).as("ks_d"))
-      .select(col("n1"), col("n2"), col("ks_d"),
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks_d"),
         OracleMath.stableRound(
-          lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
-            (col("n1").cast("double") * col("n2").cast("double"))), 6).as("ks_crit_05"),
-        (col("ks_d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
-          (col("n1").cast("double") * col("n2").cast("double")))).as("reject_equality"))
+          lit(1.358) * sqrt((lit(n1) + lit(n2)).cast("double") /
+            (lit(n1).cast("double") * lit(n2).cast("double"))), 6).as("ks_crit_05"),
+        (col("ks_d") > lit(1.358) * sqrt((lit(n1) + lit(n2)).cast("double") /
+          (lit(n1).cast("double") * lit(n2).cast("double")))).as("reject_equality"))
   }
 
   val ksTestOracle: String = {
@@ -1398,27 +1427,46 @@ object CoreOps {
     * partition, computed with ntile(5) quintiles under fully deterministic
     * orderings (each metric tie-breaks on the customer key, so both
     * engines cut identical quintiles — ntile over a non-unique order would
-    * be engine-dependent). Recency ranks by last order date DESC (recent =
-    * high score), frequency by order count, monetary by DECIMAL-exact
-    * spend; the three digits concatenate to the familiar '555' segment
-    * code and the rollup counts customers per code with per-code exact
-    * spend. One aggregation over orders + three windows on the
-    * customers-sized table.
+    * be engine-dependent). Recency ranks by last order date ASC (recent
+    * customers land in the top quintile because ntile ranks ascending),
+    * frequency by order count, monetary by DECIMAL-exact spend; the three
+    * digits concatenate to the familiar '555' segment code and the rollup
+    * counts customers per code with per-code exact spend. One aggregation
+    * over orders + three distributed ranks on the customers-sized table.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
-    val r = ntile(5).over(Window.orderBy(col("last_order"), col("o_custkey")))
-    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
-    val m = ntile(5).over(Window.orderBy(col("spend"), col("o_custkey")))
-    per
-      .withColumn("r_score", r.cast("long"))
-      .withColumn("f_score", f.cast("long"))
-      .withColumn("m_score", m.cast("long"))
+    // Each quintile rank = distributed global row_number (PrefixSum two-pass:
+    // range-partition + broadcast offsets — never an unpartitioned ntile
+    // window that would sort the whole customers table in ONE task) pushed
+    // through the exact SQL NTILE bucket formula: with n rows and k=5
+    // buckets, q=n DIV 5 and r=n MOD 5, the first r buckets take q+1 rows
+    // and the rest take q — pure integer arithmetic on the global rank, so
+    // the cut points are bit-identical to both engines' ntile(5) (the
+    // orderings are made unique by the customer-key tie-break, exactly as
+    // before). n comes from the first collect as a driver Long.
+    val s1 = PrefixSum.cumSums(per, Seq(col("last_order"), col("o_custkey")),
+      Seq("rr" -> lit(1L)), PrefixSum.defaultParts(spark))
+    val s2 = PrefixSum.cumSums(s1.df, Seq(col("freq"), col("o_custkey")),
+      Seq("rf" -> lit(1L)), PrefixSum.defaultParts(spark))
+    val s3 = PrefixSum.cumSums(s2.df, Seq(col("spend"), col("o_custkey")),
+      Seq("rm" -> lit(1L)), PrefixSum.defaultParts(spark))
+    val n = s1.totals("rr")
+    val q = n / 5L
+    val r = n % 5L
+    val t = r * (q + 1L) // rows covered by the (q+1)-sized buckets
+    val qSafe = math.max(q, 1L) // q=0 only when n<5; the ELSE branch is then unreachable
+    def tile(rn: String): Column = expr(
+      s"CASE WHEN $rn <= ${t}L THEN ($rn - 1L) DIV ${q + 1L}L + 1L " +
+        s"ELSE ${r}L + ($rn - ${t}L - 1L) DIV ${qSafe}L + 1L END")
+    s3.df
+      .withColumn("r_score", tile("cum_rr"))
+      .withColumn("f_score", tile("cum_rf"))
+      .withColumn("m_score", tile("cum_rm"))
       .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -1446,31 +1494,34 @@ object CoreOps {
     * cum rows has doubled-average-rank `2·cum + c + 1` (an integer), so the
     * rank sum, U₁ = (ΣR₁·2 − n₁(n₁+1))∕2 and the common-language effect
     * size U₁∕(n₁n₂) are integer arithmetic until two final divisions —
-    * no float rank sums anywhere. Same value-grouped cumulative window as
-    * q233; the two tests share one scan shape.
+    * no float rank sums anywhere. Same value-grouped distributed prefix-sum
+    * as q233 ([[PrefixSum.cumSums]] — range-partition + per-partition
+    * offsets, never a single-task `Window.orderBy` over the distinct-value
+    * table); `cum_before` is the inclusive running total minus the row's own
+    * counts, and n₁/n₂ come from the same per-partition collect as exact
+    * driver Longs. The rank-sum reduce is a plain partial+final aggregate.
     */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = lit(DecileDriftSplitDate).cast("timestamp")
     val cells = Tables.orders(spark, dir)
       .select(col("o_totalprice").as("v"), (col("o_orderdate") < d).as("early"))
       .groupBy(col("v"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
-    val tot = Window.partitionBy()
-    cells
-      .withColumn("cum_before", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+    val cum = PrefixSum.cumSums(cells, Seq(col("v")),
+      Seq("all" -> (col("c1") + col("c2")), "c1" -> col("c1"), "c2" -> col("c2")),
+      PrefixSum.defaultParts(spark))
+    val n1 = cum.totals("c1")
+    val n2 = cum.totals("c2")
+    cum.df
+      .withColumn("cum_before", col("cum_all") - col("c1") - col("c2"))
       .withColumn("r2sum_1", col("c1") * (col("cum_before") * 2 + col("c1") + col("c2") + 1))
-      .withColumn("n1", sum(col("c1")).over(tot))
-      .withColumn("n2", sum(col("c2")).over(tot))
-      .groupBy(col("n1"), col("n2"))
       .agg(sum(col("r2sum_1")).as("r1_doubled"))
-      .select(col("n1"), col("n2"),
-        ((col("r1_doubled") - col("n1") * (col("n1") + 1)).cast("double") / 2.0).as("u1"),
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        ((col("r1_doubled") - lit(n1) * (lit(n1) + 1)).cast("double") / 2.0).as("u1"),
         OracleMath.stableRound(
-          (col("r1_doubled") - col("n1") * (col("n1") + 1)).cast("double") / 2.0 /
-            (col("n1").cast("double") * col("n2").cast("double")), 6).as("cles"))
+          (col("r1_doubled") - lit(n1) * (lit(n1) + 1)).cast("double") / 2.0 /
+            (lit(n1).cast("double") * lit(n2).cast("double")), 6).as("cles"))
   }
 
   val mannWhitneyOracle: String =
@@ -1613,7 +1664,7 @@ object CoreOps {
   /** Relational Bloom-filter membership audit — the sketch family's Bloom
     * member (HLL/CMS/MG/t-digest/histogram/bitmap are covered; this
     * completes it) built PORTABLY: k=4 bit positions per key from md5
-    * slices mod m=65536, the filter materialized as the distinct-positions
+    * slices mod m=2^20 (1048576), the filter materialized as the distinct-positions
     * TABLE (bit-set union is order-independent, so both engines build the
     * identical filter), and membership = "all 4 positions present" via a
     * positions join — which makes even the FALSE-POSITIVE COUNT an exact

@@ -48,13 +48,30 @@ object DedupOps {
 
   /** Word-set dedup: documents with identical distinct-word sets (order- and
     * multiplicity-insensitive) collapse to one group — catches shuffled
-    * duplicates exact hashing misses. Group key = sorted distinct word array.
+    * duplicates exact hashing misses.
+    *
+    * Scale shape (the dedupExact pattern): the shuffle partitions on
+    * `(xxhash64(joined ws), set size)` — an 8-byte derived key — NOT on the
+    * word-set array. Grouping still includes the array, which IS the
+    * in-group exact verify: two distinct sets colliding on (hash, size)
+    * stay separate groups, so the result is bit-identical to grouping by
+    * the array alone with no correctness assumption on the hash. The
+    * explicit `repartition(wkey, set_size)` satisfies the aggregate's
+    * clustered distribution, so the exchange hashes 8-byte keys while the
+    * arrays ride through once as values — at 100 TB every unique document
+    * no longer ships its whole word set through the partitioner. PlanSpec
+    * asserts no array/text column ever rides a HashPartitioning expression
+    * of this plan.
     */
   def dedupWordSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(array_sort(array_distinct(words(col("text")))).as("ws"))
+      .withColumn("ws", array_sort(array_distinct(words(col("text")))))
+      .withColumn("wkey", xxhash64(array_join(col("ws"), " ")))
+      .withColumn("set_size", size(col("ws")).cast("long"))
+      .repartition(col("wkey"), col("set_size"))
+      .groupBy(col("wkey"), col("set_size"), col("ws"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("group_size"))
-      .select(col("rep_doc_id"), col("group_size"), size(col("ws")).cast("long").as("set_size"))
+      .select(col("rep_doc_id"), col("group_size"), col("set_size"))
       .orderBy(col("rep_doc_id"))
 
   /** MinHash parameters: k independent permutations (a_i·h + b_i) mod P over

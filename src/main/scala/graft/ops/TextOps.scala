@@ -877,7 +877,11 @@ object TextOps {
     val totW = Window.partitionBy()
     perSource
       .withColumn("fill_rank", row_number().over(rankW).cast("long"))
-      .withColumn("budget", (sum(col("avail_tokens")).over(totW) / 2).cast("long"))
+      // integer floor division on the long sum (matches the oracle's `// 2`
+      // exactly at any magnitude — a double `/ 2` then cast would lose
+      // exactness past 2^53)
+      .withColumn("tot_tokens", sum(col("avail_tokens")).over(totW))
+      .withColumn("budget", expr("tot_tokens DIV 2"))
       .withColumn("cum_before", coalesce(sum(col("avail_tokens")).over(cumW), lit(0L)))
       .select(col("source"), col("fill_rank"), col("n_docs"), col("avail_tokens"),
         OracleMath.stableRound(col("q_sum").cast("double") / col("n_docs"), 6)

@@ -25,4 +25,13 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Drain the async listener bus (best-effort, bounded) — needed when a
+    * SparkListener's counters are snapshotted between queries (the bench's
+    * opt-in per-query shuffle attribution): task-end events are delivered
+    * asynchronously and would otherwise bleed into the next query's bucket.
+    */
+  def waitListenerEmpty(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => }
 }

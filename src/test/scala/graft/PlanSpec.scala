@@ -224,6 +224,51 @@ class PlanSpec extends AnyFunSuite {
       ref.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("wordset dedup shuffles on the derived hash key, never the array (q36)") {
+    // q35's pattern extended to the last corpus-content shuffle key in the
+    // dedup family: the sorted word-set array must never ride a
+    // HashPartitioning expression — only the 8-byte (xxhash64, set_size) key
+    val df = DedupOps.dedupWordSet(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(parts.nonEmpty, s"expected a hash exchange in:\n${p.take(1200)}")
+    parts.foreach(x =>
+      assert(!x.contains("text") && !x.contains("ws#"),
+        s"corpus content in shuffle partitioning: $x"))
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"aggregate must reuse the repartition exchange:\n${p.take(1200)}")
+    // exactness: identical to the array-keyed formulation
+    import org.apache.spark.sql.functions._
+    val ref = Tables.documents(spark, sf)
+      .groupBy(array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gs"))
+      .select(col("rep"), col("gs"), size(col("ws")).cast("long").as("ss"))
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted ===
+      ref.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
+  test("exact-rank stats run NO unpartitioned window over fact-sized input (q223/q233/q234/q235)") {
+    // the scale-killer these queries were rewritten away from: a
+    // windowspecdefinition with no partition column (first argument is an
+    // ordering, i.e. carries ASC/DESC) collapses its whole input into ONE
+    // task. After the PrefixSum rewrite every cumulative window must be
+    // partition-local (partitioned by the range-partition pid).
+    val unpart = "windowspecdefinition\\([^,()]*(ASC|DESC)".r
+    for ((name, df) <- Seq[(String, DataFrame)](
+      "q223" -> CoreOps.decileDrift(spark, sf),
+      "q233" -> CoreOps.ksTest(spark, sf),
+      "q234" -> CoreOps.mannWhitney(spark, sf),
+      "q235" -> CoreOps.rfmSegments(spark, sf))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(unpart.findFirstIn(p).isEmpty,
+        s"$name has an unpartitioned window:\n${p.take(1500)}")
+      assert(!p.contains("windowspecdefinition") || p.contains("__ps_pid"),
+        s"$name: cumulative windows must be partition-local (PrefixSum pid):\n${p.take(1500)}")
+    }
+  }
+
   test("upsert anti-join broadcasts the change-set keys (q96)") {
     val df = CoreOps.upsertOrders(spark, sf)
     df.collect()
