@@ -414,6 +414,10 @@ object SparkEntry {
     "q235_rfm_segments"        -> ((s, d) => CoreOps.rfmSegments(s, d)),
     // -- cohort LTV accumulation curves -----------------------------------------
     "q236_cohort_ltv"          -> ((s, d) => EventOps.cohortLtv(s, d)),
+    // -- transformWithState MapState per-type counter profile -------------------
+    "q237_tws_type_profile"    -> ((s, d) => graft.streaming.TwsMapStateStream.typeProfileStreaming(s, d)),
+    // -- MMR diversified re-ranking of the kNN candidate list -------------------
+    "q238_mmr_rerank"          -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -993,6 +997,8 @@ object SparkEntry {
     "q234_mann_whitney" -> CoreOps.mannWhitneyOracle,
     "q235_rfm_segments" -> CoreOps.rfmSegmentsOracle,
     "q236_cohort_ltv" -> EventOps.cohortLtvOracle,
+    "q237_tws_type_profile" -> graft.streaming.TwsMapStateStream.oracleSql,
+    "q238_mmr_rerank" -> RetrievalOps.mmrRerankOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -161,6 +161,130 @@ object RetrievalOps {
   }
 
   // ---------------------------------------------------------------------------
+  // q238: MMR (maximal marginal relevance) diversified re-ranking
+  // ---------------------------------------------------------------------------
+
+  /** MMR trade-off λ and sizes — 0.5 is exact in binary floating point, so
+    * λ·rel − (1−λ)·maxsim is the same IEEE arithmetic in both engines.
+    */
+  val MmrLambda = 0.5
+  val MmrCandidates = 20
+  val MmrK = 10
+
+  /** MMR diversified re-ranking of the embedding-kNN candidate list — the
+    * standard step after hybrid retrieval (q157/q182): greedily select k of
+    * the top-[[MmrCandidates]] candidates, each round picking the argmax of
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` (relevance traded against
+    * redundancy with what is already selected).
+    *
+    * Greedy selection is a TRUE sequential dependence — round r's scores
+    * depend on rounds 1..r−1's picks — so no window frame expresses it. Like
+    * q197's clamped balance it runs as a row-local ordered fold
+    * (`aggregate()` over the round sequence); the fold's working set is the
+    * CANDIDATE list, which is top-N-bounded before anything else happens, so
+    * the single folded row is O(N²) small regardless of corpus size (the
+    * corpus-sized work — scoring + top-N — is the same parallel scan q182
+    * uses, and with many queries the fold parallelizes per query).
+    *
+    * Determinism: rel and the N² pairwise cosines are 6-dp-rounded BEFORE
+    * the fold, each round's argmax is a struct-max on (score, −id) — max
+    * score, then min id — and the DuckDB twin unrolls the same k rounds as
+    * chained argmax CTEs over the same rounded inputs, so every selection
+    * and every emitted score hash-matches.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    val cand = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrCandidates)
+    // pairwise cosines among the bounded candidates: N² skinny rows
+    val pair = cand.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(broadcast(cand.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))),
+        col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+    val perCand = pair.groupBy(col("id_a"))
+      .agg(array_sort(collect_list(struct(col("id_b").as("oid"), col("sim").as("sim")))).as("sims"))
+    val folded = cand.join(perCand, col("vec_id") === col("id_a"))
+      .select(struct(col("vec_id").as("id"), col("rel").as("rel"), col("sims").as("sims")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+    // greedy fold: state = selected [{id, rel, score}]; each round takes the
+    // struct-max of (score, -id) over the unselected candidates, where score
+    // uses the max similarity to the selected set (0 when none selected).
+    // The singleton-array transform is the q187 let-binding for the argmax.
+    val lam = MmrLambda
+    val selExpr =
+      s"""aggregate(
+         |  sequence(1, $MmrK),
+         |  CAST(array() AS ARRAY<STRUCT<id: BIGINT, rel: DOUBLE, score: DOUBLE>>),
+         |  (sel, r) -> array_append(sel,
+         |    element_at(
+         |      transform(
+         |        array(array_max(transform(
+         |          filter(cs, c -> NOT exists(sel, s -> s.id = c.id)),
+         |          c -> struct(
+         |            $lam * c.rel - ${1.0 - lam} * coalesce(
+         |              array_max(transform(
+         |                filter(c.sims, p -> exists(sel, s -> s.id = p.oid)),
+         |                p -> p.sim)),
+         |              CAST(0.0 AS DOUBLE)) AS score,
+         |            -c.id AS negid,
+         |            c.rel AS rel)))),
+         |        m -> struct(-m.negid AS id, m.rel AS rel, m.score AS score)),
+         |      1)))""".stripMargin
+    folded
+      .select(posexplode(expr(selExpr)).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), col("s.rel").as("rel"),
+        OracleMath.stableRound(col("s.score"), 6).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Unrolled-greedy DuckDB twin: k chained argmax CTEs, each one round of
+    * the same selection over the same 6-dp-rounded inputs.
+    */
+  def mmrRerankOracle: String = {
+    val lam = MmrLambda
+    val rounds = (1 to MmrK).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""pick$r AS MATERIALIZED (
+         |  SELECT c.vec_id AS id, c.rel,
+         |    $lam * c.rel - ${1.0 - lam} * coalesce(
+         |      (SELECT max(p.sim) FROM pair p JOIN $prev s ON p.id_a = c.vec_id AND p.id_b = s.id),
+         |      0.0) AS score
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT id FROM $prev)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT id, rel, score, rank FROM $prev
+         |          UNION ALL SELECT id, rel, score, $r AS rank FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding, rel FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.embedding", "q.q_emb"), 6)} AS rel,
+       |      row_number() OVER (ORDER BY
+       |        ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.embedding", "q.q_emb"), 6)} DESC,
+       |        e.vec_id) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id <> 0)
+       |  WHERE rn <= $MmrCandidates),
+       |pair AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |           ${OracleMath.stableRoundSql(SimilarityOps.cosSql("a.embedding", "b.embedding"), 6)} AS sim
+       |         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rel,
+       |                CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
+       |         WHERE FALSE),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, rel,
+       |  ${OracleMath.stableRoundSql("score", 6)} AS mmr_score
+       |FROM sel$MmrK ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q159: embedding-space eval/train contamination check
   // ---------------------------------------------------------------------------
 

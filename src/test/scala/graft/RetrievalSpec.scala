@@ -32,6 +32,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
   }
 
+  test("q238 MMR: in-JVM greedy replay matches; selection is diverse, relevant, and k-bounded") {
+    import graft.ops.{OracleMath, SimilarityOps}
+    val got = RetrievalOps.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === RetrievalOps.MmrK)
+    assert(got.map(_._1).toSeq === (1L to RetrievalOps.MmrK.toLong))
+    // rebuild the candidate list + pairwise sims in-JVM and replay the greedy
+    val e: Array[(Long, Array[Float])] = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = e.find(_._1 == 0L).get._2
+    val cand = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(v, q)), v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }
+      .take(RetrievalOps.MmrCandidates)
+    val sims = (for (a <- cand; b <- cand if a._1 != b._1)
+      yield (a._1, b._1) -> r6(cos(a._3, b._3))).toMap
+    val lam = RetrievalOps.MmrLambda
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+    for (_ <- 1 to RetrievalOps.MmrK) {
+      val pick = cand.filter(c => !selected.exists(_._1 == c._1)).map { case (id, rel, _) =>
+        val maxSim = selected.map(s => sims((id, s._1))).reduceOption(_ max _).getOrElse(0.0)
+        (id, rel, lam * rel - (1.0 - lam) * maxSim)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected :+= pick
+    }
+    assert(got.map(g => (g._2, g._3)).toSeq === selected.map(s => (s._1, s._2)))
+    got.zip(selected).foreach { case (g, s) => assert(math.abs(g._4 - r6(s._3)) < 1e-9) }
+    // the trade-off actually bites on this data: the selection order differs
+    // from pure relevance order (otherwise MMR degenerated to top-k)
+    val pureRel = cand.take(RetrievalOps.MmrK).map(_._1).toSeq
+    assert(got.map(_._2).toSeq !== pureRel, "MMR must diverge from pure relevance ranking")
+  }
+
   test("q159 contamination: eval slice is disjoint, small, and broadcast; counts bounded") {
     val e = Tables.embeddings(spark, sf)
     val isEval = pmod(col("vec_id") * lit(RetrievalOps.EvalHashMult), lit(100L)) <

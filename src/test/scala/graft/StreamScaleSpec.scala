@@ -327,6 +327,24 @@ class StreamScaleSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("MapState per-type profile equals the batch two-key aggregation (q237)") {
+    // completes the Spark 4 state-type matrix: ValueState (q205), timers
+    // (q206), ListState (q207), MapState (here) — streaming ≡ batch for a
+    // per-user map of (count, cents) counters keyed by event type
+    val got = graft.streaming.TwsMapStateStream.typeProfileStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === batch)
+    // multiple types per user prove the state really is a per-key MAP
+    val typesPerUser = got.groupBy(_._1).map(_._2.size)
+    assert(typesPerUser.exists(_ > 1))
+  }
+
   test("full outer join nests left outer nests inner, right-nulls below cutoff (q194)") {
     val full = graft.streaming.StreamJoinOps
       .clickAttributionFullOuterStreaming(spark, sf).collect()
