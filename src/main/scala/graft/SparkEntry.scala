@@ -418,6 +418,8 @@ object SparkEntry {
     "q237_tws_type_profile"    -> ((s, d) => graft.streaming.TwsMapStateStream.typeProfileStreaming(s, d)),
     // -- MMR diversified re-ranking of the kNN candidate list -------------------
     "q238_mmr_rerank"          -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
+    // -- custom broadcast merge interval join (q64 semantics, new operator) -----
+    "q239_interval_join"       -> ((s, d) => CoreOps.intervalJoinMonthly(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -999,6 +1001,13 @@ object SparkEntry {
     "q236_cohort_ltv" -> EventOps.cohortLtvOracle,
     "q237_tws_type_profile" -> graft.streaming.TwsMapStateStream.oracleSql,
     "q238_mmr_rerank" -> RetrievalOps.mmrRerankOracle,
+    // same semantics as q64 through the custom merge operator — same twin
+    "q239_interval_join" ->
+      """SELECT m AS month, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
+        |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

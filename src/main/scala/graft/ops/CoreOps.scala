@@ -984,6 +984,33 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** Month attribution by the custom broadcast MERGE interval join
+    * ([[graft.plans.IntervalJoin]]) — q64's semantics (same oracle SQL
+    * verbatim) through the second whole-operator extension instead of the
+    * bin-explode encoding: the orders side is only LOCALLY sorted by date
+    * (no exchange, no bin column, no row amplification), the 80-row month
+    * interval table is broadcast once, and a per-partition sweep holds the
+    * single active month (dense abutting intervals ⇒ overlap degree 1).
+    * Plan-asserted in PlanSpec: an IntervalJoin node, no Generate/explode,
+    * and no exchange below the join.
+    */
+  def intervalJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int"))
+        .cast("timestamp").as("month"),
+        add_months(origin, col("id").cast("int") + 1)
+          .cast("timestamp").as("month_end"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderdate"), col("o_totalprice"))
+    graft.plans.IntervalJoin.pointInInterval(
+        orders, months, orders("o_orderdate"), months("month"), months("month_end"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
   /** Co-located (bucketed) fact⋈fact join — the zero-shuffle answer to the
     * biggest cost in any 100 TB star join: both sides are written ONCE as
     * bucketed tables (8 buckets on the join key, sorted within buckets), and

@@ -741,6 +741,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === Set(("a", "y")))
   }
 
+  test("interval join sweep: OVERLAPPING intervals, boundary conventions, equals brute force") {
+    import TestSpark.spark.implicits._
+    // overlapping + nested + abutting intervals, duplicate point times,
+    // points before/after/between all intervals, a null point time
+    val pts = Seq((1L, "p1"), (5L, "p5"), (5L, "p5b"), (7L, "p7"), (10L, "p10"),
+      (12L, "p12"), (15L, "p15"), (20L, "p20")).toDF("t", "ptag")
+      .unionByName(Seq((Option.empty[Long], "pnull")).toDF("t", "ptag"))
+    val ivs = Seq((4L, 8L, "A"), (5L, 12L, "B"), (6L, 7L, "C"), (8L, 10L, "D"),
+      (12L, 15L, "E")).toDF("s", "e", "itag")
+    val got = graft.plans.IntervalJoin.pointInInterval(pts, ivs, pts("t"), ivs("s"), ivs("e"))
+      .select(col("ptag"), col("itag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    val brute = pts.join(ivs, pts("t") >= ivs("s") && pts("t") < ivs("e"))
+      .select(col("ptag"), col("itag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(got === brute)
+    // spot-check the conventions: start inclusive (p5 in A and B), end
+    // exclusive (p7 not in C; p12 not in B but in E), overlap multiplicity
+    assert(got.count(_._1 == "p5") === 2 && got.count(_._1 == "p5b") === 2)
+    assert(!got.contains(("p7", "C")) && got.contains(("p7", "A")) && got.contains(("p7", "B")))
+    assert(got.filter(_._1 == "p12") === Seq(("p12", "E")))
+    assert(!got.exists(x => x._1 == "p1" || x._1 == "p20" || x._1 == "pnull"))
+  }
+
   test("out-of-order streaming sessionization (flatMapGroupsWithState buffer) equals batch") {
     val late = graft.streaming.LateSessionStream.sessionsLateStreaming(spark, sf)
     val batch = EventOps.sessionCounts(spark, sf)

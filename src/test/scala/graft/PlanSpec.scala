@@ -50,6 +50,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct")))
   }
 
+  test("merge interval join: one sweep, no explode, no exchange on the point side (q239)") {
+    val df = CoreOps.intervalJoinMonthly(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("IntervalJoin"), "custom operator must be planned:\n" + p.take(800))
+    // zero row amplification: no Generate/explode anywhere (the bin encoding's
+    // signature), and no nested-loop fallback
+    assert(!p.contains("Generate"), "bin-explode crept back in:\n" + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the point side must NOT shuffle below the join: the only hash exchange
+    // in the whole plan is the month aggregate above it
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"point side must stay unshuffled below the interval join:\n${p.take(1200)}")
+    // results equal the composable q64 encoding
+    val viaBins = CoreOps.rangeJoinMonthly(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaMerge = df.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaMerge === viaBins)
+  }
+
   test("binned range join plans as a broadcast HASH join, not nested-loop (q64)") {
     // the bin equi-key must reach the join: a nested-loop here is the
     // rows × intervals plan the binning exists to avoid
