@@ -420,6 +420,8 @@ object SparkEntry {
     "q238_mmr_rerank"          -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
     // -- custom broadcast merge interval join (q64 semantics, new operator) -----
     "q239_interval_join"       -> ((s, d) => CoreOps.intervalJoinMonthly(s, d)),
+    // -- declarative session_window streaming sessionization --------------------
+    "q240_session_window"      -> ((s, d) => graft.streaming.EventsStream.sessionWindowStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -950,6 +952,7 @@ object SparkEntry {
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
+    "q240_session_window" -> graft.streaming.EventsStream.sessionWindowOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -970,14 +970,13 @@ object TextOps {
   /** Pareto-frontier (skyline) document selection — docs not DOMINATED in
     * (quality ↑, token cost ↓): the multi-objective curation cut that no
     * single weighted score (q183/q210) can express, because the frontier
-    * adapts to the data's own trade-off curve. Computed in O(n log n), not
-    * the naive N² dominance anti-join: after one sort by quality, a doc
-    * survives iff it is shorter than EVERY strictly-higher-quality doc
-    * (min-length over a strict-preceding RANGE frame on the 4-dp integer
-    * quality key) and is minimal within its own quality tie group. One
-    * global sort at 100 TB — the standard skyline shape (per-partition
-    * local skylines then merge would be the next step; the RANGE-frame
-    * formulation IS the merge).
+    * adapts to the data's own trade-off curve. Computed in O(n), not the
+    * naive N² dominance anti-join: a doc survives iff it is shorter than
+    * EVERY strictly-higher-quality doc and minimal within its own quality
+    * tie group, and both thresholds live on the BOUNDED 4-dp quality
+    * domain (≤ 10001 cells) — one corpus hash aggregate to per-cell min
+    * lengths, a cumulative min over the constant-sized cells table, and a
+    * broadcast join back. Nothing corpus-sized is ever globally sorted.
     */
   def paretoDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -994,12 +993,19 @@ object TextOps {
           least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
             least(meanLen / 8.0, lit(1.0)) * 0.3, 4) * 10000.0 + lit(0.5))
           .cast("long").as("q4"))
-    val better = Window.orderBy(col("q4").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val same = Window.partitionBy(col("q4"))
+    // dominance thresholds live on the BOUNDED q4 domain (4-dp quality in
+    // [0,1] ⇒ ≤ 10001 distinct cells): per-q4 min length is one hash
+    // aggregate over the corpus; the strict-preceding cumulative min then
+    // runs on the cells table (constant-bounded — never a corpus-sized
+    // unpartitioned window), and the verdict joins back by broadcast.
+    // Identical semantics to a RANGE frame over the raw rows: min over
+    // strictly-better docs = cumulative min of per-cell mins strictly
+    // before in q4-descending order.
+    val cells = scored.groupBy(col("q4")).agg(min(col("n_tokens")).as("min_same"))
+    val cw = Window.orderBy(col("q4").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = cells.withColumn("min_better", min(col("min_same")).over(cw))
     scored
-      .withColumn("min_better", min(col("n_tokens")).over(better))
-      .withColumn("min_same", min(col("n_tokens")).over(same))
+      .join(broadcast(thresholds), "q4")
       .filter((col("min_better").isNull || col("n_tokens") < col("min_better")) &&
         col("n_tokens") === col("min_same"))
       .select(col("doc_id"),
@@ -1098,12 +1104,15 @@ object TextOps {
   def interleaveAudit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = InterleaveAuditSlots
+    // the global doc count rides a 1-row broadcast (a metadata-only parquet
+    // count), never a corpus-sized `count() OVER ()` window
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total"))
     val keyed = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"))
       .withColumn("r", row_number()
         .over(Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
-      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .withColumn("slot_key", expr("(r * total) DIV n_src"))
     keyed.orderBy(col("slot_key"), col("source"), col("r")).limit(k)
       .groupBy(col("source"))
@@ -1183,20 +1192,24 @@ object TextOps {
     * sparse rest). The segment predicate is INTEGER-exact —
     * `2·cum_before < total` (strictly-before mass under 50 %) and
     * `10·cum_before < 9·total` — no float mass fractions; the cumulative
-    * sum runs over the vocabulary table (terms-sized, q102's two-pass
-    * trick if a corpus's vocabulary ever outgrows one partition's
-    * window). Per segment: term count, occurrence mass, exact-integer
-    * bounds on where the cut fell.
+    * sum runs over the vocabulary table via [[PrefixSum.cumSums]] (the
+    * q102 two-pass distributed prefix sum — a web-scale vocabulary never
+    * collapses into one partition's window). Per segment: term count,
+    * occurrence mass, exact-integer bounds on where the cut fell.
     */
   def vocabSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(desc("f"), col("term")).rowsBetween(Window.unboundedPreceding, -1)
-    freq
-      .withColumn("cum_before", coalesce(sum(col("f")).over(w), lit(0L)))
-      .withColumn("total", sum(col("f")).over(Window.partitionBy()))
+    // web-scale vocabularies outgrow one partition's window: the cumulative
+    // mass comes from the PrefixSum two-pass (range-partition on the
+    // (freq DESC, term) rank order), and the grand total from the same
+    // per-partition collect — no unpartitioned window anywhere
+    val cum = PrefixSum.cumSums(freq, Seq(desc("f"), col("term")),
+      Seq("f" -> col("f")), PrefixSum.defaultParts(spark))
+    cum.df
+      .withColumn("cum_before", col("cum_f") - col("f"))
+      .withColumn("total", lit(cum.totals("f")))
       .withColumn("segment",
         when(col("cum_before") * 2 < col("total"), "1_head")
           .when(col("cum_before") * 10 < col("total") * 9, "2_torso")

@@ -199,6 +199,80 @@ object EventsStream {
       | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Declarative streaming sessionization with Spark's native
+    * `session_window` aggregation — the API-surface complement to the three
+    * imperative sessionizers (q51 mapGroupsWithState, q80 EventTimeTimeout,
+    * q206 transformWithState timers): no custom state machine at all, just
+    * a watermarked GROUP BY over a merging session window. State per key is
+    * the set of OPEN sessions, closed and emitted (append mode) once the
+    * watermark passes a session's end — the built-in that makes
+    * sessionization a one-liner when the 30-minute-gap semantics are
+    * standard, with the same watermark-bounded state guarantees as any
+    * windowed aggregate.
+    *
+    * Determinism: timestamps are second-truncated BEFORE the window (no
+    * sub-second parity risk against the oracle), spend is exact integer
+    * cents, and the append-mode emission set is pinned by the q131 cutoff
+    * discipline: a session emits iff `session_end ≤ final watermark` (max
+    * staged event time − 1 h delay), which the oracle applies verbatim.
+    * Merge boundary pinned EMPIRICALLY at sf0.1: events exactly 30 minutes
+    * apart are the SAME session (`session_window` merges when the next
+    * event touches the previous window's end), so the oracle's new-session
+    * predicate is `gap > 30 min`, not `≥`.
+    */
+  def sessionWindowStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirMulti(spark, dir, nFiles = 2)
+    val drained = StreamJoinOps.withStatePartitions(spark, 2) { s =>
+      val q = s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", date_trunc("second", timestamp_micros(col("ts"))))
+        .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("spend_cents"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
+    }
+    drained
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("spend_cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Oracle: lag/cumsum gap sessionization (new session when the gap ≥ 30
+    * minutes — `session_window` merges overlapping [t, t+gap) windows, so
+    * strictly-smaller gaps chain) + the same watermark cutoff on session
+    * end.
+    */
+  val sessionWindowOracle: String =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts) AS t,
+      |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |          FROM events),
+      |s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+      |                       OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |      FROM s),
+      |sess AS (SELECT user_id, min(t) AS session_start,
+      |           max(t) + INTERVAL 30 MINUTE AS session_end,
+      |           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS spend_cents
+      |         FROM g GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events, spend_cents
+      |FROM sess
+      |WHERE session_end <= (SELECT date_trunc('second', max(ts)) - INTERVAL 1 HOUR FROM events)
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Streaming EXACT distinct users per (day, event_type) with roaring-style
     * bitmap state — the streaming face of q138's batch bitmap rollup. The
     * streaming aggregation keys on (window, type, bitmap bucket) and its

@@ -276,17 +276,21 @@ class PlanSpec extends AnyFunSuite {
     // task. After the PrefixSum rewrite every cumulative window must be
     // partition-local (partitioned by the range-partition pid).
     val unpart = "windowspecdefinition\\([^,()]*(ASC|DESC)".r
-    for ((name, df) <- Seq[(String, DataFrame)](
-      "q223" -> CoreOps.decileDrift(spark, sf),
-      "q233" -> CoreOps.ksTest(spark, sf),
-      "q234" -> CoreOps.mannWhitney(spark, sf),
-      "q235" -> CoreOps.rfmSegments(spark, sf))) {
+    // third element: does the query use PrefixSum (pid-partitioned windows)?
+    for ((name, df, usesPrefixSum) <- Seq[(String, DataFrame, Boolean)](
+      ("q223", CoreOps.decileDrift(spark, sf), true),
+      ("q233", CoreOps.ksTest(spark, sf), true),
+      ("q234", CoreOps.mannWhitney(spark, sf), true),
+      ("q235", CoreOps.rfmSegments(spark, sf), true),
+      ("q231", TextOps.vocabSegments(spark, sf), true),
+      ("q222", TextOps.interleaveAudit(spark, sf), false))) {
       df.collect()
       val p = plan(df).split("== Initial Plan ==").head
       assert(unpart.findFirstIn(p).isEmpty,
         s"$name has an unpartitioned window:\n${p.take(1500)}")
-      assert(!p.contains("windowspecdefinition") || p.contains("__ps_pid"),
-        s"$name: cumulative windows must be partition-local (PrefixSum pid):\n${p.take(1500)}")
+      if (usesPrefixSum)
+        assert(!p.contains("windowspecdefinition") || p.contains("__ps_pid"),
+          s"$name: cumulative windows must be partition-local (PrefixSum pid):\n${p.take(1500)}")
     }
   }
 

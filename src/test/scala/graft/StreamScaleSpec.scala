@@ -327,6 +327,31 @@ class StreamScaleSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("session_window streaming equals the in-JVM gap-merge replay (q240)") {
+    val got = graft.streaming.EventsStream.sessionWindowStreaming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getLong(4))).toSet
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("second", col("ts"))) * 1000L).as("tms"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 30L * 60000L
+    val wm = evs.map(_._2).max - 3600000L
+    val expected = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      // merge on touch: same session iff gap <= 30 min (pinned at sf0.1)
+      val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._1 - acc.last.last._1 <= gap) acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+      }
+      sessions.map(s => (uid, s.head._1, s.last._1 + gap, s.size.toLong, s.map(_._2).sum))
+    }.filter(_._3 <= wm).toSet
+    assert(got === expected)
+    // the corpus actually exercises multi-event sessions
+    assert(got.exists(_._4 > 1L))
+  }
+
   test("MapState per-type profile equals the batch two-key aggregation (q237)") {
     // completes the Spark 4 state-type matrix: ValueState (q205), timers
     // (q206), ListState (q207), MapState (here) — streaming ≡ batch for a
