@@ -422,6 +422,12 @@ object SparkEntry {
     "q239_interval_join"       -> ((s, d) => CoreOps.intervalJoinMonthly(s, d)),
     // -- declarative session_window streaming sessionization --------------------
     "q240_session_window"      -> ((s, d) => graft.streaming.EventsStream.sessionWindowStreaming(s, d)),
+    // -- small-file compaction planner (next-fit-decreasing bin packing) --------
+    "q241_compaction_plan"     -> ((s, d) => SamplingOps.compactionPlan(s, d)),
+    // -- exact distributed weighted quantiles (PrefixSum crossing rows) ---------
+    "q242_weighted_quantiles"  -> ((s, d) => WeightedQuantiles.weightedPriceQuantiles(s, d)),
+    // -- CUSUM sequential change-point detection (clamped integer fold) ---------
+    "q243_cusum"               -> ((s, d) => EventOps.cusumChangePoints(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -953,6 +959,9 @@ object SparkEntry {
     "q50_streaming_hourly" -> graft.streaming.EventsStream.oracleSql,
     "q131_streaming_append" -> graft.streaming.EventsStream.hourlyAppendOracle,
     "q240_session_window" -> graft.streaming.EventsStream.sessionWindowOracle,
+    "q241_compaction_plan" -> SamplingOps.compactionPlanOracle,
+    "q242_weighted_quantiles" -> WeightedQuantiles.weightedPriceQuantilesOracle,
+    "q243_cusum" -> EventOps.cusumOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -1705,6 +1705,78 @@ object EventOps {
       |SELECT day, n, med, mad, dev, dev > 4.4478 * mad AS flagged
       |FROM d, mad ORDER BY day""".stripMargin
 
+  /** CUSUM threshold multiple: flag when the clamped cumulative deviation
+    * exceeds [[CusumThresholdMult]] × total daily mass (in the scaled
+    * integer units below). Single-sourced into the twin.
+    */
+  val CusumThresholdMult = 2L
+
+  /** CUSUM change-point detection over the daily volume series — the
+    * SEQUENTIAL monitor beside q166's windowed drift and q186's robust
+    * outliers: small persistent shifts that never trip a per-day threshold
+    * accumulate in the one-sided sums S⁺ₜ = max(0, S⁺ₜ₋₁ + devₜ) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ − devₜ). The floor-at-zero recurrence depends on
+    * the previous POST-clamp value, so like q197's balance it is a true
+    * left fold — run row-locally over the collected day list (days-sized,
+    * constant at any corpus scale; the corpus-sized work is the one daily
+    * hash aggregate).
+    *
+    * Exactness: deviations are scaled to integer units devₜ = nₜ·n_days −
+    * total (zero-mean by construction — Σdevₜ = 0), so the whole
+    * trajectory, the threshold [[CusumThresholdMult]]·total and every flag
+    * are pure integer arithmetic; the DuckDB twin replays the walk with a
+    * recursive CTE and hash-matches bit-for-bit.
+    */
+  def cusumChangePoints(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val folded = daily
+      .select(struct(col("day"), col("n")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+      .withColumn("n_days", size(col("cs")).cast("long"))
+      .withColumn("total", expr("aggregate(cs, 0L, (a, x) -> a + x.n)"))
+    val foldExpr =
+      """aggregate(cs,
+        |  named_struct('sp', 0L, 'sn', 0L,
+        |    'out', CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, n: BIGINT, dev: BIGINT, s_pos: BIGINT, s_neg: BIGINT>>)),
+        |  (st, x) -> named_struct(
+        |    'sp', greatest(0L, st.sp + (x.n * n_days - total)),
+        |    'sn', greatest(0L, st.sn - (x.n * n_days - total)),
+        |    'out', array_append(st.out, named_struct(
+        |      'day', x.day, 'n', x.n, 'dev', x.n * n_days - total,
+        |      's_pos', greatest(0L, st.sp + (x.n * n_days - total)),
+        |      's_neg', greatest(0L, st.sn - (x.n * n_days - total))))),
+        |  st -> st.out)""".stripMargin
+    folded
+      .select(col("total"), posexplode(expr(foldExpr)).as(Seq("pos", "a")))
+      .select(col("a.day").as("day"), col("a.n").as("n"), col("a.dev").as("dev_scaled"),
+        col("a.s_pos").as("s_pos"), col("a.s_neg").as("s_neg"),
+        (col("a.s_pos") > lit(CusumThresholdMult) * col("total") ||
+          col("a.s_neg") > lit(CusumThresholdMult) * col("total")).as("flagged"))
+      .orderBy(col("day"))
+  }
+
+  val cusumOracle: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS total FROM daily),
+       |ord AS (SELECT day, CAST(n AS BIGINT) AS n,
+       |          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+       |walk AS (
+       |  SELECT o.i, o.day, o.n, o.n * s.n_days - s.total AS dev,
+       |    greatest(CAST(0 AS BIGINT), o.n * s.n_days - s.total) AS s_pos,
+       |    greatest(CAST(0 AS BIGINT), -(o.n * s.n_days - s.total)) AS s_neg
+       |  FROM ord o, st s WHERE o.i = 1
+       |  UNION ALL
+       |  SELECT o.i, o.day, o.n, o.n * s.n_days - s.total,
+       |    greatest(CAST(0 AS BIGINT), w.s_pos + (o.n * s.n_days - s.total)),
+       |    greatest(CAST(0 AS BIGINT), w.s_neg - (o.n * s.n_days - s.total))
+       |  FROM walk w JOIN ord o ON o.i = w.i + 1 CROSS JOIN st s)
+       |SELECT day, n, dev AS dev_scaled, s_pos, s_neg,
+       |  (s_pos > $CusumThresholdMult * total OR s_neg > $CusumThresholdMult * total) AS flagged
+       |FROM walk CROSS JOIN st ORDER BY day""".stripMargin
+
   val pageRankOracle: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""r$k AS (SELECT d.src AS node, d.deg,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Two-pass distributed global prefix sums — the scale-safe replacement for
@@ -92,4 +92,58 @@ object PrefixSum {
   /** Default partition count for the range pass, matching packSequences. */
   def defaultParts(spark: org.apache.spark.sql.SparkSession): Int =
     math.max(2, spark.sparkContext.defaultParallelism / 4)
+}
+
+/** Exact distributed weighted quantiles — the PrefixSum consumer that
+  * replaces a `percentile()`-style per-group sort when the input is
+  * fact-sized and weighted: quantile p = the smallest value whose cumulative
+  * weight reaches p % of the total. With the cumulative weights from
+  * [[PrefixSum.cumSums]] the crossing row is a pure ROW-LOCAL predicate
+  * (`100·cum ≥ p·W` and `100·(cum − w) < p·W` — exact integer arithmetic,
+  * W known from the same collect), so the full pipeline is: one hash
+  * aggregate to distinct values, the two-pass prefix sum, one filter. No
+  * single-task sort, no per-group memory proportional to the data.
+  */
+object WeightedQuantiles {
+  import graft.Tables
+
+  val QuantilePcts: Seq[Long] = Seq(25L, 50L, 75L, 90L)
+
+  /** Quantity-weighted exact quantiles of lineitem extended price: for each
+    * p in [[QuantilePcts]], the smallest price v such that the total
+    * quantity on rows priced ≤ v reaches p % of all quantity.
+    */
+  def weightedPriceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"), col("l_quantity").cast("long").as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val cum = PrefixSum.cumSums(cells, Seq(col("v")),
+      Seq("w" -> col("w")), PrefixSum.defaultParts(spark))
+    val totalW = cum.totals("w")
+    val pcts = QuantilePcts.map { p =>
+      cum.df
+        .filter(col("cum_w") * 100 >= lit(p) * lit(totalW) &&
+          (col("cum_w") - col("w")) * 100 < lit(p) * lit(totalW))
+        .select(lit(p).as("pct"), col("v").as("value"),
+          col("cum_w").as("cum_weight"), lit(totalW).as("total_weight"))
+    }
+    pcts.reduce(_ unionByName _).orderBy(col("pct"))
+  }
+
+  val weightedPriceQuantilesOracle: String = {
+    val pcts = QuantilePcts.mkString(", ")
+    s"""WITH cells AS (SELECT l_extendedprice AS v,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1),
+       |c AS (SELECT v, w,
+       |    CAST(sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+       |    CAST(sum(w) OVER () AS BIGINT) AS total_w
+       |  FROM cells),
+       |p AS (SELECT unnest([$pcts]) AS pct)
+       |SELECT CAST(p.pct AS BIGINT) AS pct, c.v AS value, c.cum_w AS cum_weight,
+       |  c.total_w AS total_weight
+       |FROM c JOIN p ON c.cum_w * 100 >= p.pct * c.total_w
+       |              AND (c.cum_w - c.w) * 100 < p.pct * c.total_w
+       |ORDER BY pct""".stripMargin
+  }
 }

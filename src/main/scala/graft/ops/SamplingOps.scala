@@ -126,6 +126,90 @@ object SamplingOps {
         sum(col("chk")).as("content_checksum"))
       .orderBy(col("shard"))
 
+  /** Compaction planning target: aim ≈ [[CompactionTargetDiv]] merged
+    * outputs (target bytes = ⌈total∕div⌉ — data-derived so the plan stays
+    * non-trivial at every SF; single-sourced into the twin).
+    */
+  val CompactionTargetDiv = 6L
+
+  /** Small-file compaction PLANNER — the q158 manifest's shards packed into
+    * near-target merge groups by next-fit-decreasing bin packing (sort by
+    * size descending, open a new group whenever the next shard would
+    * overflow the target). [[Compaction.compactParquet]] is the executor
+    * (⌈bytes∕target⌉ coalesce); this is the inspectable plan that says
+    * WHICH inputs merge into WHICH output and how full each output lands —
+    * the audit a lakehouse maintenance job publishes before rewriting
+    * petabytes.
+    *
+    * Scale shape: the corpus-sized work is the one shard-stats hash
+    * aggregate (q158's shuffle); the packing walk is sequentially dependent
+    * (each assignment depends on the running fill), so like q197/q238 it
+    * runs as a row-local `aggregate()` fold — over the MANIFEST-sized shard
+    * list (file counts, never corpus rows). The DuckDB twin walks the same
+    * order with a recursive CTE carrying (gid, fill); all arithmetic is
+    * exact integers, so assignments and fill ratios hash-match.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).cast("long").as("shard"))
+      .groupBy(col("shard")).agg(sum(col("n_tokens")).as("n_tokens"))
+    val folded = shards
+      .select(struct((-col("n_tokens")).as("negt"), col("shard"), col("n_tokens")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+      .withColumn("total", expr("aggregate(cs, 0L, (a, x) -> a + x.n_tokens)"))
+      .withColumn("target",
+        expr(s"(total + ${CompactionTargetDiv - 1}L) DIV ${CompactionTargetDiv}L"))
+    val foldExpr =
+      """aggregate(cs,
+        |  named_struct('gid', 0L, 'fill', 0L,
+        |    'out', CAST(array() AS ARRAY<STRUCT<shard: BIGINT, n_tokens: BIGINT, gid: BIGINT>>)),
+        |  (st, x) -> CASE WHEN st.gid = 0L OR st.fill + x.n_tokens > target
+        |    THEN named_struct('gid', st.gid + 1L, 'fill', x.n_tokens,
+        |           'out', array_append(st.out,
+        |             named_struct('shard', x.shard, 'n_tokens', x.n_tokens, 'gid', st.gid + 1L)))
+        |    ELSE named_struct('gid', st.gid, 'fill', st.fill + x.n_tokens,
+        |           'out', array_append(st.out,
+        |             named_struct('shard', x.shard, 'n_tokens', x.n_tokens, 'gid', st.gid)))
+        |  END,
+        |  st -> st.out)""".stripMargin
+    folded
+      .select(col("target"), posexplode(expr(foldExpr)).as(Seq("pos", "a")))
+      .groupBy(col("a.gid").as("gid"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("a.n_tokens")).as("group_tokens"),
+        max(col("target")).as("target"))
+      .select(col("gid"), col("n_shards"), col("group_tokens"), col("target"),
+        OracleMath.stableRound(
+          col("group_tokens").cast("double") / col("target").cast("double"), 4).as("fill_pct"))
+      .orderBy(col("gid"))
+  }
+
+  val compactionPlanOracle: String = {
+    val div = CompactionTargetDiv
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard
+       |  FROM documents),
+       |sh AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+       |t AS (SELECT CAST((sum(n_tokens) + ${div - 1}) // $div AS BIGINT) AS target FROM sh),
+       |ord AS (SELECT shard, n_tokens,
+       |          CAST(row_number() OVER (ORDER BY n_tokens DESC, shard) AS BIGINT) AS i
+       |        FROM sh),
+       |walk AS (
+       |  SELECT o.i, o.shard, o.n_tokens, CAST(1 AS BIGINT) AS gid, o.n_tokens AS fill
+       |  FROM ord o WHERE o.i = 1
+       |  UNION ALL
+       |  SELECT o.i, o.shard, o.n_tokens,
+       |    CASE WHEN w.fill + o.n_tokens > t.target THEN w.gid + 1 ELSE w.gid END,
+       |    CASE WHEN w.fill + o.n_tokens > t.target THEN o.n_tokens ELSE w.fill + o.n_tokens END
+       |  FROM walk w JOIN ord o ON o.i = w.i + 1 CROSS JOIN t)
+       |SELECT gid, count(*) AS n_shards, CAST(sum(n_tokens) AS BIGINT) AS group_tokens,
+       |  CAST(max(target) AS BIGINT) AS target,
+       |  ${OracleMath.stableRoundSql("CAST(sum(n_tokens) AS DOUBLE) / CAST(max(target) AS DOUBLE)", 4)} AS fill_pct
+       |FROM walk CROSS JOIN t GROUP BY gid ORDER BY gid""".stripMargin
+  }
+
   def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

@@ -172,6 +172,66 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q241 compaction plan: in-JVM NFD replay; groups partition shards under the target") {
+    import graft.ops.SamplingOps
+    val got = SamplingOps.compactionPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val shards = SamplingOps.exportManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (shard, n_tokens)
+    val total = shards.map(_._2).sum
+    val target = (total + SamplingOps.CompactionTargetDiv - 1) / SamplingOps.CompactionTargetDiv
+    // replay next-fit-decreasing
+    var gid = 0L; var fill = 0L
+    val groups = scala.collection.mutable.Map.empty[Long, (Long, Long)] // gid -> (nShards, tokens)
+    shards.sortBy { case (s, t) => (-t, s) }.foreach { case (_, t) =>
+      if (gid == 0L || fill + t > target) { gid += 1; fill = t }
+      else fill += t
+      val (c, tt) = groups.getOrElse(gid, (0L, 0L))
+      groups(gid) = (c + 1, tt + t)
+    }
+    assert(got.map(g => (g._1, g._2, g._3)).toSet ===
+      groups.map { case (g, (c, t)) => (g, c, t) }.toSet)
+    assert(got.forall(_._4 === target))
+    // every group fits the target unless it is a single oversized shard
+    got.foreach { case (_, nShards, tokens, tgt) =>
+      assert(tokens <= tgt || nShards === 1L)
+    }
+    assert(got.map(_._2).sum === shards.length.toLong)
+  }
+
+  test("q242 weighted quantiles: one crossing row per pct, equals in-JVM weighted quantile") {
+    import graft.ops.WeightedQuantiles
+    val got = WeightedQuantiles.weightedPriceQuantiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === WeightedQuantiles.QuantilePcts)
+    val cells = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val w = cells.map(_._2).sum
+    for ((p, v, cumW, totalW) <- got) {
+      assert(totalW === w)
+      var cum = 0L
+      val expected = cells.find { case (_, cw) => cum += cw; cum * 100 >= p * w }.get
+      assert(v === expected._1)
+      assert(cumW === cum)
+    }
+  }
+
+  test("q243 CUSUM: deviations sum to zero; clamped fold replayed in-JVM") {
+    import graft.ops.EventOps
+    val got = EventOps.cusumChangePoints(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.map(_._3).sum === 0L, "scaled deviations are zero-mean by construction")
+    val total = got.map(_._2).sum
+    var sp = 0L; var sn = 0L
+    got.sortBy(_._1).foreach { case (_, _, dev, gsp, gsn, fl) =>
+      sp = math.max(0L, sp + dev); sn = math.max(0L, sn - dev)
+      assert(gsp === sp && gsn === sn)
+      assert(fl === (sp > EventOps.CusumThresholdMult * total || sn > EventOps.CusumThresholdMult * total))
+    }
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
