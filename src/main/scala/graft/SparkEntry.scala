@@ -428,6 +428,16 @@ object SparkEntry {
     "q242_weighted_quantiles"  -> ((s, d) => WeightedQuantiles.weightedPriceQuantiles(s, d)),
     // -- CUSUM sequential change-point detection (clamped integer fold) ---------
     "q243_cusum"               -> ((s, d) => EventOps.cusumChangePoints(s, d)),
+    // -- audience-overlap Jaccard matrix (exact inclusion-exclusion) ------------
+    "q244_audience_overlap"    -> ((s, d) => EventOps.audienceOverlap(s, d)),
+    // -- session entry-path mining (first-3-type sequences) ---------------------
+    "q245_session_paths"       -> ((s, d) => EventOps.sessionPaths(s, d)),
+    // -- EXACT sliding 7-day distinct via OR-merged daily bitmaps ---------------
+    "q246_bitmap_sliding"      -> ((s, d) => EventOps.bitmapSliding(s, d)),
+    // -- anti-entropy replica divergence + repair pricing -----------------------
+    "q247_replica_divergence"  -> ((s, d) => SamplingOps.replicaDivergence(s, d)),
+    // -- Cohen's kappa for the q31 language-ID classifier -----------------------
+    "q248_kappa_langid"        -> ((s, d) => TextOps.kappaLangId(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -962,6 +972,11 @@ object SparkEntry {
     "q241_compaction_plan" -> SamplingOps.compactionPlanOracle,
     "q242_weighted_quantiles" -> WeightedQuantiles.weightedPriceQuantilesOracle,
     "q243_cusum" -> EventOps.cusumOracle,
+    "q244_audience_overlap" -> EventOps.audienceOverlapOracle,
+    "q245_session_paths" -> EventOps.sessionPathsOracle,
+    "q246_bitmap_sliding" -> EventOps.bitmapSlidingOracle,
+    "q247_replica_divergence" -> SamplingOps.replicaDivergenceOracle,
+    "q248_kappa_langid" -> TextOps.kappaLangIdOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

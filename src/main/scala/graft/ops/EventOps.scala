@@ -265,6 +265,44 @@ object EventOps {
       .orderBy(col("wend"))
   }
 
+  /** EXACT sliding 7-day distinct users via mergeable daily bitmaps — the
+    * exact upgrade of q133's HLL window reuse (and of its own internal
+    * exact check, which re-distincts (window, user) pairs: 7× user-day rows
+    * through a shuffle). Here the facts are touched ONCE: per (day, bucket)
+    * user-position bitmaps are built in one aggregation, then only those
+    * BITMAPS ride the 7-window spine expansion and are OR-merged per
+    * (window, bucket) — `bitmap_or_agg` is associative/commutative, so the
+    * trailing distinct count is exact under any merge order (hash-matched,
+    * where HLL could only ever be envelope-checked). State per group is
+    * O(users∕8) bytes per bucket — the same economics that make q138/q164
+    * feasible at 100 TB.
+    */
+  def bitmapSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val win7 = (d: Column) => explode(sequence(d, d + expr("INTERVAL 6 DAYS"),
+      expr("INTERVAL 1 DAY")))
+    val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    daily
+      .select(win7(col("day")).as("wend"), col("bkt"), col("bm"))
+      .groupBy(col("wend"), col("bkt"))
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n_bkt"))
+      .groupBy(col("wend"))
+      .agg(sum(col("n_bkt")).as("trailing_users"))
+      .join(days.select(col("day").as("wend")), "wend") // windows ending in-range
+      .orderBy(col("wend"))
+  }
+
+  val bitmapSlidingOracle: String =
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+      |SELECT d.day AS wend, CAST(count(DISTINCT u.user_id) AS BIGINT) AS trailing_users
+      |FROM days d JOIN du u
+      |  ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      |GROUP BY 1 ORDER BY wend""".stripMargin
+
   /** MapType surface: per-user map of event_type → count built with
     * `map_from_entries(collect_list(struct(…)))`, then exploded back to
     * rows. Maps are how a pipeline carries open-ended per-entity feature
@@ -1132,6 +1170,113 @@ object EventOps {
     * flag ~5 % of days by chance — the spec checks the mechanism on a
     * forced-imbalance fixture instead of betting on the data.
     */
+  /** Audience-overlap matrix: for every event-type pair, the exact number
+    * of users active in both, the union, and the audience Jaccard — the
+    * "which segments are really the same people" report (q230 is the
+    * source-level sibling over duplicate groups; this one is user-level
+    * over behavior). Exactness by inclusion–exclusion on integer counts:
+    * |A∩B| from a user-keyed self-join of the DISTINCT (user, type) pairs,
+    * |A∪B| = |A| + |B| − |A∩B|.
+    *
+    * Scale shape: the self-join fanout per user is bounded by the TYPE
+    * DOMAIN (k types ⇒ ≤ k·(k−1)∕2 pair rows per user — never corpus²),
+    * and it runs under ONE user-keyed shuffle of the deduplicated
+    * (user, type) pairs; per-type audience sizes are a broadcast-sized
+    * rollup joined back by type.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    val inter = a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_a") + col("n_b") - col("n_both")).as("n_union"),
+        OracleMath.stableRound(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceOverlapOracle: String =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+       |       FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |       GROUP BY 1, 2)
+       |SELECT type_a, type_b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(sa.n + sb.n - n_both AS BIGINT) AS n_union,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)", 6)} AS jaccard
+       |FROM pr JOIN sz sa ON pr.type_a = sa.event_type
+       |        JOIN sz sb ON pr.type_b = sb.event_type
+       |ORDER BY type_a, type_b""".stripMargin
+
+  val SessionPathTopK = 20
+
+  /** Session entry-path mining: the most common first-three-event-type
+    * sequences per session — the onboarding/navigation report that Markov
+    * transitions (q174, adjacent pairs) and funnels (q99, fixed stages)
+    * don't give: actual observed prefixes with exact frequencies.
+    *
+    * Sessions are 30-minute-gap cuts under the unique (second-truncated ts,
+    * event_id) order; the path is built by sorting each session's first
+    * three (rank, type) structs row-locally (array_sort on the collected
+    * ≤3-element list — the window already capped it, so nothing
+    * session-length-sized is ever collected). Two user-keyed shuffles
+    * (window + session rollup) and one path-keyed count; top-K is
+    * TakeOrderedAndProject with a (count DESC, path) total order.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+      .withColumn("new_s",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid")).orderBy(col("t"), col("event_id"))))
+      .filter(col("rn") <= 3)
+    evs
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(array_join(expr("transform(steps, s -> s.event_type)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(SessionPathTopK)
+  }
+
+  val sessionPathsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+       |  FROM events),
+       |s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+       |                 THEN 1 ELSE 0 END AS new_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       |      FROM s),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY t, event_id) AS rn
+       |      FROM g),
+       |p AS (SELECT user_id, sid,
+       |        string_agg(event_type, '>' ORDER BY rn) AS path
+       |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $SessionPathTopK""".stripMargin
+
   def srmCheck(spark: SparkSession, dir: String): DataFrame = {
     val arm = expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 2")
     val daily = Tables.events(spark, dir)

@@ -210,6 +210,70 @@ object SamplingOps {
        |FROM walk CROSS JOIN t GROUP BY gid ORDER BY gid""".stripMargin
   }
 
+  /** Divergence-simulation modulus: replica B "missed" every doc with
+    * doc_id ≡ 0 (mod this) — a deterministic stand-in for lost writes,
+    * single-sourced into the twin.
+    */
+  val ReplicaDropMod = 251L
+
+  /** Anti-entropy repair planner — the q158 manifest compared across two
+    * replicas: shards whose order-independent content checksums diverge are
+    * exactly the ones a repair job must re-ship, and the doc/token deltas
+    * price that repair BEFORE any data moves (the Merkle-style
+    * compare-manifests-not-data pattern; at 100 TB the comparison touches
+    * 2×shards manifest rows, never the corpus). Replica B is derived
+    * deterministically (docs with doc_id ≡ 0 mod [[ReplicaDropMod]]
+    * missing), so the oracle replays both manifests; the checksum is q158's
+    * commutative md5-prefix sum, which catches CONTENT divergence even when
+    * doc counts happen to agree.
+    */
+  def replicaDivergence(spark: SparkSession, dir: String): DataFrame = {
+    def manifest(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).cast("long").as("shard"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("chk"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("chk")).as("checksum"))
+    val docs = Tables.documents(spark, dir)
+    val a = manifest(docs)
+    val b = manifest(docs.filter(pmod(col("doc_id"), lit(ReplicaDropMod)) =!= 0L))
+      .select(col("shard"), col("n_docs").as("n_docs_b"),
+        col("n_tokens").as("n_tokens_b"), col("checksum").as("checksum_b"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("docs_b"),
+        (coalesce(col("checksum"), lit(-1L)) === coalesce(col("checksum_b"), lit(-2L)))
+          .as("in_sync"),
+        (coalesce(col("n_docs"), lit(0L)) - coalesce(col("n_docs_b"), lit(0L)))
+          .as("repair_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_tokens_b"), lit(0L)))
+          .as("repair_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val replicaDivergenceOracle: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+       |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS chk
+       |  FROM documents),
+       |a AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |        CAST(sum(chk) AS BIGINT) AS checksum
+       |      FROM d GROUP BY 1),
+       |b AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |        CAST(sum(chk) AS BIGINT) AS checksum
+       |      FROM d WHERE doc_id % $ReplicaDropMod <> 0 GROUP BY 1)
+       |SELECT coalesce(a.shard, b.shard) AS shard,
+       |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS docs_a,
+       |  CAST(coalesce(b.n_docs, 0) AS BIGINT) AS docs_b,
+       |  coalesce(a.checksum, -1) = coalesce(b.checksum, -2) AS in_sync,
+       |  CAST(coalesce(a.n_docs, 0) - coalesce(b.n_docs, 0) AS BIGINT) AS repair_docs,
+       |  CAST(coalesce(a.n_tokens, 0) - coalesce(b.n_tokens, 0) AS BIGINT) AS repair_tokens
+       |FROM a FULL OUTER JOIN b ON a.shard = b.shard
+       |ORDER BY shard""".stripMargin
+
   def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

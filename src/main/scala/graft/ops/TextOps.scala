@@ -90,6 +90,74 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cohen's kappa for the q31 language-ID classifier against the labeled
+    * `lang` column — chance-corrected agreement, the model-eval statistic
+    * beside raw accuracy (q208) and rate intervals (q209): a classifier
+    * that always answers the majority label scores high accuracy but κ ≈ 0.
+    * κ = (p₀ − pₑ)∕(1 − pₑ) with p₀ = agreement and pₑ = Σ_l row_l·col_l∕n²
+    * — every input an exact integer from ONE conditional-aggregation scan
+    * (truth marginals for labels the classifier never predicts multiply by
+    * a zero column marginal, so the 3-label predictor against the 5-label
+    * truth needs no special casing), and κ itself one fixed float
+    * expression. No shuffle at all: scan → partial+final global aggregate.
+    */
+  def kappaLangId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    def score(stop: Seq[String]): Column =
+      size(filter(ws, w => w.isInCollection(stop))).cast("long")
+    val pred = when(score(enStop) >= score(deStop) && score(enStop) >= score(esStop), "en")
+      .when(score(deStop) >= score(esStop), "de")
+      .otherwise("es")
+    val labels = Seq("en", "de", "es")
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("n_agree")) ++
+      labels.flatMap(l => Seq(
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"true_$l"),
+        sum(when(col("pred") === l, 1L).otherwise(0L)).as(s"pred_$l")))
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("pred"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = labels.map(l =>
+        col(s"true_$l").cast("double") * col(s"pred_$l").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+      .reduceLeft(_ + _)
+    cells.select(
+      (Seq(col("n"), col("n_agree")) ++
+        labels.flatMap(l => Seq(col(s"true_$l"), col(s"pred_$l"))) ++
+        Seq(OracleMath.stableRound(po, 6).as("po"),
+          OracleMath.stableRound(pe, 6).as("pe"),
+          OracleMath.stableRound((po - pe) / (lit(1.0) - pe), 6).as("kappa"))): _*)
+  }
+
+  val kappaLangIdOracle: String = {
+    val labels = Seq("en", "de", "es")
+    val scoreSql = (stop: Seq[String]) =>
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], w)))"
+    val po = "CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    val pe = labels.map(l =>
+      s"CAST(true_$l AS DOUBLE) * CAST(pred_$l AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")
+      .mkString(" + ")
+    val cellCols = labels.flatMap(l => Seq(
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS true_$l",
+      s"CAST(sum(CASE WHEN pred = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS pred_$l")).mkString(",\n | ")
+    s"""WITH p AS (SELECT lang,
+       |    CASE WHEN ${scoreSql(enStop)} >= ${scoreSql(deStop)}
+       |          AND ${scoreSql(enStop)} >= ${scoreSql(esStop)} THEN 'en'
+       |         WHEN ${scoreSql(deStop)} >= ${scoreSql(esStop)} THEN 'de'
+       |         ELSE 'es' END AS pred
+       |  FROM documents),
+       |cells AS (SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       | $cellCols
+       |  FROM p)
+       |SELECT n, n_agree, ${labels.flatMap(l => Seq(s"true_$l", s"pred_$l")).mkString(", ")},
+       |  ${OracleMath.stableRoundSql(po, 6)} AS po,
+       |  ${OracleMath.stableRoundSql(pe, 6)} AS pe,
+       |  ${OracleMath.stableRoundSql(s"(($po) - ($pe)) / (1.0 - ($pe))", 6)} AS kappa
+       |FROM cells""".stripMargin
+  }
+
   /** Quality scoring: composite of length, stopword ratio and word-shape
     * signals (the filter stage of a training-data pipeline). Fixed double
     * arithmetic order for oracle parity.

@@ -232,6 +232,79 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q244 overlap: Jaccard bounds, intersection bounds, full pair coverage") {
+    import graft.ops.EventOps
+    val got = EventOps.audienceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(got.length === (nTypes * (nTypes - 1) / 2).toInt)
+    got.foreach { case (ta, tb, na, nb, both, union, j) =>
+      assert(ta < tb)
+      assert(both <= math.min(na, nb) && union >= math.max(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q245 paths: depth <= 3, counts positive and ordered, sessions reconcile") {
+    import graft.ops.EventOps
+    val got = EventOps.sessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length <= EventOps.SessionPathTopK)
+    got.foreach { case (p, n) =>
+      assert(p.split(">").length <= 3 && n > 0L)
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // a multi-step path exists (sessions really chain events)
+    assert(got.exists(_._1.contains(">")))
+  }
+
+  test("q246 sliding bitmap distinct: window >= single day, equals brute distinct for a spot window") {
+    import graft.ops.EventOps
+    val got = EventOps.bitmapSliding(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val perDay = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    perDay.foreach { case (d, n) => assert(got(d) >= n) }
+    // spot-check one mid-range window against brute-force distinct
+    val spot = perDay.keys.toSeq.sorted.apply(perDay.size / 2)
+    val hi = new java.sql.Timestamp(spot)
+    val lo = new java.sql.Timestamp(spot - 6L * 86400000L)
+    val brute = Tables.events(spark, sf)
+      .filter(date_trunc("day", col("ts")).between(lit(lo), lit(hi)))
+      .select(col("user_id")).distinct().count()
+    assert(got(spot) === brute)
+  }
+
+  test("q247 divergence: in_sync iff no deletions landed in the shard; totals reconcile") {
+    import graft.ops.SamplingOps
+    val got = SamplingOps.replicaDivergence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+    // divergence here is pure deletion, so checksum sync == zero repair docs
+    got.foreach { case (_, da, db, sync, rd, rt) =>
+      assert(rd === da - db && sync === (rd == 0L))
+      assert(rd >= 0L && (rd > 0L || rt === 0L))
+    }
+    val totalDropped = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(SamplingOps.ReplicaDropMod)) === 0L).count()
+    assert(got.map(_._5).sum === totalDropped)
+  }
+
+  test("q248 kappa: recomputed from the emitted exact counts; bounded by agreement") {
+    import graft.ops.TextOps
+    val r = TextOps.kappaLangId(spark, sf).collect().head
+    val n = r.getLong(0).toDouble
+    val agree = r.getLong(1).toDouble
+    val po = agree / n
+    val pe = (r.getLong(2) * r.getLong(3) + r.getLong(4) * r.getLong(5) +
+      r.getLong(6) * r.getLong(7)).toDouble / (n * n)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(8) === r6(po) && r.getDouble(9) === r6(pe))
+    assert(math.abs(r.getDouble(10) - r6((po - pe) / (1.0 - pe))) < 1e-9)
+    assert(r.getDouble(10) <= r.getDouble(8) + 1e-9, "kappa never exceeds raw agreement")
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
