@@ -438,6 +438,8 @@ object SparkEntry {
     "q247_replica_divergence"  -> ((s, d) => SamplingOps.replicaDivergence(s, d)),
     // -- Cohen's kappa for the q31 language-ID classifier -----------------------
     "q248_kappa_langid"        -> ((s, d) => TextOps.kappaLangId(s, d)),
+    // -- nearest-event attribution (custom as-of operator, both directions) -----
+    "q249_nearest_attribution" -> ((s, d) => EventOps.nearestAttribution(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -977,6 +979,7 @@ object SparkEntry {
     "q246_bitmap_sliding" -> EventOps.bitmapSlidingOracle,
     "q247_replica_divergence" -> SamplingOps.replicaDivergenceOracle,
     "q248_kappa_langid" -> TextOps.kappaLangIdOracle,
+    "q249_nearest_attribution" -> EventOps.nearestAttributionOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

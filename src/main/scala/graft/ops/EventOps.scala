@@ -562,6 +562,86 @@ object EventOps {
     * columns coalesce to -1 so the oracle compare never faces null-vs-NaN
     * dtype drift.
     */
+  /** Nearest-click window for [[nearestAttribution]]: ±30 minutes. */
+  val NearestWindowSec = 1800L
+
+  /** NEAREST-event attribution — each purchase attributed to the closest
+    * click in EITHER direction within ±[[NearestWindowSec]], composed from
+    * TWO passes of the custom as-of operator: the backward pass is the
+    * plain [[asofAttribution]] shape (latest click ≤ purchase), the forward
+    * pass is the SAME operator on NEGATED epoch seconds (greatest −c ≤ −p ⇔
+    * earliest click ≥ purchase — the standard trick that makes one as-of
+    * primitive serve both directions). The row-local combine picks the
+    * smaller gap, preferring backward on ties, and gates by the window.
+    *
+    * Determinism: clicks are deduplicated to one per (user, second) by min
+    * event id BEFORE the joins (the merge pass holds one candidate per
+    * (key, time) — equal-time ties would otherwise be sort-stability
+    * dependent); all gaps are exact integer seconds. Scale shape: two
+    * key-clustered merge joins (one shuffle+sort per side each) + one
+    * purchase-keyed self-join of the two skinny attribution results.
+    */
+  def nearestAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu"), col("t").as("ct"))
+      .agg(min(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t").as("pt"))
+    val back = graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq(purchases("user_id")), Seq(clicks("cu")),
+        purchases("pt"), clicks("ct"), outer = true)
+      .select(col("purchase_id"), col("user_id"), col("pt"),
+        col("click_id").as("b_click"), col("ct").as("b_t"))
+    val clicksNeg = clicks
+      .select(col("cu").as("fu"), (-col("ct")).as("nct"), col("ct").as("fct"),
+        col("click_id").as("f_click_id"))
+    val purchNeg = purchases
+      .select(col("purchase_id").as("f_purchase_id"), col("user_id").as("pu"),
+        (-col("pt")).as("npt"))
+    val fwd = graft.plans.AsOfJoin.asof(purchNeg, clicksNeg,
+        Seq(purchNeg("pu")), Seq(clicksNeg("fu")),
+        purchNeg("npt"), clicksNeg("nct"), outer = true)
+      .select(col("f_purchase_id").as("purchase_id"),
+        col("f_click_id").as("f_click"), col("fct").as("f_t"))
+    val w = lit(NearestWindowSec)
+    val bGap = col("pt") - col("b_t")
+    val fGap = col("f_t") - col("pt")
+    val bOk = col("b_t").isNotNull && bGap <= w
+    val fOk = col("f_t").isNotNull && fGap <= w
+    back.join(fwd, Seq("purchase_id"))
+      .select(col("purchase_id"), col("user_id"),
+        when(bOk && (!fOk || bGap <= fGap), col("b_click"))
+          .when(fOk, col("f_click")).otherwise(lit(-1L)).as("click_id"),
+        when(bOk && (!fOk || bGap <= fGap), lit("back"))
+          .when(fOk, lit("fwd")).otherwise(lit("none")).as("direction"),
+        when(bOk && (!fOk || bGap <= fGap), bGap)
+          .when(fOk, fGap).otherwise(lit(-1L)).as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val nearestAttributionOracle: String =
+    s"""WITH c AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+       |    min(event_id) AS click_id
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |p AS (SELECT event_id AS purchase_id, user_id,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+       |  FROM events WHERE event_type = 'purchase'),
+       |cand AS (SELECT p.purchase_id, p.pt, c.t, c.click_id, abs(p.pt - c.t) AS gap
+       |  FROM p JOIN c ON p.user_id = c.user_id AND abs(p.pt - c.t) <= $NearestWindowSec),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY purchase_id ORDER BY gap, t, click_id) AS rn
+       |    FROM cand) WHERE rn = 1)
+       |SELECT p.purchase_id, p.user_id,
+       |  CAST(coalesce(b.click_id, -1) AS BIGINT) AS click_id,
+       |  CASE WHEN b.click_id IS NULL THEN 'none'
+       |       WHEN b.t <= p.pt THEN 'back' ELSE 'fwd' END AS direction,
+       |  CAST(coalesce(b.gap, -1) AS BIGINT) AS gap_s
+       |FROM p LEFT JOIN best b USING (purchase_id)
+       |ORDER BY purchase_id""".stripMargin
+
   /** Daily value-drift monitor — the data-quality observability primitive a
     * continuously-ingesting pipeline runs on every landing day: each day's
     * mean event value and volume compared against its trailing 7-day window

@@ -741,6 +741,31 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === Set(("a", "y")))
   }
 
+  test("nearest attribution: brute-force replay; both directions and unattributed occur (q249)") {
+    val got = EventOps.nearestAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+      .groupBy(e => (e._2, e._4)).map { case ((u, t), xs) => (u, t, xs.map(_._1).min) }.toSeq
+    val byUser = clicks.groupBy(_._1)
+    val expected = ev.filter(_._3 == "purchase").map { case (pid, u, _, pt) =>
+      val cands = byUser.getOrElse(u, Seq.empty)
+        .map(c => (math.abs(pt - c._2), c._2, c._3))
+        .filter(_._1 <= EventOps.NearestWindowSec)
+      if (cands.isEmpty) (pid, -1L, "none", -1L)
+      else {
+        val (gap, t, cid) = cands.minBy(c => (c._1, c._2, c._3))
+        (pid, cid, if (t <= pt) "back" else "fwd", gap)
+      }
+    }.toSet
+    assert(got.toSet === expected)
+    assert(got.exists(_._3 == "back") && got.exists(_._3 == "fwd") && got.exists(_._3 == "none"),
+      "the dataset must exercise all three outcomes")
+  }
+
   test("interval join sweep: OVERLAPPING intervals, boundary conventions, equals brute force") {
     import TestSpark.spark.implicits._
     // overlapping + nested + abutting intervals, duplicate point times,
