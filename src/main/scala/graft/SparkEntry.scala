@@ -440,6 +440,10 @@ object SparkEntry {
     "q248_kappa_langid"        -> ((s, d) => TextOps.kappaLangId(s, d)),
     // -- nearest-event attribution (custom as-of operator, both directions) -----
     "q249_nearest_attribution" -> ((s, d) => EventOps.nearestAttribution(s, d)),
+    // -- percentile-rank quality normalization (bounded-domain ranks) -----------
+    "q250_quality_percentiles" -> ((s, d) => TextOps.qualityPercentiles(s, d)),
+    // -- linear-interpolation imputation over the date spine --------------------
+    "q251_interpolate_daily"   -> ((s, d) => EventOps.interpolateDaily(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -980,6 +984,8 @@ object SparkEntry {
     "q247_replica_divergence" -> SamplingOps.replicaDivergenceOracle,
     "q248_kappa_langid" -> TextOps.kappaLangIdOracle,
     "q249_nearest_attribution" -> EventOps.nearestAttributionOracle,
+    "q250_quality_percentiles" -> TextOps.qualityPercentilesOracle,
+    "q251_interpolate_daily" -> EventOps.interpolateDailyOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

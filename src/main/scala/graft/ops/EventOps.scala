@@ -750,6 +750,101 @@ object EventOps {
       .orderBy(col("day"), col("user_id"))
   }
 
+  /** Linear-interpolation imputation over the q121 date spine — the
+    * third member of the imputation family (q120 forward-fill carries the
+    * last value; q121 writes explicit zeros; THIS estimates the missing
+    * level, the right choice for a continuously-varying signal like mean
+    * daily value). For each missing (type, day): value = prev + (next −
+    * prev)·offset∕span from the nearest present neighbors on both sides
+    * (`last/first IGNORE NULLS` over the spine); boundary gaps take the one
+    * neighbor that exists.
+    *
+    * Exactness: neighbor values are exact integer cents and day offsets
+    * exact integers, so the interpolation is ONE fixed float expression
+    * over exact inputs — engine-identical. The windows run on the
+    * types × days grid (dimension-sized at any corpus scale, like q121);
+    * the facts contribute through one daily hash aggregate.
+    */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val daily = ev.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cents")).as("cents"))
+      // sparsify deterministically so interpolation has real gaps to fill
+      // at every SF: drop days whose epoch-day is ≡ 0 (mod 5) for this type
+      .withColumn("dropped",
+        pmod(expr("unix_timestamp(day) DIV 86400") +
+          length(col("event_type")), lit(5L)) === 0L)
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(types)
+      .join(daily.filter(!col("dropped")).drop("dropped"),
+        Seq("day", "event_type"), "left")
+      .withColumn("d", expr("unix_timestamp(day) DIV 86400"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val prevV = last(col("cents"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val prevD = last(when(col("cents").isNotNull, col("d")), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextV = first(col("cents"), ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val nextD = first(when(col("cents").isNotNull, col("d")), ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    grid
+      .withColumn("pv", prevV).withColumn("pd", prevD)
+      .withColumn("nv", nextV).withColumn("nd", nextD)
+      .select(col("day"), col("event_type"),
+        col("cents").isNotNull.as("observed"),
+        OracleMath.stableRound(
+          when(col("cents").isNotNull, col("cents").cast("double"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                  (col("d") - col("pd")).cast("double") /
+                  (col("nd") - col("pd")).cast("double"))
+            .when(col("pv").isNotNull, col("pv").cast("double"))
+            .otherwise(col("nv").cast("double")) / 100.0, 4).as("value_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val interpolateDailyOracle: String = {
+    val filled = """(CASE
+      |    WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |      CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) * CAST(dd - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+      |    WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+      |    ELSE CAST(nv AS DOUBLE) END / 100.0)""".stripMargin
+    s"""WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |daily AS (SELECT day, event_type, CAST(sum(cents) AS BIGINT) AS cents,
+      |    (CAST(epoch(day) AS BIGINT) // 86400 + length(event_type)) % 5 = 0 AS dropped
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS d0, max(day) AS d1 FROM ev)),
+      |grid AS (SELECT s.day, t.event_type, d.cents,
+      |           CAST(epoch(s.day) AS BIGINT) // 86400 AS dd
+      |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |         LEFT JOIN (SELECT * FROM daily WHERE NOT dropped) d
+      |           ON s.day = d.day AND t.event_type = d.event_type),
+      |n AS (SELECT *,
+      |    last_value(cents IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN dd END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+      |    first_value(cents IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY dd ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN dd END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY dd ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM grid)
+      |SELECT day, event_type, cents IS NOT NULL AS observed,
+      |  ${OracleMath.stableRoundSql(filled, 4)} AS value_filled
+      |FROM n ORDER BY event_type, day""".stripMargin
+  }
+
   /** Cohort retention: users grouped by first-activity week, counted in each
     * subsequent week-offset they remain active — the canonical product-
     * analytics triangle. Two aggregations and one join on user_id; the

@@ -130,6 +130,68 @@ object TextOps {
           OracleMath.stableRound((po - pe) / (lit(1.0) - pe), 6).as("kappa"))): _*)
   }
 
+  /** Percentile-rank quality normalization — the feature transform that
+    * makes q32's raw quality score comparable across corpora (rank-based
+    * features are scale-free; mixture weights and trim thresholds transfer
+    * between datasets where raw scores don't): each doc gets
+    * `percent_rank = (#strictly-worse docs) ∕ (n − 1)` over the 4-dp
+    * quality key.
+    *
+    * Scale shape (the q218 bounded-domain pattern): ranks live on the
+    * ≤ 10001-cell quality domain — one corpus hash aggregate to per-cell
+    * counts, a cumulative count over the constant-sized cells table, and a
+    * broadcast join back. Docs never sort globally; ties share a rank by
+    * construction (same cell ⇒ same cum_before).
+    */
+  def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4) * 10000.0 + lit(0.5))
+          .cast("long").as("q4"))
+    val cells = scored.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
+    val cw = Window.orderBy(col("q4")).rowsBetween(Window.unboundedPreceding, -1)
+    val n = Window.partitionBy()
+    val ranked = cells
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(cw), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(n))
+    scored.join(broadcast(ranked), "q4")
+      .select(col("doc_id"),
+        OracleMath.stableRound(col("q4").cast("double") / 10000.0, 4).as("quality_r"),
+        OracleMath.stableRound(
+          col("cum_before").cast("double") / (col("n") - 1).cast("double"), 6).as("pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityPercentilesOracle: String = {
+    val q4 = OracleMath.stableRoundSql(
+      "least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + " +
+        "least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)
+    s"""WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+       |       len(list_filter(string_split(text,' '),
+       |           w -> list_contains([${enStop.map("'" + _ + "'").mkString(", ")}], w))) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+       |      FROM documents),
+       |q AS (SELECT doc_id, CAST(floor($q4 * 10000.0 + 0.5) AS BIGINT) AS q4 FROM base),
+       |cells AS (SELECT q4, count(*) AS cnt FROM q GROUP BY 1),
+       |r AS (SELECT q4,
+       |        CAST(coalesce(sum(cnt) OVER (ORDER BY q4
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |        CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |      FROM cells)
+       |SELECT doc_id,
+       |  ${OracleMath.stableRoundSql("CAST(q.q4 AS DOUBLE) / 10000.0", 4)} AS quality_r,
+       |  ${OracleMath.stableRoundSql("CAST(cum_before AS DOUBLE) / CAST(n - 1 AS DOUBLE)", 6)} AS pct_rank
+       |FROM q JOIN r USING (q4) ORDER BY doc_id""".stripMargin
+  }
+
   val kappaLangIdOracle: String = {
     val labels = Seq("en", "de", "es")
     val scoreSql = (stop: Seq[String]) =>

@@ -305,6 +305,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.getDouble(10) <= r.getDouble(8) + 1e-9, "kappa never exceeds raw agreement")
   }
 
+  test("q250 percentiles: bounds, tie-sharing, monotone with quality, full coverage") {
+    import graft.ops.TextOps
+    val got = TextOps.qualityPercentiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === Tables.documents(spark, sf).count().toInt)
+    got.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+    // same quality -> same rank; higher quality -> strictly higher rank
+    val byQ = got.groupBy(_._2).map { case (q, xs) => q -> xs.map(_._3).toSet }
+    byQ.foreach { case (_, ps) => assert(ps.size === 1) }
+    val ordered = byQ.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered === ordered.sorted)
+    assert(ordered.head === 0.0)
+  }
+
+  test("q251 interpolation: observed values pass through; gaps bounded by their neighbors") {
+    import graft.ops.EventOps
+    val got = EventOps.interpolateDaily(spark, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getBoolean(2), r.getDouble(3)))
+    assert(got.exists(!_._3), "the deterministic sparsifier must create gaps")
+    // every interpolated value lies within [min, max] of its type's observed values
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val obs = rows.filter(_._3).map(_._4)
+      val lo = obs.min; val hi = obs.max
+      rows.filterNot(_._3).foreach { case (_, _, _, v) =>
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9)
+      }
+      // strict interior gap: value strictly between unequal neighbors
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.sliding(3).foreach {
+        case Seq(a, b, c) if a._3 && !b._3 && c._3 && math.abs(a._4 - c._4) > 1e-9 =>
+          assert(v_between(b._4, a._4, c._4))
+        case _ =>
+      }
+    }
+  }
+  private def v_between(v: Double, a: Double, b: Double): Boolean =
+    v >= math.min(a, b) - 1e-9 && v <= math.max(a, b) + 1e-9
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
