@@ -49,7 +49,12 @@ object PlanDigest {
     normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")), sfDir)
   }
 
-  /** Strip run-varying tokens, keep plan structure. */
+  /** Strip run-varying tokens, keep plan structure. The PrefixSum offset
+    * literals are masked too: RangePartitioner SAMPLES its boundaries with a
+    * per-run seed, so the per-partition prefix offsets broadcast back into
+    * the plan are correct-but-run-varying — the structural fact worth
+    * pinning is the pid-keyed CASE chain itself, not the sampled split.
+    */
   def normalize(plan: String, sfDir: String): String =
     plan
       .replace(sfDir, "<sf>")
@@ -57,6 +62,7 @@ object PlanDigest {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("file:[^\\s\\],)\\]]*", "<path>")
       .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <loc>")
+      .replaceAll("WHEN \\(__ps_pid# = (\\d+)\\) THEN -?\\d+", "WHEN (__ps_pid# = $1) THEN <off>")
       .replaceAll("(?m)\\s+$", "")
 
   /** The session shape the snapshots are pinned under — MUST match the test
