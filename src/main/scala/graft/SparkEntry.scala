@@ -444,6 +444,10 @@ object SparkEntry {
     "q250_quality_percentiles" -> ((s, d) => TextOps.qualityPercentiles(s, d)),
     // -- linear-interpolation imputation over the date spine --------------------
     "q251_interpolate_daily"   -> ((s, d) => EventOps.interpolateDaily(s, d)),
+    // -- also-bought basket association (support/confidence/lift) ---------------
+    "q252_also_bought"         -> ((s, d) => CoreOps.alsoBought(s, d)),
+    // -- time-decay multi-touch attribution (exact dyadic weights) --------------
+    "q253_timedecay_attribution" -> ((s, d) => EventOps.timeDecayAttribution(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -986,6 +990,8 @@ object SparkEntry {
     "q249_nearest_attribution" -> EventOps.nearestAttributionOracle,
     "q250_quality_percentiles" -> TextOps.qualityPercentilesOracle,
     "q251_interpolate_daily" -> EventOps.interpolateDailyOracle,
+    "q252_also_bought" -> CoreOps.alsoBoughtOracle,
+    "q253_timedecay_attribution" -> EventOps.timeDecayAttributionOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -984,6 +984,63 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  val BasketTopK = 20
+
+  /** "Also-bought" item association — the retail-basket counterpart of
+    * q172's word-pair mining: for the top co-purchased part pairs, support,
+    * per-part order counts, confidence(a→b) and lift. Pair fanout per order
+    * is bounded by the ORDER SIZE (≤ 7 lineitems in this schema — C(7,2)
+    * pairs max), never parts²; the per-part support table joins AFTER the
+    * top-K cut, against 20 rows broadcast, so the dimension-sized supports
+    * never broadcast whole. Counts are exact integers; confidence and lift
+    * are per-row divisions of exact inputs in one fixed expression each.
+    */
+  def alsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")).distinct()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val pairs = items.select(col("okey"), col("part").as("part_a"))
+      .join(items.select(col("okey").as("okey_b"), col("part").as("part_b")),
+        col("okey") === col("okey_b") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .orderBy(col("pair_orders").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+    val sup = items.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sup.select(col("part").as("part_a"), col("n").as("orders_a")), "part_a")
+      .join(sup.select(col("part").as("part_b"), col("n").as("orders_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        OracleMath.stableRound(
+          col("pair_orders").cast("double") / col("orders_a").cast("double"), 6)
+          .as("confidence_ab"),
+        OracleMath.stableRound(
+          col("pair_orders").cast("double") * col("n_orders_total").cast("double") /
+            (col("orders_a").cast("double") * col("orders_b").cast("double")), 6).as("lift"))
+      .orderBy(col("pair_orders").desc, col("part_a"), col("part_b"))
+  }
+
+  val alsoBoughtOracle: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |tot AS (SELECT count(DISTINCT okey) AS n_orders_total FROM items),
+       |pairs AS (SELECT a.part AS part_a, b.part AS part_b, count(*) AS pair_orders
+       |          FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |          GROUP BY 1, 2
+       |          ORDER BY pair_orders DESC, part_a, part_b LIMIT $BasketTopK),
+       |sup AS (SELECT part, count(*) AS n FROM items GROUP BY 1)
+       |SELECT p.part_a, p.part_b, CAST(p.pair_orders AS BIGINT) AS pair_orders,
+       |  CAST(sa.n AS BIGINT) AS orders_a, CAST(sb.n AS BIGINT) AS orders_b,
+       |  ${OracleMath.stableRoundSql("CAST(p.pair_orders AS DOUBLE) / CAST(sa.n AS DOUBLE)", 6)} AS confidence_ab,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(p.pair_orders AS DOUBLE) * CAST(t.n_orders_total AS DOUBLE) / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))", 6)} AS lift
+       |FROM pairs p JOIN sup sa ON p.part_a = sa.part
+       |             JOIN sup sb ON p.part_b = sb.part
+       |             CROSS JOIN tot t
+       |ORDER BY pair_orders DESC, part_a, part_b""".stripMargin
+
   /** Month attribution by the custom broadcast MERGE interval join
     * ([[graft.plans.IntervalJoin]]) — q64's semantics (same oracle SQL
     * verbatim) through the second whole-operator extension instead of the

@@ -1891,6 +1891,61 @@ object EventOps {
        | ${OracleMath.stableRoundSql("value / n_touch", 6)} AS credit_r
        |FROM j ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Time-decay lookback and step for [[timeDecayAttribution]]: 30-minute
+    * window, 5-minute half-life steps — k = gap DIV 300 ∈ [0, 5], so every
+    * decay weight is the exact dyadic 2⁻ᵏ, carried as the INTEGER
+    * 2^(5−k) ∈ {32, 16, 8, 4, 2, 1} (the q191 dyadic-weight trick: the
+    * weight ratios are exact, and the per-purchase share is one final
+    * division of exact integers).
+    */
+  val DecayWindowSec = 1800L
+  val DecayStepSec = 300L
+
+  /** Time-decay multi-touch attribution — completes the attribution family
+    * (as-of last-touch q61, equal-split linear q179, nearest q249): each
+    * click in the purchase's 30-minute lookback gets credit ∝ 2^(−⌊gap∕5min⌋)
+    * — recent touches weighted exponentially more. Same user-keyed interval
+    * join as q179 + one per-purchase window summing the INTEGER weights;
+    * share = w∕Σw is the only division, applied per-row after the exact
+    * sums, so shares hash-match and sum to exactly 1 per purchase (spec).
+    */
+  def timeDecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t").as("pt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("t").as("ct"))
+    val w = Window.partitionBy(col("purchase_id"))
+    p.join(c, col("user_id") === col("cu")
+        && col("ct") <= col("pt")
+        && col("pt") - col("ct") < lit(DecayWindowSec))
+      .withColumn("k", expr(s"(pt - ct) DIV $DecayStepSec"))
+      .withColumn("wgt", expr("CAST(shiftleft(1L, CAST(5 - k AS INT)) AS BIGINT)"))
+      .withColumn("w_sum", sum(col("wgt")).over(w))
+      .select(col("purchase_id"), col("click_id"), (col("pt") - col("ct")).as("gap_s"),
+        col("wgt"), col("w_sum"),
+        OracleMath.stableRound(
+          col("wgt").cast("double") / col("w_sum").cast("double"), 6).as("share_r"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val timeDecayAttributionOracle: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+       |p AS (SELECT event_id AS purchase_id, user_id, t AS pt FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id AS cu, t AS ct FROM e WHERE event_type = 'click'),
+       |j AS (SELECT p.purchase_id, c.click_id, p.pt - c.ct AS gap_s,
+       |        CAST(1 << CAST(5 - (p.pt - c.ct) // $DecayStepSec AS INTEGER) AS BIGINT) AS wgt
+       |      FROM p JOIN c ON p.user_id = c.cu
+       |        AND c.ct <= p.pt AND p.pt - c.ct < $DecayWindowSec),
+       |s AS (SELECT *, CAST(sum(wgt) OVER (PARTITION BY purchase_id) AS BIGINT) AS w_sum FROM j)
+       |SELECT purchase_id, click_id, gap_s, wgt, w_sum,
+       | ${OracleMath.stableRoundSql("CAST(wgt AS DOUBLE) / CAST(w_sum AS DOUBLE)", 6)} AS share_r
+       |FROM s ORDER BY purchase_id, click_id""".stripMargin
+
   /** Schema-evolution ingestion: a landing zone whose LATER files carry a
     * column the earlier vintage lacks (`channel`, added mid-stream — the
     * drift every long-lived pipeline hits). `mergeSchema` unifies the

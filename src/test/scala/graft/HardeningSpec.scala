@@ -14,6 +14,49 @@ import org.scalatest.funsuite.AnyFunSuite
 class HardeningSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("PrefixSum equals the single-partition window reference on randomized inputs") {
+    // the distributed prefix sum is now load-bearing for six queries
+    // (q223/q233/q234/q235/q231/q242) — pin its semantics against the
+    // trivially-correct unpartitioned formulation on seeded random data
+    // with duplicates, negatives, and several partition counts
+    import graft.ops.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3; nParts <- Seq(2, 5)) {
+      val n = 50 + rnd.nextInt(400)
+      val rows = (1 to n).map(i =>
+        (rnd.nextInt(40).toLong, i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+      val df = rows.toDF("v", "id", "w") // (v, id) unique total order
+      val cum = PrefixSum.cumSums(df, Seq(col("v"), col("id")),
+        Seq("w" -> col("w"), "one" -> lit(1L)), nParts)
+      val got = cum.df.select(col("v"), col("id"), col("cum_w"), col("cum_one"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val ref = rows.sortBy(r => (r._1, r._2))
+        .scanLeft((0L, 0L, (0L, 0L))) { case ((cw, co, _), (v, id, w)) =>
+          (cw + w, co + 1, (v, id))
+        }.tail.map { case (cw, co, k) => k -> (cw, co) }.toMap
+      assert(got === ref, s"trial $trial nParts=$nParts")
+      assert(cum.totals("w") === rows.map(_._3).sum)
+      assert(cum.totals("one") === n.toLong)
+    }
+  }
+
+  test("the q235 integer ntile formula equals Spark's ntile for arbitrary n") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (n <- Seq(1, 3, 4, 5, 6, 7, 23, 100, 101, 104)) {
+      val df = (1 to n).map(_.toLong).toDF("rn")
+      val real = df.withColumn("t", ntile(5).over(Window.orderBy(col("rn"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val q = n.toLong / 5L; val r = n.toLong % 5L; val t = r * (q + 1L)
+      val qSafe = math.max(q, 1L)
+      val formula = (1L to n.toLong).map(rn =>
+        rn -> (if (rn <= t) (rn - 1) / (q + 1) + 1 else r + (rn - t - 1) / qSafe + 1)).toMap
+      assert(real === formula, s"n=$n")
+    }
+  }
+
   test("batch events decode lands in a sane year range (unit-drift guard)") {
     val r = Tables.events(spark, sf)
       .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()

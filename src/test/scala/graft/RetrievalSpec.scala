@@ -343,6 +343,42 @@ class RetrievalSpec extends AnyFunSuite {
   private def v_between(v: Double, a: Double, b: Double): Boolean =
     v >= math.min(a, b) - 1e-9 && v <= math.max(a, b) + 1e-9
 
+  test("q252 also-bought: support bounds, confidence/lift recomputed from emitted counts") {
+    import graft.ops.CoreOps
+    val got = CoreOps.alsoBought(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty && got.length <= CoreOps.BasketTopK)
+    val nOrders = Tables.lineitem(spark, sf).select("l_orderkey").distinct().count()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (a, b, pair, na, nb, conf, lift) =>
+      assert(a < b && pair >= 1L && pair <= math.min(na, nb))
+      assert(conf === r6(pair.toDouble / na))
+      assert(math.abs(lift - r6(pair.toDouble * nOrders / (na.toDouble * nb))) < 1e-9)
+    }
+  }
+
+  test("q253 time-decay: shares sum to 1 per purchase; weights are the exact dyadics") {
+    import graft.ops.EventOps
+    val got = EventOps.timeDecayAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val allowed = Set(1L, 2L, 4L, 8L, 16L, 32L)
+    got.foreach { case (_, _, gap, w, _, _) =>
+      assert(gap >= 0L && gap < EventOps.DecayWindowSec)
+      assert(allowed.contains(w))
+      assert(w === (1L << (5 - gap / EventOps.DecayStepSec)).toLong)
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum === rows.head._5)
+      assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-4)
+    }
+    // decay actually bites: some click landed past the first 5-min bucket
+    // (at sf0.001 every purchase is single-touch, so the multi-weight case
+    // is exercised by the sf0.01/0.1 oracle sweeps instead)
+    assert(got.exists(_._4 < 32L))
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
