@@ -448,6 +448,10 @@ object SparkEntry {
     "q252_also_bought"         -> ((s, d) => CoreOps.alsoBought(s, d)),
     // -- time-decay multi-touch attribution (exact dyadic weights) --------------
     "q253_timedecay_attribution" -> ((s, d) => EventOps.timeDecayAttribution(s, d)),
+    // -- grouped exact weighted quantiles (partitioned cumulative weights) ------
+    "q254_grouped_wquantiles"  -> ((s, d) => WeightedQuantiles.groupedWeightedQuantiles(s, d)),
+    // -- zone-map min/max skipping-effectiveness audit --------------------------
+    "q255_zonemap_audit"       -> ((s, d) => CoreOps.zoneMapAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -992,6 +996,8 @@ object SparkEntry {
     "q251_interpolate_daily" -> EventOps.interpolateDailyOracle,
     "q252_also_bought" -> CoreOps.alsoBoughtOracle,
     "q253_timedecay_attribution" -> EventOps.timeDecayAttributionOracle,
+    "q254_grouped_wquantiles" -> WeightedQuantiles.groupedWeightedQuantilesOracle,
+    "q255_zonemap_audit" -> CoreOps.zoneMapAuditOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -984,6 +984,76 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** Zone-map block size for [[zoneMapAudit]] (rows per synthetic block in
+    * key order — stands in for a parquet row group).
+    */
+  val ZoneBlockRows = 4096L
+
+  /** Zone-map (min/max) skipping-effectiveness audit — the storage-layout
+    * counterpart of q104's Z-order stats and q204's range planner: per
+    * synthetic key-ordered block, the (min, max) of the order date; per
+    * quarterly predicate, how many blocks (and rows) min/max pruning could
+    * skip, next to the actual matching row count. This is the number that
+    * says whether data is laid out well enough for predicate pushdown to
+    * bite — on a date-uncorrelated key order the skip rate collapses, which
+    * is exactly the motivation for q104's Z-order/clustering.
+    *
+    * All exact integers: block stats are one hash aggregate over orders
+    * (blocks = |orders|∕4096 rows), the audit joins blocks × 4 broadcast
+    * quarter rows, and actuals are a second conditional aggregate — the
+    * fact table is scanned twice and shuffled block-/quarter-sized only.
+    */
+  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val blocks = orders
+      .groupBy(expr(s"o_orderkey DIV $ZoneBlockRows").as("blk"))
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+        count(lit(1)).as("n_rows"))
+    val quarters = spark.range(4).select(col("id").cast("long").as("qid"),
+      add_months(to_date(lit("1996-01-01")), (col("id") * 3).cast("int"))
+        .cast("timestamp").as("lo"),
+      add_months(to_date(lit("1996-01-01")), (col("id") * 3 + 3).cast("int"))
+        .cast("timestamp").as("hi"))
+    val skip = col("mx") < col("lo") || col("mn") >= col("hi")
+    val audit = blocks.crossJoin(broadcast(quarters))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(skip, 1L).otherwise(0L)).as("n_skippable"),
+        sum(when(skip, col("n_rows")).otherwise(0L)).as("rows_skipped"),
+        sum(col("n_rows")).as("rows_total"))
+    val actual = orders
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy((quarter(col("o_orderdate")) - 1).cast("long").as("qid"))
+      .agg(count(lit(1)).as("n_matching"))
+    audit.join(actual, Seq("qid"), "left")
+      .select(col("qid"), col("n_blocks"), col("n_skippable"), col("rows_skipped"),
+        coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        OracleMath.stableRound(
+          col("n_skippable").cast("double") / col("n_blocks").cast("double"), 6)
+          .as("skip_pct"))
+      .orderBy(col("qid"))
+  }
+
+  val zoneMapAuditOracle: String =
+    s"""WITH blocks AS (SELECT o_orderkey // $ZoneBlockRows AS blk,
+       |    min(o_orderdate) AS mn, max(o_orderdate) AS mx, count(*) AS n_rows
+       |  FROM orders GROUP BY 1),
+       |quarters AS (SELECT CAST(q AS BIGINT) AS qid,
+       |    TIMESTAMP '1996-01-01' + to_months(CAST(q * 3 AS INTEGER)) AS lo,
+       |    TIMESTAMP '1996-01-01' + to_months(CAST(q * 3 + 3 AS INTEGER)) AS hi
+       |  FROM (SELECT unnest([0, 1, 2, 3]) AS q)),
+       |audit AS (SELECT qid, count(*) AS n_blocks,
+       |    CAST(sum(CASE WHEN mx < lo OR mn >= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       |    CAST(sum(CASE WHEN mx < lo OR mn >= hi THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+       |  FROM blocks CROSS JOIN quarters GROUP BY 1),
+       |actual AS (SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS qid, count(*) AS n_matching
+       |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+       |SELECT a.qid, a.n_blocks, a.n_skippable, a.rows_skipped,
+       |  CAST(coalesce(x.n_matching, 0) AS BIGINT) AS n_matching,
+       |  ${OracleMath.stableRoundSql("CAST(a.n_skippable AS DOUBLE) / CAST(a.n_blocks AS DOUBLE)", 6)} AS skip_pct
+       |FROM audit a LEFT JOIN actual x ON a.qid = x.qid
+       |ORDER BY a.qid""".stripMargin
+
   val BasketTopK = 20
 
   /** "Also-bought" item association — the retail-basket counterpart of

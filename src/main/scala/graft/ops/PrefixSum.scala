@@ -130,6 +130,55 @@ object WeightedQuantiles {
     pcts.reduce(_ unionByName _).orderBy(col("pct"))
   }
 
+  /** GROUPED exact weighted quantiles — the partitioned-window variant of
+    * [[weightedPriceQuantiles]]: within each return flag, the
+    * quantity-weighted p25/50/75/90 of extended price. Per-group cumulative
+    * weights come from a `partitionBy(group)` window — which DISTRIBUTES
+    * (each group's cumsum is an independent partition-local scan after one
+    * hash shuffle on the group key), so unlike the global case no two-pass
+    * prefix sum is needed; the crossing row per (group, p) is the same
+    * row-local integer predicate. The contrast with q52's `percentile()`
+    * is memory: this never materializes a per-group value buffer.
+    */
+  def groupedWeightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+    val cw = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("grp"))
+    val cum = cells
+      .withColumn("cum_w", sum(col("w")).over(cw))
+      .withColumn("total_w", sum(col("w")).over(tw))
+    val pcts = QuantilePcts.map { p =>
+      cum.filter(col("cum_w") * 100 >= lit(p) * col("total_w") &&
+          (col("cum_w") - col("w")) * 100 < lit(p) * col("total_w"))
+        .select(col("grp"), lit(p).as("pct"), col("v").as("value"),
+          col("cum_w").as("cum_weight"), col("total_w").as("total_weight"))
+    }
+    pcts.reduce(_ unionByName _).orderBy(col("grp"), col("pct"))
+  }
+
+  val groupedWeightedQuantilesOracle: String = {
+    val pcts = QuantilePcts.mkString(", ")
+    s"""WITH cells AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (SELECT grp, v, w,
+       |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+       |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS total_w
+       |  FROM cells),
+       |p AS (SELECT unnest([$pcts]) AS pct)
+       |SELECT c.grp, CAST(p.pct AS BIGINT) AS pct, c.v AS value,
+       |  c.cum_w AS cum_weight, c.total_w AS total_weight
+       |FROM c JOIN p ON c.cum_w * 100 >= p.pct * c.total_w
+       |              AND (c.cum_w - c.w) * 100 < p.pct * c.total_w
+       |ORDER BY grp, pct""".stripMargin
+  }
+
   val weightedPriceQuantilesOracle: String = {
     val pcts = QuantilePcts.mkString(", ")
     s"""WITH cells AS (SELECT l_extendedprice AS v,

@@ -379,6 +379,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(_._4 < 32L))
   }
 
+  test("q254 grouped quantiles: one crossing per (group, pct), monotone, equals in-JVM") {
+    import graft.ops.WeightedQuantiles
+    val got = WeightedQuantiles.groupedWeightedQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val groups = got.map(_._1).distinct
+    groups.foreach { g =>
+      val rows = got.filter(_._1 == g).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === WeightedQuantiles.QuantilePcts)
+      assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq, s"quantiles monotone in $g")
+    }
+    // in-JVM replay for one group
+    val g0 = groups.min
+    val cells = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === g0)
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val w = cells.map(_._2).sum
+    for ((_, p, v) <- got.filter(_._1 == g0)) {
+      var cum = 0L
+      val exp = cells.find { case (_, cw) => cum += cw; cum * 100 >= p * w }.get._1
+      assert(v === exp, s"group $g0 p$p")
+    }
+  }
+
+  test("q255 zone-map audit: skipping is SOUND (matches fit in unskipped rows), full coverage") {
+    import graft.ops.CoreOps
+    val got = CoreOps.zoneMapAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val totalRows = Tables.orders(spark, sf).count()
+    got.foreach { case (_, nBlocks, nSkip, rowsSkipped, nMatch, pct) =>
+      assert(nSkip <= nBlocks && rowsSkipped <= totalRows)
+      // soundness: every matching row lives in an unskipped block
+      assert(nMatch <= totalRows - rowsSkipped)
+      assert(math.abs(pct - BigDecimal(nSkip.toDouble / nBlocks)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    assert(got.map(_._5).sum > 0L, "1996 quarters must match rows in this data")
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
