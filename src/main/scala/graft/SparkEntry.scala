@@ -452,6 +452,8 @@ object SparkEntry {
     "q254_grouped_wquantiles"  -> ((s, d) => WeightedQuantiles.groupedWeightedQuantiles(s, d)),
     // -- zone-map min/max skipping-effectiveness audit --------------------------
     "q255_zonemap_audit"       -> ((s, d) => CoreOps.zoneMapAudit(s, d)),
+    // -- asymmetric containment near-dup (quote/subset detection) ---------------
+    "q256_containment"         -> ((s, d) => DedupOps.containmentPairs(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -998,6 +1000,7 @@ object SparkEntry {
     "q253_timedecay_attribution" -> EventOps.timeDecayAttributionOracle,
     "q254_grouped_wquantiles" -> WeightedQuantiles.groupedWeightedQuantilesOracle,
     "q255_zonemap_audit" -> CoreOps.zoneMapAuditOracle,
+    "q256_containment" -> DedupOps.containmentPairsOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

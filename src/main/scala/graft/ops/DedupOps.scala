@@ -372,6 +372,95 @@ object DedupOps {
       .orderBy(col("doc_delta"), col("doc_corpus"))
   }
 
+  /** Containment threshold + contained-side size cap for
+    * [[containmentPairs]] (single-sourced into the twin). The cap bounds
+    * the quadratic oracle and matches the use case: quote/subset detection
+    * targets short sources inside longer documents.
+    */
+  val ContainThreshold = 0.9
+  val ContainMinSrcTokens = 20L // below this a "subset" is noise, not a quote
+  val ContainMaxSrcTokens = 60L
+
+  /** ASYMMETRIC containment near-dup: ordered pairs (a, b) where
+    * `|A∩B| ∕ |A| ≥ t` — document a's word set is (almost) a SUBSET of
+    * b's. This is the dedup semantics Jaccard (q38) structurally misses: a
+    * short document quoted inside a long one has tiny Jaccard but
+    * containment ≈ 1 (quote/boilerplate/subset detection in a training
+    * corpus).
+    *
+    * Blocking is the prefix-filter theorem adapted to containment: C ≥ t
+    * forces |A∩B| ≥ ⌈t·|A|⌉, so a qualifying pair must share one of A's
+    * rarest `|A| − ⌈t·|A|⌉ + 1` tokens (rarity-ordered, same dictionary
+    * encode as the PPJoin path) — candidates come from joining those A
+    * prefixes against the full token postings, so candidate volume is
+    * bounded by RARE-token posting-list sizes, never corpus². The only
+    * size constraint containment admits is `|B| ≥ t·|A|` (exact integer
+    * form); verification is the codegen sorted-intersect kernel with an
+    * exact integer acceptance predicate (`inter·1000 ≥ sz_a·900` — no
+    * float boundary).
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.sortedIntersectSize
+    graft.functions.VectorFunctions.register(spark)
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
+    val ranks = all.select(explode(col("ws0")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .select(col("word"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("word"))).as("tok"))
+    val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
+      .join(broadcast(ranks), "word")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tNum = math.round(ContainThreshold * 1000).toInt
+    val tDen = 1000
+    val prefixLenA = (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1).cast("int")
+    val aPref = ids.filter(col("sz").between(ContainMinSrcTokens, ContainMaxSrcTokens))
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        explode(slice(col("ws"), lit(1), prefixLenA)).as("tok"))
+    val postings = ids.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      explode(col("ws")).as("tok"))
+    val cands = aPref.join(postings, "tok")
+      .filter(col("doc_a") =!= col("doc_b") && col("sz_b") * tDen >= col("sz_a") * tNum)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sza")), "doc_a")
+      .join(ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")).cast("long"))
+      .filter(col("inter") * tDen >= col("sza") * tNum)
+      .withColumn("c_r", OracleMath.stableRound(col("inter").cast("double") / col("sza"), 4))
+      // per-contained-doc rollup (the report a curator reads — this
+      // synthetic corpus's shared vocabulary makes the raw pair set
+      // quadratically large, so pairs stay inside the plan and the output
+      // is contained-doc-sized): how many containers, and the best one
+      // (max containment, min container id on ties — a struct argmax)
+      .groupBy(col("doc_a"), col("sza"))
+      .agg(count(lit(1)).as("n_containers"),
+        max(struct(col("c_r").as("c"), (-col("doc_b")).as("negb"))).as("best"))
+      .select(col("doc_a"), col("sza").as("sz_a"), col("n_containers"),
+        col("best.c").as("best_containment"), (-col("best.negb")).as("best_doc_b"))
+      .orderBy(col("doc_a"))
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH s AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS sz
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, a.sz AS sz_a, b.doc_id AS doc_b,
+       |    ${OracleMath.stableRoundSql("CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / a.sz", 4)} AS c_r
+       |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |    AND a.sz BETWEEN ${ContainMinSrcTokens} AND ${ContainMaxSrcTokens}
+       |    AND b.sz * 1000 >= a.sz * 900
+       |  WHERE len(list_intersect(a.ws, b.ws)) * 1000 >= a.sz * 900)
+       |SELECT doc_a, sz_a, count(*) AS n_containers,
+       |  max(c_r) AS best_containment,
+       |  CAST(min(CASE WHEN c_r = mx THEN doc_b END) AS BIGINT) AS best_doc_b
+       |FROM (SELECT *, max(c_r) OVER (PARTITION BY doc_a) AS mx FROM pairs)
+       |GROUP BY doc_a, sz_a ORDER BY doc_a""".stripMargin
+
   /** Dense-domain delta×corpus path: one bitmask per doc, per-side grouping
     * on DISTINCT masks, then a broadcast nested-loop join with the popcount
     * Jaccard inline — the A×B analogue of [[nearDupJaccardMask]]. Sides are

@@ -420,6 +420,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._5).sum > 0L, "1996 quarters must match rows in this data")
   }
 
+  test("q256 containment: in-JVM brute force matches; catches subsets Jaccard misses") {
+    import graft.ops.DedupOps
+    val got = DedupOps.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").distinct.toSet))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs
+      .filter { case (_, ws) => ws.size >= DedupOps.ContainMinSrcTokens &&
+        ws.size <= DedupOps.ContainMaxSrcTokens }
+      .flatMap { case (a, wa) =>
+        val matches = docs.filter { case (b, wb) =>
+          b != a && wb.size * 1000L >= wa.size * 900L &&
+            (wa & wb).size * 1000L >= wa.size * 900L
+        }.map { case (b, wb) => (b, r4((wa & wb).size.toDouble / wa.size)) }
+        if (matches.isEmpty) None
+        else {
+          val best = matches.minBy { case (b, c) => (-c, b) }
+          Some((a, wa.size.toLong, matches.length.toLong, best._2, best._1))
+        }
+      }.toSet
+    assert(got.toSet === expected)
+    // the asymmetric semantics earn their keep: some contained doc's best
+    // container is strictly larger (small Jaccard, high containment)
+    val sizes = docs.toMap.view.mapValues(_.size.toLong).toMap
+    assert(got.exists { case (a, szA, _, c, b) => c >= 0.9 && sizes(b) > szA })
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
