@@ -454,6 +454,8 @@ object SparkEntry {
     "q255_zonemap_audit"       -> ((s, d) => CoreOps.zoneMapAudit(s, d)),
     // -- asymmetric containment near-dup (quote/subset detection) ---------------
     "q256_containment"         -> ((s, d) => DedupOps.containmentPairs(s, d)),
+    // -- supplier ship-lag scorecard (mean/p90/Wilson-bounded slow rate) --------
+    "q257_supplier_scorecard"  -> ((s, d) => CoreOps.supplierScorecard(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1001,6 +1003,7 @@ object SparkEntry {
     "q254_grouped_wquantiles" -> WeightedQuantiles.groupedWeightedQuantilesOracle,
     "q255_zonemap_audit" -> CoreOps.zoneMapAuditOracle,
     "q256_containment" -> DedupOps.containmentPairsOracle,
+    "q257_supplier_scorecard" -> CoreOps.supplierScorecardOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

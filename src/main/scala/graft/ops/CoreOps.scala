@@ -984,6 +984,88 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** Slow-shipment threshold (days from order to ship) for
+    * [[supplierScorecard]] — single-sourced into the twin.
+    */
+  val SlowLagDays = 90L
+
+  /** Supplier ship-lag scorecard — the operational composite that reuses
+    * three established exact patterns on one big-big join: per supplier,
+    * item count, mean order→ship lag (exact integer day sums, one final
+    * division), EXACT p90 lag (the q254 grouped crossing predicate on
+    * (supplier, lag) cells — no per-group percentile buffer), and the slow
+    * rate with its 95 % Wilson lower bound (the q209 fixed-expression
+    * interval — ranking suppliers by the BOUND, not the raw rate, stops
+    * low-volume suppliers from gaming the scorecard either way).
+    *
+    * Scale shape: lineitem⋈orders is the genuine big-big shuffle join
+    * (bucketing both sides as in q177 is the write-once production
+    * amortization); everything after is supplier- or cell-sized.
+    */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val lags = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+    val base = lags.groupBy(col("supp"))
+      .agg(count(lit(1)).as("n_items"), sum(col("lag")).as("sum_lag"),
+        sum(when(col("lag") > SlowLagDays, 1L).otherwise(0L)).as("n_slow"))
+    val cells = lags.groupBy(col("supp"), col("lag")).agg(count(lit(1)).as("w"))
+    val cw = Window.partitionBy(col("supp")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("supp"))
+    val p90 = cells
+      .withColumn("cum", sum(col("w")).over(cw))
+      .withColumn("tot", sum(col("w")).over(tw))
+      .filter(col("cum") * 100 >= lit(90) * col("tot") &&
+        (col("cum") - col("w")) * 100 < lit(90) * col("tot"))
+      .select(col("supp"), col("lag").as("p90_lag"))
+    val n = col("n_items").cast("double")
+    val p = col("n_slow").cast("double") / n
+    val denom = lit(1.0) + lit(3.8416) / n
+    val center = (p + lit(1.9208) / n) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n + lit(0.9604) / (n * n)) / denom
+    base.join(p90, "supp")
+      .select(col("supp"), col("n_items"),
+        OracleMath.stableRound(col("sum_lag").cast("double") / n, 6).as("mean_lag_r"),
+        col("p90_lag"), col("n_slow"),
+        OracleMath.stableRound(p, 6).as("slow_rate_r"),
+        OracleMath.stableRound(center - half, 6).as("wilson_lo_r"))
+      .orderBy(col("supp"))
+  }
+
+  val supplierScorecardOracle: String = {
+    val n = "CAST(n_items AS DOUBLE)"
+    val p = s"CAST(n_slow AS DOUBLE) / $n"
+    val denom = s"(1.0 + 3.8416 / $n)"
+    val center = s"(($p) + 1.9208 / $n) / $denom"
+    val half = s"1.96 * sqrt(($p) * (1.0 - ($p)) / $n + 0.9604 / ($n * $n)) / $denom"
+    s"""WITH lags AS (SELECT l_suppkey AS supp,
+       |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |base AS (SELECT supp, count(*) AS n_items, CAST(sum(lag) AS BIGINT) AS sum_lag,
+       |    CAST(sum(CASE WHEN lag > $SlowLagDays THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
+       |  FROM lags GROUP BY 1),
+       |cells AS (SELECT supp, lag, count(*) AS w FROM lags GROUP BY 1, 2),
+       |c AS (SELECT supp, lag, w,
+       |    CAST(sum(w) OVER (PARTITION BY supp ORDER BY lag
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(w) OVER (PARTITION BY supp) AS BIGINT) AS tot
+       |  FROM cells),
+       |p90 AS (SELECT supp, lag AS p90_lag FROM c
+       |        WHERE cum * 100 >= 90 * tot AND (cum - w) * 100 < 90 * tot)
+       |SELECT b.supp, b.n_items,
+       |  ${OracleMath.stableRoundSql(s"CAST(sum_lag AS DOUBLE) / $n", 6)} AS mean_lag_r,
+       |  p90.p90_lag, b.n_slow,
+       |  ${OracleMath.stableRoundSql(p, 6)} AS slow_rate_r,
+       |  ${OracleMath.stableRoundSql(s"($center) - ($half)", 6)} AS wilson_lo_r
+       |FROM base b JOIN p90 ON b.supp = p90.supp
+       |ORDER BY b.supp""".stripMargin
+  }
+
   /** Zone-map block size for [[zoneMapAudit]] (rows per synthetic block in
     * key order — stands in for a parquet row group).
     */

@@ -449,6 +449,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists { case (a, szA, _, c, b) => c >= 0.9 && sizes(b) > szA })
   }
 
+  test("q257 scorecard: wilson bound below rate, p90 replayed in-JVM for a spot supplier") {
+    import graft.ops.CoreOps
+    val got = CoreOps.supplierScorecard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, mean, p90, nSlow, rate, lo) =>
+      assert(nSlow <= n && lo <= rate + 1e-9)
+      assert(p90.toDouble >= 0.0 && mean >= 0.0)
+    }
+    assert(got.exists(_._5 > 0L), "the slow threshold must bite on this data")
+    // in-JVM p90 replay for the busiest supplier
+    val spot = got.maxBy(_._2)._1
+    val lags = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_suppkey") === spot)
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    var cum = 0L
+    val exp = lags.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (v, xs) => (v, xs.length.toLong) }
+      .find { case (_, w) => cum += w; cum * 100 >= 90L * lags.length }.get._1
+    assert(got.find(_._1 == spot).get._4 === exp)
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
