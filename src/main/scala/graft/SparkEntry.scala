@@ -456,6 +456,8 @@ object SparkEntry {
     "q256_containment"         -> ((s, d) => DedupOps.containmentPairs(s, d)),
     // -- supplier ship-lag scorecard (mean/p90/Wilson-bounded slow rate) --------
     "q257_supplier_scorecard"  -> ((s, d) => CoreOps.supplierScorecard(s, d)),
+    // -- daily growth accounting (new/returning/resurrected/churned) ------------
+    "q258_growth_accounting"   -> ((s, d) => EventOps.growthAccounting(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1004,6 +1006,7 @@ object SparkEntry {
     "q255_zonemap_audit" -> CoreOps.zoneMapAuditOracle,
     "q256_containment" -> DedupOps.containmentPairsOracle,
     "q257_supplier_scorecard" -> CoreOps.supplierScorecardOracle,
+    "q258_growth_accounting" -> EventOps.growthAccountingOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -845,6 +845,79 @@ object EventOps {
       |FROM n ORDER BY event_type, day""".stripMargin
   }
 
+  /** Growth-accounting window (days): a user returning within this window
+    * is "returning"; after it, "resurrected"; a user with no activity for
+    * this window after their last day counts as "churned" on day+window+1.
+    */
+  val GrowthWindowDays = 7L
+
+  /** Daily growth accounting — the canonical product-health decomposition
+    * (new ∕ returning ∕ resurrected ∕ churned) that q122's cohort triangle
+    * and q236's LTV curves don't give: each active (user, day) is
+    * classified by the gap to the user's PREVIOUS active day (none → new;
+    * ≤ 7 d → returning; > 7 d → resurrected), and churn is the
+    * forward-looking mirror (no activity for 7 d after a last-active day →
+    * churned on day+8, clipped to the observation horizon). Identity:
+    * active = new + returning + resurrected, every day (spec-pinned).
+    *
+    * Scale shape: ONE user-keyed shuffle of the distinct (user, day) pairs
+    * powers both the lag and the lead; the daily rollups are days-sized.
+    * All classification is exact integer date arithmetic.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val horizon = Tables.events(spark, dir)
+      .agg(max(date_trunc("day", col("ts"))).as("h"))
+    val classified = ud.select(col("day"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("day"), col("prev")) <= GrowthWindowDays, "returning")
+        .otherwise("resurrected").as("cls"))
+    val daily = classified.groupBy(col("day"))
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "returning", 1L).otherwise(0L)).as("n_returning"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    val churn = ud
+      .filter(col("next").isNull ||
+        datediff(col("next"), col("day")) > GrowthWindowDays)
+      .select((col("day") + expr(s"INTERVAL ${GrowthWindowDays + 1} DAYS")).as("day"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("h"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    daily.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_returning"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"), col("n_active"))
+      .orderBy(col("day"))
+  }
+
+  val growthAccountingOracle: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+       |h AS (SELECT max(date_trunc('day', ts)) AS h FROM events),
+       |x AS (SELECT *, lag(day) OVER w AS prev, lead(day) OVER w AS next
+       |      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |daily AS (SELECT day,
+       |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL
+       |      AND datediff('day', prev, day) <= $GrowthWindowDays THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL
+       |      AND datediff('day', prev, day) > $GrowthWindowDays THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       |    count(*) AS n_active
+       |  FROM x GROUP BY 1),
+       |churn AS (SELECT day + INTERVAL ${GrowthWindowDays + 1} DAY AS day, count(*) AS n_churned
+       |  FROM x, h
+       |  WHERE (next IS NULL OR datediff('day', day, next) > $GrowthWindowDays)
+       |    AND day + INTERVAL ${GrowthWindowDays + 1} DAY <= h.h
+       |  GROUP BY 1)
+       |SELECT d.day, d.n_new, d.n_returning, d.n_resurrected,
+       |  CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned, d.n_active
+       |FROM daily d LEFT JOIN churn c ON d.day = c.day
+       |ORDER BY d.day""".stripMargin
+
   /** Cohort retention: users grouped by first-activity week, counted in each
     * subsequent week-offset they remain active — the canonical product-
     * analytics triangle. Two aggregations and one join on user_id; the
