@@ -1513,7 +1513,6 @@ object CoreOps {
   val DecileDriftSplitDate = "1998-05-01"
 
   def decileDrift(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Global rank via the q102 two-pass distributed prefix-sum (PrefixSum):
     // range-partition on the unique (v, okey) order, partition-local
     // row_number + broadcast per-partition offsets — never an unpartitioned
