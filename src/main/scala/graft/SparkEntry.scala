@@ -458,6 +458,10 @@ object SparkEntry {
     "q257_supplier_scorecard"  -> ((s, d) => CoreOps.supplierScorecard(s, d)),
     // -- daily growth accounting (new/returning/resurrected/churned) ------------
     "q258_growth_accounting"   -> ((s, d) => EventOps.growthAccounting(s, d)),
+    // -- vocabulary drift between ingest batches (per-term chi-square) ----------
+    "q259_vocab_drift"         -> ((s, d) => TextOps.vocabDrift(s, d)),
+    // -- dataset card: one-page corpus summary ----------------------------------
+    "q260_dataset_card"        -> ((s, d) => TextOps.datasetCard(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1007,6 +1011,8 @@ object SparkEntry {
     "q256_containment" -> DedupOps.containmentPairsOracle,
     "q257_supplier_scorecard" -> CoreOps.supplierScorecardOracle,
     "q258_growth_accounting" -> EventOps.growthAccountingOracle,
+    "q259_vocab_drift" -> TextOps.vocabDriftOracle,
+    "q260_dataset_card" -> TextOps.datasetCardOracle,
     "q164_stream_bitmap_distinct" -> graft.streaming.EventsStream.bitmapDistinctOracle,
     "q166_value_drift" -> EventOps.valueDriftOracle,
     "q167_snapshot_changelog" -> CoreOps.snapshotChangelogOracle,

@@ -90,6 +90,197 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset card — the one-page corpus summary a training-data release
+    * ships with (the "datasheets for datasets" practice), computed as ONE
+    * query: volume, duplication, quality, language mix and the token-count
+    * median, each a (metric, value) row. Every value is exact-integer or
+    * fixed-expression arithmetic:
+    *
+    *  - duplication rates reuse q35/q36's group identities (distinct texts
+    *    / distinct word sets vs docs);
+    *  - mean quality sums the DECIMAL(12,4)-quantized q32 score (order-free
+    *    exact, the q210 discipline) before one division;
+    *  - the token median is an exact lower median on the BOUNDED token
+    *    domain (the q242 crossing predicate on token-count cells);
+    *  - language concentration is the max language share.
+    *
+    * Scale shape: five independent corpus aggregates (each one scan +
+    * tiny shuffle) unioned into a 9-row report — no metric ever
+    * materializes more than its own aggregate.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val qual = OracleMath.stableRound(
+      least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+        least(meanLen / 8.0, lit(1.0)) * 0.3, 4)
+      .cast(org.apache.spark.sql.types.DecimalType(12, 4))
+
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        size(ws).cast("long").as("n_tokens"), qual.as("q"))
+
+    val vol = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tok"),
+      countDistinct(col("text")).as("d_text"),
+      countDistinct(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        .as("d_ws"),
+      sum(col("q")).as("q_sum"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val topLang = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_lang_docs"))
+    // exact lower median of token counts on the bounded domain
+    val cells = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("w"))
+    val cw = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy()
+    val med = cells
+      .withColumn("cum", sum(col("w")).over(cw))
+      .withColumn("tot", sum(col("w")).over(tw))
+      .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("w")) * 2 < col("tot"))
+      .select(col("n_tokens").cast("double").as("p50_tokens"))
+
+    def metric(ord: Int, name: String, v: Column): Column =
+      struct(lit(ord.toLong).as("ord"), lit(name).as("metric"), v.cast("double").as("value"))
+    vol.crossJoin(broadcast(topLang)).crossJoin(broadcast(med))
+      .select(explode(array(
+        metric(1, "n_docs", col("n_docs")),
+        metric(2, "n_tokens", col("n_tok")),
+        metric(3, "mean_tokens_per_doc", OracleMath.stableRound(
+          col("n_tok").cast("double") / col("n_docs").cast("double"), 4)),
+        metric(4, "p50_tokens", col("p50_tokens")),
+        metric(5, "exact_dup_pct", OracleMath.stableRound(
+          lit(1.0) - col("d_text").cast("double") / col("n_docs").cast("double"), 6)),
+        metric(6, "wordset_dup_pct", OracleMath.stableRound(
+          lit(1.0) - col("d_ws").cast("double") / col("n_docs").cast("double"), 6)),
+        metric(7, "mean_quality", OracleMath.stableRound(
+          col("q_sum").cast("double") / col("n_docs").cast("double"), 4)),
+        metric(8, "n_languages", col("n_langs")),
+        metric(9, "top_lang_share", OracleMath.stableRound(
+          col("top_lang_docs").cast("double") / col("n_docs").cast("double"), 6)))).as("m"))
+      .select(col("m.ord").as("ord"), col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy(col("ord"))
+  }
+
+  val datasetCardOracle: String = {
+    val q4 = OracleMath.stableRoundSql(
+      "least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + " +
+        "least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)
+    s"""WITH base AS (SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    len(list_filter(string_split(text,' '),
+       |        w -> list_contains([${enStop.map("'" + _ + "'").mkString(", ")}], w))) AS sw,
+       |    list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl,
+       |    len(string_split(text,' ')) AS n_tok
+       |  FROM documents),
+       |b2 AS (SELECT *, CAST($q4 AS DECIMAL(12,4)) AS q FROM base),
+       |vol AS (SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tok,
+       |    count(DISTINCT text) AS d_text,
+       |    count(DISTINCT array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS d_ws,
+       |    sum(q) AS q_sum,
+       |    count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs
+       |  FROM b2),
+       |toplang AS (SELECT max(c) AS top_lang_docs FROM
+       |  (SELECT count(*) AS c FROM base GROUP BY lang)),
+       |cells AS (SELECT n_tokens, count(*) AS w FROM base GROUP BY 1),
+       |cc AS (SELECT n_tokens, w,
+       |    CAST(sum(w) OVER (ORDER BY n_tokens ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(w) OVER () AS BIGINT) AS tot
+       |  FROM cells),
+       |med AS (SELECT CAST(n_tokens AS DOUBLE) AS p50_tokens FROM cc
+       |        WHERE cum * 2 >= tot AND (cum - w) * 2 < tot)
+       |SELECT CAST(ord AS BIGINT) AS ord, metric, value FROM (
+       |  SELECT 1 AS ord, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM vol
+       |  UNION ALL SELECT 2, 'n_tokens', CAST(n_tok AS DOUBLE) FROM vol
+       |  UNION ALL SELECT 3, 'mean_tokens_per_doc',
+       |    ${OracleMath.stableRoundSql("CAST(n_tok AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} FROM vol
+       |  UNION ALL SELECT 4, 'p50_tokens', p50_tokens FROM med
+       |  UNION ALL SELECT 5, 'exact_dup_pct',
+       |    ${OracleMath.stableRoundSql("1.0 - CAST(d_text AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} FROM vol
+       |  UNION ALL SELECT 6, 'wordset_dup_pct',
+       |    ${OracleMath.stableRoundSql("1.0 - CAST(d_ws AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} FROM vol
+       |  UNION ALL SELECT 7, 'mean_quality',
+       |    ${OracleMath.stableRoundSql("CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} FROM vol
+       |  UNION ALL SELECT 8, 'n_languages', CAST(n_langs AS DOUBLE) FROM vol
+       |  UNION ALL SELECT 9, 'top_lang_share',
+       |    ${OracleMath.stableRoundSql("CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} FROM vol CROSS JOIN toplang
+       |) ORDER BY ord""".stripMargin
+  }
+
+  /** Vocabulary-drift parameters: minimum total occurrences for a term to
+    * be tested (rare terms produce noise chi-squares) and the report size.
+    */
+  val VocabDriftMinFreq = 10L
+  val VocabDriftTopK = 20
+
+  /** Vocabulary drift between ingest batches — the text-level batch
+    * monitor beside q166's value drift and q243's volume CUSUM: term
+    * occurrence counts in two deterministic document batches (doc_id
+    * parity — the stand-in for consecutive ingest batches), each frequent
+    * term scored by its 2×2 homogeneity chi-square contribution (observed
+    * vs expected under the batch marginals). A vocabulary shift — new
+    * boilerplate, a source change, a language mix move — surfaces as
+    * high-chi2 terms long before aggregate counts move.
+    *
+    * Exactness: all counts and marginals are exact integers from ONE
+    * term-keyed aggregation; each chi-square contribution is one fixed
+    * float expression over them (identical in both engines, so even the
+    * chi2-ORDERED top-K hash-matches); the frequency floor is an integer
+    * predicate. Nothing document-sized shuffles — only (term, counts).
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(2L)).as("era"), explode(words(col("text"))).as("term"))
+    val cells = terms.groupBy(col("term"))
+      .agg(sum(when(col("era") === 0L, 1L).otherwise(0L)).as("e"),
+        sum(when(col("era") === 1L, 1L).otherwise(0L)).as("l"))
+      .filter(col("e") + col("l") >= VocabDriftMinFreq)
+    val tot = terms.groupBy()
+      .agg(sum(when(col("era") === 0L, 1L).otherwise(0L)).as("te"),
+        sum(when(col("era") === 1L, 1L).otherwise(0L)).as("tl"))
+    val expE = (col("e") + col("l")).cast("double") * col("te").cast("double") /
+      (col("te") + col("tl")).cast("double")
+    val expL = (col("e") + col("l")).cast("double") * col("tl").cast("double") /
+      (col("te") + col("tl")).cast("double")
+    val chi2 = (col("e").cast("double") - expE) * (col("e").cast("double") - expE) / expE +
+      (col("l").cast("double") - expL) * (col("l").cast("double") - expL) / expL
+    cells.crossJoin(broadcast(tot))
+      .withColumn("chi2", chi2)
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(VocabDriftTopK)
+      .select(col("term"), col("e").as("n_batch0"), col("l").as("n_batch1"),
+        OracleMath.stableRound(col("chi2"), 6).as("chi2_r"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2").desc, col("term"))).cast("long").as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  val vocabDriftOracle: String = {
+    val expE = "CAST(e + l AS DOUBLE) * CAST(te AS DOUBLE) / CAST(te + tl AS DOUBLE)"
+    val expL = "CAST(e + l AS DOUBLE) * CAST(tl AS DOUBLE) / CAST(te + tl AS DOUBLE)"
+    val chi2 = s"(CAST(e AS DOUBLE) - ($expE)) * (CAST(e AS DOUBLE) - ($expE)) / ($expE) + " +
+      s"(CAST(l AS DOUBLE) - ($expL)) * (CAST(l AS DOUBLE) - ($expL)) / ($expL)"
+    s"""WITH t AS (SELECT doc_id % 2 AS era, unnest(string_split(text, ' ')) AS term
+       |           FROM documents),
+       |cells AS (SELECT term,
+       |    CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+       |    CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l
+       |  FROM t GROUP BY 1 HAVING sum(1) >= $VocabDriftMinFreq),
+       |tot AS (SELECT CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS te,
+       |               CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tl
+       |        FROM t),
+       |s AS (SELECT term, e, l, $chi2 AS chi2 FROM cells CROSS JOIN tot)
+       |SELECT term, e AS n_batch0, l AS n_batch1,
+       |  ${OracleMath.stableRoundSql("chi2", 6)} AS chi2_r,
+       |  CAST(row_number() OVER (ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
+       |FROM s ORDER BY chi2 DESC, term LIMIT $VocabDriftTopK""".stripMargin
+  }
+
   /** Cohen's kappa for the q31 language-ID classifier against the labeled
     * `lang` column — chance-corrected agreement, the model-eval statistic
     * beside raw accuracy (q208) and rate intervals (q209): a classifier

@@ -488,6 +488,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0L) && got.exists(_._4 > 0L) && got.exists(_._5 > 0L))
   }
 
+  test("q259 vocab drift: chi2 replayed from emitted counts; ordered and floored") {
+    import graft.ops.TextOps
+    val got = TextOps.vocabDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= TextOps.VocabDriftTopK)
+    assert(got.map(_._5).toSeq === (1L to got.length.toLong))
+    assert(got.map(_._4).toSeq === got.map(_._4).sortBy(-_).toSeq)
+    got.foreach { case (_, e, l, c, _) =>
+      assert(e + l >= TextOps.VocabDriftMinFreq && c >= 0.0)
+    }
+    // replay chi2 for the top term from exact marginals
+    val eras = Tables.documents(spark, sf)
+      .select(pmod(col("doc_id"), lit(2L)).as("era"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("era")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (te, tl) = (eras(0L).toDouble, eras(1L).toDouble)
+    val top = got.head
+    val (e, l) = (top._2.toDouble, top._3.toDouble)
+    val expE = (e + l) * te / (te + tl); val expL = (e + l) * tl / (te + tl)
+    val chi2 = (e - expE) * (e - expE) / expE + (l - expL) * (l - expL) / expL
+    assert(math.abs(top._4 - BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("q260 dataset card: all nine metrics present and internally consistent") {
+    import graft.ops.TextOps
+    val got = TextOps.datasetCard(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got.size === 9)
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    assert(got("n_docs") === nDocs)
+    assert(got("mean_tokens_per_doc") > 0.0 &&
+      math.abs(got("n_tokens") / nDocs - got("mean_tokens_per_doc")) < 1e-3)
+    assert(got("exact_dup_pct") >= 0.0 && got("exact_dup_pct") < 1.0)
+    // a wordset group is at least as coarse as exact-text identity
+    assert(got("wordset_dup_pct") >= got("exact_dup_pct") - 1e-9)
+    assert(got("p50_tokens") >= 1.0 && got("p50_tokens") <= 100.0)
+    assert(got("mean_quality") > 0.0 && got("mean_quality") <= 1.0)
+    assert(got("top_lang_share") >= 1.0 / got("n_languages") &&
+      got("top_lang_share") <= 1.0)
+  }
+
   test("q158 manifest: totals reconcile; checksum invariant to partitioning") {
     import graft.ops.SamplingOps
     val docs = Tables.documents(spark, sf)
