@@ -57,6 +57,30 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("IntervalJoin equals the brute-force range join on randomized inputs") {
+    // the sweep-line exec is now a second custom physical operator — pin it
+    // against the trivially-correct range-condition join on seeded random
+    // data: arbitrary overlap/nesting, duplicate times, empty and inverted
+    // intervals, points outside every interval
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val pts = (1 to 300).map(i => (rnd.nextInt(200).toLong, i.toLong)).toDF("t", "pid")
+      val ivs = (1 to 40).map { i =>
+        val s = rnd.nextInt(220).toLong - 10
+        (s, s + rnd.nextInt(30).toLong - 2, i.toLong) // some empty/inverted
+      }.toDF("s", "e", "iid")
+      val got = graft.plans.IntervalJoin.pointInInterval(pts, ivs, pts("t"), ivs("s"), ivs("e"))
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val brute = pts.join(ivs, pts("t") >= ivs("s") && pts("t") < ivs("e"))
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === brute, s"trial $trial")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("batch events decode lands in a sane year range (unit-drift guard)") {
     val r = Tables.events(spark, sf)
       .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
