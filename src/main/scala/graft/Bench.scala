@@ -116,12 +116,13 @@ object Bench {
       }
       case None => selected0
     }
-    // Opt-in per-query shuffle attribution (SPARK_GRAFT_BENCH_SHUFFLE=1): a
-    // SparkListener tallies executor shuffle-write volume; the per-query
-    // delta across the timed reps (listener bus drained at each boundary)
-    // rides the contract line as bytes-per-execution. Wall-time alone can
-    // hide a plan regression on a fast host — shuffle volume cannot.
-    val tallyShuffle = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("1")
+    // Per-query shuffle attribution (default ON; SPARK_GRAFT_BENCH_SHUFFLE=0
+    // disables): a SparkListener tallies executor shuffle-write volume; the
+    // per-query delta across the timed reps (listener bus drained at each
+    // boundary) rides the contract line as bytes-per-execution. Wall-time
+    // alone can hide a plan regression on a fast host — shuffle volume
+    // cannot — so the round record always carries it.
+    val tallyShuffle = !sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("0")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     if (tallyShuffle) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -155,6 +156,11 @@ object Bench {
         org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
         (shuffleBytes.get() - bytes0) / reps
       } else 0L
+      // drop operator-internal persisted intermediates between queries — a
+      // 250-query bench must not accumulate one cached frame per
+      // PrefixSum/dedup call (each rep rebuilds its DataFrame from scratch,
+      // so nothing released here is ever re-read)
+      graft.ops.Caches.release()
       (name, times.head, times(times.size / 2), err, perExecBytes)
     }
     val qs = results.map { case (k, mn, _, _, _) => s"\"" + k + "\":" + mn }
@@ -171,10 +177,36 @@ object Bench {
     else ""
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
+    // Host-noise sanity flag (the r7 lesson: one noise-contaminated driver
+    // run archived q39 at 10× its true cost). The repo carries a committed
+    // per-query reference record (tools/bench_ref_sf0.1.txt, "name seconds"
+    // lines from a quiet-host min-of-3 run); the common-slice ratio of this
+    // run vs that record rides the contract line, with sanity_ok=false
+    // whenever the run is >25% off — an archived BENCH that fails its own
+    // flag should be re-run, not trusted.
+    val sanityField = {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_ref_sf0.1.txt")
+      val f = new java.io.File(refPath)
+      if (f.exists() && sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
+        val src = scala.io.Source.fromFile(f)
+        val ref = try src.getLines().flatMap { l =>
+          l.trim.split("\\s+") match {
+            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+            case _ => None
+          }
+        }.toMap finally src.close()
+        val common = results.collect { case (k, mn, _, false, _) if ref.contains(k) => (mn, ref(k)) }
+        if (common.size >= 20) {
+          val ratio = common.map(_._1).sum / common.map(_._2).sum
+          val ok = ratio <= 1.25 && ratio >= 0.75
+          s""","sanity_common_n":${common.size},"sanity_vs_ref":${math.rint(ratio * 10000) / 10000},"sanity_ok":$ok"""
+        } else ""
+      } else ""
+    }
     // exactly ONE JSON line (the driver contract): per-query mins+medians
     // inline — the per-query map is what makes cross-round regression
     // attribution possible, so it must be on the line the driver captures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField$sanityField}""")
     spark.stop()
   }
 }

@@ -33,6 +33,19 @@ object Steps {
   import Probe.time
 
   def run(spark: SparkSession, dir: String, what: String): Unit = what match {
+    case "winaudit" =>
+      // enumerate every query whose optimized plan contains a partition-less
+      // window spec (the PlanSpec structural audit's discovery pass)
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        try {
+          val offs = PlanAudit.offendingWindows(spark, name, dir)
+          if (offs.nonEmpty)
+            println(s"[winaudit] $name: ${offs.size} unpartitioned window(s): " +
+              offs.map(_.take(80)).mkString(" | "))
+        } catch { case e: Throwable =>
+          println(s"[winaudit] $name: ERROR ${e.getMessage}")
+        } finally ops.Caches.release()
+      }
     case "q38" =>
       time("q38 full")(ops.DedupOps.nearDupJaccard(spark, dir).count())
     case "q39" =>

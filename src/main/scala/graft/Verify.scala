@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-internal persisted intermediates — a full-registry
+      // sweep must not accumulate one cached frame per PrefixSum/dedup call
+      finally graft.ops.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for operator-internal persisted intermediates (PrefixSum's
+  * range-partitioned pass, the dedup families' token-id tables, …) so a long
+  * sweep over the whole query registry doesn't accumulate corpus-sized cached
+  * datasets: Verify and Bench call [[release]] after each query's action
+  * completes.
+  *
+  * Contract: a released plan must not be RE-executed afterwards in a way that
+  * assumes the cached contents — for PrefixSum that is safe even on
+  * recompute (the offset CASE literals are pid-keyed against the exec's
+  * memoized shuffle, not re-sampled), and both Verify and Bench rebuild each
+  * query's DataFrame from scratch per execution anyway. Specs that hold a
+  * frame across assertions simply don't call release mid-test.
+  */
+object Caches {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** `df.persist(MEMORY_AND_DISK)` + enrollment for the next [[release]]. */
+  def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** `df.persistTracked()` suffix form for call-chain sites. */
+  implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
+    def persistTracked(): DataFrame = Caches.persistTracked(df)
+  }
+
+  /** Unpersist (non-blocking) everything enrolled since the last release. */
+  def release(): Unit = {
+    var d = tracked.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = tracked.poll()
+    }
+  }
+}

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -365,7 +367,7 @@ object CoreOps {
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val df = urgentLineRevenue(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       df.count() // compile + run under the forced thresholds
       df
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -1205,13 +1207,16 @@ object CoreOps {
     */
   def intervalJoinMonthly(spark: SparkSession, dir: String): DataFrame = {
     val origin = to_date(lit("1995-01-01"))
+    // timestamp_ntz on BOTH sides: o_orderdate reads as NTZ and the operator
+    // requires one shared time type (it compares raw values with a single
+    // ordering — an NTZ/LTZ mix would only be right in a UTC session)
     val months = spark.range(0, 80)
       .select(add_months(origin, col("id").cast("int"))
-        .cast("timestamp").as("month"),
+        .cast("timestamp_ntz").as("month"),
         add_months(origin, col("id").cast("int") + 1)
-          .cast("timestamp").as("month_end"))
+          .cast("timestamp_ntz").as("month_end"))
     val orders = Tables.orders(spark, dir)
-      .select(col("o_orderdate"), col("o_totalprice"))
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
     graft.plans.IntervalJoin.pointInInterval(
         orders, months, orders("o_orderdate"), months("month"), months("month_end"))
       .groupBy(col("month"))
@@ -2096,18 +2101,21 @@ object CoreOps {
     * a broadcast cross-join against the 7-row boundary table + conditional
     * sum (at 100 TB the boundaries ride a broadcast array and assignment is
     * a row-local binary search — same data flow, the 7-row broadcast IS
-    * that array). The rank windows run on the ~1 % sample only.
+    * that array). The sample ranks run through [[PrefixSum]]'s two-pass
+    * prefix sum (a 1 % sample of 100 TB is still 1 TB — it must never
+    * collapse into one window task), and the sample size ns falls out of the
+    * same per-partition-totals collect as a driver scalar.
     */
   def rangeBucketAudit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sampled = Tables.orders(spark, dir)
       .filter(expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100 = 0"))
       .select(col("o_totalprice").as("v"), col("o_orderkey").as("okey"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("okey"))))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
-    val bounds = sampled
-      .select(explode(expr("sequence(1, 7)")).as("k"), col("rn"), col("ns"), col("v"))
-      .filter(col("rn") === expr("(k * ns) DIV 8"))
+    val cum = PrefixSum.cumSums(sampled, Seq(col("v"), col("okey")),
+      Seq("rn" -> lit(1L)), PrefixSum.defaultParts(spark))
+    val ns = cum.totals("rn")
+    val bounds = cum.df
+      .select(explode(expr("sequence(1, 7)")).as("k"), col("cum_rn"), col("v"))
+      .filter(col("cum_rn") === expr(s"(CAST(k AS BIGINT) * ${ns}L) DIV 8"))
       .select(col("v").as("b"))
     val total = Tables.orders(spark, dir).agg(count(lit(1)).as("n_total"))
     Tables.orders(spark, dir)

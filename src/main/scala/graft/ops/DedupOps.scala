@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -266,7 +268,7 @@ object DedupOps {
       .agg(array_distinct(collect_list(col("bigram"))).as("ws0"))
       // two consumers downstream (dictionary build + token-id build) — cache
       // the shingle sets so generation+regroup runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     nearDupJaccardGeneral(spark, docs, threshold)
   }
 
@@ -332,17 +334,15 @@ object DedupOps {
     }
 
     // global-rarity dictionary over corpus ∪ delta (vocabulary-sized; the
-    // per-batch refresh of the persisted index's dictionary)
-    val ranks = all.select(explode(col("ws0")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("df"))
-      .select(col("word"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("df"), col("word"))).as("tok"))
+    // per-batch refresh of the persisted index's dictionary) — ranked by the
+    // PrefixSum two-pass, never a one-task vocabulary sort
+    val ranks = PrefixSum.rarityRanks(
+      all.select(explode(col("ws0")).as("word")), "word")
     val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
       .join(broadcast(ranks), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
     // exact integer prefix/length bounds — see ppjoinCandidates for why the
     // float forms lose boundary pairs
@@ -404,16 +404,15 @@ object DedupOps {
     graft.functions.VectorFunctions.register(spark)
     val all = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
-    val ranks = all.select(explode(col("ws0")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("df"))
-      .select(col("word"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("df"), col("word"))).as("tok"))
+    // rarity dictionary via the PrefixSum two-pass rank (q231's treatment —
+    // a web-scale vocabulary never collapses into one window task)
+    val ranks = PrefixSum.rarityRanks(
+      all.select(explode(col("ws0")).as("word")), "word")
     val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
       .join(broadcast(ranks), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tNum = math.round(ContainThreshold * 1000).toInt
     val tDen = 1000
     val prefixLenA = (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1).cast("int")
@@ -506,14 +505,11 @@ object DedupOps {
     // Global rarity rank of every word (vocabulary-sized → broadcast). The
     // rank doubles as an integer token id: the verify step then merges sorted
     // int arrays (codegen kernel) instead of intersecting string arrays, and
-    // the shuffle moves ~4B per token instead of whole words. At web scale
-    // the exact window-rank would become an approximate df-ordered dictionary.
-    val ranks = docs
-      .select(explode(col("ws0")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("df"))
-      .select(col("word"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("df"), col("word"))).as("tok"))
+    // the shuffle moves ~4B per token instead of whole words. The rank itself
+    // is the PrefixSum two-pass — exact and fully distributed even for a
+    // web-scale vocabulary (no one-task window sort).
+    val ranks = PrefixSum.rarityRanks(
+      docs.select(explode(col("ws0")).as("word")), "word")
 
     // int-ified ascending word-set: rarest tokens get the smallest ids, so a
     // doc's prefix (PPJoin) is simply the first ⌊(1-t)·sz⌋+1 array elements.
@@ -526,7 +522,7 @@ object DedupOps {
       .join(broadcast(ranks), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
     // EXACT integer arithmetic for the filter bounds — float forms are wrong
     // at boundaries: 1-0.9 = 0.0999…8 makes floor(sz·0.1)+1 one too short for
@@ -630,7 +626,7 @@ object DedupOps {
     val sigd = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws"))
       .withColumn("sig", minhashSigs(transform(col("ws"), w => wordHash(w)), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val banded = sigd.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(nBands - 1)),
           b => struct(b.cast("long").as("band"),
@@ -642,7 +638,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.band").as("band"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val perBandCand = cand.groupBy(col("band")).agg(count(lit(1)).as("n_cand"))
     val firstBand = cand.groupBy(col("doc_a"), col("doc_b")).agg(min(col("band")).as("band"))
     val wsA = sigd.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"))
@@ -819,7 +815,7 @@ object DedupOps {
       .select(col("doc_id"), sort_array(transform(hs, _.cast("int"))).as("ws"),
         bandKeys(hs).as("bands"))
       .withColumn("sz", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
     val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
     val cands = banded.as("a").join(banded.as("b"), Seq("band"))
@@ -884,7 +880,7 @@ object DedupOps {
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
     val groups = ds.groupBy(col("ws0"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val reps = groups.select(col("rep").as("doc_id"), col("ws0"))
     val pairs = nearDupPairsOn(spark, reps, threshold)
       .select(col("doc_a"), col("doc_b"))
@@ -896,7 +892,7 @@ object DedupOps {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // One round = propagate (min label over the neighborhood) then
     // pointer-jump (label ← label(label), path halving). The jump turns
     // O(diameter) rounds into O(log diameter) — the near-dup graph of a
@@ -1091,16 +1087,15 @@ object DedupOps {
     val prefLen = q * maxDist + 1
     val minLen = q * maxDist + q // below this a string has < q·d+1 grams
     val names = names0.withColumn("len", length(col("name")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
     // distinct q-grams per name; global rarity rank doubles as an int token
     // (same dictionary-encode trick as the PPJoin path: the prefix join
-    // moves 4-byte ints, and rarest-first order is just ascending tok)
+    // moves 4-byte ints, and rarest-first order is just ascending tok; the
+    // rank is the PrefixSum two-pass — no one-task gram-dictionary sort)
     val grams = names.select(col("name"), col("len"),
       explode(expr(s"array_distinct(transform(sequence(1, CAST(length(name) AS INT) - ${q - 1}), i -> substr(name, i, $q)))")).as("g"))
-    val ranks = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .select(col("g"), row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("df"), col("g"))).as("tok"))
+    val ranks = PrefixSum.rarityRanks(grams.select(col("g")), "g")
     val pref = grams.join(broadcast(ranks), "g")
       .groupBy(col("name"), col("len"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -860,10 +862,12 @@ object EventOps {
     * (new ∕ returning ∕ resurrected ∕ churned) that q122's cohort triangle
     * and q236's LTV curves don't give: each active (user, day) is
     * classified by the gap to the user's PREVIOUS active day (none → new;
-    * ≤ 7 d → returning; > 7 d → resurrected), and churn is the
-    * forward-looking mirror (no activity for 7 d after a last-active day →
-    * churned on day+8, clipped to the observation horizon). Identity:
-    * active = new + returning + resurrected, every day (spec-pinned).
+    * ≤ [[GrowthWindowDays]] → returning; > [[GrowthWindowDays]] →
+    * resurrected), and churn is the forward-looking mirror (no activity for
+    * [[GrowthWindowDays]] after a last-active day → churned on
+    * day+[[GrowthWindowDays]]+1, clipped to the observation horizon).
+    * Identity: active = new + returning + resurrected, every day
+    * (spec-pinned).
     *
     * Scale shape: ONE user-keyed shuffle of the distinct (user, day) pairs
     * powers both the lag and the lead; the daily rollups are days-sized.
@@ -1117,7 +1121,7 @@ object EventOps {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nodes = Tables.events(spark, dir).select(col("user_id").as("doc_id")).distinct()
     // the user graph is distinct-user-sized (≪ events) — run the loop's
     // shuffles narrow, same rationale as dedupClusters' edge-count sizing
@@ -1576,7 +1580,7 @@ object EventOps {
     */
   def triangleStats(spark: SparkSession, dir: String): DataFrame = {
     val pairs = cooccurrencePairs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val p1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val p2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c"))
     val p3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
@@ -1658,9 +1662,9 @@ object EventOps {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val teleport = PrScale * 15L / 100L
     var ranks = deg.select(col("src").as("node"), col("deg"), lit(PrScale).as("rank"))
     for (_ <- 1 to PrRounds) {

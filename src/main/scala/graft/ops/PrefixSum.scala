@@ -49,15 +49,16 @@ object PrefixSum {
     */
   def cumSums(df: DataFrame, orderCols: Seq[Column],
               sums: Seq[(String, Column)], nParts: Int): CumResult = {
-    import org.apache.spark.storage.StorageLevel
     val pidCol = "__ps_pid"
     val valCols = sums.map { case (n, c) => c.cast("long").as(s"__ps_v_$n") }
-    val parts = df
+    // persisted via Caches so sweep harnesses can drop it once the consuming
+    // query's action completes (a 250-query sweep otherwise accumulates one
+    // cached range-partitioned frame per cumSums call)
+    val parts = Caches.persistTracked(df
       .select(col("*") +: valCols: _*)
       .repartitionByRange(nParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn(pidCol, spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn(pidCol, spark_partition_id()))
     val aggCols = sums.map { case (n, _) => sum(col(s"__ps_v_$n")).as(n) }
     val totalRows = parts.groupBy(col(pidCol))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -92,6 +93,31 @@ object PrefixSum {
   /** Default partition count for the range pass, matching packSequences. */
   def defaultParts(spark: org.apache.spark.sql.SparkSession): Int =
     math.max(2, spark.sparkContext.defaultParallelism / 4)
+
+  /** Global row number 1..N over `orderCols` (which must form a UNIQUE total
+    * order) — the drop-in for `row_number().over(Window.orderBy(...))` on
+    * unbounded input, as a [[cumSums]] of `lit(1)`. Output: the input columns
+    * plus `name` (long).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], name: String,
+                      nParts: Int): DataFrame =
+    cumSums(df, orderCols, Seq("rn" -> lit(1L)), nParts).df
+      .withColumnRenamed("cum_rn", name)
+
+  /** Rarity-rank token dictionary: for every distinct value of `tokenCol` in
+    * `tokens`, its global rank 1..V by (document frequency ASC, token ASC) as
+    * an int id `tok` — rarest-first, so a PPJoin/ED-Join prefix is simply the
+    * first elements of the sorted id array. The rank is the [[globalRowNumber]]
+    * two-pass prefix sum: a web-scale vocabulary never collapses into one
+    * window task. (`Int` ids: the verify kernels merge int arrays; a >2B-term
+    * dictionary would switch the kernel to longs before overflowing.)
+    */
+  def rarityRanks(tokens: DataFrame, tokenCol: String): DataFrame = {
+    val freq = tokens.groupBy(col(tokenCol)).agg(count(lit(1)).as("df"))
+    globalRowNumber(freq, Seq(col("df"), col(tokenCol)), "tok",
+        defaultParts(tokens.sparkSession))
+      .select(col(tokenCol), col("tok").cast("int").as("tok"))
+  }
 }
 
 /** Exact distributed weighted quantiles — the PrefixSum consumer that

@@ -122,18 +122,24 @@ object RetrievalOps {
     * divisions and one add — engine-identical, so the fused ranking
     * hash-matches.
     *
-    * Scale shape: each ranker's candidate list is already top-N-bounded
-    * (BM25 postings are term-filtered before any shuffle; kNN is one narrow
-    * broadcast pass), so the fusion join moves ≤ 2N skinny rows regardless
-    * of corpus size. Rank windows run on the CANDIDATE lists, not the
-    * corpus.
+    * Scale shape: each ranker's top-[[RrfCandidates]] cut is
+    * `orderBy().limit(N)` — Spark's TakeOrderedAndProject (per-partition
+    * heaps + driver merge of N·partitions rows, the q157 pattern), NEVER a
+    * corpus-sized unpartitioned rank window — and only the N survivors are
+    * then ranked (a window over N rows). So the fusion join moves ≤ 2N
+    * skinny rows regardless of corpus size, and nothing corpus-sized ever
+    * collapses into one task. The limit-then-rank rewrite is exact because
+    * both orderings are TOTAL (unique doc_id / vec_id tiebreak): the top-N
+    * rows ARE the rows with rank ≤ N, and ranking the survivors reproduces
+    * their global ranks.
     */
   def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val rb = bm25PerDoc(spark, dir)
+      .orderBy(col("score_total").desc, col("doc_id"))
+      .limit(RrfCandidates.toInt)
       .withColumn("rb", row_number().over(
         Window.orderBy(col("score_total").desc, col("doc_id"))).cast("long"))
-      .filter(col("rb") <= RrfCandidates)
       .select(col("doc_id").as("id_b"), col("rb"))
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
@@ -141,9 +147,10 @@ object RetrievalOps {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(RrfCandidates.toInt)
       .withColumn("rv", row_number().over(
         Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-      .filter(col("rv") <= RrfCandidates)
       .select(col("vec_id").as("id_v"), col("rv"))
     val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0))
@@ -192,9 +199,15 @@ object RetrievalOps {
     * chained argmax CTEs over the same rounded inputs, so every selection
     * and every emitted score hash-matches.
     */
-  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankOn(spark, Tables.embeddings(spark, dir))
+
+  /** [[mmrRerank]] over any (vec_id, embedding) frame — vec_id 0 is the
+    * query; exposed so the degenerate-corpus path (< [[MmrK]] candidates)
+    * is spec-testable without a second parquet fixture.
+    */
+  private[graft] def mmrRerankOn(spark: SparkSession, e: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
     val cand = e.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
@@ -237,8 +250,15 @@ object RetrievalOps {
          |            c.rel AS rel)))),
          |        m -> struct(-m.negid AS id, m.rel AS rel, m.score AS score)),
          |      1)))""".stripMargin
+    // Degenerate-corpus guard: with fewer than MmrK candidates the fold's
+    // remaining rounds argmax over an EMPTY unselected set — array_max
+    // yields a null struct that would surface as null-id rows (the DuckDB
+    // twin simply stops emitting). Dropping null-id entries before the
+    // explode makes both engines stop at |candidates| selections; inside the
+    // fold the null entries are inert (`s.id = c.id` is NULL ⇒ exists=false).
     folded
-      .select(posexplode(expr(selExpr)).as(Seq("pos", "s")))
+      .select(posexplode(expr(s"filter($selExpr, s -> s.id IS NOT NULL)"))
+        .as(Seq("pos", "s")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("vec_id"), col("s.rel").as("rel"),
         OracleMath.stableRound(col("s.score"), 6).as("mmr_score"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -44,7 +46,7 @@ object SamplingOps {
     // persisted: TF and DF are two aggregations over the SAME exploded token
     // stream — without the persist the scan + explode runs twice
     val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tokens.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))

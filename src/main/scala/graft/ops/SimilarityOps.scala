@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -167,7 +169,7 @@ object SimilarityOps {
     val e = e0.select(col("vec_id"), col("embedding"),
         sigBits.reduce(_ + _).as("sig"),
         sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // band keys: 4-bit slices of the signature; candidates share any band.
     // The join moves three longs per row (8 rows per vector), never vectors.
     val banded = e.select(col("vec_id"), explode(expr(
@@ -224,7 +226,7 @@ object SimilarityOps {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
     // loop shuffles sized from the measured edge count (q101's rationale):
     // the pair graph is candidate-bounded, far below the session default

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Caches.TrackedPersist
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -520,7 +522,7 @@ object TextOps {
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val totals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
       .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
@@ -673,7 +675,7 @@ object TextOps {
       .filter(size(words(col("text"))) >= 3)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.ngrams(words(col("text")), 3).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val total = grams.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
     val boiler = grams.distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -796,7 +798,7 @@ object TextOps {
     val hits = grams.join(dup, "gram")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val islands = hits
       .withColumn("grp",
         col("idx") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("idx"))))
@@ -882,7 +884,7 @@ object TextOps {
       val hits = grams.join(dup, "gram")
         .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val rem = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("rr"))
       if (hits.isEmpty) {
         converged = true
@@ -951,7 +953,7 @@ object TextOps {
     val raw = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
       .withColumn("n", size(col("ws")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val d2 = raw
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("m")).drop("m")
@@ -962,7 +964,7 @@ object TextOps {
     val d4 = d3
       .filter(col("n").between(10L, 2000L)
         && (length(col("text")) - (col("n") - 1)) <= lit(12L) * col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val grams = d4.filter(col("n") >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0L), col("n") - w),
@@ -1039,7 +1041,7 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
       .select(col("wcnt"),
         concat(lit(M), array_join(split(col("word"), ""), M + M), lit(M)).as("r"))
-      .persist()
+      .persistTracked()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var dict = dict0

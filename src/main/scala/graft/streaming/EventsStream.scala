@@ -248,10 +248,11 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  /** Oracle: lag/cumsum gap sessionization (new session when the gap ≥ 30
-    * minutes — `session_window` merges overlapping [t, t+gap) windows, so
-    * strictly-smaller gaps chain) + the same watermark cutoff on session
-    * end.
+  /** Oracle: lag/cumsum gap sessionization (new session when the gap is
+    * STRICTLY > 30 minutes — `session_window` merges on touch: a window
+    * [t, t+30 min) joins the next event AT its end boundary, so events
+    * exactly 30 minutes apart are one session; pinned empirically by a real
+    * boundary pair at sf0.1) + the same watermark cutoff on session end.
     */
   val sessionWindowOracle: String =
     """WITH e AS (SELECT user_id, date_trunc('second', ts) AS t,

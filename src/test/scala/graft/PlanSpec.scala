@@ -63,12 +63,14 @@ class PlanSpec extends AnyFunSuite {
     // in the whole plan is the month aggregate above it
     assert(p.split("Exchange hashpartitioning").length - 1 === 1,
       s"point side must stay unshuffled below the interval join:\n${p.take(1200)}")
-    // results equal the composable q64 encoding
-    val viaBins = CoreOps.rangeJoinMonthly(spark, sf).collect()
-      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
-    val viaMerge = df.collect()
-      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(viaMerge === viaBins)
+    // results equal the composable q64 encoding (month normalized to NTZ —
+    // q239 now runs the operator on timestamp_ntz both sides, q64 on LTZ;
+    // under the UTC session the cast is value-identity)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("month", org.apache.spark.sql.functions.col("month").cast("timestamp_ntz"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(df) === rows(CoreOps.rangeJoinMonthly(spark, sf)))
   }
 
   test("binned range join plans as a broadcast HASH join, not nested-loop (q64)") {
@@ -292,6 +294,56 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("windowspecdefinition") || p.contains("__ps_pid"),
           s"$name: cumulative windows must be partition-local (PrefixSum pid):\n${p.take(1500)}")
     }
+  }
+
+  test("structural audit: NO registry query windows over unbounded input unpartitioned") {
+    // The r7 lesson: the named-list version of this assertion (six
+    // hand-picked queries) let two NEW offenders (q182, q256) land in the
+    // same round the named entries were fixed. So: iterate the ENTIRE
+    // registry, flag every windowspecdefinition with an empty partition
+    // clause (PlanAudit's balanced-paren parse of the optimized plan — a
+    // partition-less logical Window can only execute single-task), and
+    // force every exception to justify WHY its window input is bounded.
+    // A query not listed here with such a window fails the build.
+    val bounded: Map[String, String] = Map(
+      "q04_market_share" -> "percent-of-total frame over the aggregated priority groups (enum-sized)",
+      "q05_topk_brand_pct" -> "percent-of-total frame over aggregated brand groups (bounded domain)",
+      "q114_transit_sweep" -> "carry-in offsets over per-MONTH delta totals (calendar-sized)",
+      "q150_budget_sample" -> "largest-remainder rank over per-SOURCE allocations (sources-sized)",
+      "q153_lsh_recall" -> "cumulative recall over the nBands band rollup (band-count-sized)",
+      "q157_bm25_topk" -> "rank over the top-k rows AFTER TakeOrderedAndProject (k=10)",
+      "q166_value_drift" -> "trailing stats over the daily series (calendar-sized)",
+      "q168_weighted_sample" -> "rank over the k selected rows AFTER TakeOrderedAndProject",
+      "q181_stream_heavy_hitters" -> "rank over the Misra-Gries candidate set (sketch-k-sized)",
+      "q182_hybrid_rrf" -> "ranks over the two top-50 candidate lists + the <=100-row fusion, each AFTER TakeOrderedAndProject",
+      "q186_mad_anomaly" -> "median ranks over the daily aggregate (calendar-sized)",
+      "q196_chi2_cells" -> "totals frame over the contingency cells (enum x enum)",
+      "q210_mix_allocation" -> "allocation ranks over per-SOURCE rows (sources-sized)",
+      "q218_pareto_docs" -> "dominance over the 4-dp quality domain (<=10001 cells)",
+      "q21_enrich_stats" -> "success-rate frame over the enrichment rollup (categories-sized)",
+      "q226_benford" -> "totals frame over the 9 leading-digit rows",
+      "q229_share_of_parent" -> "share frames over aggregated nation/region levels (enum-sized)",
+      "q232_survival" -> "at-risk cumulative over the duration-day histogram (calendar-sized)",
+      "q250_quality_percentiles" -> "percentile ranks over the 4-dp quality domain (<=10001 cells)",
+      "q259_vocab_drift" -> "rank over the top-20 rows AFTER TakeOrderedAndProject",
+      "q260_dataset_card" -> "token-median crossing over the distinct doc-length histogram (doc-length-domain-sized)")
+    val offending: Map[String, Seq[String]] =
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        try name -> PlanAudit.offendingWindows(spark, name, sf)
+        finally Caches.release()
+      }.toMap
+    val unexplained = offending.filter { case (n, offs) =>
+      offs.nonEmpty && !bounded.contains(n)
+    }
+    assert(unexplained.isEmpty,
+      "unpartitioned windows over undeclared input (fix the plan or justify " +
+        "boundedness above):\n" + unexplained.map { case (n, offs) =>
+          s"  $n: ${offs.map(_.take(70)).mkString(" | ")}"
+        }.mkString("\n"))
+    // the whitelist must not go stale: every justified query still has the
+    // window it justifies (otherwise the entry is dead weight — delete it)
+    val stale = bounded.keys.filter(n => offending.getOrElse(n, Nil).isEmpty)
+    assert(stale.isEmpty, s"stale whitelist entries (window gone): ${stale.mkString(", ")}")
   }
 
   test("upsert anti-join broadcasts the change-set keys (q96)") {
