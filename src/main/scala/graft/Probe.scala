@@ -33,6 +33,10 @@ object Steps {
   import Probe.time
 
   def run(spark: SparkSession, dir: String, what: String): Unit = what match {
+    case "plan261" =>
+      val df = ops.CoreOps.scd2IntervalAttribution(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.take(4000))
     case "winaudit" =>
       // enumerate every query whose optimized plan contains a partition-less
       // window spec (the PlanSpec structural audit's discovery pass)

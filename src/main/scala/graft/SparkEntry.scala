@@ -462,6 +462,10 @@ object SparkEntry {
     "q259_vocab_drift"         -> ((s, d) => TextOps.vocabDrift(s, d)),
     // -- dataset card: one-page corpus summary ----------------------------------
     "q260_dataset_card"        -> ((s, d) => TextOps.datasetCard(s, d)),
+    // -- KEYED merge interval join: SCD2 regime attribution (no broadcast) ------
+    "q261_scd2_interval_attr"  -> ((s, d) => CoreOps.scd2IntervalAttribution(s, d)),
+    // -- LEFT-OUTER keyed interval join: historical vs CURRENT revenue split ----
+    "q262_scd2_regime_outer"   -> ((s, d) => CoreOps.scd2RegimeOuter(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1064,6 +1068,8 @@ object SparkEntry {
     "q236_cohort_ltv" -> EventOps.cohortLtvOracle,
     "q237_tws_type_profile" -> graft.streaming.TwsMapStateStream.oracleSql,
     "q238_mmr_rerank" -> RetrievalOps.mmrRerankOracle,
+    "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
+    "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

@@ -715,7 +715,17 @@ object CoreOps {
     * One shuffle on the entity key; both windows share the same
     * partitioning, so Catalyst plans a single sort.
     */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryBase(spark, dir)
+      .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
+
+  /** [[scd2History]] without the presentation sort — downstream consumers
+    * (q261/q262's keyed interval join) re-cluster on the entity key anyway,
+    * and the key-hash partitioning the window pass already established is
+    * exactly the distribution the join needs, so no extra exchange appears
+    * between history derivation and join.
+    */
+  private[graft] def scd2HistoryBase(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
@@ -725,7 +735,6 @@ object CoreOps {
       .select(col("o_custkey"), col("o_orderpriority").as("priority"),
         col("o_orderdate").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
   }
 
   /** Point-in-time reconstruction from SCD2 history — the read side of
@@ -1224,6 +1233,99 @@ object CoreOps {
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("month"))
   }
+
+  /** SCD2 regime attribution by the KEYED merge interval join — each order
+    * joins its OWN customer's priority validity interval (q113's SCD2
+    * history; the open current version's end coalesced to a far-future
+    * sentinel so every order lands in exactly one regime), then revenue
+    * rolls up per regime priority. The consumer the keyed mode exists for:
+    * a per-entity validity-interval table is FACT-sized (one row per
+    * priority change per customer) — far beyond any broadcast ceiling — so
+    * both sides hash-cluster on the customer key (SortMergeJoin's exact
+    * contract: two key shuffles, two local sorts, then a single forward
+    * merge pass whose per-key state is that customer's version count).
+    * Zero row amplification, no bin explode, no broadcast.
+    *
+    * Self-checking identity: every order matches exactly one interval
+    * (intervals partition each customer's timeline from their first order),
+    * so `sum(n_orders)` equals the order count — a wrong sweep boundary or
+    * a dropped/duplicated group breaks the hash.
+    */
+  def scd2IntervalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryBase(spark, dir)
+      .select(col("o_custkey").as("h_custkey"), col("priority"),
+        col("valid_from").cast("timestamp_ntz").as("vf"),
+        coalesce(col("valid_to").cast("timestamp_ntz"),
+          lit(Scd2OpenEnd).cast("timestamp_ntz")).as("vt"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("t"),
+        col("o_totalprice"))
+    graft.plans.IntervalJoin.join(orders, hist,
+        Seq(orders("o_custkey")), Seq(hist("h_custkey")),
+        orders("t"), hist("vf"), hist("vt"), outer = false)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("priority"))
+  }
+
+  /** Far-future open-interval sentinel shared with the q261/q262 twins. */
+  val Scd2OpenEnd = "9999-01-01"
+
+  private def scd2HistSql(validTo: String): String =
+    s"""ordered AS (
+       |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+       |         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders),
+       |changes AS (SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority),
+       |hist AS (SELECT o_custkey AS h_custkey, o_orderpriority AS priority,
+       |           o_orderdate AS vf,
+       |           $validTo AS vt
+       |         FROM changes)""".stripMargin
+
+  val scd2IntervalAttributionOracle: String =
+    s"""WITH ${scd2HistSql(
+        s"coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), TIMESTAMP '$Scd2OpenEnd 00:00:00')")}
+       |SELECT priority, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM orders o JOIN hist h
+       |  ON o.o_custkey = h.h_custkey AND h.vf <= o.o_orderdate AND o.o_orderdate < h.vt
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** LEFT-OUTER variant of [[scd2IntervalAttribution]] against the CLOSED
+    * validity intervals only: orders placed under a customer's current
+    * (open) regime match no closed interval and surface through the outer
+    * mode as the `CURRENT` bucket — the standard "historical vs live"
+    * revenue split, and the query that pins the operator's outer semantics
+    * (null-padded right side, one row per unmatched point) against a SQL
+    * LEFT JOIN twin.
+    */
+  def scd2RegimeOuter(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryBase(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("o_custkey").as("h_custkey"), col("priority"),
+        col("valid_from").cast("timestamp_ntz").as("vf"),
+        col("valid_to").cast("timestamp_ntz").as("vt"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("t"),
+        col("o_totalprice"))
+    graft.plans.IntervalJoin.join(orders, hist,
+        Seq(orders("o_custkey")), Seq(hist("h_custkey")),
+        orders("t"), hist("vf"), hist("vt"), outer = true)
+      .groupBy(coalesce(col("priority"), lit("CURRENT")).as("regime"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("regime"))
+  }
+
+  val scd2RegimeOuterOracle: String =
+    s"""WITH ${scd2HistSql(
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")}
+       |SELECT coalesce(priority, 'CURRENT') AS regime, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM orders o LEFT JOIN (SELECT * FROM hist WHERE vt IS NOT NULL) h
+       |  ON o.o_custkey = h.h_custkey AND h.vf <= o.o_orderdate AND o.o_orderdate < h.vt
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Co-located (bucketed) fact⋈fact join — the zero-shuffle answer to the
     * biggest cost in any 100 TB star join: both sides are written ONCE as

@@ -790,6 +790,40 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!got.exists(x => x._1 == "p1" || x._1 == "p20" || x._1 == "pnull"))
   }
 
+  test("KEYED + OUTER interval join equals brute force (groups, gaps, empty sides)") {
+    import TestSpark.spark.implicits._
+    // key groups exercising every merge-path branch: k=1 overlapping
+    // intervals, k=2 point-only (no intervals at all), k=3 interval-only
+    // (no points), k=4 dense abutting, k=5 single point in a gap between
+    // its key's intervals, plus a null point time (outer-emits)
+    val pts = Seq((1L, 5L, "a1"), (1L, 7L, "a2"), (2L, 5L, "b1"), (4L, 3L, "d1"),
+      (4L, 6L, "d2"), (4L, 9L, "d3"), (5L, 10L, "e1"), (1L, 99L, "a3")).toDF("k", "t", "ptag")
+      .unionByName(Seq((5L, Option.empty[Long], "enull")).toDF("k", "t", "ptag"))
+    val ivs = Seq((1L, 4L, 8L, "A"), (1L, 5L, 12L, "B"), (3L, 0L, 100L, "C"),
+      (4L, 3L, 6L, "D1"), (4L, 6L, 9L, "D2"), (5L, 0L, 5L, "E1"), (5L, 20L, 30L, "E2"))
+      .toDF("ik", "s", "e", "itag")
+    def run(outer: Boolean) = graft.plans.IntervalJoin.join(
+        pts, ivs, Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), outer)
+      .select(col("ptag"), col("itag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
+    val bruteInner = pts.join(ivs,
+        pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"))
+      .select(col("ptag"), col("itag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    val bruteOuter = pts.join(ivs,
+        pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), "left_outer")
+      .select(col("ptag"), col("itag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
+    assert(run(outer = false) === bruteInner)
+    assert(run(outer = true) === bruteOuter)
+    // the dataset genuinely exercises both outer shapes: unmatched-by-key
+    // (b1: no intervals for k=2) and unmatched-in-gap (e1: between E1 and E2)
+    assert(bruteOuter.contains(("b1", "-")) && bruteOuter.contains(("e1", "-")) &&
+      bruteOuter.contains(("enull", "-")))
+    // overlap multiplicity inside a key group (a1 in A and B)
+    assert(bruteInner.count(_._1 == "a1") === 2)
+  }
+
   test("out-of-order streaming sessionization (flatMapGroupsWithState buffer) equals batch") {
     val late = graft.streaming.LateSessionStream.sessionsLateStreaming(spark, sf)
     val batch = EventOps.sessionCounts(spark, sf)

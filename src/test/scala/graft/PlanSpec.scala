@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite {
     assert(rows(df) === rows(CoreOps.rangeJoinMonthly(spark, sf)))
   }
 
+  test("keyed interval join co-clusters both sides, reuses the window exchange, no broadcast (q261)") {
+    val df = CoreOps.scd2IntervalAttribution(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("IntervalJoin"), "custom operator must be planned:\n" + p.take(800))
+    // keyed mode: NO broadcast of the (fact-sized) interval side, no
+    // bin-explode row amplification, no nested-loop fallback
+    assert(!p.contains("BroadcastExchange"), "keyed mode must not broadcast:\n" + p.take(1200))
+    assert(!p.contains("Generate"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // exactly 3 hash exchanges: point-side custkey, the SCD2 window's
+    // custkey (REUSED by the join's interval side — its alias-preserved
+    // partitioning satisfies the ClusteredDistribution, so history
+    // derivation feeds the join with no extra shuffle), and the final
+    // priority aggregate
+    assert(p.split("Exchange hashpartitioning").length - 1 === 3,
+      s"keyed interval join must add no exchange beyond the window's:\n${p.take(1500)}")
+  }
+
   test("binned range join plans as a broadcast HASH join, not nested-loop (q64)") {
     // the bin equi-key must reach the join: a nested-loop here is the
     // rows × intervals plan the binning exists to avoid
