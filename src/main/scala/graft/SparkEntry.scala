@@ -466,6 +466,8 @@ object SparkEntry {
     "q261_scd2_interval_attr"  -> ((s, d) => CoreOps.scd2IntervalAttribution(s, d)),
     // -- LEFT-OUTER keyed interval join: historical vs CURRENT revenue split ----
     "q262_scd2_regime_outer"   -> ((s, d) => CoreOps.scd2RegimeOuter(s, d)),
+    // -- KMV distinct sketch (custom aggregate) audited vs exact ----------------
+    "q263_kmv_distinct"        -> ((s, d) => SamplingOps.kmvDistinct(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1070,6 +1072,7 @@ object SparkEntry {
     "q238_mmr_rerank" -> RetrievalOps.mmrRerankOracle,
     "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
+    "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

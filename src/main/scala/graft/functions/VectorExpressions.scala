@@ -182,6 +182,8 @@ object VectorFunctions {
       exprs => TDigestQuantiles(exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_mg",
       exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv",
+      exprs => KmvSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     // idempotently install the kernel-rewrite optimizer rule
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
       spark.experimental.extraOptimizations =

@@ -404,6 +404,66 @@ object SamplingOps {
   /** 2⁴⁸ — the md5-prefix hash domain used for deterministic uniforms. */
   private val TwoPow48 = 281474976710656.0
 
+  /** KMV sketch size (rel. error ≈ 1∕√62 ≈ 13 %) — single-sourced into the
+    * q263 twin.
+    */
+  val KmvK = 64
+
+  /** Per-event-type distinct-user estimation by the [[graft.functions.KmvSketch]]
+    * k-minimum-values aggregate, audited against the exact count: the
+    * estimate `(k−1)·2⁴⁸ ∕ h₍ₖ₎` from the k smallest distinct 48-bit md5
+    * hashes (exact count when a group has < k distinct values), plus the
+    * relative error. The production path at 100 TB is the SKETCH — each
+    * partition ships ≤ k longs per group, partial-aggregated, where
+    * `count(DISTINCT)` expands and shuffles every distinct value; the exact
+    * column here is the audit (the q161-recall pattern: measure the
+    * approximation against ground truth IN the query so the oracle pins
+    * both). Unlike HLL (q93's approx_distinct, engine-opaque internals —
+    * band-check only), KMV is deterministic given the hash column, so the
+    * DuckDB twin reproduces the sketch EXACTLY by ranking distinct hashes.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val est = when(col("n_kmv") < KmvK, col("n_kmv").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(281474976710656.0) / col("h_k").cast("double"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"graft_kmv(h, $KmvK)").as("kmv"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"),
+        size(col("kmv")).cast("long").as("n_kmv"),
+        element_at(col("kmv"), size(col("kmv"))).as("h_k"),
+        col("n_exact"),
+        OracleMath.stableRound(est, 4).as("est_distinct"),
+        OracleMath.stableRound(
+          abs(est - col("n_exact").cast("double")) / col("n_exact").cast("double"), 4)
+          .as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH hv AS (SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |      FROM hv),
+       |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS h_k
+       |      FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |       FROM events GROUP BY 1),
+       |s AS (SELECT k.event_type, k.n_kmv, k.h_k, ex.n_exact,
+       |        CASE WHEN k.n_kmv < $KmvK THEN CAST(k.n_kmv AS DOUBLE)
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(k.h_k AS DOUBLE)
+       |        END AS est
+       |      FROM k JOIN ex ON k.event_type = ex.event_type)
+       |SELECT event_type, n_kmv, h_k, n_exact,
+       |  ${OracleMath.stableRoundSql("est", 4)} AS est_distinct,
+       |  ${OracleMath.stableRoundSql("abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4)} AS rel_err
+       |FROM s ORDER BY event_type""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q168_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, source, n_chars,

@@ -692,6 +692,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1 -> Seq(12L, 10L), 2 -> Seq(20L)))
   }
 
+  test("KMV sketch: k smallest DISTINCT hashes, partition/merge-order invariant, exact under k") {
+    graft.functions.VectorFunctions.register(spark)
+    // values 0..199 each duplicated 3x (dedup must hold), hashed by a
+    // permutation h = (v*37) % 200 so the minima are NOT the smallest values
+    val base = spark.range(600).select(((col("id") % 200) * 37 % 200).as("h"))
+    val expect = (0L until 200L).map(v => v * 37 % 200).distinct.sorted.take(16)
+    for (parts <- Seq(1, 3, 32)) {
+      val got = base.repartition(parts).agg(expr("graft_kmv(h, 16)")).head.getSeq[Long](0)
+      assert(got.toSeq === expect, s"parts=$parts")
+    }
+    // under-k group returns the full distinct set ascending
+    val small = spark.range(30).select((col("id") % 5).as("h"))
+      .agg(expr("graft_kmv(h, 16)")).head.getSeq[Long](0)
+    assert(small.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("salted two-phase aggregation equals plain groupBy exactly") {
     val salted = CoreOps.saltedAgg(spark, sf)
     val plain = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
