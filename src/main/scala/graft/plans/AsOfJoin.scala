@@ -107,7 +107,14 @@ case class AsOfJoinExec(
         (leftKeys :+ leftTime).map(_.dataType))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // outer: bind against a NULLABLE view of the right attributes —
+      // binding takes nullability from the INPUT schema, and a
+      // non-nullable right column (e.g. a Seq.toDF long) would codegen
+      // without a null check and read garbage from the null-padded row
+      // (latent until a non-nullable right side: parquet columns are
+      // nullable, which is why the q68 consumers never hit it)
+      val outProj = UnsafeProjection.create(output,
+        if (emitUnmatched) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut)
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {

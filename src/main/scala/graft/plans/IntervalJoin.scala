@@ -154,7 +154,12 @@ case class IntervalJoinExec(
       sweep: Sweep,
       onNewLeftRow: InternalRow => Boolean): Iterator[InternalRow] = {
     val joined = new JoinedRow
-    val outProj = UnsafeProjection.create(output, lOut ++ rOut)
+    // outer: bind against a NULLABLE view of the right attributes — binding
+    // takes nullability from the INPUT schema, and a non-nullable right
+    // column would codegen without a null check and read garbage from the
+    // null-padded row
+    val outProj = UnsafeProjection.create(output,
+      if (outer) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut)
     val nullRight = InternalRow.fromSeq(Seq.fill(rOut.length)(null))
     val emitUnmatched = outer
 

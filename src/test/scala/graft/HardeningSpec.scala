@@ -81,6 +81,49 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("KEYED/OUTER IntervalJoin equals the brute-force keyed range join on randomized inputs") {
+    // same pinning for the keyed merge path + outer emission: random keys
+    // (some point-only, some interval-only), arbitrary overlap/nesting,
+    // duplicate times, empty/inverted intervals
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val pts = (1 to 300).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(200).toLong, i.toLong)).toDF("k", "t", "pid")
+      val ivs = (1 to 60).map { i =>
+        val s = rnd.nextInt(220).toLong - 10
+        (rnd.nextInt(12).toLong + 2, s, s + rnd.nextInt(30).toLong - 2, i.toLong)
+      }.toDF("ik", "s", "e", "iid") // keys 2..13 vs point keys 0..11: both gaps occur
+      for (outer <- Seq(false, true)) {
+        val joinType = if (outer) "left_outer" else "inner"
+        val got = graft.plans.IntervalJoin.join(pts, ivs,
+            Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), outer)
+          .select(col("pid"), col("iid")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+        val brute = pts.join(ivs,
+            pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), joinType)
+          .select(col("pid"), col("iid")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+        assert(got === brute, s"trial $trial outer=$outer")
+        assert(got.nonEmpty)
+      }
+    }
+  }
+
+  test("outer as-of join emits NULLs, not zeros, for NON-NULLABLE right frames") {
+    // pins the nullability-binding fix: the output projection must bind a
+    // nullable view of the right attributes, or a non-nullable right column
+    // codegens without a null check and reads 0 from the null-padded row
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 5L, 200L)).toDF("k", "t", "pid")
+    val r = Seq((1L, 8L, 777L)).toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoin.asof(l, r, Seq(l("k")), Seq(r("rk")),
+        l("t"), r("rt"), outer = true)
+      .select(col("pid"), col("rid")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+    assert(got === Seq((100L, 777L), (200L, -1L)))
+  }
+
   test("batch events decode lands in a sane year range (unit-drift guard)") {
     val r = Tables.events(spark, sf)
       .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
