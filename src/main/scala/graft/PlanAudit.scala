@@ -50,8 +50,22 @@ object PlanAudit {
     out.toSeq
   }
 
-  /** Audit one query: build (never execute) and scan the optimized plan. */
+  /** One query's structural audit: partition-less windows (optimized
+    * logical plan) and CartesianProduct (initial physical plan — the
+    * rows×rows shape a missed broadcast hint or a non-equi join without a
+    * small side degrades to; every intentional cross join in the registry
+    * broadcasts one side, so a CartesianProduct is always a regression).
+    */
+  final case class Audit(unpartWindows: Seq[String], cartesian: Boolean)
+
+  /** Audit one query: build (never execute) and scan its plans. */
+  def auditQuery(spark: SparkSession, name: String, sfDir: String): Audit = {
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    Audit(unpartitionedWindows(qe.optimizedPlan.toString),
+      qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  /** Back-compat shim for the window-only view. */
   def offendingWindows(spark: SparkSession, name: String, sfDir: String): Seq[String] =
-    unpartitionedWindows(
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString)
+    auditQuery(spark, name, sfDir).unpartWindows
 }

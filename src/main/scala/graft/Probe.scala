@@ -42,10 +42,12 @@ object Steps {
       // window spec (the PlanSpec structural audit's discovery pass)
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         try {
-          val offs = PlanAudit.offendingWindows(spark, name, dir)
-          if (offs.nonEmpty)
-            println(s"[winaudit] $name: ${offs.size} unpartitioned window(s): " +
-              offs.map(_.take(80)).mkString(" | "))
+          val a = PlanAudit.auditQuery(spark, name, dir)
+          if (a.unpartWindows.nonEmpty)
+            println(s"[winaudit] $name: ${a.unpartWindows.size} unpartitioned window(s): " +
+              a.unpartWindows.map(_.take(80)).mkString(" | "))
+          if (a.cartesian)
+            println(s"[winaudit] $name: CARTESIAN product planned")
         } catch { case e: Throwable =>
           println(s"[winaudit] $name: ERROR ${e.getMessage}")
         } finally ops.Caches.release()

@@ -346,14 +346,20 @@ class PlanSpec extends AnyFunSuite {
       "q250_quality_percentiles" -> "percentile ranks over the 4-dp quality domain (<=10001 cells)",
       "q259_vocab_drift" -> "rank over the top-20 rows AFTER TakeOrderedAndProject",
       "q260_dataset_card" -> "token-median crossing over the distinct doc-length histogram (doc-length-domain-sized)")
-    val offending: Map[String, Seq[String]] =
+    val audits: Map[String, PlanAudit.Audit] =
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        try name -> PlanAudit.offendingWindows(spark, name, sf)
+        try name -> PlanAudit.auditQuery(spark, name, sf)
         finally Caches.release()
       }.toMap
+    val offending = audits.view.mapValues(_.unpartWindows).toMap
     val unexplained = offending.filter { case (n, offs) =>
       offs.nonEmpty && !bounded.contains(n)
     }
+    // second structural shape: a CartesianProduct (rows x rows) anywhere is
+    // a regression — every intentional cross join broadcasts one side
+    val cartesian = audits.collect { case (n, a) if a.cartesian => n }
+    assert(cartesian.isEmpty,
+      s"CartesianProduct planned (broadcast the small side): ${cartesian.mkString(", ")}")
     assert(unexplained.isEmpty,
       "unpartitioned windows over undeclared input (fix the plan or justify " +
         "boundedness above):\n" + unexplained.map { case (n, offs) =>
