@@ -468,6 +468,8 @@ object SparkEntry {
     "q262_scd2_regime_outer"   -> ((s, d) => CoreOps.scd2RegimeOuter(s, d)),
     // -- KMV distinct sketch (custom aggregate) audited vs exact ----------------
     "q263_kmv_distinct"        -> ((s, d) => SamplingOps.kmvDistinct(s, d)),
+    // -- bigram-LM perplexity quality filter (CCNet-style, era-split train) -----
+    "q264_bigram_lm"           -> ((s, d) => TextOps.bigramLmScore(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1073,6 +1075,7 @@ object SparkEntry {
     "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
+    "q264_bigram_lm" -> TextOps.bigramLmScoreOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

@@ -235,6 +235,97 @@ object TextOps {
     * chi2-ORDERED top-K hash-matches); the frequency floor is an integer
     * predicate. Nothing document-sized shuffles — only (term, counts).
     */
+  /** Bigram-LM quality scoring (q264) — the classic LM perplexity filter
+    * (CCNet-style): train an add-one-smoothed bigram model on one half of
+    * the corpus (doc_id parity, q259's era split), score the other half,
+    * and report per-source mean negative log-likelihood — high NLL = text
+    * unlike the reference distribution (the quality signal length/punct
+    * heuristics in q32 can't see).
+    *
+    * Numeric parity (the q223 ln lesson, applied): each bigram's
+    * `−ln((c₂+1)∕(c₁+V))` is one fixed float expression over exact integer
+    * counts — identical in both engines — then 6-dp-rounded and summed as
+    * DECIMAL(18,6), so the cross-row total is EXACT and order-free; the
+    * only remaining float op is the final mean division, rounded once.
+    *
+    * Scale shape: the scoring join moves skinny (w1, w2, doc, source) rows
+    * shuffled on the bigram key against the bigram-count table (same key —
+    * one co-hashed join); the unigram table is vocabulary-sized and rides a
+    * broadcast; V is a driver scalar from one count. OOV mass is explicit:
+    * `oov_rate` = share of scored bigrams whose history w1 never appeared
+    * in training (their probability is the uniform 1∕V floor).
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"),
+        pmod(col("doc_id"), lit(2L)).as("era"))
+    // guard size<2: Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    // generate_series(1, 0) is empty — a one-word doc must yield no bigrams
+    val bigrams = expr(
+      """CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+        |ELSE transform(sequence(1, size(ws) - 1),
+        |       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) END""".stripMargin)
+    val train = base.filter(col("era") === 0L)
+    val c2 = train.select(explode(bigrams).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // V = training unigram type count — a driver scalar (one tiny agg)
+    val v = train.select(explode(col("ws")).as("w")).agg(countDistinct(col("w"))).head.getLong(0)
+    val nll6 = OracleMath.stableRound(
+      -log((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)).cast("double") + lit(v.toDouble))), 6)
+    base.filter(col("era") === 1L)
+      .select(col("doc_id"), col("source"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"), col("source"),
+        nll6.cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("nll6"),
+        when(col("c1").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("nll6")).as("sum_nll"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("n_oov"),
+        OracleMath.stableRound(
+          col("sum_nll").cast("double") / col("n_bigrams").cast("double"), 4).as("mean_nll"),
+        OracleMath.stableRound(
+          col("n_oov").cast("double") / col("n_bigrams").cast("double"), 4).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  val bigramLmScoreOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws, doc_id % 2 AS era
+       |           FROM documents),
+       |tb AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM
+       |         (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |          FROM d WHERE era = 0)),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tb GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+       |         (SELECT unnest(ws) AS w1 FROM d WHERE era = 0) GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+       |        (SELECT unnest(ws) AS w FROM d WHERE era = 0)),
+       |sb AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM
+       |         (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |          FROM d WHERE era = 1)),
+       |scored AS (
+       |  SELECT sb.doc_id, sb.source,
+       |    CAST(${OracleMath.stableRoundSql(
+           "-ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))", 6)}
+       |      AS DECIMAL(18,6)) AS nll6,
+       |    CASE WHEN c1.c1 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM sb LEFT JOIN c2 ON sb.w1 = c2.w1 AND sb.w2 = c2.w2
+       |          LEFT JOIN c1 ON sb.w1 = c1.w1
+       |          CROSS JOIN v)
+       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  ${OracleMath.stableRoundSql("CAST(sum(nll6) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_nll,
+       |  ${OracleMath.stableRoundSql("CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS oov_rate
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(pmod(col("doc_id"), lit(2L)).as("era"), explode(words(col("text"))).as("term"))
