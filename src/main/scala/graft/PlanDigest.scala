@@ -32,14 +32,16 @@ object PlanDigest {
     * banded self-join (q187), cascading broadcast anti/semi purge (q198),
     * PrefixSum two-pass distributed rank (q233: range exchange +
     * pid-partitioned window + literal offsets, no single-task sort), custom
-    * broadcast merge interval join exec (q239).
+    * broadcast merge interval join exec (q239), KEYED merge interval join
+    * (q261: co-clustered sides, the SCD2 window's exchange reused — zero
+    * extra shuffle between history derivation and join).
     */
   val pinned: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q04_market_share",
     "q61_asof_join", "q89_runtime_filter", "q118_big_spenders",
     "q126_lateral_topk", "q129_not_in_nullaware", "q146_salted_join",
     "q157_bm25_topk", "q187_phash_neardup", "q198_gdpr_purge",
-    "q233_ks_test", "q239_interval_join")
+    "q233_ks_test", "q239_interval_join", "q261_scd2_interval_attr")
 
   val snapshotDir = "src/test/resources/plans"
 
