@@ -37,6 +37,10 @@ object Steps {
       val df = ops.CoreOps.scd2IntervalAttribution(spark, dir)
       df.collect()
       println(df.queryExecution.executedPlan.toString.take(4000))
+    case "plan265" =>
+      val df = ops.CoreOps.scd2CoverageAudit(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.take(5000))
     case "winaudit" =>
       // enumerate every query whose optimized plan contains a partition-less
       // window spec (the PlanSpec structural audit's discovery pass)

@@ -1262,7 +1262,7 @@ object CoreOps {
         col("o_totalprice"))
     graft.plans.IntervalJoin.join(orders, hist,
         Seq(orders("o_custkey")), Seq(hist("h_custkey")),
-        orders("t"), hist("vf"), hist("vt"), outer = false)
+        orders("t"), hist("vf"), hist("vt"), "inner")
       .groupBy(col("priority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
@@ -1311,7 +1311,7 @@ object CoreOps {
         col("o_totalprice"))
     graft.plans.IntervalJoin.join(orders, hist,
         Seq(orders("o_custkey")), Seq(hist("h_custkey")),
-        orders("t"), hist("vf"), hist("vt"), outer = true)
+        orders("t"), hist("vf"), hist("vt"), "left")
       .groupBy(coalesce(col("priority"), lit("CURRENT")).as("regime"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
@@ -1325,6 +1325,68 @@ object CoreOps {
        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
        |FROM orders o LEFT JOIN (SELECT * FROM hist WHERE vt IS NOT NULL) h
        |  ON o.o_custkey = h.h_custkey AND h.vf <= o.o_orderdate AND o.o_orderdate < h.vt
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** FULL-outer SCD2 coverage audit — the query that completes the interval
+    * join's operator matrix (inner/left landed with q261/q262; right is
+    * full's degenerate half). High-value orders (> [[Scd2HighValue]]) FULL
+    * interval-join the CLOSED validity regimes, then bucket:
+    *
+    *  - `BOTH`        — a high-value order inside a closed regime;
+    *  - `ORDER_ONLY`  — a high-value order under the customer's live (open)
+    *                    regime: unmatched LEFT (the q262 shape);
+    *  - `REGIME_ONLY` — a closed regime in which the customer placed no
+    *                    high-value order: unmatched RIGHT, the new mode.
+    *
+    * The point-side filter is what makes the audit non-trivial: unfiltered,
+    * every closed regime contains the order that opened it (SCD2 intervals
+    * start at change orders), so `REGIME_ONLY` would be structurally empty.
+    * The three buckets exercise all three unmatched-right code paths:
+    * customers whose orders are all low-value stream their regimes through
+    * the right-only drain (no buffering), mixed customers flush per-group
+    * unmatched intervals, and live-regime orders outer-emit on the left.
+    * Scale shape: identical to q261 — both sides hash-cluster on custkey
+    * once, per-key state is the customer's version count, plus the final
+    * 3-row aggregate. The DuckDB twin is a plain FULL JOIN.
+    */
+  val Scd2HighValue = 300000.0
+
+  def scd2CoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryBase(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("o_custkey").as("h_custkey"), col("priority"),
+        col("valid_from").cast("timestamp_ntz").as("vf"),
+        col("valid_to").cast("timestamp_ntz").as("vt"))
+    val pts = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(Scd2HighValue))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("t"), col("o_totalprice"))
+    graft.plans.IntervalJoin.join(pts, hist,
+        Seq(pts("o_custkey")), Seq(hist("h_custkey")),
+        pts("t"), hist("vf"), hist("vt"), "full")
+      .select(
+        when(col("o_orderkey").isNotNull && col("priority").isNotNull, lit("BOTH"))
+          .when(col("o_orderkey").isNotNull, lit("ORDER_ONLY"))
+          .otherwise(lit("REGIME_ONLY")).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+      .orderBy(col("bucket"))
+  }
+
+  val scd2CoverageAuditOracle: String =
+    s"""WITH ${scd2HistSql(
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")},
+       |pts AS (SELECT o_custkey, o_orderkey, o_orderdate AS t, o_totalprice
+       |        FROM orders WHERE o_totalprice > $Scd2HighValue)
+       |SELECT CASE WHEN p.o_orderkey IS NOT NULL AND h.priority IS NOT NULL THEN 'BOTH'
+       |            WHEN p.o_orderkey IS NOT NULL THEN 'ORDER_ONLY'
+       |            ELSE 'REGIME_ONLY' END AS bucket,
+       |  count(*) AS n,
+       |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+       |FROM pts p FULL JOIN (SELECT * FROM hist WHERE vt IS NOT NULL) h
+       |  ON p.o_custkey = h.h_custkey AND h.vf <= p.t AND p.t < h.vt
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Co-located (bucketed) fact⋈fact join — the zero-shuffle answer to the

@@ -5,14 +5,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnknownPartitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** MERGE interval join: every left "point" row joins every right interval
-  * row with `start ≤ t < end` (equi-keys optional, inner or left-outer) —
-  * the second whole-operator extension (SURVEY §7.4 path c) reusing the
-  * [[AsOfJoinPlan]] scaffolding (LogicalPlan + Strategy + Exec via
-  * `SparkSessionExtensions` / `experimental.extraStrategies`).
+  * row with `start ≤ t < end` (equi-keys optional; inner / left / right /
+  * full outer) — the second whole-operator extension (SURVEY §7.4 path c)
+  * reusing the [[AsOfJoinPlan]] scaffolding (LogicalPlan + Strategy + Exec
+  * via `SparkSessionExtensions` / `experimental.extraStrategies`).
   *
   * Why an operator instead of the q64 composable encodings:
   *
@@ -30,7 +30,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    LOCAL sort by time (EnsureRequirements adds the Sort; NO exchange —
   *    the point side keeps its partitioning, at 100 TB nothing corpus-sized
   *    moves) and the interval side is broadcast, sorted once by start per
-  *    partition. Interval side must be broadcast-sized.
+  *    partition. Interval side must be broadcast-sized. Inner/left only: a
+  *    broadcast copy exists in every task, so "this interval matched no
+  *    point anywhere" is a global fact no single task can decide — right
+  *    and full outer REQUIRE the keyed mode, where co-clustering makes each
+  *    interval's full match set task-local.
   *  - **Keyed (SortMergeJoin's contract)**: both sides hash-cluster on the
   *    equi-keys and sort by (keys, time) / (keys, start); a single forward
   *    merge pass pairs each point group with its key's interval set. This
@@ -46,10 +50,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * windows). Overlapping intervals are fully supported (each match emitted).
   *
   * Join semantics: inner drops points in no interval (q64's shape);
-  * `outer = true` keeps them with nulls on the right (and a NULL point time
-  * also outer-emits). Null-bounded intervals never match. Like the as-of
-  * operator, equi-key matching uses the natural ordering, so NULL keys
-  * group together — callers with nullable keys filter them first.
+  * `keepLeft` keeps them with nulls on the right (and a NULL point time
+  * also outer-emits); `keepRight` (keyed only) additionally emits every
+  * interval that matched NO point, null-padded on the left — intervals in
+  * key runs with no point rows stream straight through without buffering,
+  * and a finished key group flushes its unmatched intervals (bounded by the
+  * per-key interval count). Null-bounded intervals never match (SQL
+  * three-valued logic: a NULL range bound fails the ON predicate), so under
+  * `keepRight` they emit as unmatched. Like the as-of operator, equi-key
+  * matching uses the natural ordering, so NULL keys group together —
+  * callers with nullable keys filter them first.
   */
 case class IntervalJoinPlan(
     left: LogicalPlan,
@@ -59,11 +69,12 @@ case class IntervalJoinPlan(
     leftTime: Expression,
     rightStart: Expression,
     rightEnd: Expression,
-    outer: Boolean) extends BinaryNode {
+    keepLeft: Boolean,
+    keepRight: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    if (outer) left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+    (if (keepRight) left.output.map(_.withNullability(true)) else left.output) ++
+      (if (keepLeft) right.output.map(_.withNullability(true)) else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
@@ -72,8 +83,8 @@ case class IntervalJoinPlan(
 
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, t, s, e, o) =>
-      IntervalJoinExec(lk, rk, t, s, e, o, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, t, s, e, kl, kr) =>
+      IntervalJoinExec(lk, rk, t, s, e, kl, kr, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -84,15 +95,20 @@ case class IntervalJoinExec(
     leftTime: Expression,
     rightStart: Expression,
     rightEnd: Expression,
-    outer: Boolean,
+    keepLeft: Boolean,
+    keepRight: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  require(leftKeys.nonEmpty || !keepRight,
+    "right/full outer interval join requires equi-keys: the broadcast mode " +
+      "replicates intervals to every task, so no task can decide global unmatchedness")
 
   private def keyed: Boolean = leftKeys.nonEmpty
 
   override def output: Seq[Attribute] =
-    if (outer) left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+    (if (keepRight) left.output.map(_.withNullability(true)) else left.output) ++
+      (if (keepLeft) right.output.map(_.withNullability(true)) else right.output)
 
   // keyless: point side keeps whatever partitioning it has (no exchange —
   // only the in-partition time sort below), interval side broadcast as-is;
@@ -107,13 +123,25 @@ case class IntervalJoinExec(
       (rightKeys :+ rightStart).map(SortOrder(_, Ascending)))
     else Seq(Seq(SortOrder(leftTime, Ascending)), Nil)
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // keepRight emissions carry NULL left attributes, so neither the left
+  // hash partitioning nor the (keys, time) ordering survives — same rule
+  // as SortMergeJoin's full-outer UnknownPartitioning
+  override def outputPartitioning: Partitioning =
+    if (keepRight) UnknownPartitioning(left.outputPartitioning.numPartitions)
+    else left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+    if (keepRight) Nil else (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] =
     if (keyed) doExecuteKeyed() else doExecuteBroadcast()
+
+  /** One interval: (start, end) keys + the source row + whether any point
+    * has matched it (drives `keepRight` unmatched emission).
+    */
+  private final class Iv(val s: UnsafeRow, val e: UnsafeRow, val row: InternalRow) {
+    var matched = false
+  }
 
   /** Shared per-partition sweep state machine: consume time-ordered point
     * rows against a start-ordered interval array, keeping the active set.
@@ -121,11 +149,11 @@ case class IntervalJoinExec(
     * group's intervals (keyed — the caller swaps `ivs` per group).
     */
   private final class Sweep(tOrd: Ordering[InternalRow]) {
-    var ivs: Array[(UnsafeRow, UnsafeRow, InternalRow)] = Array.empty
+    var ivs: Array[Iv] = Array.empty
     var ptr = 0
-    val active = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow, InternalRow)]
+    val active = new scala.collection.mutable.ArrayBuffer[Iv]
 
-    def reset(intervals: Array[(UnsafeRow, UnsafeRow, InternalRow)]): Unit = {
+    def reset(intervals: Array[Iv]): Unit = {
       ivs = intervals; ptr = 0; active.clear()
     }
 
@@ -133,35 +161,34 @@ case class IntervalJoinExec(
       * ended); the resulting `active` is the match set for `t`.
       */
     def advanceTo(t: UnsafeRow): Unit = {
-      while (ptr < ivs.length && tOrd.compare(ivs(ptr)._1, t) <= 0) {
+      while (ptr < ivs.length && tOrd.compare(ivs(ptr).s, t) <= 0) {
         active += ivs(ptr); ptr += 1
       }
       var i = 0
       while (i < active.length) {
-        if (tOrd.compare(t, active(i)._2) >= 0) active.remove(i) else i += 1
+        if (tOrd.compare(t, active(i).e) >= 0) active.remove(i) else i += 1
       }
     }
   }
 
-  /** Emission state machine shared by both modes: after [[Sweep.advanceTo]],
-    * either the active set's rows (matchIdx walks it) or — outer only — one
-    * null-padded row (matchIdx == -1).
+  /** Point-driven emission iterator for the BROADCAST (keyless) mode:
+    * after [[Sweep.advanceTo]], either the active set's rows (matchIdx
+    * walks it) or — keepLeft only — one null-padded row (matchIdx == -1).
     */
   private def emitIterator(
       lIter: Iterator[InternalRow],
       lOut: Seq[Attribute], rOut: Seq[Attribute],
       lT: UnsafeProjection,
-      sweep: Sweep,
-      onNewLeftRow: InternalRow => Boolean): Iterator[InternalRow] = {
+      sweep: Sweep): Iterator[InternalRow] = {
     val joined = new JoinedRow
     // outer: bind against a NULLABLE view of the right attributes — binding
     // takes nullability from the INPUT schema, and a non-nullable right
     // column would codegen without a null check and read garbage from the
     // null-padded row
     val outProj = UnsafeProjection.create(output,
-      if (outer) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut)
+      if (keepLeft) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut)
     val nullRight = InternalRow.fromSeq(Seq.fill(rOut.length)(null))
-    val emitUnmatched = outer
+    val emitUnmatched = keepLeft
 
     new Iterator[InternalRow] {
       private var lRow: InternalRow = _
@@ -170,11 +197,8 @@ case class IntervalJoinExec(
       private def advanceLeft(): Boolean = {
         while (lIter.hasNext) {
           lRow = lIter.next()
-          // keyed mode hook: (re)load this row's key group; false = the row
-          // cannot match (no interval group) — outer-emit or skip
-          val groupOk = onNewLeftRow(lRow)
           val t = lT(lRow)
-          if (groupOk && !t.isNullAt(0)) {
+          if (!t.isNullAt(0)) {
             sweep.advanceTo(t)
             if (sweep.active.nonEmpty) { matchIdx = 0; return true }
             else if (emitUnmatched) { matchIdx = -1; return true }
@@ -193,7 +217,7 @@ case class IntervalJoinExec(
           lRow = null
           out
         } else {
-          val out = outProj(joined(lRow, sweep.active(matchIdx)._3))
+          val out = outProj(joined(lRow, sweep.active(matchIdx).row))
           matchIdx += 1
           if (matchIdx >= sweep.active.length) lRow = null
           out
@@ -216,17 +240,31 @@ case class IntervalJoinExec(
       val eP = UnsafeProjection.create(Seq(rEnd), rOut)
       // materialize (start, end, row) once per partition; drop null-bounded
       // intervals; sort by start so the sweep consumes them in one pass
-      val ivs: Array[(UnsafeRow, UnsafeRow, InternalRow)] = bc.value.iterator
-        .map(r => (sP(r).copy(), eP(r).copy(), r))
-        .filterNot { case (s, e, _) => s.isNullAt(0) || e.isNullAt(0) }
+      val ivs: Array[Iv] = bc.value.iterator
+        .map(r => new Iv(sP(r).copy(), eP(r).copy(), r))
+        .filterNot(iv => iv.s.isNullAt(0) || iv.e.isNullAt(0))
         .toArray
-        .sortWith((a, b) => tOrd.compare(a._1, b._1) < 0)
+        .sortWith((a, b) => tOrd.compare(a.s, b.s) < 0)
       val sweep = new Sweep(tOrd)
       sweep.reset(ivs)
-      emitIterator(lIter, lOut, rOut, lT, sweep, _ => true)
+      emitIterator(lIter, lOut, rOut, lT, sweep)
     }, preservesPartitioning = true)
   }
 
+  /** KEYED merge (all four join shapes). Both inputs arrive (keys, time)- /
+    * (keys, start)-sorted, so each key is a contiguous run on both sides and
+    * the pass is a single forward merge:
+    *
+    *  - a right run with no left rows for its key streams through one row
+    *    per `next()` when `keepRight` (never buffered — a fact-sized
+    *    interval table whose keys miss the point side costs O(1) memory),
+    *    and is skipped wholesale otherwise;
+    *  - a key present on both sides buffers THAT KEY's intervals (the
+    *    SCD2 bound: its version count), sweeps the key's points through
+    *    them, then — `keepRight` — flushes the intervals no point landed in;
+    *  - a left row whose key has no interval run outer-emits (`keepLeft`)
+    *    or is dropped, without touching the right side.
+    */
   private def doExecuteKeyed(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -235,6 +273,9 @@ case class IntervalJoinExec(
     val lTime = leftTime
     val rStart = rightStart
     val rEnd = rightEnd
+    val kl = keepLeft
+    val kr = keepRight
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val tOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
@@ -245,28 +286,128 @@ case class IntervalJoinExec(
       val eP = UnsafeProjection.create(Seq(rEnd), rOut)
       val rBuf = rIter.buffered
       val sweep = new Sweep(tOrd)
-      var curKey: UnsafeRow = null
+      val joined = new JoinedRow
+      // nullable views on BOTH sides that can be null-padded (the q262
+      // nullability-binding lesson, now symmetric)
+      val outProj = UnsafeProjection.create(outAttrs,
+        (if (kr) lOut.map(_.withNullability(true)) else lOut) ++
+          (if (kl) rOut.map(_.withNullability(true)) else rOut))
+      val nullRight = InternalRow.fromSeq(Seq.fill(rOut.length)(null))
+      val nullLeft = InternalRow.fromSeq(Seq.fill(lOut.length)(null))
 
-      // both inputs arrive (keys, time)-sorted, so each key's interval group
-      // is a contiguous run consumed exactly once: skip runs before the
-      // point's key, load the equal-key run (already start-sorted), sweep.
-      // Per-key state = that key's interval count (SCD2: its version count).
-      def loadGroup(lRow: InternalRow): Boolean = {
-        val k = lK(lRow)
-        if (curKey != null && keyOrd.compare(k, curKey) == 0) return sweep.ivs.nonEmpty
-        curKey = k.copy()
-        while (rBuf.hasNext && keyOrd.compare(rK(rBuf.head), curKey) < 0) rBuf.next()
-        val grp = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, UnsafeRow, InternalRow)]
-        while (rBuf.hasNext && keyOrd.compare(rK(rBuf.head), curKey) == 0) {
-          val r = rBuf.next()
-          val s = sP(r).copy(); val e = eP(r).copy()
-          if (!s.isNullAt(0) && !e.isNullAt(0)) grp += ((s, e, r.copy()))
+      new Iterator[InternalRow] {
+        private var curKey: UnsafeRow = null          // key of the loaded group
+        private var lRow: InternalRow = _             // left row mid-emission
+        private var matchIdx = 0                      // -1 = null-right emission
+        private var heldLeft: InternalRow = null      // left row awaiting its group load
+        private var draining = false                  // streaming a right-only run
+        private var drainBound: UnsafeRow = null      // null = drain to end of rIter
+        private var exhausted = false
+        // unmatched intervals of a FINISHED group (≤ per-key interval count)
+        private val flushQ = scala.collection.mutable.Queue.empty[InternalRow]
+
+        private def closeGroup(): Unit = {
+          if (kr) {
+            var i = 0
+            while (i < sweep.ivs.length) {
+              if (!sweep.ivs(i).matched) flushQ += sweep.ivs(i).row
+              i += 1
+            }
+          }
+          sweep.reset(Array.empty)
         }
-        sweep.reset(grp.toArray)
-        sweep.ivs.nonEmpty
-      }
 
-      emitIterator(lIter, lOut, rOut, lT, sweep, loadGroup)
+        /** Consume the equal-key right run into the sweep (rows copied —
+          * they outlive the buffer). Null-bounded intervals can never
+          * match: flushQ them (keepRight) or drop them.
+          */
+        private def loadGroup(): Unit = {
+          val grp = scala.collection.mutable.ArrayBuffer.empty[Iv]
+          while (rBuf.hasNext && keyOrd.compare(rK(rBuf.head), curKey) == 0) {
+            val r = rBuf.next()
+            val s = sP(r).copy(); val e = eP(r).copy()
+            if (!s.isNullAt(0) && !e.isNullAt(0)) grp += new Iv(s, e, r.copy())
+            else if (kr) flushQ += r.copy()
+          }
+          sweep.reset(grp.toArray)
+        }
+
+        /** Route one left row: match emission, null-right emission, or skip. */
+        private def takeLeftRow(row: InternalRow): Unit = {
+          val t = lT(row)
+          if (!t.isNullAt(0) && sweep.ivs.nonEmpty) {
+            sweep.advanceTo(t)
+            if (sweep.active.nonEmpty) { lRow = row; matchIdx = 0 }
+            else if (kl) { lRow = row; matchIdx = -1 }
+          } else if (kl) { lRow = row; matchIdx = -1 }
+        }
+
+        /** Single-step state machine; sets lRow / flushQ / draining so one
+          * output row is ready, or marks exhaustion. Loops only to skip
+          * non-emitting left rows (inner mode) and state handoffs.
+          */
+        private def ready(): Boolean = {
+          while (true) {
+            if (lRow != null && (matchIdx == -1 || matchIdx < sweep.active.length)) return true
+            lRow = null
+            if (flushQ.nonEmpty) return true
+            if (draining) {
+              if (rBuf.hasNext &&
+                  (drainBound == null || keyOrd.compare(rK(rBuf.head), drainBound) < 0)) return true
+              draining = false
+              if (drainBound == null) { exhausted = true; return false }
+            }
+            if (heldLeft != null) {
+              loadGroup()
+              val h = heldLeft; heldLeft = null
+              takeLeftRow(h)
+            } else if (lIter.hasNext) {
+              val cand = lIter.next()
+              val k = lK(cand)
+              if (curKey != null && keyOrd.compare(k, curKey) == 0) {
+                takeLeftRow(cand)
+              } else {
+                closeGroup()
+                curKey = k.copy()
+                heldLeft = cand.copy()
+                if (kr) { draining = true; drainBound = curKey }
+                else {
+                  // fast-skip right runs before this key without emitting
+                  while (rBuf.hasNext && keyOrd.compare(rK(rBuf.head), curKey) < 0) rBuf.next()
+                }
+              }
+            } else {
+              closeGroup()
+              if (kr && (flushQ.nonEmpty || rBuf.hasNext)) { draining = true; drainBound = null }
+              else { exhausted = true; return false }
+            }
+          }
+          false // unreachable
+        }
+
+        override def hasNext: Boolean = !exhausted && ready()
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (lRow != null) {
+            if (matchIdx == -1) {
+              val out = outProj(joined(lRow, nullRight))
+              lRow = null
+              out
+            } else {
+              val iv = sweep.active(matchIdx)
+              iv.matched = true
+              matchIdx += 1
+              outProj(joined(lRow, iv.row))
+            }
+          } else if (flushQ.nonEmpty) {
+            outProj(joined(nullLeft, flushQ.dequeue()))
+          } else {
+            // draining a right-only run: stream, never buffer
+            outProj(joined(nullLeft, rBuf.next()))
+          }
+        }
+      }
     }
   }
 
@@ -290,19 +431,29 @@ object IntervalJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTime: Column, start: Column, end: Column): DataFrame =
-    join(points, intervals, Nil, Nil, pointTime, start, end, outer = false)
+    join(points, intervals, Nil, Nil, pointTime, start, end, "inner")
 
-  /** Full form: `points [LEFT] INTERVAL JOIN intervals ON lk = rk AND
-    * start <= t < end`. With keys, both sides hash-cluster (SortMergeJoin's
-    * contract — no broadcast-size ceiling); keyless requires the interval
-    * side broadcast-sized. `outer = true` keeps unmatched points with nulls
-    * on the right.
+  /** Full form: `points [INNER|LEFT|RIGHT|FULL] INTERVAL JOIN intervals ON
+    * lk = rk AND start <= t < end`. With keys, both sides hash-cluster
+    * (SortMergeJoin's contract — no broadcast-size ceiling); keyless
+    * requires the interval side broadcast-sized. `joinType` is one of
+    * `"inner" | "left" | "right" | "full"`: left keeps unmatched points
+    * (nulls on the right), right keeps unmatched intervals (nulls on the
+    * left — keyed mode only), full keeps both.
     */
   def join(points: DataFrame, intervals: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
            pointTime: Column, start: Column, end: Column,
-           outer: Boolean): DataFrame = {
+           joinType: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val (keepLeft, keepRight) = joinType match {
+      case "inner" => (false, false)
+      case "left"  => (true, false)
+      case "right" => (false, true)
+      case "full"  => (true, true)
+      case other => throw new IllegalArgumentException(
+        s"interval join type must be inner|left|right|full, got '$other'")
+    }
     val spark = points.sparkSession
     install(spark)
     val tExpr = GraftSqlBridge.expression(pointTime)
@@ -323,6 +474,9 @@ object IntervalJoin {
         s"start=${types(1)}, end=${types(2)} — cast the columns explicitly")
     require(lkExprs.length == rkExprs.length,
       s"interval join key arity mismatch: ${lkExprs.length} vs ${rkExprs.length}")
+    require(lkExprs.nonEmpty || !keepRight,
+      s"interval join type '$joinType' requires equi-keys (broadcast mode " +
+        "cannot decide global unmatchedness)")
     lkExprs.zip(rkExprs).foreach { case (l, r) =>
       require(l.dataType == r.dataType,
         s"interval join key type mismatch: ${l.dataType} vs ${r.dataType} — " +
@@ -330,7 +484,7 @@ object IntervalJoin {
     }
     val plan = IntervalJoinPlan(
       points.queryExecution.analyzed, intervals.queryExecution.analyzed,
-      lkExprs, rkExprs, tExpr, sExpr, eExpr, outer)
+      lkExprs, rkExprs, tExpr, sExpr, eExpr, keepLeft, keepRight)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

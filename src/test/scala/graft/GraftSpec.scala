@@ -806,38 +806,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!got.exists(x => x._1 == "p1" || x._1 == "p20" || x._1 == "pnull"))
   }
 
-  test("KEYED + OUTER interval join equals brute force (groups, gaps, empty sides)") {
+  test("KEYED interval join: all four join types equal brute force (groups, gaps, empty sides)") {
     import TestSpark.spark.implicits._
     // key groups exercising every merge-path branch: k=1 overlapping
     // intervals, k=2 point-only (no intervals at all), k=3 interval-only
     // (no points), k=4 dense abutting, k=5 single point in a gap between
-    // its key's intervals, plus a null point time (outer-emits)
+    // its key's intervals (its E2 never matches), plus a null point time
+    // (outer-emits) and a never-matched interval BEFORE a matched one (E1
+    // vs the gap point at t=10 — exercises the admit-then-retire flush)
     val pts = Seq((1L, 5L, "a1"), (1L, 7L, "a2"), (2L, 5L, "b1"), (4L, 3L, "d1"),
       (4L, 6L, "d2"), (4L, 9L, "d3"), (5L, 10L, "e1"), (1L, 99L, "a3")).toDF("k", "t", "ptag")
       .unionByName(Seq((5L, Option.empty[Long], "enull")).toDF("k", "t", "ptag"))
     val ivs = Seq((1L, 4L, 8L, "A"), (1L, 5L, 12L, "B"), (3L, 0L, 100L, "C"),
       (4L, 3L, 6L, "D1"), (4L, 6L, 9L, "D2"), (5L, 0L, 5L, "E1"), (5L, 20L, 30L, "E2"))
       .toDF("ik", "s", "e", "itag")
-    def run(outer: Boolean) = graft.plans.IntervalJoin.join(
-        pts, ivs, Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), outer)
+    def run(jt: String) = graft.plans.IntervalJoin.join(
+        pts, ivs, Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), jt)
       .select(col("ptag"), col("itag")).collect()
-      .map(x => (x.getString(0), Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
-    val bruteInner = pts.join(ivs,
-        pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"))
+      .map(x => (Option(x.getString(0)).getOrElse("-"),
+        Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
+    def brute(sqlType: String) = pts.join(ivs,
+        pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), sqlType)
       .select(col("ptag"), col("itag")).collect()
-      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
-    val bruteOuter = pts.join(ivs,
-        pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), "left_outer")
-      .select(col("ptag"), col("itag")).collect()
-      .map(x => (x.getString(0), Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
-    assert(run(outer = false) === bruteInner)
-    assert(run(outer = true) === bruteOuter)
+      .map(x => (Option(x.getString(0)).getOrElse("-"),
+        Option(x.getString(1)).getOrElse("-"))).sorted.toSeq
+    for ((jt, sqlType) <- Seq("inner" -> "inner", "left" -> "left_outer",
+        "right" -> "right_outer", "full" -> "full_outer")) {
+      assert(run(jt) === brute(sqlType), s"joinType=$jt")
+    }
+    val bruteOuter = brute("left_outer"); val bruteFull = brute("full_outer")
     // the dataset genuinely exercises both outer shapes: unmatched-by-key
     // (b1: no intervals for k=2) and unmatched-in-gap (e1: between E1 and E2)
     assert(bruteOuter.contains(("b1", "-")) && bruteOuter.contains(("e1", "-")) &&
       bruteOuter.contains(("enull", "-")))
+    // ...and both right-unmatched shapes: interval-only key (C, k=3) and
+    // in-group never-matched intervals (E1 retired before e1's t, E2 after)
+    assert(bruteFull.contains(("-", "C")) && bruteFull.contains(("-", "E1")) &&
+      bruteFull.contains(("-", "E2")))
     // overlap multiplicity inside a key group (a1 in A and B)
-    assert(bruteInner.count(_._1 == "a1") === 2)
+    assert(brute("inner").count(_._1 == "a1") === 2)
   }
 
   test("out-of-order streaming sessionization (flatMapGroupsWithState buffer) equals batch") {

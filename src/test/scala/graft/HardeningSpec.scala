@@ -94,18 +94,22 @@ class HardeningSpec extends AnyFunSuite {
         val s = rnd.nextInt(220).toLong - 10
         (rnd.nextInt(12).toLong + 2, s, s + rnd.nextInt(30).toLong - 2, i.toLong)
       }.toDF("ik", "s", "e", "iid") // keys 2..13 vs point keys 0..11: both gaps occur
-      for (outer <- Seq(false, true)) {
-        val joinType = if (outer) "left_outer" else "inner"
+      for ((jt, sqlType) <- Seq("inner" -> "inner", "left" -> "left_outer",
+          "right" -> "right_outer", "full" -> "full_outer")) {
+        def pair(r: org.apache.spark.sql.Row) =
+          (if (r.isNullAt(0)) -1L else r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
         val got = graft.plans.IntervalJoin.join(pts, ivs,
-            Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), outer)
-          .select(col("pid"), col("iid")).collect()
-          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+            Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), jt)
+          .select(col("pid"), col("iid")).collect().map(pair).sorted.toSeq
         val brute = pts.join(ivs,
-            pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), joinType)
-          .select(col("pid"), col("iid")).collect()
-          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
-        assert(got === brute, s"trial $trial outer=$outer")
+            pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), sqlType)
+          .select(col("pid"), col("iid")).collect().map(pair).sorted.toSeq
+        assert(got === brute, s"trial $trial joinType=$jt")
         assert(got.nonEmpty)
+        // the random data must genuinely exercise the unmatched-right path:
+        // empty/inverted intervals and key-gap intervals null-pad the left
+        if (jt == "right" || jt == "full")
+          assert(got.exists(_._1 == -1L), s"trial $trial joinType=$jt lacks right-only rows")
       }
     }
   }
