@@ -470,6 +470,20 @@ object SparkEntry {
     "q263_kmv_distinct"        -> ((s, d) => SamplingOps.kmvDistinct(s, d)),
     // -- bigram-LM perplexity quality filter (CCNet-style, era-split train) -----
     "q264_bigram_lm"           -> ((s, d) => TextOps.bigramLmScore(s, d)),
+    // -- FULL-outer keyed interval join: SCD2 coverage audit (3-bucket) ---------
+    "q265_scd2_coverage"       -> ((s, d) => CoreOps.scd2CoverageAudit(s, d)),
+    // -- temperature-scaled mixture epoch table (repetition-risk audit) ---------
+    "q266_mixture_epochs"      -> ((s, d) => TextOps.mixtureEpochs(s, d)),
+    // -- per-source character-entropy quality signal (gibberish detector) -------
+    "q267_char_entropy"        -> ((s, d) => TextOps.charEntropy(s, d)),
+    // -- robust (10%-trimmed) per-source quality means ---------------------------
+    "q268_trimmed_quality"     -> ((s, d) => TextOps.trimmedQuality(s, d)),
+    // -- per-label embedding dispersion (representation-collapse audit) ---------
+    "q269_label_dispersion"    -> ((s, d) => SimilarityOps.labelDispersion(s, d)),
+    // -- context-length sizing: truncation/padding waste per candidate L --------
+    "q270_context_sizing"      -> ((s, d) => TextOps.contextSizing(s, d)),
+    // -- per-source unigram KL skew vs the corpus distribution -------------------
+    "q271_source_kl_skew"      -> ((s, d) => TextOps.sourceKlSkew(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1076,6 +1090,13 @@ object SparkEntry {
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     "q264_bigram_lm" -> TextOps.bigramLmScoreOracle,
+    "q265_scd2_coverage" -> CoreOps.scd2CoverageAuditOracle,
+    "q266_mixture_epochs" -> TextOps.mixtureEpochsOracle,
+    "q267_char_entropy" -> TextOps.charEntropyOracle,
+    "q268_trimmed_quality" -> TextOps.trimmedQualityOracle,
+    "q269_label_dispersion" -> SimilarityOps.labelDispersionOracle,
+    "q270_context_sizing" -> TextOps.contextSizingOracle,
+    "q271_source_kl_skew" -> TextOps.sourceKlSkewOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

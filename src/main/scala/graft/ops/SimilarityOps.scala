@@ -782,6 +782,75 @@ object SimilarityOps {
        |FROM s ORDER BY dim""".stripMargin
   }
 
+  /** Per-label embedding DISPERSION — the representation-collapse audit an
+    * embedding pipeline runs after (re)training an encoder: for each label,
+    * `E‖x−μ‖² = E‖x‖² − ‖μ‖²` (the variance decomposition — no pairwise
+    * join, ONE pass for the second moment and one dims-sized aggregate for
+    * the centroid). A label whose dispersion collapses toward 0 has its
+    * vectors folding onto a point (anisotropy/collapse); one whose
+    * dispersion rivals its mean norm² carries no cluster structure.
+    * Complements q43 (the centroid VECTORS) and q211 (per-dim corpus
+    * stats) with the per-cluster spread scalar.
+    *
+    * Parity & scale: components quantize to integer micro-units (q171
+    * discipline): `Σ‖xq‖²` folds row-locally into one BIGINT per row and
+    * sums exactly per label (fits through ~10⁶ rows/label at this value
+    * range; a web-scale corpus lifts the sum to DECIMAL(38,0) — same
+    * shape); the centroid's `‖μ‖²` sums 64 per-dim terms, each one fixed
+    * double expression on exact integers quantized to DECIMAL(18,6), so
+    * the cross-dim sum is order-free. The per-dim shuffle is 64·|labels|
+    * keys, map-side combined; nothing corpus-sized moves.
+    */
+  def labelDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val rowNorm2 = expr(
+      "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    val e = Tables.embeddings(spark, dir)
+    val mu = col("sd").cast("double") / col("n").cast("double") / lit(1000000.0)
+    val cent = e.select(col("label"), posexplode(xq).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sd"), count(lit(1)).as("n"))
+      .select(col("label"), OracleMath.stableRound(mu * mu, 6).cast(d6).as("t"))
+      .groupBy(col("label")).agg(sum(col("t")).as("mu2"))
+    val ex2 = col("srn2").cast("double") / (col("n").cast("double") * lit(1.0e12))
+    e.select(col("label"), rowNorm2.as("rn2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("rn2")).as("srn2"))
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("n"),
+        OracleMath.stableRound(ex2, 6).as("mean_norm2"),
+        OracleMath.stableRound(col("mu2").cast("double"), 6).as("centroid_norm2"),
+        OracleMath.stableRound(ex2 - col("mu2").cast("double"), 6).as("dispersion"))
+      .orderBy(col("label"))
+  }
+
+  val labelDispersionOracle: String = {
+    val mu = "CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"
+    val ex2 = "CAST(srn2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"
+    s"""WITH e AS (SELECT label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |pd AS (SELECT label, CAST(r.i AS BIGINT) AS dim, xq[CAST(r.i AS INT) + 1] AS v
+       |       FROM e, (SELECT unnest(range(0, 64)) AS i) r),
+       |sd AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n
+       |       FROM pd GROUP BY 1, 2),
+       |cent AS (SELECT label,
+       |    sum(CAST(${OracleMath.stableRoundSql(s"($mu) * ($mu)", 6)} AS DECIMAL(18,6))) AS mu2
+       |  FROM sd GROUP BY 1),
+       |nr AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), xq), (acc, v) -> acc + v * v)) AS BIGINT) AS srn2
+       |  FROM e GROUP BY 1)
+       |SELECT label, n,
+       |  ${OracleMath.stableRoundSql(ex2, 6)} AS mean_norm2,
+       |  ${OracleMath.stableRoundSql("CAST(mu2 AS DOUBLE)", 6)} AS centroid_norm2,
+       |  ${OracleMath.stableRoundSql(s"($ex2) - CAST(mu2 AS DOUBLE)", 6)} AS dispersion
+       |FROM nr JOIN cent USING (label)
+       |ORDER BY label""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q171_kmeans" -> {
       val off = KmOff

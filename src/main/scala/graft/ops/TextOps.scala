@@ -1697,6 +1697,330 @@ object TextOps {
       .orderBy(desc("support"), col("w_a"), col("w_b"))
   }
 
+  /** Temperature-scaled mixture epoch table — the artifact a pretraining
+    * data team reads before committing a sampling recipe (the Pile/LLaMA
+    * practice): for each source and each sampling temperature α, the
+    * sampling weight `w_s ∝ tok_s^α` and the implied EPOCHS of that source
+    * consumed under a fixed token budget `B = 2·Σtok` — α=1 reproduces
+    * natural proportions (every source exactly 2 epochs), α=0 is uniform
+    * (small sources over-repeated), α=0.5 the usual compromise. Rows whose
+    * epochs exceed [[MixEpochCap]] are flagged as repetition risks
+    * (over-repetition measurably degrades models — the reason this table
+    * exists). Distinct from q210 (greedy budget ALLOCATION) and q103 (row
+    * sampling): this is the repetition-rate audit of a weight formula.
+    *
+    * Parity: tok_s is an exact integer; tok_s^α is written as CASE α∈{0,
+    * 0.5, 1} → {1, sqrt, tok} (never `pow`, whose 0.5 case is not required
+    * to equal sqrt bit-for-bit across libms), rounded to 6 dp and quantized
+    * DECIMAL(18,6) so the cross-source mass sum is exact and order-free;
+    * weight and epochs are then one fixed double expression per row.
+    * Scale shape: one map-side-combined per-source aggregate, a 3-row
+    * (per-α) mass table broadcast back — nothing corpus-sized shuffles.
+    */
+  val MixEpochCap = 2.1
+
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok"))
+    val mass = when(col("alpha") === 0.0, lit(1.0))
+      .when(col("alpha") === 0.5, sqrt(col("tok").cast("double")))
+      .otherwise(col("tok").cast("double"))
+    val rows = perSrc
+      .select(col("source"), col("n_docs"), col("tok"),
+        explode(array(lit(0.0), lit(0.5), lit(1.0))).as("alpha"))
+      .withColumn("m", OracleMath.stableRound(mass, 6).cast(d6))
+    val totals = rows.groupBy(col("alpha")).agg(sum(col("m")).as("tm"))
+    val ttok = perSrc.agg(sum(col("tok")).as("ttok"))
+    val epochs = col("ttok").cast("double") * lit(2.0) *
+      (col("m").cast("double") / col("tm").cast("double")) / col("tok").cast("double")
+    rows.join(broadcast(totals), "alpha").crossJoin(broadcast(ttok))
+      .select(col("source"), col("alpha"), col("n_docs"), col("tok"),
+        OracleMath.stableRound(col("m").cast("double") / col("tm").cast("double"), 6)
+          .as("weight"),
+        OracleMath.stableRound(epochs, 6).as("epochs"),
+        (OracleMath.stableRound(epochs, 6) > lit(MixEpochCap)).as("repeat_risk"))
+      .orderBy(col("source"), col("alpha"))
+  }
+
+  val mixtureEpochsOracle: String = {
+    val massSql = "CASE WHEN alpha = 0.0 THEN 1.0 " +
+      "WHEN alpha = 0.5 THEN sqrt(CAST(tok AS DOUBLE)) ELSE CAST(tok AS DOUBLE) END"
+    val epochsSql = "CAST(ttok AS DOUBLE) * 2.0 * " +
+      "(CAST(m AS DOUBLE) / CAST(tm AS DOUBLE)) / CAST(tok AS DOUBLE)"
+    s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+       |           FROM documents GROUP BY 1),
+       |r AS (SELECT source, n_docs, tok, alpha,
+       |        CAST(${OracleMath.stableRoundSql(massSql, 6)} AS DECIMAL(18,6)) AS m
+       |      FROM s, (SELECT CAST(unnest([0.0, 0.5, 1.0]) AS DOUBLE) AS alpha)),
+       |t AS (SELECT alpha, sum(m) AS tm FROM r GROUP BY 1),
+       |g AS (SELECT sum(tok) AS ttok FROM s)
+       |SELECT source, alpha, n_docs, tok,
+       |  ${OracleMath.stableRoundSql("CAST(m AS DOUBLE) / CAST(tm AS DOUBLE)", 6)} AS weight,
+       |  ${OracleMath.stableRoundSql(epochsSql, 6)} AS epochs,
+       |  ${OracleMath.stableRoundSql(epochsSql, 6)} > $MixEpochCap AS repeat_risk
+       |FROM r JOIN t USING (alpha), g
+       |ORDER BY source, alpha""".stripMargin
+  }
+
+  /** Character-entropy quality signal — the gibberish/boilerplate detector
+    * real curation stacks run next to length/punctuation heuristics (low
+    * char entropy ⇒ repeated filler or key-mashing; q32 measures lexical
+    * ratios, this measures the character DISTRIBUTION). Per doc, the
+    * unigram character entropy `H = -Σ p_c·ln(p_c)` over the doc's distinct
+    * characters; per source, the mean H and the fraction of docs under
+    * [[LowEntropyH]] (the p10 of the corpus — the would-be drop list).
+    *
+    * Execution is entirely ROW-LOCAL (the q30 shape): each doc folds its
+    * own distinct-char list — `count(c) = len − len(replace(text, c, ''))`
+    * per distinct char, O(alphabet·len) with no per-char row explosion —
+    * so the whole signal costs one scan plus a 20-row aggregate; nothing
+    * about a doc ever leaves its partition. Parity: each `−p·ln p` term is
+    * one fixed double expression quantized to integer MICRO-NATS, the
+    * per-doc fold and per-source sums are exact BIGINT arithmetic (the
+    * wordHash fixed-fold-order discipline), and only the final per-source
+    * divisions are float.
+    */
+  val LowEntropyH = 2.78
+
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = "CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)"
+    val len = "CAST(length(text) AS DOUBLE)"
+    val term = s"-($cnt / $len) * ln($cnt / $len)"
+    val hMicros = expr(
+      s"""aggregate(
+         |  transform(array_distinct(split(text, '')),
+         |    c -> CAST(floor(($term) * 1000000.0 + 0.5) AS BIGINT)),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    val thrMicros = math.round(LowEntropyH * 1000000.0)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"), hMicros.as("hm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hm")).as("shm"),
+        sum(when(col("hm") < thrMicros, 1L).otherwise(0L)).as("nlo"),
+        min(col("hm")).as("mnm"), max(col("hm")).as("mxm"))
+      .select(col("source"), col("n_docs"),
+        OracleMath.stableRound(
+          col("shm").cast("double") / col("n_docs").cast("double") / lit(1000000.0), 6)
+          .as("mean_h"),
+        OracleMath.stableRound(
+          col("nlo").cast("double") / col("n_docs").cast("double"), 6).as("lo_frac"),
+        OracleMath.stableRound(col("mnm").cast("double") / lit(1000000.0), 6).as("min_h"),
+        OracleMath.stableRound(col("mxm").cast("double") / lit(1000000.0), 6).as("max_h"))
+      .orderBy(col("source"))
+  }
+
+  val charEntropyOracle: String = {
+    val cnt = "CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)"
+    val len = "CAST(length(text) AS DOUBLE)"
+    val term = s"-($cnt / $len) * ln($cnt / $len)"
+    val thrMicros = math.round(LowEntropyH * 1000000.0)
+    s"""WITH h AS (
+       |  SELECT source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_distinct(string_split(text, '')),
+       |        c -> CAST(floor(($term) * 1000000.0 + 0.5) AS BIGINT))),
+       |      (acc, x) -> acc + x) AS hm
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  ${OracleMath.stableRoundSql(
+             "CAST(sum(hm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS mean_h,
+       |  ${OracleMath.stableRoundSql(
+             s"CAST(sum(CASE WHEN hm < $thrMicros THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS lo_frac,
+       |  ${OracleMath.stableRoundSql("CAST(min(hm) AS DOUBLE) / 1000000.0", 6)} AS min_h,
+       |  ${OracleMath.stableRoundSql("CAST(max(hm) AS DOUBLE) / 1000000.0", 6)} AS max_h
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Robust per-source quality statistics: the 10%-TRIMMED mean of the q32
+    * quality score next to the plain mean — the outlier-resistant location
+    * estimate a curation dashboard shows when a handful of degenerate docs
+    * (empty boilerplate scoring ~0, keyword-stuffed pages scoring ~1) would
+    * otherwise drag a source's plain mean. Trim rule: within each source,
+    * rank docs by (quality, doc_id) — the deterministic total order — and
+    * drop the bottom and top floor(n/10) ranks; the trimmed mean averages
+    * the DECIMAL(12,4)-quantized survivors exactly (order-free sum, one
+    * final division).
+    *
+    * Scale shape: the rank window is PARTITIONED BY source (the structural
+    * audit's requirement) — each source's docs rank inside its own hash
+    * partition, nothing corpus-sized serializes through one task; the
+    * result is one row per source.
+    */
+  def trimmedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val qual = OracleMath.stableRound(
+      least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+        least(meanLen / 8.0, lit(1.0)) * 0.3, 4)
+      .cast(org.apache.spark.sql.types.DecimalType(12, 4))
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), qual.as("q"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .withColumn("lo", floor(col("n") / 10).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        OracleMath.stableRound(
+          sum(col("q")).cast("double") / max(col("n")).cast("double"), 6).as("mean_q"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), lit(1L))
+          .otherwise(lit(0L))).as("n_kept"),
+        OracleMath.stableRound(
+          sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), col("q")))
+            .cast("double") /
+            sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), lit(1L))
+              .otherwise(lit(0L))).cast("double"), 6).as("trimmed_q"))
+      .orderBy(col("source"))
+  }
+
+  val trimmedQualityOracle: String =
+    s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+       |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl
+       |      FROM documents),
+       |q AS (SELECT source, doc_id,
+       |       CAST(${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS DECIMAL(12,4)) AS q
+       |      FROM base),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS rn,
+       |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+       |        CAST(floor(count(*) OVER (PARTITION BY source) / 10) AS BIGINT) AS lo
+       |      FROM q)
+       |SELECT source, max(n) AS n_docs,
+       |  ${OracleMath.stableRoundSql("CAST(sum(q) AS DOUBLE) / CAST(max(n) AS DOUBLE)", 6)} AS mean_q,
+       |  CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${OracleMath.stableRoundSql("CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN q END) AS DOUBLE) / CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END) AS DOUBLE)", 6)} AS trimmed_q
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Context-length sizing table — the truncation/padding trade-off sheet
+    * read before fixing an SFT max sequence length: for each candidate
+    * `L ∈ {128, 256, 512, 1024}`, the fraction of docs that would be
+    * truncated, the tokens LOST to truncation (`Σ max(0, tok−L)`), the
+    * tokens WASTED as padding in one-doc-per-sequence batching
+    * (`Σ (L − min(tok, L))`) and the resulting utilization
+    * (`Σ min(tok,L) / (n·L)`). Complements q102 (concat-and-chunk packing,
+    * where utilization is ~1 by construction and the cost is doc
+    * STRADDLING instead): this is the no-splitting regime's waste curve.
+    *
+    * Everything is per-row integer arithmetic on the token count crossed
+    * with a 4-element literal array — one scan, a 4-key map-side-combined
+    * aggregate, exact BIGINT sums; the two final ratios are each one fixed
+    * double expression. Nothing about scale changes the shape.
+    */
+  val ContextLens = Seq(128L, 256L, 512L, 1024L)
+
+  def contextSizing(spark: SparkSession, dir: String): DataFrame = {
+    val lens = array(ContextLens.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(size(words(col("text"))).cast("long").as("tok"),
+        explode(lens).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok") > col("max_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(greatest(col("tok") - col("max_len"), lit(0L))).as("tokens_truncated"),
+        sum(col("max_len") - least(col("tok"), col("max_len"))).as("tokens_padding"),
+        sum(least(col("tok"), col("max_len"))).as("tokens_kept"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_truncated"), col("tokens_padding"),
+        OracleMath.stableRound(
+          col("n_truncated").cast("double") / col("n_docs").cast("double"), 6)
+          .as("trunc_frac"),
+        OracleMath.stableRound(
+          col("tokens_kept").cast("double") /
+            (col("n_docs").cast("double") * col("max_len").cast("double")), 6)
+          .as("utilization"))
+      .orderBy(col("max_len"))
+  }
+
+  val contextSizingOracle: String =
+    s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+       |x AS (SELECT tok, CAST(unnest([${ContextLens.mkString(", ")}]) AS BIGINT) AS max_len FROM d),
+       |a AS (SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(CASE WHEN tok > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |        CAST(sum(greatest(tok - max_len, 0)) AS BIGINT) AS tokens_truncated,
+       |        CAST(sum(max_len - least(tok, max_len)) AS BIGINT) AS tokens_padding,
+       |        CAST(sum(least(tok, max_len)) AS BIGINT) AS tokens_kept
+       |      FROM x GROUP BY 1)
+       |SELECT max_len, n_docs, n_truncated, tokens_truncated, tokens_padding,
+       |  ${OracleMath.stableRoundSql(
+            "CAST(n_truncated AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS trunc_frac,
+       |  ${OracleMath.stableRoundSql(
+            "CAST(tokens_kept AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(max_len AS DOUBLE))", 6)} AS utilization
+       |FROM a ORDER BY max_len""".stripMargin
+
+  /** Per-source unigram KL divergence from the corpus distribution — the
+    * topical-skew detector that ranks sources by how far their word usage
+    * drifts from the corpus mean (the signal behind "this crawl slice is
+    * all SEO spam"): `KL(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w))` with
+    * add-one smoothing over the CORPUS vocabulary on both sides, so every
+    * source is scored over the same support and absent words contribute
+    * their smoothed mass. Complements q259 (pairwise BATCH drift, χ²) with
+    * a one-number-per-source divergence against the global distribution.
+    *
+    * Shape: one word-count aggregate keyed (source, word), the vocabulary
+    * re-keyed per source via a BROADCAST cross join with the 20-row source
+    * list (vocab-sized × |sources| skinny rows — a dictionary shuffle,
+    * never a corpus one), per-term micro-nat quantization and exact BIGINT
+    * per-source sums (the q267 discipline; ln parity per the q264
+    * precedent). The smoothing scalars (V, total tokens) ride a 1-row
+    * broadcast; per-source token totals a |sources|-row one.
+    */
+  def sourceKlSkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .persistTracked()
+    val vocab = counts.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val perSrc = counts.groupBy(col("source")).agg(sum(col("c_sw")).as("tok_s"))
+    val scalars = vocab.agg(count(lit(1)).as("v"), sum(col("c_w")).as("tok"))
+    val p = (col("c_sw") + lit(1.0)) / (col("tok_s").cast("double") + col("v").cast("double"))
+    val q = (col("c_w") + lit(1.0)) / (col("tok").cast("double") + col("v").cast("double"))
+    val termMicros =
+      floor((p * log(p / q)) * lit(1000000.0) + lit(0.5)).cast("long")
+    vocab.crossJoin(broadcast(perSrc))
+      .join(counts, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c_sw"))
+      .crossJoin(broadcast(scalars))
+      .select(col("source"),
+        when(col("c_sw") > 0, 1L).otherwise(0L).as("present"),
+        termMicros.as("tm"))
+      .groupBy(col("source"))
+      .agg(sum(col("present")).as("n_words_present"),
+        OracleMath.stableRound(
+          sum(col("tm")).cast("double") / lit(1000000.0), 6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  val sourceKlSkewOracle: String = {
+    val p = "(c_sw + 1.0) / (CAST(tok_s AS DOUBLE) + CAST(v AS DOUBLE))"
+    val q = "(c_w + 1.0) / (CAST(tok AS DOUBLE) + CAST(v AS DOUBLE))"
+    s"""WITH counts AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |vocab AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM counts GROUP BY 1),
+       |per_src AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS tok_s FROM counts GROUP BY 1),
+       |scalars AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_w) AS BIGINT) AS tok FROM vocab),
+       |joined AS (SELECT s.source, s.tok_s, vv.c_w, coalesce(c.c_sw, 0) AS c_sw
+       |  FROM vocab vv CROSS JOIN per_src s
+       |  LEFT JOIN counts c ON c.source = s.source AND c.w = vv.w),
+       |terms AS (SELECT source,
+       |    CASE WHEN c_sw > 0 THEN 1 ELSE 0 END AS present,
+       |    CAST(floor(((($p) * ln(($p) / ($q)))) * 1000000.0 + 0.5) AS BIGINT) AS tm
+       |  FROM joined CROSS JOIN scalars)
+       |SELECT source, CAST(sum(present) AS BIGINT) AS n_words_present,
+       |  ${OracleMath.stableRoundSql("CAST(sum(tm) AS DOUBLE) / 1000000.0", 6)} AS kl_nats
+       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q183_budget_trim" ->
       s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
