@@ -484,6 +484,14 @@ object SparkEntry {
     "q270_context_sizing"      -> ((s, d) => TextOps.contextSizing(s, d)),
     // -- per-source unigram KL skew vs the corpus distribution -------------------
     "q271_source_kl_skew"      -> ((s, d) => TextOps.sourceKlSkew(s, d)),
+    // -- KMV sketch set operations: pairwise overlap estimates vs exact ---------
+    "q272_kmv_overlap"         -> ((s, d) => SamplingOps.kmvOverlap(s, d)),
+    // -- dedup retention-bias per source (curation governance) ------------------
+    "q273_retention_bias"      -> ((s, d) => TextOps.retentionBias(s, d)),
+    // -- per-source token-mass Gini (exact order-statistics concentration) ------
+    "q274_token_gini"          -> ((s, d) => TextOps.tokenGini(s, d)),
+    // -- per-source Zipf slope (lexical-diversity OLS on ln rank/ln freq) -------
+    "q275_zipf_slope"          -> ((s, d) => TextOps.zipfSlope(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1097,6 +1105,10 @@ object SparkEntry {
     "q269_label_dispersion" -> SimilarityOps.labelDispersionOracle,
     "q270_context_sizing" -> TextOps.contextSizingOracle,
     "q271_source_kl_skew" -> TextOps.sourceKlSkewOracle,
+    "q272_kmv_overlap" -> SamplingOps.kmvOverlapOracle,
+    "q273_retention_bias" -> TextOps.retentionBiasOracle,
+    "q274_token_gini" -> TextOps.tokenGiniOracle,
+    "q275_zipf_slope" -> TextOps.zipfSlopeOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

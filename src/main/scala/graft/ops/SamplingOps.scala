@@ -464,6 +464,105 @@ object SamplingOps {
        |  ${OracleMath.stableRoundSql("abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4)} AS rel_err
        |FROM s ORDER BY event_type""".stripMargin
 
+  /** KMV sketch SET OPERATIONS — the reason warehouses keep KMV synopses
+    * rather than plain distinct counts (Beyer et al., SIGMOD'07): two
+    * groups' sketches combine WITHOUT re-touching the data. For every
+    * event-type pair, the union sketch is the k smallest of `K_A ∪ K_B`;
+    * `|A∪B|` estimates as `(k−1)·2⁴⁸∕h₍ₖ₎` on it, the Jaccard as the
+    * fraction ρ of union-sketch members present in BOTH input sketches,
+    * and `|A∩B|` as `ρ·|A∪B|` — when the union has < k distinct hashes the
+    * sketch IS the set and every estimate is exact by construction. The
+    * q161/q263 measure-the-approximation discipline: the exact pair overlap
+    * (q244's machinery) rides along and the oracle pins estimate AND error.
+    *
+    * At 100 TB the sketch path aggregates ≤ k longs per group per
+    * partition and combines pairs on a |types|²-row driver-sized table —
+    * the exact path's user-level self-join exists here only as the audit.
+    * KMV is deterministic given the hash column, so the twin reproduces
+    * every sketch member, union slice and ρ exactly with list kernels.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val sk = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"graft_kmv(h, $KmvK)").as("kmv"),
+        countDistinct(col("user_id")).as("n"))
+    val a = sk.select(col("event_type").as("type_a"), col("kmv").as("kmv_a"), col("n").as("n_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("kmv").as("kmv_b"), col("n").as("n_b"))
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val u = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, KmvK)
+    val estU = when(col("n_u") < KmvK, col("n_u").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(281474976710656.0) / col("h_k").cast("double"))
+    val rho = col("n_match").cast("double") / col("n_u").cast("double")
+    val jac = col("n_both").cast("double") /
+      (col("n_a") + col("n_b") - col("n_both")).cast("double")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("u", u)
+      .withColumn("n_u", size(col("u")).cast("long"))
+      .withColumn("h_k", element_at(col("u"), size(col("u"))))
+      .withColumn("n_match",
+        size(filter(col("u"), x =>
+          array_contains(col("kmv_a"), x) && array_contains(col("kmv_b"), x))).cast("long"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        col("n_u"), col("n_match"),
+        OracleMath.stableRound(jac, 6).as("jaccard"),
+        OracleMath.stableRound(rho, 6).as("kmv_jaccard"),
+        OracleMath.stableRound(rho * estU, 4).as("kmv_both"),
+        OracleMath.stableRound(abs(rho - jac), 6).as("jacc_abs_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val kmvOverlapOracle: String = {
+    val estU = s"CASE WHEN n_u < $KmvK THEN CAST(n_u AS DOUBLE) " +
+      s"ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(h_k AS DOUBLE) END"
+    val rho = "CAST(n_match AS DOUBLE) / CAST(n_u AS DOUBLE)"
+    val jac = "CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)"
+    s"""WITH hv AS (SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |      FROM hv),
+       |sk AS (SELECT event_type, list(h ORDER BY h) AS kmv
+       |       FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |sz AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+       |       FROM events GROUP BY 1),
+       |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         CAST(count(*) AS BIGINT) AS n_both
+       |       FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |       GROUP BY 1, 2),
+       |pairs AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       |            sa.kmv AS kmv_a, sb.kmv AS kmv_b, za.n AS n_a, zb.n AS n_b
+       |          FROM sk sa JOIN sk sb ON sa.event_type < sb.event_type
+       |          JOIN sz za ON za.event_type = sa.event_type
+       |          JOIN sz zb ON zb.event_type = sb.event_type),
+       |c AS (SELECT *, list_slice(list_sort(list_distinct(list_concat(kmv_a, kmv_b))), 1, $KmvK) AS u
+       |      FROM pairs),
+       |d AS (SELECT type_a, type_b, n_a, n_b,
+       |        CAST(len(u) AS BIGINT) AS n_u, u[len(u)] AS h_k,
+       |        CAST(len(list_filter(u, x -> list_contains(kmv_a, x) AND list_contains(kmv_b, x))) AS BIGINT) AS n_match
+       |      FROM c),
+       |e AS (SELECT d.*, coalesce(pr.n_both, 0) AS n_both
+       |      FROM d LEFT JOIN pr USING (type_a, type_b))
+       |SELECT type_a, type_b, n_a, n_b, n_both, n_u, n_match,
+       |  ${OracleMath.stableRoundSql(jac, 6)} AS jaccard,
+       |  ${OracleMath.stableRoundSql(rho, 6)} AS kmv_jaccard,
+       |  ${OracleMath.stableRoundSql(s"($rho) * ($estU)", 4)} AS kmv_both,
+       |  ${OracleMath.stableRoundSql(s"abs(($rho) - ($jac))", 6)} AS jacc_abs_err
+       |FROM e ORDER BY type_a, type_b""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q168_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, source, n_chars,

@@ -2021,6 +2021,188 @@ object TextOps {
        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Dedup RETENTION-BIAS audit — the governance check run after a dedup
+    * pass: does canonical-pick dedup (q213's quality-argmax over q36's
+    * wordset groups) remove documents EVENLY across sources, or does it
+    * systematically drain some source (because its docs lose quality
+    * ties to a syndicating mirror)? Per source: docs, retained canonicals,
+    * retention rate, and the bias vs the corpus-wide retention rate — the
+    * number a data owner reads before signing off a curation recipe.
+    *
+    * Shape: one quality/wordset-key scan, a wkey-partitioned rank window
+    * (the dedup itself), a per-source aggregate and a 1-row broadcast of
+    * the corpus totals. The rank window is keyed by the dup-group key —
+    * never corpus-wide.
+    */
+  def retentionBias(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val swRatio = size(filter(ws, w => w.isInCollection(enStop))).cast("double") / nTok
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / nTok
+    val wkey = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val scored = Tables.documents(spark, dir)
+      .select(wkey.as("wkey"), col("doc_id"), col("source"),
+        OracleMath.stableRound(
+          least(nTok / 100.0, lit(1.0)) * 0.4 + swRatio * 0.3 +
+            least(meanLen / 8.0, lit(1.0)) * 0.3, 4).as("quality_r"))
+    val pick = Window.partitionBy(col("wkey")).orderBy(col("quality_r").desc, col("doc_id"))
+    val perSrc = scored
+      .withColumn("kept", when(row_number().over(pick) === 1, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_retained"))
+    val totals = perSrc.agg(sum(col("n_docs")).as("t_docs"), sum(col("n_retained")).as("t_ret"))
+    val rate = col("n_retained").cast("double") / col("n_docs").cast("double")
+    val corpusRate = col("t_ret").cast("double") / col("t_docs").cast("double")
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_retained"),
+        OracleMath.stableRound(rate, 6).as("retention"),
+        OracleMath.stableRound(rate - corpusRate, 6).as("bias"))
+      .orderBy(col("source"))
+  }
+
+  val retentionBiasOracle: String =
+    s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+       |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,
+       |       list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS wl,
+       |       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS wkey
+       |      FROM documents),
+       |q AS (SELECT wkey, doc_id, source,
+       |       ${OracleMath.stableRoundSql("least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4 + (sw / CAST(n_tok AS DOUBLE))*0.3 + least((CAST(wl AS DOUBLE)/CAST(n_tok AS DOUBLE))/8.0, 1.0)*0.3", 4)} AS quality_r
+       |      FROM base),
+       |r AS (SELECT source,
+       |        CASE WHEN row_number() OVER (PARTITION BY wkey ORDER BY quality_r DESC, doc_id) = 1
+       |             THEN 1 ELSE 0 END AS kept
+       |      FROM q),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(kept) AS BIGINT) AS n_retained
+       |      FROM r GROUP BY 1),
+       |t AS (SELECT sum(n_docs) AS t_docs, sum(n_retained) AS t_ret FROM s)
+       |SELECT source, n_docs, n_retained,
+       |  ${OracleMath.stableRoundSql("CAST(n_retained AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS retention,
+       |  ${OracleMath.stableRoundSql("CAST(n_retained AS DOUBLE) / CAST(n_docs AS DOUBLE) - CAST(t_ret AS DOUBLE) / CAST(t_docs AS DOUBLE)", 6)} AS bias
+       |FROM s, t ORDER BY source""".stripMargin
+
+  /** Token-mass CONCENTRATION per source — the Gini coefficient of document
+    * token counts, the "is this source three mega-documents in a trench
+    * coat?" check (a high-Gini source's statistics are dominated by a few
+    * giants; sampling, packing and dedup all behave differently there).
+    * Exact order-statistics form on the ascending (tok, doc_id) ranks:
+    * `G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n`, everything an exact BIGINT sum
+    * (rank·tokens products) until one final double expression — no
+    * approximation, no float accumulation. Complements q218 (corpus Pareto
+    * frontier) and q165 (shuffle-key skew) with the per-source mass-skew
+    * scalar.
+    *
+    * The rank window is partitioned by source (the structural audit's
+    * contract); the products sum map-side. Output is one row per source.
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("tok"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("tok"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_total"),
+        sum(col("i") * col("tok")).as("ix"))
+      .select(col("source"), col("n_docs"), col("tok_total"),
+        OracleMath.stableRound(
+          lit(2.0) * col("ix").cast("double") /
+            (col("n_docs").cast("double") * col("tok_total").cast("double")) -
+            (col("n_docs") + 1).cast("double") / col("n_docs").cast("double"), 6)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
+  val tokenGiniOracle: String =
+    s"""WITH d AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |           FROM documents),
+       |r AS (SELECT source, tok,
+       |        CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS BIGINT) AS i
+       |      FROM d),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(tok) AS BIGINT) AS tok_total, CAST(sum(i * tok) AS BIGINT) AS ix
+       |      FROM r GROUP BY 1)
+       |SELECT source, n_docs, tok_total,
+       |  ${OracleMath.stableRoundSql(
+          "2.0 * CAST(ix AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(tok_total AS DOUBLE)) - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS gini
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Per-source ZIPF SLOPE — OLS fit of `ln(freq) ~ ln(rank)` over each
+    * source's top-[[ZipfTopK]] words: the lexical-diversity scalar (a slope
+    * near −1 is natural text; much steeper means a few tokens dominate —
+    * template/boilerplate sources; much flatter means unnaturally uniform
+    * vocabulary — shuffled or generated text). The per-source counterpart
+    * of q231's corpus-level head/torso/tail segmentation, reduced to one
+    * comparable number per source.
+    *
+    * Parity is the q193 sufficient-sums discipline with the q264 ln
+    * convention: both regression coordinates are ln values quantized to
+    * DECIMAL(18,6) FIRST, so every sum (Σx, Σy, Σxy, Σx², Σy²) is exact
+    * decimal arithmetic and slope/r² are one fixed double expression each.
+    * The word-count shuffle is dictionary-sized and the rank window is
+    * partitioned by source; the fit consumes [[ZipfTopK]] rows per source.
+    */
+  val ZipfTopK = 100
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("source")).orderBy(desc("cnt"), col("w"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= ZipfTopK)
+      .select(col("source"),
+        OracleMath.stableRound(log(col("rank").cast("double")), 6).cast(d6).as("x"),
+        OracleMath.stableRound(log(col("cnt").cast("double")), 6).cast(d6).as("y"))
+    val s = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n_terms").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    s.select(col("source"), col("n_terms"),
+        OracleMath.stableRound(slope, 6).as("zipf_slope"),
+        OracleMath.stableRound(r2, 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  val zipfSlopeOracle: String = {
+    val n = "CAST(n_terms AS DOUBLE)"
+    val (sx, sy, sxy, sxx, syy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val slope = s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+    val r2 = s"(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) / " +
+      s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
+    s"""WITH counts AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS BIGINT) AS rank,
+       |    cnt
+       |  FROM counts),
+       |xy AS (SELECT source,
+       |    CAST(${OracleMath.stableRoundSql("ln(CAST(rank AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS x,
+       |    CAST(${OracleMath.stableRoundSql("ln(CAST(cnt AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS y
+       |  FROM ranked WHERE rank <= $ZipfTopK),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM xy GROUP BY 1)
+       |SELECT source, n_terms,
+       |  ${OracleMath.stableRoundSql(slope, 6)} AS zipf_slope,
+       |  ${OracleMath.stableRoundSql(r2, 6)} AS r2
+       |FROM s ORDER BY source""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q183_budget_trim" ->
       s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,

@@ -708,6 +708,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(small.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("KMV set operations: exact below k, error-bounded estimates above (q272)") {
+    val rows = SamplingOps.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nA, nB, nBoth) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nU, jac, rho, estBoth) =
+        (r.getLong(5), r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      val union = nA + nB - nBoth
+      if (nU < SamplingOps.KmvK) {
+        // below k the union sketch IS the hash set: rho*estU must equal the
+        // exact intersection (up to hash collisions folding distinct users,
+        // which the 48-bit domain makes vanishingly unlikely at spec scale)
+        assert(math.abs(estBoth - nBoth) <= 1e-6, s"row $r")
+      } else {
+        // k=64 KMV: std err ~ 1/sqrt(k-2) ~ 13%; allow a generous 4-sigma
+        // envelope on the Jaccard estimate so the spec pins sanity, not luck
+        assert(math.abs(rho - jac) <= 0.52, s"row $r")
+        assert(estBoth >= 0.0 && estBoth <= 4.0 * union.toDouble, s"row $r")
+      }
+    }
+  }
+
   test("salted two-phase aggregation equals plain groupBy exactly") {
     val salted = CoreOps.saltedAgg(spark, sf)
     val plain = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
