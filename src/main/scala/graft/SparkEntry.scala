@@ -492,6 +492,8 @@ object SparkEntry {
     "q274_token_gini"          -> ((s, d) => TextOps.tokenGini(s, d)),
     // -- per-source Zipf slope (lexical-diversity OLS on ln rank/ln freq) -------
     "q275_zipf_slope"          -> ((s, d) => TextOps.zipfSlope(s, d)),
+    // -- IVF recall-vs-nprobe tuning curve (one candidate scan, all points) -----
+    "q276_ivf_probe_curve"     -> ((s, d) => RetrievalOps.ivfProbeCurve(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -465,6 +465,78 @@ object RetrievalOps {
   }
 
   // ---------------------------------------------------------------------------
+  // q276: IVF recall-vs-nprobe TUNING CURVE (one candidate scan, all points)
+  // ---------------------------------------------------------------------------
+
+  /** The nprobe settings the curve is measured at (ascending). */
+  val IvfProbeCurve = Seq(1, 2, 3, 5)
+
+  /** The recall-vs-nprobe TUNING CURVE for the IVF index — q161 measures
+    * ONE operating point; this measures the whole dial, which is what you
+    * actually read before fixing nprobe at 100 TB (candidates scanned per
+    * query scale linearly with nprobe; recall saturates — the knee is the
+    * setting). Each candidate is tagged with the PROBE RANK of its coarse
+    * list for its query, so one candidate scan serves every curve point:
+    * the rows explode over the curve's nprobe values (≤ |curve|×
+    * amplification of skinny id/sim rows, never the vectors) and each
+    * (query, nprobe) slice ranks its own top-k. Per point: mean exact-top-k
+    * recall and mean candidates scanned over the full eval workload —
+    * recall is monotone in nprobe by construction (spec-pinned).
+    */
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Caches.TrackedPersist
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isEval = pmod(col("vec_id") * lit(EvalHashMult), lit(100L)) < lit(EvalPct)
+    val qs = e.filter(isEval).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val train = e.filter(!isEval).select(col("vec_id"), col("embedding"))
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("c_label"))
+    val probes = SimilarityOps.centroidTable(spark, dir).crossJoin(broadcast(qs))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("q_emb"), col("centroid")), 6).as("sim"))
+      .withColumn("pr", row_number().over(wProbe).cast("long"))
+      .filter(col("pr") <= IvfProbeCurve.max)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"), col("pr"))
+
+    val expanded = train
+      .join(SimilarityOps.assignTable(spark, dir).select(col("vec_id"), col("assigned")), "vec_id")
+      .join(broadcast(probes), col("assigned") === col("probe_label"))
+      .select(col("q_id"), col("vec_id"), col("pr"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("nprobe", explode(array(IvfProbeCurve.map(p => lit(p.toLong)): _*)))
+      .filter(col("pr") <= col("nprobe"))
+      .persistTracked()
+
+    val wTop = Window.partitionBy(col("q_id"), col("nprobe")).orderBy(desc("sim"), col("vec_id"))
+    val ivfTop = expanded.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("nprobe"), col("vec_id"))
+
+    val wExact = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    val exactTop = train.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("vec_id"))
+
+    val hits = ivfTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val cands = expanded.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+    val nq = qs.agg(count(lit(1)).as("nq"))
+
+    cands.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("nq").as("n_queries"),
+        OracleMath.stableRound(
+          col("n_cand").cast("double") / col("nq").cast("double"), 4).as("mean_candidates"),
+        OracleMath.stableRound(
+          col("n_hits").cast("double") / (col("nq").cast("double") * lit(IvfK.toDouble)), 4)
+          .as("mean_recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  // ---------------------------------------------------------------------------
   // oracle twins
   // ---------------------------------------------------------------------------
 
@@ -588,6 +660,52 @@ object RetrievalOps {
          |LEFT JOIN ncand n ON e.q_id = n.q_id
          |LEFT JOIN hits h ON e.q_id = h.q_id
          |ORDER BY q_id""".stripMargin,
+    "q276_ivf_probe_curve" ->
+      s"""WITH ${SimilarityOps.centCteSql},
+         |ev AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE NOT ((vec_id * $EvalHashMult) % 100 < $EvalPct)),
+         |${SimilarityOps.assignCteSql},
+         |probe AS (
+         |  SELECT q_id, q_emb, c_label, pr FROM (
+         |    SELECT e.q_id, e.q_emb, c.c_label,
+         |      CAST(row_number() OVER (PARTITION BY e.q_id
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.q_emb", "c.centroid"), 6)} DESC,
+         |                 c.c_label) AS BIGINT) AS pr
+         |    FROM ev e, cent c)
+         |  WHERE pr <= ${IvfProbeCurve.max}),
+         |expanded AS (
+         |  SELECT p.q_id, t.vec_id, p.pr, v.nprobe,
+         |    ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "p.q_emb"), 6)} AS sim
+         |  FROM tr t JOIN assign a ON t.vec_id = a.vec_id
+         |  JOIN probe p ON a.assigned = p.c_label
+         |  CROSS JOIN (SELECT CAST(unnest([${IvfProbeCurve.mkString(", ")}]) AS BIGINT) AS nprobe) v
+         |  WHERE p.pr <= v.nprobe),
+         |ivftop AS (
+         |  SELECT q_id, nprobe, vec_id FROM (
+         |    SELECT q_id, nprobe, vec_id,
+         |      row_number() OVER (PARTITION BY q_id, nprobe ORDER BY sim DESC, vec_id) AS rn
+         |    FROM expanded)
+         |  WHERE rn <= $IvfK),
+         |exacttop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT e.q_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY e.q_id
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "e.q_emb"), 6)} DESC,
+         |                 t.vec_id) AS rn
+         |    FROM tr t CROSS JOIN ev e)
+         |  WHERE rn <= $IvfK),
+         |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM ivftop JOIN exacttop USING (q_id, vec_id) GROUP BY 1),
+         |cands AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand FROM expanded GROUP BY 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM ev)
+         |SELECT c.nprobe, nq.nq AS n_queries,
+         | ${OracleMath.stableRoundSql("CAST(n_cand AS DOUBLE) / CAST(nq AS DOUBLE)", 4)} AS mean_candidates,
+         | ${OracleMath.stableRoundSql(
+            s"CAST(coalesce(n_hits, 0) AS DOUBLE) / (CAST(nq AS DOUBLE) * ${IvfK.toDouble})", 4)} AS mean_recall
+         |FROM cands c LEFT JOIN hits h ON c.nprobe = h.nprobe CROSS JOIN nq
+         |ORDER BY c.nprobe""".stripMargin,
     "q160_cluster_safe_split" ->
       s"""WITH g AS (
          |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS wkey,

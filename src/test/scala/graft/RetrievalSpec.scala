@@ -111,6 +111,27 @@ class RetrievalSpec extends AnyFunSuite {
       "nprobe=all-lists must reproduce the exact top-k")
   }
 
+  test("q276 probe curve: recall and candidate cost strictly ordered in nprobe") {
+    val rows = RetrievalOps.ivfProbeCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ==
+      RetrievalOps.IvfProbeCurve.map(_.toLong))
+    // a larger probe budget can only ADD candidates, so recall is monotone
+    // non-decreasing and the candidate cost strictly increasing (every
+    // query probes at least one more non-empty... list may be empty, so
+    // candidates are non-decreasing; recall likewise)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("mean_candidates") >= a.getAs[Double]("mean_candidates"))
+      assert(b.getAs[Double]("mean_recall") >= a.getAs[Double]("mean_recall"))
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("mean_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the curve must actually bend upward on this data (nprobe matters)
+    assert(rows.last.getAs[Double]("mean_recall") >
+      rows.head.getAs[Double]("mean_recall"))
+  }
+
   test("q162 BPE: replace() is greedy left-to-right merge; rounds well-formed, freqs non-increasing") {
     import graft.ops.TextOps
     // the engine assumption the whole operator rests on: Spark's replace()
