@@ -494,6 +494,10 @@ object SparkEntry {
     "q275_zipf_slope"          -> ((s, d) => TextOps.zipfSlope(s, d)),
     // -- IVF recall-vs-nprobe tuning curve (one candidate scan, all points) -----
     "q276_ivf_probe_curve"     -> ((s, d) => RetrievalOps.ivfProbeCurve(s, d)),
+    // -- Davies-Bouldin cluster-quality audit over the label clusters -----------
+    "q277_cluster_quality"     -> ((s, d) => SimilarityOps.clusterQuality(s, d)),
+    // -- sequence-packing straddle curve (chunking's cost per candidate L) ------
+    "q278_pack_straddle"       -> ((s, d) => TextOps.packStraddle(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1105,12 +1109,14 @@ object SparkEntry {
     "q267_char_entropy" -> TextOps.charEntropyOracle,
     "q268_trimmed_quality" -> TextOps.trimmedQualityOracle,
     "q269_label_dispersion" -> SimilarityOps.labelDispersionOracle,
+    "q277_cluster_quality" -> SimilarityOps.clusterQualityOracle,
     "q270_context_sizing" -> TextOps.contextSizingOracle,
     "q271_source_kl_skew" -> TextOps.sourceKlSkewOracle,
     "q272_kmv_overlap" -> SamplingOps.kmvOverlapOracle,
     "q273_retention_bias" -> TextOps.retentionBiasOracle,
     "q274_token_gini" -> TextOps.tokenGiniOracle,
     "q275_zipf_slope" -> TextOps.zipfSlopeOracle,
+    "q278_pack_straddle" -> TextOps.packStraddleOracle,
     // same semantics as q64 through the custom merge operator — same twin
     "q239_interval_join" ->
       """SELECT m AS month, count(*) AS n_orders,

@@ -851,6 +851,112 @@ object SimilarityOps {
        |ORDER BY label""".stripMargin
   }
 
+  /** Davies-Bouldin cluster-quality audit (quadratic-mean variant) — the
+    * one-table answer to "are these labels real clusters in embedding
+    * space?": for each label `i`, the scatter `s_i = √(E‖x−μᵢ‖²)` (the
+    * quadratic-mean radius, from q269's exact dispersion sums), the
+    * distance to every other centroid, and the Davies-Bouldin term
+    * `DB_i = max_{j≠i} (s_i+s_j)/‖μᵢ−μⱼ‖` with the offending nearest
+    * label — DB_i ≫ 1 means label i's cloud overlaps its neighbor (bad
+    * separation / label noise); ≪ 1 means tight, well-separated clusters.
+    *
+    * Determinism: per-(label, dim) component sums are exact integers
+    * (micro-unit quantization); per-dim centroid-difference terms and μ²
+    * terms quantize to DECIMAL(18,6) before their exact cross-dim sums; the
+    * final sqrt/divide/max runs on those exact values (ties in the max
+    * break by label id). Scale shape: everything after the 64·|labels|-key
+    * aggregate is a |labels|²-row broadcast-sized table.
+    */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val rowNorm2 = expr(
+      "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    val e = Tables.embeddings(spark, dir)
+    // per-(label, dim) exact component sums -> 6-dp per-dim means
+    val mu = e.select(col("label"), posexplode(xq).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sd"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        OracleMath.stableRound(
+          col("sd").cast("double") / col("n").cast("double") / lit(1000000.0), 6)
+          .cast(d6).as("m"))
+    // scatter s_i = sqrt(E||x||^2 - ||mu||^2)  (q269's decomposition).
+    // products of DECIMAL(18,6) means stay EXACT (scale 12) — no re-cast,
+    // so neither engine's decimal rounding convention is in play
+    val mu2 = mu.select(col("label"), (col("m") * col("m")).as("t"))
+      .groupBy(col("label")).agg(sum(col("t")).as("mu2"))
+    val disp = e.select(col("label"), rowNorm2.as("rn2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("rn2")).as("srn2"))
+      .join(broadcast(mu2), "label")
+      .select(col("label"),
+        sqrt(col("srn2").cast("double") / (col("n").cast("double") * lit(1.0e12)) -
+          col("mu2").cast("double")).as("s"))
+    // pairwise centroid distances from per-dim difference terms
+    val a = mu.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+    val b = mu.select(col("label").as("lb"), col("dim"), col("m").as("mb"))
+    // the 6-dp difference is exact at DECIMAL(12,6); bounding the operand
+    // precision keeps Spark's product rule (p1+p2+1) under 38 digits so the
+    // scale-12 product stays EXACT (an unbounded (19,6)x(19,6) would widen
+    // to 39 and silently truncate the scale)
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 6)
+    val dist = a.join(broadcast(b), Seq("dim"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"),
+        ((col("ma") - col("mb")).cast(d12) * (col("ma") - col("mb")).cast(d12)).as("t"))
+      .groupBy(col("la"), col("lb")).agg(sum(col("t")).as("d2"))
+      .select(col("la"), col("lb"), sqrt(col("d2").cast("double")).as("d"))
+    val sa = disp.select(col("label").as("la"), col("s").as("s_a"))
+    val sb = disp.select(col("label").as("lb"), col("s").as("s_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("la")).orderBy(desc("db_term"), col("lb"))
+    dist.join(broadcast(sa), "la").join(broadcast(sb), "lb")
+      .select(col("la"), col("lb"), col("s_a"),
+        ((col("s_a") + col("s_b")) / col("d")).as("db_term"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("la").as("label"),
+        OracleMath.stableRound(col("s_a"), 6).as("scatter"),
+        col("lb").as("nearest_label"),
+        OracleMath.stableRound(col("db_term"), 6).as("db_index"))
+      .orderBy(col("label"))
+  }
+
+  val clusterQualityOracle: String = {
+    val s = "sqrt(CAST(srn2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) - CAST(mu2 AS DOUBLE))"
+    s"""WITH e AS (SELECT label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |pd AS (SELECT label, CAST(r.i AS BIGINT) AS dim, xq[CAST(r.i AS INT) + 1] AS v
+       |       FROM e, (SELECT unnest(range(0, 64)) AS i) r),
+       |mu AS (SELECT label, dim,
+       |         CAST(${OracleMath.stableRoundSql(
+                  "CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS DECIMAL(18,6)) AS m
+       |       FROM pd GROUP BY 1, 2),
+       |mu2 AS (SELECT label, sum(m * m) AS mu2 FROM mu GROUP BY 1),
+       |disp AS (SELECT ee.label, $s AS sc FROM (
+       |    SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |      CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), xq), (acc, v) -> acc + v * v)) AS BIGINT) AS srn2
+       |    FROM e GROUP BY 1) ee JOIN mu2 USING (label)),
+       |dist AS (SELECT a.label AS la, b.label AS lb,
+       |           sqrt(CAST(sum(CAST(a.m - b.m AS DECIMAL(12,6)) * CAST(a.m - b.m AS DECIMAL(12,6))) AS DOUBLE)) AS d
+       |         FROM mu a JOIN mu b ON a.dim = b.dim AND a.label <> b.label
+       |         GROUP BY 1, 2),
+       |terms AS (SELECT la, lb, sa.sc AS s_a, (sa.sc + sb.sc) / d AS db_term
+       |          FROM dist JOIN disp sa ON sa.label = la JOIN disp sb ON sb.label = lb),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY la ORDER BY db_term DESC, lb) AS rn
+       |    FROM terms) z WHERE rn = 1)
+       |SELECT la AS label,
+       |  ${OracleMath.stableRoundSql("s_a", 6)} AS scatter,
+       |  lb AS nearest_label,
+       |  ${OracleMath.stableRoundSql("db_term", 6)} AS db_index
+       |FROM best ORDER BY label""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q171_kmeans" -> {
       val off = KmOff

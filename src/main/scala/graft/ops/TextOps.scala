@@ -605,8 +605,17 @@ object TextOps {
     * both passes observe the SAME range boundaries (RangePartitioner samples
     * its bounds; collect-then-recompute could see a different partitioning).
     */
-  def packSequences(spark: SparkSession, dir: String, budget: Long = 512): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 512): DataFrame =
+    cumTokens(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("pack_id"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, n_tokens, cum_before) with the GLOBAL doc_id-ordered running
+    * token count before each doc — the q102 two-pass prefix sum, shared
+    * with the q278 straddle curve.
+    */
+  private[ops] def cumTokens(spark: SparkSession, dir: String): DataFrame = {
     val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
     val parts = Tables.documents(spark, dir)
       .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
@@ -622,12 +631,9 @@ object TextOps {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("doc_id"))
-    parts
-      .withColumn("cum_before",
-        sum(col("n_tokens")).over(w) - col("n_tokens") + offsetCol)
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"cum_before DIV $budget").as("pack_id"))
-      .orderBy(col("doc_id"))
+    parts.withColumn("cum_before",
+      sum(col("n_tokens")).over(w) - col("n_tokens") + offsetCol)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"))
   }
 
   /** Intra-document repetition (Gopher-style quality signal): the fraction
@@ -2202,6 +2208,56 @@ object TextOps {
        |  ${OracleMath.stableRoundSql(r2, 6)} AS r2
        |FROM s ORDER BY source""".stripMargin
   }
+
+  /** Sequence-packing STRADDLE curve — the cost ledger of the
+    * concat-and-chunk regime q102 implements: for each candidate sequence
+    * length L, how many documents get SPLIT across a chunk boundary
+    * (`⌊cum/L⌋ ≠ ⌊(cum+tok−1)/L⌋` — the doc contributes attention-broken
+    * fragments to two or more training sequences) and how many chunks the
+    * corpus packs into. Together with q270 (the no-splitting regime's
+    * truncation/padding waste) this is both halves of the context-length
+    * decision: chunking wastes nothing but straddles; padding wastes tokens
+    * but never splits. One shared global prefix sum (the q102 two-pass —
+    * computed once, L-independent) exploded over the candidate lengths;
+    * exact integer arithmetic throughout.
+    */
+  def packStraddle(spark: SparkSession, dir: String): DataFrame = {
+    val lens = array(ContextLens.map(lit): _*)
+    cumTokens(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        explode(lens).as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("cum_before DIV seq_len") =!=
+          expr("(cum_before + n_tokens - 1) DIV seq_len"), 1L).otherwise(0L))
+          .as("n_straddled"),
+        max(col("cum_before") + col("n_tokens")).as("total_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("n_straddled"),
+        OracleMath.stableRound(
+          col("n_straddled").cast("double") / col("n_docs").cast("double"), 6)
+          .as("straddle_frac"),
+        expr("(total_tokens + seq_len - 1) DIV seq_len").as("n_chunks"))
+      .orderBy(col("seq_len"))
+  }
+
+  val packStraddleOracle: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, tok,
+       |        CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM d),
+       |x AS (SELECT doc_id, tok, cum_before,
+       |        CAST(unnest([${ContextLens.mkString(", ")}]) AS BIGINT) AS seq_len
+       |      FROM c WHERE tok > 0)
+       |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cum_before // seq_len <> (cum_before + tok - 1) // seq_len
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(sum(CASE WHEN cum_before // seq_len <> (cum_before + tok - 1) // seq_len THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS straddle_frac,
+       |  CAST((max(cum_before + tok) + seq_len - 1) // seq_len AS BIGINT) AS n_chunks
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q183_budget_trim" ->
