@@ -498,6 +498,8 @@ object SparkEntry {
     "q277_cluster_quality"     -> ((s, d) => SimilarityOps.clusterQuality(s, d)),
     // -- sequence-packing straddle curve (chunking's cost per candidate L) ------
     "q278_pack_straddle"       -> ((s, d) => TextOps.packStraddle(s, d)),
+    // -- scalar-quantization recall/error curve (8/4/2-bit asymmetric search) ---
+    "q279_sq_recall_curve"     -> ((s, d) => RetrievalOps.sqRecallCurve(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -537,6 +537,91 @@ object RetrievalOps {
   }
 
   // ---------------------------------------------------------------------------
+  // q279: scalar-quantization recall/error curve (8/4/2-bit vs exact top-k)
+  // ---------------------------------------------------------------------------
+
+  /** Bit widths the quantization curve is measured at. */
+  val SqBitsCurve = Seq(2, 4, 8)
+
+  /** Scalar-quantization RECALL CURVE — what q276 is for nprobe, this is
+    * for the vector-compression dial: the database side is affine-quantized
+    * per vector at 8/4/2 bits per component (q95's min-max scheme),
+    * reconstructed, and searched ASYMMETRICALLY (full-precision queries —
+    * the standard ADC arrangement); per bit width, the mean exact-top-k
+    * recall and the mean per-component reconstruction error. 8-bit is
+    * usually free, 2-bit usually isn't — this table is where that shows up
+    * before a 4×-16× index-memory decision is made at 100 TB.
+    *
+    * Shape: the train side explodes over |curve| bit widths (skinny rows);
+    * reconstruction is row-local arithmetic; the brute-force rank against
+    * the sampled eval workload is the measurement's declared ground truth
+    * (q161's convention). Per-vector mean errors quantize to integer
+    * 10⁻⁸ units so the cross-vector mean is an exact-integer sum.
+    */
+  def sqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Caches.TrackedPersist
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isEval = pmod(col("vec_id") * lit(EvalHashMult), lit(100L)) < lit(EvalPct)
+    val qs = e.filter(isEval).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val train = e.filter(!isEval).select(col("vec_id"), col("embedding"))
+
+    val lv = expr("CASE bits WHEN 8 THEN 255.0 WHEN 4 THEN 15.0 ELSE 3.0 END")
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    val sc = greatest((mx - mn) / lv, lit(1e-12))
+    val recon = transform(col("embedding"),
+      x => mn + floor((x.cast("double") - mn) / sc + lit(0.5)) * sc)
+    val meanErr = aggregate(
+      zip_with(col("embedding"), col("recon"), (x, r) => abs(x.cast("double") - r)),
+      lit(0.0), _ + _) / size(col("embedding")).cast("double")
+
+    val rc = train
+      .select(col("vec_id"), col("embedding"),
+        explode(array(SqBitsCurve.map(b => lit(b.toLong)): _*)).as("bits"))
+      .withColumn("recon", recon)
+      .withColumn("errm", floor(meanErr * lit(1.0e8) + lit(0.5)).cast("long"))
+      .persistTracked()
+
+    // the custom dot requires matching element types: recon is double, the
+    // stored query is float — widen the query (the SQL twin casts both to
+    // DOUBLE, so this is also the parity-exact shape)
+    val qsd = qs.select(col("q_id"),
+      transform(col("q_emb"), x => x.cast("double")).as("q_emb"))
+    val wTop = Window.partitionBy(col("q_id"), col("bits")).orderBy(desc("sim"), col("vec_id"))
+    val qTop = rc.crossJoin(broadcast(qsd))
+      .select(col("q_id"), col("bits"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("recon"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("bits"), col("vec_id"))
+
+    val wExact = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    val exactTop = train.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= IvfK).select(col("q_id"), col("vec_id"))
+
+    val hits = qTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy(col("bits")).agg(count(lit(1)).as("n_hits"))
+    val errs = rc.groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("errm")).as("serrm"))
+    val nq = qs.agg(count(lit(1)).as("nq"))
+
+    errs.join(hits, Seq("bits"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("bits"), col("nq").as("n_queries"),
+        OracleMath.stableRound(
+          col("serrm").cast("double") / col("n_vecs").cast("double") / lit(1.0e8), 8)
+          .as("mean_abs_err"),
+        OracleMath.stableRound(
+          col("n_hits").cast("double") / (col("nq").cast("double") * lit(IvfK.toDouble)), 4)
+          .as("mean_recall"))
+      .orderBy(col("bits"))
+  }
+
+  // ---------------------------------------------------------------------------
   // oracle twins
   // ---------------------------------------------------------------------------
 
@@ -660,6 +745,54 @@ object RetrievalOps {
          |LEFT JOIN ncand n ON e.q_id = n.q_id
          |LEFT JOIN hits h ON e.q_id = h.q_id
          |ORDER BY q_id""".stripMargin,
+    "q279_sq_recall_curve" -> {
+      val sc = "greatest((mx - mn) / lv, 1e-12)"
+      s"""WITH ev AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE NOT ((vec_id * $EvalHashMult) % 100 < $EvalPct)),
+         |ex AS (SELECT vec_id, embedding, b.bits,
+         |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         |         CAST(list_max(embedding) AS DOUBLE) AS mx,
+         |         CASE b.bits WHEN 8 THEN 255.0 WHEN 4 THEN 15.0 ELSE 3.0 END AS lv
+         |       FROM tr, (SELECT CAST(unnest([${SqBitsCurve.mkString(", ")}]) AS BIGINT) AS bits) b),
+         |rc AS (SELECT vec_id, bits,
+         |         list_transform(embedding, x ->
+         |           mn + floor((CAST(x AS DOUBLE) - mn) / $sc + 0.5) * $sc) AS recon,
+         |         CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(embedding, x ->
+         |               abs(CAST(x AS DOUBLE) - (mn + floor((CAST(x AS DOUBLE) - mn) / $sc + 0.5) * $sc)))),
+         |             (a, v) -> a + v) / CAST(len(embedding) AS DOUBLE)) * 100000000.0 + 0.5) AS BIGINT) AS errm
+         |       FROM ex),
+         |qtop AS (
+         |  SELECT q_id, bits, vec_id FROM (
+         |    SELECT e.q_id, r.bits, r.vec_id,
+         |      row_number() OVER (PARTITION BY e.q_id, r.bits
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("r.recon", "e.q_emb"), 6)} DESC,
+         |                 r.vec_id) AS rn
+         |    FROM rc r CROSS JOIN ev e)
+         |  WHERE rn <= $IvfK),
+         |exacttop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT e.q_id, t.vec_id,
+         |      row_number() OVER (PARTITION BY e.q_id
+         |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "e.q_emb"), 6)} DESC,
+         |                 t.vec_id) AS rn
+         |    FROM tr t CROSS JOIN ev e)
+         |  WHERE rn <= $IvfK),
+         |hits AS (SELECT bits, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM qtop JOIN exacttop USING (q_id, vec_id) GROUP BY 1),
+         |errs AS (SELECT bits, CAST(count(*) AS BIGINT) AS n_vecs,
+         |           CAST(sum(errm) AS BIGINT) AS serrm FROM rc GROUP BY 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM ev)
+         |SELECT e.bits, nq.nq AS n_queries,
+         | ${OracleMath.stableRoundSql(
+            "CAST(serrm AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 100000000.0", 8)} AS mean_abs_err,
+         | ${OracleMath.stableRoundSql(
+            s"CAST(coalesce(n_hits, 0) AS DOUBLE) / (CAST(nq AS DOUBLE) * ${IvfK.toDouble})", 4)} AS mean_recall
+         |FROM errs e LEFT JOIN hits h ON e.bits = h.bits CROSS JOIN nq
+         |ORDER BY e.bits""".stripMargin
+    },
     "q276_ivf_probe_curve" ->
       s"""WITH ${SimilarityOps.centCteSql},
          |ev AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

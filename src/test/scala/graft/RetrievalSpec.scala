@@ -132,6 +132,24 @@ class RetrievalSpec extends AnyFunSuite {
       rows.head.getAs[Double]("mean_recall"))
   }
 
+  test("q279 quantization curve: more bits => less error, no worse recall") {
+    val rows = RetrievalOps.sqRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bits")).toSeq ==
+      RetrievalOps.SqBitsCurve.map(_.toLong))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      // reconstruction error strictly shrinks with bit depth; recall is
+      // monotone up to rank-tie noise at the 6-dp sim rounding — require
+      // non-decreasing, which quantization theory guarantees only in
+      // expectation but this deterministic dataset satisfies exactly
+      assert(hi.getAs[Double]("mean_abs_err") < lo.getAs[Double]("mean_abs_err"))
+      assert(hi.getAs[Double]("mean_recall") >= lo.getAs[Double]("mean_recall"))
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("mean_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q162 BPE: replace() is greedy left-to-right merge; rounds well-formed, freqs non-increasing") {
     import graft.ops.TextOps
     // the engine assumption the whole operator rests on: Spark's replace()
