@@ -500,6 +500,10 @@ object SparkEntry {
     "q278_pack_straddle"       -> ((s, d) => TextOps.packStraddle(s, d)),
     // -- scalar-quantization recall/error curve (8/4/2-bit asymmetric search) ---
     "q279_sq_recall_curve"     -> ((s, d) => RetrievalOps.sqRecallCurve(s, d)),
+    // -- embedding dedup threshold-sensitivity table ----------------------------
+    "q280_dedup_thresholds"    -> ((s, d) => SimilarityOps.dedupThresholdCurve(s, d)),
+    // -- rolling-origin forecast backtest (trend vs persistence skill) ----------
+    "q281_forecast_backtest"   -> ((s, d) => EventOps.forecastBacktest(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1059,6 +1063,7 @@ object SparkEntry {
     "q191_ewma_daily" -> EventOps.ewmaDailyOracle,
     "q192_k_anonymity" -> CoreOps.kAnonymityOracle,
     "q193_ols_trend" -> EventOps.olsTrendOracle,
+    "q281_forecast_backtest" -> EventOps.forecastBacktestOracle,
     "q195_time_weighted_avg" -> EventOps.timeWeightedAvgOracle,
     "q196_chi2_cells" -> EventOps.chi2CellsOracle,
     "q197_clamped_balance" -> EventOps.clampedBalanceOracle,
@@ -1112,6 +1117,7 @@ object SparkEntry {
     "q268_trimmed_quality" -> TextOps.trimmedQualityOracle,
     "q269_label_dispersion" -> SimilarityOps.labelDispersionOracle,
     "q277_cluster_quality" -> SimilarityOps.clusterQualityOracle,
+    "q280_dedup_thresholds" -> SimilarityOps.dedupThresholdCurveOracle,
     "q270_context_sizing" -> TextOps.contextSizingOracle,
     "q271_source_kl_skew" -> TextOps.sourceKlSkewOracle,
     "q272_kmv_overlap" -> SamplingOps.kmvOverlapOracle,

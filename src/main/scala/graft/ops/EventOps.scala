@@ -2782,4 +2782,98 @@ object EventOps {
        |      FROM j GROUP BY 1, 2, 3) t
        |ORDER BY event_type, day""".stripMargin
   }
+
+  /** ROLLING-ORIGIN forecast backtest (time-series cross-validation) of the
+    * q193 linear trend: for each event type and each of its last
+    * [[BacktestEvalDays]] days, fit OLS volume~day on STRICTLY EARLIER days
+    * only (the rolling origin - no look-ahead), predict that day, and score
+    * the absolute percentage error; next to it, the same score for the
+    * naive persistence forecast (yesterday's volume). `skill > 0` means the
+    * trend model beats persistence - the go/no-go every forecasting readout
+    * needs before anyone trusts a fitted slope.
+    *
+    * Exactness: daily volumes are integer counts, so every expanding-window
+    * sufficient sum (n, Sx, Sy, Sxy, Sxx over PRECEDING days via a
+    * type-partitioned cumulative frame) is an exact BIGINT; each prediction
+    * and APE is one fixed double expression, quantized to integer
+    * micro-units before the cross-day mean. One shuffle on event_type; the
+    * per-type window is the structural audit's partitioned shape.
+    */
+  val BacktestEvalDays = 7
+
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("2020-01-01").cast("date")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRank = Window.partitionBy(col("event_type")).orderBy(desc("x"))
+    val cum = daily
+      .withColumn("n", count(lit(1)).over(wPrev))
+      .withColumn("sx", sum(col("x")).over(wPrev))
+      .withColumn("sy", sum(col("y")).over(wPrev))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wPrev))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wPrev))
+      .withColumn("prev_y", lag(col("y"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("x"))))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= BacktestEvalDays && col("n") >= 2)
+    val (n, sx, sy, sxy, sxx) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val pred = (sy - slope * sx) / n + slope * col("x").cast("double")
+    val apeOls = abs(pred - col("y").cast("double")) / col("y").cast("double")
+    val apeNaive = abs(col("prev_y").cast("double") - col("y").cast("double")) /
+      col("y").cast("double")
+    cum
+      .select(col("event_type"),
+        floor(apeOls * lit(1000000.0) + lit(0.5)).cast("long").as("ao"),
+        floor(apeNaive * lit(1000000.0) + lit(0.5)).cast("long").as("an"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("ao")).as("sao"), sum(col("an")).as("san"))
+      .select(col("event_type"), col("n_eval"),
+        OracleMath.stableRound(
+          col("sao").cast("double") / col("n_eval").cast("double") / lit(1000000.0), 6)
+          .as("mape_ols"),
+        OracleMath.stableRound(
+          col("san").cast("double") / col("n_eval").cast("double") / lit(1000000.0), 6)
+          .as("mape_naive"),
+        OracleMath.stableRound(
+          (col("san") - col("sao")).cast("double") / col("n_eval").cast("double") / lit(1000000.0), 6)
+          .as("skill"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastBacktestOracle: String = {
+    val (n, sx, sy, sxy, sxx) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)")
+    val slope = s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+    val pred = s"(($sy - ($slope) * $sx) / $n + ($slope) * CAST(x AS DOUBLE))"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(date_diff('day', DATE '2020-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (SELECT event_type, x, y,
+       |    CAST(count(*) OVER w AS BIGINT) AS n,
+       |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+       |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+       |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+       |    lag(y) OVER (PARTITION BY event_type ORDER BY x) AS prev_y,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY x DESC) AS rn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |e AS (SELECT event_type,
+       |    CAST(floor((abs($pred - CAST(y AS DOUBLE)) / CAST(y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ao,
+       |    CAST(floor((abs(CAST(prev_y AS DOUBLE) - CAST(y AS DOUBLE)) / CAST(y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS an
+       |  FROM cum WHERE rn <= $BacktestEvalDays AND n >= 2)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       |  ${OracleMath.stableRoundSql("CAST(sum(ao) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS mape_ols,
+       |  ${OracleMath.stableRoundSql("CAST(sum(an) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS mape_naive,
+       |  ${OracleMath.stableRoundSql("CAST(sum(an) - sum(ao) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS skill
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

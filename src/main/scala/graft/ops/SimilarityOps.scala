@@ -957,6 +957,66 @@ object SimilarityOps {
        |FROM best ORDER BY label""".stripMargin
   }
 
+  /** Embedding near-dup THRESHOLD SENSITIVITY — the dial table for the q42
+    * dedup: per candidate similarity threshold, the qualifying pair count,
+    * the documents touched, and the size of the keep-lowest-id removal set
+    * (every qualifying pair loses its higher id — a valid, deterministic
+    * one-pass removal set: each pair has its `id_b` removed, so none
+    * survives) with the corpus fraction that represents. Dedup thresholds
+    * get argued about; this is the table the argument should read — at
+    * 100 TB a 0.05 threshold shift can swing removals by whole percent.
+    *
+    * The pair space is computed ONCE at the loosest threshold (riding
+    * q42's row-cap guard: exact below the cap, banded-ANN degrade above)
+    * and exploded over the candidate thresholds; everything downstream is
+    * count-distinct aggregates on id pairs. Thresholds compare against the
+    * 6-dp-rounded similarity in BOTH engines.
+    */
+  val NearDupThresholds = Seq(0.30, 0.35, 0.40)
+
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Caches.TrackedPersist
+    val pairs = embeddingNearDup(spark, dir, NearDupThresholds.min)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    val total = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vectors"))
+    val x = pairs
+      .select(col("id_a"), col("id_b"), col("sim"),
+        explode(array(NearDupThresholds.map(lit): _*)).as("thr"))
+      .filter(col("sim") >= col("thr"))
+      .persistTracked()
+    val st = x.groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_removed"))
+    val aff = x.select(col("thr"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("thr")).agg(countDistinct(col("id")).as("n_affected"))
+    st.join(aff, Seq("thr")).crossJoin(broadcast(total))
+      .select(col("thr"), col("n_pairs"), col("n_affected"), col("n_removed"),
+        col("n_vectors"),
+        OracleMath.stableRound(
+          col("n_removed").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("removal_frac"))
+      .orderBy(col("thr"))
+  }
+
+  val dedupThresholdCurveOracle: String =
+    s"""WITH p AS (SELECT * FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      ${OracleMath.stableRoundSql(cosSql("a.embedding", "b.embedding"), 6)} AS sim
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) z
+       |  WHERE sim >= ${NearDupThresholds.min}),
+       |x AS (SELECT id_a, id_b, sim, thr
+       |      FROM p, (SELECT CAST(unnest([${NearDupThresholds.mkString(", ")}]) AS DOUBLE) AS thr)
+       |      WHERE sim >= thr),
+       |st AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed
+       |       FROM x GROUP BY 1),
+       |aff AS (SELECT thr, CAST(count(DISTINCT id) AS BIGINT) AS n_affected
+       |        FROM (SELECT thr, unnest([id_a, id_b]) AS id FROM x) GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+       |SELECT thr, n_pairs, n_affected, n_removed, n_vectors,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(n_removed AS DOUBLE) / CAST(n_vectors AS DOUBLE)", 6)} AS removal_frac
+       |FROM st JOIN aff USING (thr), t ORDER BY thr""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q171_kmeans" -> {
       val off = KmOff
