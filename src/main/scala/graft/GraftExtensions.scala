@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.NGrams(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => graft.functions.IntersectKernelRule)
+    // opt-in count(DISTINCT) → KMV sketch estimate (flag-gated, see rule)
+    e.injectOptimizerRule(_ => graft.functions.KmvCountDistinctRewrite)
     // whole-operator extension (SURVEY §7.4 path c): AS-OF join strategy
     // plus the pushdown rule Catalyst can't apply to a node it doesn't know
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)

@@ -504,6 +504,28 @@ object SparkEntry {
     "q280_dedup_thresholds"    -> ((s, d) => SimilarityOps.dedupThresholdCurve(s, d)),
     // -- rolling-origin forecast backtest (trend vs persistence skill) ----------
     "q281_forecast_backtest"   -> ((s, d) => EventOps.forecastBacktest(s, d)),
+    // -- multi-source BFS hop distances over the co-occurrence graph ------------
+    "q282_bfs_reach"           -> ((s, d) => EventOps.bfsReach(s, d)),
+    // -- graph-health profile: degrees + assortativity --------------------------
+    "q283_graph_profile"       -> ((s, d) => EventOps.graphProfile(s, d)),
+    // -- optimizer-rewritten count(DISTINCT) → KMV sketch (flag-gated rule) -----
+    "q284_kmv_rewrite"         -> ((s, d) => SamplingOps.kmvRewriteDistinct(s, d)),
+    // -- PMI collocation mining (word2vec phrase detection) ----------------------
+    "q285_collocations"        -> ((s, d) => TextOps.collocations(s, d)),
+    // -- mutual information / NMI between event type and hour -------------------
+    "q286_mutual_info"         -> ((s, d) => EventOps.mutualInfo(s, d)),
+    // -- sorted-neighborhood blocking dedup (third blocking family) -------------
+    "q287_sorted_neighborhood" -> ((s, d) => DedupOps.sortedNeighborhood(s, d)),
+    // -- Welch unequal-variance t-test on the A/B arms ---------------------------
+    "q288_welch_ttest"         -> ((s, d) => EventOps.welchTtest(s, d)),
+    // -- TextRank keyword extraction (weighted PageRank on the word graph) -------
+    "q289_textrank"            -> ((s, d) => TextOps.textRank(s, d)),
+    // -- cross-source quantile normalization of the length distribution ---------
+    "q290_quantile_norm"       -> ((s, d) => TextOps.quantileNormalize(s, d)),
+    // -- Heaps'-law vocabulary-growth exponent per source ------------------------
+    "q291_heaps_law"           -> ((s, d) => TextOps.heapsLaw(s, d)),
+    // -- per-doc 8-gram novelty (memorization-risk score) ------------------------
+    "q292_ngram_novelty"       -> ((s, d) => TextOps.ngramNovelty(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1121,6 +1143,17 @@ object SparkEntry {
     "q270_context_sizing" -> TextOps.contextSizingOracle,
     "q271_source_kl_skew" -> TextOps.sourceKlSkewOracle,
     "q272_kmv_overlap" -> SamplingOps.kmvOverlapOracle,
+    "q282_bfs_reach" -> EventOps.bfsReachOracle,
+    "q283_graph_profile" -> EventOps.graphProfileOracle,
+    "q284_kmv_rewrite" -> SamplingOps.kmvRewriteOracle,
+    "q285_collocations" -> TextOps.collocationsOracle,
+    "q286_mutual_info" -> EventOps.mutualInfoOracle,
+    "q287_sorted_neighborhood" -> DedupOps.sortedNeighborhoodOracle,
+    "q288_welch_ttest" -> EventOps.welchTtestOracle,
+    "q289_textrank" -> TextOps.textRankOracle,
+    "q290_quantile_norm" -> TextOps.quantileNormalizeOracle,
+    "q291_heaps_law" -> TextOps.heapsLawOracle,
+    "q292_ngram_novelty" -> TextOps.ngramNoveltyOracle,
     "q273_retention_bias" -> TextOps.retentionBiasOracle,
     "q274_token_gini" -> TextOps.tokenGiniOracle,
     "q275_zipf_slope" -> TextOps.zipfSlopeOracle,

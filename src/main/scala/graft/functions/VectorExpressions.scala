@@ -184,10 +184,14 @@ object VectorFunctions {
       exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv",
       exprs => KmvSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
-    // idempotently install the kernel-rewrite optimizer rule
+    // idempotently install the optimizer rules (the KMV rewrite is inert
+    // until a session opts in via its conf flag)
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntersectKernelRule
+    if (!spark.experimental.extraOptimizations.contains(KmvCountDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KmvCountDistinctRewrite
   }
 
   /** Column API (requires [[register]] on the session first — the graft.ops

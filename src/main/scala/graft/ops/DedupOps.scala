@@ -133,6 +133,7 @@ object DedupOps {
     * vocabulary, so no second scan is needed.
     */
   private[graft] def smallVocab(docs: DataFrame): Option[Array[String]] = {
+    // bounded-collect: limit(65) caps the probe at 65 rows at any corpus size
     val probe = docs.select(explode(col("ws0")).as("word")).distinct()
       .limit(65).collect().map(_.getString(0))
     if (probe.length <= 64) Some(probe.sorted) else None
@@ -681,6 +682,7 @@ object DedupOps {
   def chooseLshBands(spark: SparkSession, dir: String,
       targetRecall: Double = 0.95, maxBands: Int = 8,
       threshold: Double = NearDupThreshold): Int = {
+    // bounded-collect: one recall row per candidate band count — ≤ maxBands rows
     val roll = lshRecallRollupBands(spark, dir, maxBands, threshold)
       .select(col("band"), col("recall"), col("n_true_total")).collect()
       .sortBy(_.getLong(0))
@@ -1228,6 +1230,76 @@ object DedupOps {
        |    CAST(CASE WHEN fpu >= 9223372036854775808 THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS simhash
        |  FROM (SELECT doc_id, ($fpTerms) AS fpu FROM mxt))""".stripMargin
   }
+
+  /** Sorted-neighborhood parameters: neighborhood width w (each doc is
+    * compared to the w docs following it in blocking-key order) and the
+    * integer-exact verify threshold 4∕5 (Jaccard ≥ 0.8).
+    */
+  val SnWindow = 5
+  val SnPrefixLen = 40
+
+  /** q287 — sorted-neighborhood blocking (Hernández–Stolfo merge/purge):
+    * the THIRD blocking family next to LSH banding (q39) and PPJoin prefix
+    * filtering (q38) — sort the corpus by a cheap blocking key (here the
+    * 40-char text prefix), compare each document only to its w successors
+    * in that order, verify survivors with exact word-set Jaccard. The
+    * candidate space is w·n by CONSTRUCTION (not data-dependent like
+    * posting lists), which is why record-linkage systems reach for it when
+    * key skew makes posting-based blocking explode.
+    *
+    * Scale shape: the global sort position comes from [[PrefixSum.cumSums]]
+    * (range-partition two-pass — never an unpartitioned `row_number`
+    * window); neighbor pairing is an EQUI-join on the rank block
+    * `⌊(rn−1)∕w⌋` with the left side exploded to (block, block+1) — every
+    * pair at distance ≤ w shares one of the two keys, each candidate
+    * appears exactly once under the `rn_a < rn_b ≤ rn_a + w` filter, and
+    * the join partitions on a scalar block id (word-set arrays ride as
+    * values, the q36 discipline). Verify is the codegen'd builtin
+    * `array_intersect` size with the 4∕5 threshold in exact integer
+    * arithmetic — no float boundary.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, SnPrefixLen).as("bk"),
+        array_sort(array_distinct(words(col("text")))).as("ws"))
+    val ranked = PrefixSum.cumSums(d, Seq(col("bk"), col("doc_id")),
+        Seq("rn" -> lit(1L)), nParts).df
+      .select(col("doc_id"), col("ws"), col("cum_rn").as("rn"),
+        expr(s"(cum_rn - 1) DIV $SnWindow").as("blk"))
+    val left = ranked.select(col("doc_id").as("id_a"), col("ws").as("ws_a"),
+        col("rn").as("rn_a"), explode(array(col("blk"), col("blk") + 1)).as("jk"))
+    val right = ranked.select(col("doc_id").as("id_b"), col("ws").as("ws_b"),
+      col("rn").as("rn_b"), col("blk").as("jk"))
+    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+    val uni = size(col("ws_a")).cast("long") + size(col("ws_b")).cast("long") - col("i")
+    left.join(right, Seq("jk"))
+      .filter(col("rn_a") < col("rn_b") && col("rn_b") - col("rn_a") <= SnWindow)
+      .withColumn("i", inter).withColumn("u", uni)
+      .filter(col("i") * 5 >= col("u") * 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (col("rn_b") - col("rn_a")).as("gap"),
+        OracleMath.stableRound(col("i").cast("double") / col("u").cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The q287 twin: the same sort order, neighborhood predicate and exact
+    * integer threshold, with the window as a plain rank-distance join.
+    */
+  val sortedNeighborhoodOracle: String =
+    s"""WITH d AS (SELECT doc_id, substr(text, 1, $SnPrefixLen) AS bk,
+       |    list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
+       |r AS (SELECT doc_id, ws, row_number() OVER (ORDER BY bk, doc_id) AS rn FROM d),
+       |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(b.rn - a.rn AS BIGINT) AS gap,
+       |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS i,
+       |    CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS u
+       |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $SnWindow)
+       |SELECT doc_a, doc_b, gap,
+       |  ${OracleMath.stableRoundSql("CAST(i AS DOUBLE) / CAST(u AS DOUBLE)", 4)} AS jaccard
+       |FROM c WHERE i * 5 >= u * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q40_simhash" ->

@@ -1175,6 +1175,150 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** BFS hop budget — recursion depth bound shared with the q282 twin. */
+  val BfsMaxHops = 4
+
+  /** Multi-source BFS hop distances over the capped co-occurrence graph
+    * (the SAME edge construction as q144's communities and q169's
+    * PageRank — one graph, three algorithms): from a deterministic 5 %
+    * anchor panel (`user_id % 20 = 0`), the minimum number of co-occurrence
+    * hops to every user, reported as a per-hop histogram with `-1` for
+    * users the panel cannot reach within [[BfsMaxHops]] hops — the
+    * influence-radius / diffusion-reach audit.
+    *
+    * Pregel-style frontier expansion, the scale shape that matters: each
+    * round joins ONLY the newly-reached frontier against the edge list
+    * (persisted once, hash-partitioned on `src` so every round's join
+    * reuses the same exchange), then anti-joins the visited set — work per
+    * round is proportional to the frontier's edge neighborhood, never
+    * nodes × rounds. Rounds are bounded (≤ [[BfsMaxHops]]) with early exit
+    * on an empty frontier, so the driver loop is O(hops), not data-sized.
+    * Distances are EXACT (BFS layers), so the twin is a depth-bounded
+    * recursive CTE over the shared `edges` chain.
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cooccurrencePairs(spark, dir)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .persistTracked()
+    val seeds = Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id")).distinct()
+    var dist = seeds.withColumn("hop", lit(0)).persistTracked()
+    var frontier = dist.select(col("user_id"))
+    var hop = 1
+    var exhausted = false
+    while (hop <= BfsMaxHops && !exhausted) {
+      val next = frontier.join(edges, frontier("user_id") === edges("src"))
+        .select(col("dst").as("user_id")).distinct()
+        .join(dist.select(col("user_id")), Seq("user_id"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .persistTracked()
+      // bounded driver probe (≤ BfsMaxHops rounds): stop when the frontier
+      // dries up — otherwise every later round would rescan the edge list
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next).persistTracked()
+        frontier = next.select(col("user_id"))
+      }
+      hop += 1
+    }
+    val nodes = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val unreached = nodes.join(dist.select(col("user_id")), Seq("user_id"), "left_anti")
+      .withColumn("hop", lit(-1))
+    dist.unionByName(unreached)
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("hop"))
+  }
+
+  /** The q282 twin: depth-bounded BFS as a recursive CTE (UNION set
+    * semantics bound the (node, depth) space; `min(d)` recovers the BFS
+    * layer), LEFT-joined back to the full user universe for the `-1`
+    * unreached bucket.
+    */
+  private[graft] val bfsReachOracle: String =
+    s"""WITH RECURSIVE $cooccurrenceEdgesCte,
+      |seeds AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0),
+      |reach AS (SELECT user_id AS u, 0 AS d FROM seeds
+      |  UNION SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.u
+      |        WHERE r.d < $BfsMaxHops),
+      |md AS (SELECT u, min(d) AS d FROM reach GROUP BY u),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |hops AS (SELECT coalesce(md.d, -1) AS hop
+      |         FROM users LEFT JOIN md ON users.user_id = md.u)
+      |SELECT hop, CAST(count(*) AS BIGINT) AS n_users
+      |FROM hops GROUP BY hop ORDER BY hop""".stripMargin
+
+  /** Graph-health profile of the co-occurrence graph: size, degree extremes,
+    * and degree assortativity (Newman 2002) — the is-this-a-hub-and-spoke-
+    * or-a-peer-mesh diagnostic that decides whether degree-capped
+    * projections (q144's fix) are even needed. One degree aggregate, two
+    * broadcast-joinable degree lookups, and exact BIGINT sufficient sums
+    * over the directed edge list — the Pearson correlation of endpoint
+    * degrees collapses to one final double expression (the q193/q275 OLS
+    * treatment), so the whole profile is a single skinny-shuffle pass with
+    * a 1-row output. Degenerate graphs (no edges, or uniform degrees ⇒ zero
+    * variance) surface as NULLs, not NaN — pinned at sf0.001 where the
+    * minute-capped projection is genuinely empty.
+    */
+  def graphProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cooccurrencePairs(spark, dir)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    val ed = edges
+      .join(deg.select(col("u").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val sums = ed.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dx")).as("sx2"))
+    val nodes = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"))
+    // r = (m·Σdxdy − (Σdx)²) ∕ (m·Σdx² − (Σdx)²) on the symmetrized edge
+    // list (Σdx = Σdy, Σdx² = Σdy² by symmetry) — integer numerator and
+    // denominator, ONE double division at the end
+    val num = col("m") * col("sxy") - col("sx") * col("sx")
+    val den = col("m") * col("sx2") - col("sx") * col("sx")
+    nodes.crossJoin(sums) // 1 row × 1 row
+      .select(
+        col("n_nodes"),
+        (col("m") / 2).cast("long").as("n_edges"),
+        col("max_degree"),
+        when(col("n_nodes") === 0, lit(null).cast("double"))
+          .otherwise(OracleMath.stableRound(
+            col("m").cast("double") / col("n_nodes").cast("double"), 4))
+          .as("mean_degree"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(OracleMath.stableRound(
+            num.cast("double") / den.cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  /** The q283 twin — identical sufficient sums in SQL. */
+  private[graft] val graphProfileOracle: String =
+    s"""WITH $cooccurrenceEdgesCte,
+      |deg AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+      |ed AS (SELECT a.deg AS dx, b.deg AS dy FROM edges e
+      |       JOIN deg a ON a.u = e.src JOIN deg b ON b.u = e.dst),
+      |sums AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(dx * dy) AS sxy,
+      |                sum(dx) AS sx, sum(dx * dx) AS sx2 FROM ed),
+      |nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, max(deg) AS max_degree FROM deg)
+      |SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges, max_degree,
+      |  CASE WHEN n_nodes = 0 THEN NULL
+      |       ELSE ${OracleMath.stableRoundSql("CAST(m AS DOUBLE) / CAST(n_nodes AS DOUBLE)", 4)} END AS mean_degree,
+      |  CASE WHEN m * sx2 - sx * sx = 0 THEN NULL
+      |       ELSE ${OracleMath.stableRoundSql(
+               "CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sx2 - sx * sx AS DOUBLE)", 6)} END AS assortativity
+      |FROM nodes, sums""".stripMargin
+
   /** Discrete survival table (Kaplan-Meier inputs) for time-to-first-
     * purchase after signup, WITH right-censoring: users who never purchase
     * are censored at the observation horizon (the data's max day), not
@@ -1367,6 +1511,158 @@ object EventOps {
        |  ${OracleMath.stableRoundSql(theta, 6)} AS theta,
        |  ${OracleMath.stableRoundSql(s"($rho2) * 100.0", 4)} AS var_reduction_pct
        |FROM arms, g ORDER BY arm""".stripMargin
+  }
+
+  /** q286 — mutual information between event type and hour-of-day: how much
+    * does KNOWING the hour tell you about what users do (diurnal behavior
+    * structure)? Reports H(type), H(hour), I(type;hour) in nats and the
+    * normalized mutual information NMI = I ∕ √(H_x·H_y) — the
+    * feature-redundancy score a feature-selection pass reads (NMI ≈ 0 ⇒
+    * hour adds nothing; the same machinery applies to any categorical
+    * pair). Complements q196's chi-square drilldown (significance) with an
+    * information-theoretic effect size.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the fact table onto
+    * the |types|×24 cell grid; marginals, totals and every entropy term
+    * live on that driver-tiny grid (broadcast joins). Parity: each p·ln
+    * term is quantized to integer micro-nats before the exact sum (the
+    * q271 KL treatment — cross-engine ln ulp noise cannot reorder an
+    * integer sum); the final NMI is one double expression over the three
+    * quantized sums.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type").as("x"), hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .persistTracked()
+    val mx = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val tot = cells.agg(sum(col("c_xy")).as("n"), count(lit(1)).as("n_cells"))
+    def micros(term: Column): Column =
+      floor(term * lit(1000000.0) + lit(0.5)).cast("long")
+    val miT = micros((col("c_xy").cast("double") / col("n").cast("double")) *
+      log(col("n").cast("double") * col("c_xy").cast("double") /
+        (col("c_x").cast("double") * col("c_y").cast("double"))))
+    val hT = (c: Column) => micros(-(c.cast("double") / col("n").cast("double")) *
+      log(c.cast("double") / col("n").cast("double")))
+    val mi = cells.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(miT).as("mi_u"))
+    val hx = mx.crossJoin(broadcast(tot)).agg(sum(hT(col("c_x"))).as("hx_u"))
+    val hy = my.crossJoin(broadcast(tot)).agg(sum(hT(col("c_y"))).as("hy_u"))
+    val M = lit(1000000.0)
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        OracleMath.stableRound(col("hx_u") / M, 6).as("h_type"),
+        OracleMath.stableRound(col("hy_u") / M, 6).as("h_hour"),
+        OracleMath.stableRound(col("mi_u") / M, 6).as("mi_nats"),
+        OracleMath.stableRound(
+          col("mi_u").cast("double") /
+            sqrt(col("hx_u").cast("double") * col("hy_u").cast("double")), 6)
+          .as("nmi"))
+  }
+
+  /** The q286 twin — identical micro-nat quantization per term. */
+  private[graft] val mutualInfoOracle: String =
+    s"""WITH cells AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+       |    CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM events GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1),
+       |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells
+       |        FROM cells),
+       |mi AS (SELECT CAST(sum(CAST(floor(
+       |      (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE) /
+       |         (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS mi_u
+       |    FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+       |hx AS (SELECT CAST(sum(CAST(floor(
+       |      -(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS hx_u FROM mx, tot),
+       |hy AS (SELECT CAST(sum(CAST(floor(
+       |      -(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS hy_u FROM my, tot)
+       |SELECT n, n_cells,
+       |  ${OracleMath.stableRoundSql("hx_u / 1000000.0", 6)} AS h_type,
+       |  ${OracleMath.stableRoundSql("hy_u / 1000000.0", 6)} AS h_hour,
+       |  ${OracleMath.stableRoundSql("mi_u / 1000000.0", 6)} AS mi_nats,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(mi_u AS DOUBLE) / sqrt(CAST(hx_u AS DOUBLE) * CAST(hy_u AS DOUBLE))", 6)} AS nmi
+       |FROM tot, mi, hx, hy""".stripMargin
+
+  /** q288 — Welch's unequal-variance t-test on the q216/q225 A/B arms
+    * (md5-parity assignment), metric = per-user total spend: the
+    * experimentation readout between q216's denominator guard and q225's
+    * variance reduction. t and the Welch–Satterthwaite df are assembled
+    * from SIX exact BIGINT sufficient sums (per-arm n, Σy, Σy² in integer
+    * cents from one user-keyed reduce) in fixed double expressions — no
+    * per-row float accumulation, so the statistic is engine-exact to the
+    * final rounding. The per-arm splay is a conditional aggregate on the
+    * per-user frame (one row out), never a self-join.
+    */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val arm = expr(
+      "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 2")
+    val pu = Tables.events(spark, dir)
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
+      .withColumn("arm", arm)
+    val g = pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0, col("y") * col("y")).otherwise(0L)).as("ss_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === 1, col("y") * col("y")).otherwise(0L)).as("ss_b"))
+    val (na, sa, ssa) = (col("n_a").cast("double"), col("s_a").cast("double"),
+      col("ss_a").cast("double"))
+    val (nb, sb, ssb) = (col("n_b").cast("double"), col("s_b").cast("double"),
+      col("ss_b").cast("double"))
+    val va = (na * ssa - sa * sa) / (na * (na - lit(1.0)))
+    val vb = (nb * ssb - sb * sb) / (nb * (nb - lit(1.0)))
+    val se2 = va / na + vb / nb
+    val t = (sa / na - sb / nb) / sqrt(se2)
+    val df = se2 * se2 /
+      ((va / na) * (va / na) / (na - lit(1.0)) + (vb / nb) * (vb / nb) / (nb - lit(1.0)))
+    g.select(col("n_a"), col("n_b"),
+      OracleMath.stableRound(sa / na / 100.0, 4).as("mean_a"),
+      OracleMath.stableRound(sb / nb / 100.0, 4).as("mean_b"),
+      OracleMath.stableRound(t, 6).as("t_stat"),
+      OracleMath.stableRound(df, 4).as("df"))
+  }
+
+  /** The q288 twin — the same six exact sums, the same fixed expressions. */
+  private[graft] val welchTtestOracle: String = {
+    val (na, sa, ssa) = ("CAST(n_a AS DOUBLE)", "CAST(s_a AS DOUBLE)", "CAST(ss_a AS DOUBLE)")
+    val (nb, sb, ssb) = ("CAST(n_b AS DOUBLE)", "CAST(s_b AS DOUBLE)", "CAST(ss_b AS DOUBLE)")
+    val va = s"(($na * $ssa - $sa * $sa) / ($na * ($na - 1.0)))"
+    val vb = s"(($nb * $ssb - $sb * $sb) / ($nb * ($nb - 1.0)))"
+    val se2 = s"($va / $na + $vb / $nb)"
+    val t = s"(($sa / $na - $sb / $nb) / sqrt($se2))"
+    val df = s"($se2 * $se2 / (($va / $na) * ($va / $na) / ($na - 1.0) + " +
+      s"($vb / $nb) * ($vb / $nb) / ($nb - 1.0)))"
+    s"""WITH pu AS (SELECT user_id,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS ss_b
+       |  FROM pu)
+       |SELECT n_a, n_b,
+       |  ${OracleMath.stableRoundSql(s"$sa / $na / 100.0", 4)} AS mean_a,
+       |  ${OracleMath.stableRoundSql(s"$sb / $nb / 100.0", 4)} AS mean_b,
+       |  ${OracleMath.stableRoundSql(t, 6)} AS t_stat,
+       |  ${OracleMath.stableRoundSql(df, 4)} AS df
+       |FROM g""".stripMargin
   }
 
   /** Daily-volume autocorrelation at lags 1..7 — periodicity detection (the

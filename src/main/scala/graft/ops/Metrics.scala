@@ -21,7 +21,10 @@ object Metrics {
     * (descending through AQE wrapper nodes and materialized query stages).
     */
   def sumMetric(df: DataFrame, key: String): Long = {
-    df.collect()
+    // Execute the audited frame WITHOUT shipping its rows to the driver: a
+    // distributed no-op foreach over the same QueryExecution populates the
+    // plan metrics even when the frame under audit is corpus-sized.
+    df.queryExecution.toRdd.foreach(_ => ())
     def walk(p: SparkPlan): Long = {
       val self = p.metrics.get(key).map(_.value).getOrElse(0L)
       val nested = p match {

@@ -60,6 +60,7 @@ object PrefixSum {
       .sortWithinPartitions(orderCols: _*)
       .withColumn(pidCol, spark_partition_id()))
     val aggCols = sums.map { case (n, _) => sum(col(s"__ps_v_$n")).as(n) }
+    // bounded-collect: one totals row per range partition — O(#partitions)
     val totalRows = parts.groupBy(col(pidCol))
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(col(pidCol))

@@ -563,6 +563,61 @@ object SamplingOps {
        |FROM e ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** q284 — the [[graft.functions.KmvCountDistinctRewrite]] consumer: a
+    * PLAIN `count(DISTINCT user_id)` written with the public DataFrame API,
+    * executed in a session clone that opts into the optimizer rewrite. The
+    * query text never mentions a sketch — the OPTIMIZER swaps in the KMV
+    * aggregate (plan pinned by spec: KmvSketch present, no distinct
+    * planning) — yet the result stays deterministic, so this is still a
+    * hash-gated query: the twin reproduces the estimate by ranking distinct
+    * md5-prefix hashes. A second untouched aggregate (`count`) rides the
+    * same Aggregate node to prove rewritten and plain functions coexist.
+    *
+    * The session CLONE (`newSession`: same SparkContext + compiled caches,
+    * own SQLConf) is the laziness-correct scope for the flag: set-and-
+    * restore on the shared session would race the optimization that only
+    * happens when the frame is finally executed, and a persistent flag
+    * would silently rewrite every OTHER query's `count(DISTINCT)`.
+    */
+  def kmvRewriteDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvCountDistinctRewrite
+    val s2 = spark.newSession()
+    s2.conf.set(KmvCountDistinctRewrite.FlagKey, "true")
+    if (!s2.experimental.extraOptimizations.contains(KmvCountDistinctRewrite))
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ KmvCountDistinctRewrite
+    Tables.events(s2, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("du_sketch"),
+        count(col("user_id")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q284 twin: the estimate the REWRITTEN plan must produce, built
+    * from first principles (rank distinct hashes, keep the k smallest).
+    * `floor` mirrors Spark's truncating double→bigint cast (positive
+    * domain); K is single-sourced from the rule.
+    */
+  val kmvRewriteOracle: String = {
+    val k = graft.functions.KmvCountDistinctRewrite.K
+    s"""WITH hv AS (SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hv),
+       |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS h_k
+       |      FROM r WHERE rn <= $k GROUP BY 1),
+       |ev AS (SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_events
+       |       FROM events GROUP BY 1)
+       |SELECT k.event_type,
+       |  CASE WHEN n_kmv < $k THEN n_kmv
+       |       ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                       / CAST(h_k AS DOUBLE)) AS BIGINT) END AS du_sketch,
+       |  n_events
+       |FROM k JOIN ev ON k.event_type = ev.event_type
+       |ORDER BY k.event_type""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q168_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, source, n_chars,

@@ -623,6 +623,7 @@ object TextOps {
       .sortWithinPartitions(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persistTracked()
+    // bounded-collect: one (pid, total) row per partition — O(#partitions)
     val totals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
       .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
@@ -1151,6 +1152,7 @@ object TextOps {
               i => concat(element_at(col("s"), i), lit(M), element_at(col("s"), i + 1))))
             .otherwise(array().cast("array<string>"))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      // bounded-collect: limit(1) argmax — exactly one row per BPE round
       val top = pairs.orderBy(desc("cnt"), col("pair")).limit(1).collect()(0)
       val Array(a, b) = top.getAs[String]("pair").split(M)
       merges += ((round.toLong, a, b, a + b, top.getAs[Long]("cnt")))
@@ -2258,6 +2260,399 @@ object TextOps {
           "CAST(sum(CASE WHEN cum_before // seq_len <> (cum_before + tok - 1) // seq_len THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS straddle_frac,
        |  CAST((max(cum_before + tok) + seq_len - 1) // seq_len AS BIGINT) AS n_chunks
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Collocation detection parameters (word2vec phrase-detection defaults,
+    * scaled to the corpus): the discount δ kills pairs whose co-occurrence
+    * could be a handful of chance adjacencies, the min-count floor keeps
+    * the table statistically meaningful, K bounds the report.
+    */
+  val CollocDelta = 5L
+  val CollocMinCount = 10L
+  val CollocTopK = 30
+
+  /** q285 — PMI-style collocation mining (the word2vec phrase-detection
+    * score, Mikolov et al. 2013): for every adjacent word pair, score =
+    * (c_ab − δ)·N ∕ (c_a·c_b) — a scaled exponential of pointwise mutual
+    * information — and the top-K scoring pairs above a support floor. The
+    * step that decides which adjacent tokens become single phrase tokens
+    * ("new_york") before embedding training.
+    *
+    * Scale shape: the bigram stream comes from the q65 [[graft.functions
+    * .NGrams]] generator (order-preserving shingles), both count tables are
+    * map-side-combined aggregates whose keys are DICTIONARY-sized (bigram
+    * types, unigram types — never corpus rows); the score join runs
+    * bigram-table ⋈ unigram-table on the word key twice — skinny
+    * dictionary×dictionary shuffles with no forced broadcast (a web-scale
+    * vocabulary must be allowed to shuffle; AQE may still broadcast small
+    * ones). The final top-K is `orderBy().limit(K)` — TakeOrderedAndProject
+    * per-partition heaps, never a corpus-wide window. Parity: the score is
+    * an integer-ratio double rounded once; the ORDER BY uses the ROUNDED
+    * score plus the pair tiebreak so the K-boundary is engine-identical.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val toks = Tables.documents(spark, dir).select(words(col("text")).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("n_tok"))
+    val big = toks
+      .select(graft.functions.VectorFunctions.ngrams(col("ws"), 2).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount && col("c_ab") > CollocDelta)
+      .select(split(col("bigram"), " ").getItem(0).as("w_a"),
+        split(col("bigram"), " ").getItem(1).as("w_b"), col("c_ab"))
+    val scoreR = OracleMath.stableRound(
+      (col("c_ab") - lit(CollocDelta)).cast("double") * col("n_tok").cast("double") /
+        (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+    big
+      .join(uni.select(col("w").as("w_a"), col("c_w").as("c_a")), Seq("w_a"))
+      .join(uni.select(col("w").as("w_b"), col("c_w").as("c_b")), Seq("w_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        scoreR.as("score"))
+      .orderBy(desc("score"), col("w_a"), col("w_b"))
+      .limit(CollocTopK)
+  }
+
+  /** The q285 twin: identical counts and score expression; ORDER BY the
+    * rounded score so the top-K boundary matches.
+    */
+  val collocationsOracle: String =
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c_w
+       |        FROM (SELECT unnest(w) AS t FROM ws) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tok FROM uni),
+       |big AS (SELECT string_split(b, ' ')[1] AS w_a, string_split(b, ' ')[2] AS w_b,
+       |          CAST(count(*) AS BIGINT) AS c_ab
+       |        FROM (SELECT unnest(list_transform(range(1, len(w)),
+       |                i -> w[i] || ' ' || w[i+1])) AS b FROM ws)
+       |        GROUP BY 1, 2
+       |        HAVING count(*) >= $CollocMinCount AND count(*) > $CollocDelta)
+       |SELECT w_a, w_b, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+       |  ${OracleMath.stableRoundSql(
+          s"CAST(c_ab - $CollocDelta AS DOUBLE) * CAST(n_tok AS DOUBLE) / " +
+            "(CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))", 6)} AS score
+       |FROM big JOIN uni a ON a.w = big.w_a JOIN uni b ON b.w = big.w_b, tot
+       |ORDER BY score DESC, w_a, w_b LIMIT $CollocTopK""".stripMargin
+
+  /** TextRank constants: fixed-point scale (2⁴⁰-ish headroom under BIGINT:
+    * rank·weight stays in-range for edge weights up to ~10⁶ — a larger
+    * corpus lowers the scale, documented envelope), damping 85∕100, bounded
+    * synchronous rounds, report size.
+    */
+  val TrScale = 1000000000000L
+  val TrRounds = 5
+  val TrTopK = 20
+
+  /** q289 — TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word ADJACENCY graph (edge weight = corpus count of
+    * the two words appearing adjacent, symmetrized, self-loops dropped),
+    * top-K words by converged rank — the unsupervised keyword/keyphrase
+    * scorer that needs no training data. The word-graph sibling of q169's
+    * user-graph PageRank and the consumer of q285's adjacency stream:
+    * collocations score PAIRS, TextRank scores WORDS by global graph
+    * centrality.
+    *
+    * Scale shape: the edge list is a dictionary-sized aggregate (adjacent
+    * word-pair types), persisted ONCE and hash-partitioned by the rank
+    * join; each of the [[TrRounds]] synchronous rounds is one
+    * edges⋈ranks join + one dst aggregate — work per round is O(|edges|),
+    * never nodes×rounds, and the driver loop is bounded. `localCheckpoint`
+    * truncates the growing lineage each round (the q169 treatment). All
+    * arithmetic is scaled-integer ((rank·w) DIV wdeg, 85∕100 damping in
+    * integer DIV) so the 5-round trajectory is engine-identical and the
+    * twin replays it exactly; the top-K boundary orders on the exact
+    * integer rank.
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val adj = Tables.documents(spark, dir)
+      .select(graft.functions.VectorFunctions.ngrams(words(col("text")), 2).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = adj.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .persistTracked()
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+      .persistTracked()
+    val teleport = TrScale * 15L / 100L
+    var ranks = wdeg.select(col("src").as("node"), col("wdeg"), lit(TrScale).as("rank"))
+    for (_ <- 1 to TrRounds) {
+      val contrib = ranks.join(edges, ranks("node") === edges("src"))
+        .select(col("dst"), expr("(rank * w) DIV wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = wdeg.select(col("src").as("node"), col("wdeg"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("wdeg"),
+          (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    val total = ranks.agg(sum(col("rank")).as("total_rank"))
+    ranks.crossJoin(broadcast(total))
+      .select(col("node").as("word"), col("wdeg"), col("rank").as("rank_scaled"),
+        OracleMath.stableRound(
+          col("rank") * lit(100.0) / col("total_rank"), 6).as("share_pct"))
+      .orderBy(desc("rank_scaled"), col("word"))
+      .limit(TrTopK)
+  }
+
+  /** The q289 twin — the unrolled-round integer replay (the q169 oracle
+    * shape on the word graph).
+    */
+  val textRankOracle: String = {
+    val rounds = (1 to TrRounds).map { k =>
+      s"""r$k AS (SELECT d.src AS node, d.wdeg,
+         |  ${TrScale * 15L / 100L} + (85 * coalesce(s.in_sum, 0)) // 100 AS rank
+         |  FROM wdeg d LEFT JOIN (
+         |    SELECT e.dst AS dst, sum((r.rank * e.w) // r.wdeg) AS in_sum
+         |    FROM r${k - 1} r JOIN edges e ON e.src = r.node GROUP BY 1) s
+         |  ON s.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT string_split(b, ' ')[1] AS a, string_split(b, ' ')[2] AS b2
+       |       FROM (SELECT unnest(list_transform(range(1, len(w)),
+       |               i -> w[i] || ' ' || w[i+1])) AS b FROM ws)
+       |       WHERE string_split(b, ' ')[1] <> string_split(b, ' ')[2]),
+       |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |          FROM (SELECT a AS src, b2 AS dst FROM bg
+       |                UNION ALL SELECT b2, a FROM bg)
+       |          GROUP BY 1, 2),
+       |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS node, wdeg, CAST($TrScale AS BIGINT) AS rank FROM wdeg),
+       |$rounds,
+       |tot AS (SELECT sum(rank) AS total_rank FROM r$TrRounds)
+       |SELECT node AS word, wdeg, CAST(rank AS BIGINT) AS rank_scaled,
+       | ${OracleMath.stableRoundSql(
+          "CAST(rank AS DOUBLE) * 100.0 / CAST(total_rank AS DOUBLE)", 6)} AS share_pct
+       |FROM r$TrRounds, tot
+       |ORDER BY rank_scaled DESC, word LIMIT $TrTopK""".stripMargin
+  }
+
+  /** q290 — cross-source quantile normalization of the length distribution
+    * (the batch-effect removal step before mixing corpora): each document's
+    * `n_chars` is replaced by the POOLED corpus value at the same quantile
+    * its length occupies WITHIN its source — after it, every source has an
+    * identical length distribution, so a length-based quality gate cannot
+    * systematically favor one source. Nearest-rank convention: a doc at
+    * within-source rank r of n_s maps to the pooled value at global rank
+    * ⌈r·N∕n_s⌉ — all INTEGER arithmetic ((r·N + n_s − 1) DIV n_s), so the
+    * mapping is engine-exact with no interpolation-float boundary. (r·N
+    * stays in BIGINT up to ~3·10⁹ documents; beyond that the multiply needs
+    * a wider type — documented envelope.)
+    *
+    * Scale shape: BOTH rank passes are [[PrefixSum.cumSums]] two-pass
+    * global sorts (pooled order by (n_chars, doc_id); per-source order by
+    * (source, n_chars, doc_id) with the per-source offset recovered from a
+    * sources-sized min aggregate broadcast back) — a naive
+    * `row_number() OVER (PARTITION BY source)` would collapse each source
+    * into ONE task, the per-key skew variant of the corpus-wide window this
+    * codebase bans. The final mapping is an equi-join on the target rank —
+    * scalar key, sort-merge at scale.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val pooledRes = PrefixSum.cumSums(d.select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars"), col("doc_id")), Seq("rn" -> lit(1L)), nParts)
+    val pooled = pooledRes.df
+      .select(col("cum_rn").as("gr"), col("n_chars").as("mapped_chars"))
+    val n = pooledRes.totals("rn")
+    val bySrc = PrefixSum.cumSums(d, Seq(col("source"), col("n_chars"), col("doc_id")),
+      Seq("rn" -> lit(1L)), nParts).df
+    val srcStats = bySrc.groupBy(col("source"))
+      .agg(min(col("cum_rn")).as("first_r"), count(lit(1)).as("n_s"))
+    bySrc.join(broadcast(srcStats), Seq("source"))
+      .withColumn("sr", col("cum_rn") - col("first_r") + 1)
+      .withColumn("gr", expr(s"(sr * ${n}L + n_s - 1) DIV n_s"))
+      .join(pooled, Seq("gr"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("mapped_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q290 twin — plain rank windows (the oracle engine's job is to be
+    * obviously correct, not scale-shaped) with the same ceil arithmetic.
+    */
+  val quantileNormalizeOracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |g AS (SELECT n_chars AS mapped_chars,
+      |        row_number() OVER (ORDER BY n_chars, doc_id) AS gr FROM d),
+      |s AS (SELECT doc_id, source, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS sr,
+      |        count(*) OVER (PARTITION BY source) AS ns FROM d)
+      |SELECT s.doc_id, s.source, s.n_chars, g.mapped_chars
+      |FROM s CROSS JOIN t JOIN g ON g.gr = (s.sr * t.n + s.ns - 1) // s.ns
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Heaps-law growth-curve resolution: documents are hashed into this many
+    * deterministic buckets; cumulative bucket prefixes are the sampling
+    * points of the vocabulary-growth curve.
+    */
+  val HeapsBuckets = 10
+
+  /** q291 — Heaps'-law vocabulary-growth exponent per source: fit
+    * V(n) ≈ K·n^β (vocabulary size vs tokens seen) and report β — the
+    * forecast of how fast a source keeps minting new types as it scales
+    * (β near 0.5 is natural text; β near 0 means the source will saturate
+    * a tokenizer's vocabulary early; β near 1 is id-like noise). The
+    * growth curve uses md5 doc-buckets as the accumulation order (a
+    * random-order growth curve — position-in-file order would confound
+    * ingest chronology), so "the first k∕10 of the corpus" is a
+    * deterministic sample both engines agree on.
+    *
+    * Scale shape: ONE corpus scan feeds two dictionary-sized aggregates —
+    * per-(source, bucket) token totals, and each word's FIRST bucket
+    * (min-aggregate over (source, word), the exact-distinct trick: a word
+    * adds to V at its first bucket only). Cumulating over the bucket
+    * domain is a window over ≤ [[HeapsBuckets]] rows per source (bounded
+    * by construction); the OLS fit is the q275 treatment — both log
+    * coordinates quantized to DECIMAL(18,6) before exact sufficient sums,
+    * slope and r² assembled in one fixed double expression each.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val bucket = expr(
+      s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % $HeapsBuckets")
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("b", bucket)
+    val tokB = docs.groupBy(col("source"), col("b"))
+      .agg(sum(size(col("ws")).cast("long")).as("tok_new"))
+    val vB = docs.select(col("source"), col("b"), explode(col("ws")).as("w"))
+      .groupBy(col("source"), col("w")).agg(min(col("b")).as("mb"))
+      .groupBy(col("source"), col("mb")).agg(count(lit(1)).as("v_new"))
+    val wn = Window.partitionBy(col("source")).orderBy(col("b"))
+    val points = tokB
+      .join(vB.select(col("source"), col("mb").as("b"), col("v_new")), Seq("source", "b"), "left")
+      .na.fill(0L, Seq("v_new"))
+      .withColumn("cum_tok", sum(col("tok_new")).over(wn))
+      .withColumn("cum_v", sum(col("v_new")).over(wn))
+      .select(col("source"),
+        OracleMath.stableRound(log(col("cum_tok").cast("double")), 6).cast(d6).as("x"),
+        OracleMath.stableRound(log(col("cum_v").cast("double")), 6).cast(d6).as("y"))
+    val s = points.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n_points").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val slopeDen = n * sxx - sx * sx
+    val r2Den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val slope = (n * sxy - sx * sy) / slopeDen
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / r2Den
+    // a source whose vocabulary saturates in the first bucket has zero
+    // y-variance (β exists but r² does not); zero x-variance voids both —
+    // degenerate fits surface as NULL, never as a divide error
+    s.select(col("source"), col("n_points"),
+        when(slopeDen === 0.0, lit(null).cast("double"))
+          .otherwise(OracleMath.stableRound(slope, 6)).as("heaps_beta"),
+        when(r2Den === 0.0, lit(null).cast("double"))
+          .otherwise(OracleMath.stableRound(r2, 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  /** The q291 twin — identical buckets, cumulations and quantized OLS. */
+  val heapsLawOracle: String = {
+    val n = "CAST(n_points AS DOUBLE)"
+    val (sx, sy, sxy, sxx, syy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val slope = s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+    val r2 = s"(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) / " +
+      s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
+    s"""WITH docs AS (SELECT source, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % $HeapsBuckets AS b,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents),
+       |tok_b AS (SELECT source, b, CAST(sum(len(ws)) AS BIGINT) AS tok_new
+       |          FROM docs GROUP BY 1, 2),
+       |v_b AS (SELECT source, mb AS b, CAST(count(*) AS BIGINT) AS v_new
+       |        FROM (SELECT source, w, min(b) AS mb
+       |              FROM (SELECT source, b, unnest(ws) AS w FROM docs)
+       |              GROUP BY 1, 2)
+       |        GROUP BY 1, 2),
+       |pts AS (SELECT t.source,
+       |    sum(t.tok_new) OVER (PARTITION BY t.source ORDER BY t.b) AS cum_tok,
+       |    sum(coalesce(v.v_new, 0)) OVER (PARTITION BY t.source ORDER BY t.b) AS cum_v
+       |  FROM tok_b t LEFT JOIN v_b v ON v.source = t.source AND v.b = t.b),
+       |xy AS (SELECT source,
+       |    CAST(${OracleMath.stableRoundSql("ln(CAST(cum_tok AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS x,
+       |    CAST(${OracleMath.stableRoundSql("ln(CAST(cum_v AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS y
+       |  FROM pts),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM xy GROUP BY 1)
+       |SELECT source, n_points,
+       |  CASE WHEN $n * $sxx - $sx * $sx = 0 THEN NULL
+       |       ELSE ${OracleMath.stableRoundSql(slope, 6)} END AS heaps_beta,
+       |  CASE WHEN ($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy) = 0 THEN NULL
+       |       ELSE ${OracleMath.stableRoundSql(r2, 6)} END AS r2
+       |FROM s ORDER BY source""".stripMargin
+  }
+
+  /** Novelty shingle width — long enough that a shared gram implies copied
+    * text, not chance (the memorization-audit convention of 8-13 grams).
+    */
+  val NoveltyGramN = 8
+
+  /** q292 — per-document n-gram novelty (memorization-risk score): the
+    * fraction of a document's distinct 8-grams that appear in NO other
+    * document — the inverse of q115's intra-doc repetition and the
+    * corpus-internal sibling of q139's train/test contamination. Low
+    * novelty = the doc is largely assembled from text that exists
+    * elsewhere (template, quote-stitch, mirror) and is the kind of
+    * sequence a model can memorize from multiple sources; dedup passes
+    * rank removal candidates by exactly this.
+    *
+    * Scale shape: grams never leave their shuffle key — the per-doc
+    * DISTINCT gram stream (one generate + per-doc dedup) feeds a
+    * gram-keyed document-frequency aggregate (map-side combined), joins
+    * back on the gram key, and re-aggregates per doc. Three shuffles, all
+    * on derived keys (gram text / doc_id), no pairwise join anywhere —
+    * df == 1 IS the leave-one-out novelty test, computed without ever
+    * comparing documents. Docs with < n words emit no shingles and drop
+    * out (same convention as the q53 gram family).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.ngrams(words(col("text")), NoveltyGramN).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        OracleMath.stableRound(
+          col("n_novel").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q292 twin — same shingles, distinct-per-doc, df and ratio. */
+  val ngramNoveltyOracle: String = {
+    val gram = (1 to NoveltyGramN).map(j => s"ws[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, g
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |          range(1, len(ws) - ${NoveltyGramN - 2}), i -> $gram)) AS g
+       |        FROM d)),
+       |f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ${OracleMath.stableRoundSql(
+          "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS novelty
+       |FROM grams JOIN f USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "q183_budget_trim" ->

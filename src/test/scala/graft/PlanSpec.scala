@@ -175,6 +175,25 @@ class PlanSpec extends AnyFunSuite {
     assert(untouched.collect().map(_.getInt(0)).toSeq === Seq(2, 0))
   }
 
+  test("flag-gated KMV rewrite: plain count(DISTINCT) plans the sketch aggregate (q284)") {
+    import org.apache.spark.sql.functions._
+    val df = SamplingOps.kmvRewriteDistinct(spark, sf)
+    df.collect()
+    val p = plan(df).toLowerCase
+    assert(p.contains("kmvsketch"),
+      "opted-in session should plan the sketch, not distinct:\n" + p.take(800))
+    assert(p.contains("objecthashaggregate"), "typed-imperative agg path expected")
+    // inert off the flag: the identical query on the base session keeps the
+    // built-in distinct planning
+    val off = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("du_sketch"), count(col("user_id")).as("n_events"))
+      .orderBy(col("event_type"))
+    assert(!plan(off).toLowerCase.contains("kmvsketch"))
+    // below-k groups (15 distinct users at this SF): the sketch IS the full
+    // distinct hash set, so the rewritten result must be EXACT
+    assert(df.collect().toSeq === off.collect().toSeq)
+  }
+
   test("as-of join plans with exactly one shuffle+sort per side (q61)") {
     val df = EventOps.asofAttribution(spark, sf)
     df.collect()
