@@ -526,6 +526,24 @@ object SparkEntry {
     "q291_heaps_law"           -> ((s, d) => TextOps.heapsLaw(s, d)),
     // -- per-doc 8-gram novelty (memorization-risk score) ------------------------
     "q292_ngram_novelty"       -> ((s, d) => TextOps.ngramNovelty(s, d)),
+    // -- distributed PCA top component (integer scatter + power iteration) -------
+    "q293_pca_power"           -> ((s, d) => SimilarityOps.pcaPower(s, d)),
+    // -- Chao1/Good-Turing unseen-vocabulary estimate per source -----------------
+    "q294_chao1_vocab"         -> ((s, d) => TextOps.chao1Vocab(s, d)),
+    // -- per-source embedding centroid drift (linear-kernel MMD²) ----------------
+    "q295_centroid_drift"      -> ((s, d) => SimilarityOps.centroidDrift(s, d)),
+    // -- farthest-point k-center coreset (diversity sampling) --------------------
+    "q296_kcenter_coreset"     -> ((s, d) => SamplingOps.kcenterCoreset(s, d)),
+    // -- Neyman variance-optimal stratified allocation vs proportional -----------
+    "q297_neyman_alloc"        -> ((s, d) => SamplingOps.neymanAllocation(s, d)),
+    // -- rank-aware retrieval eval: MRR + nDCG@k of the IVF index ----------------
+    "q298_retrieval_ndcg"      -> ((s, d) => RetrievalOps.retrievalRankMetrics(s, d)),
+    // -- Mann-Kendall monotone-trend test on per-type daily volumes --------------
+    "q299_mann_kendall"        -> ((s, d) => EventOps.mannKendall(s, d)),
+    // -- Spearman rank correlation of source vocabularies (head words) -----------
+    "q300_spearman_sources"    -> ((s, d) => TextOps.spearmanSources(s, d)),
+    // -- k-core peeling curve on the co-occurrence graph -------------------------
+    "q301_kcore_peel"          -> ((s, d) => EventOps.kcorePeel(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1110,6 +1128,8 @@ object SparkEntry {
     "q217_stream_dedup_agg" -> graft.streaming.StreamJoinOps.dedupThenHourlyOracle,
     "q218_pareto_docs" -> TextOps.paretoDocsOracle,
     "q219_autocorr" -> EventOps.volumeAutocorrOracle,
+    "q299_mann_kendall" -> EventOps.mannKendallOracle,
+    "q301_kcore_peel" -> EventOps.kcorePeelOracle,
     "q220_index_compression" -> TextOps.indexCompressionOracle,
     "q221_scd2_asof" -> CoreOps.scd2AsOfOracle,
     "q222_interleave_audit" -> TextOps.interleaveAuditOracle,

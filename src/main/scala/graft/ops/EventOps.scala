@@ -1175,6 +1175,92 @@ object EventOps {
       |edges AS (SELECT ua AS src, ub AS dst FROM pairs
       |          UNION ALL SELECT ub, ua FROM pairs)""".stripMargin
 
+  /** k-core threshold and peel-round budget for q301 (shared with the twin). */
+  val KCoreK = 3
+  val KCoreRounds = 6
+
+  /** q301 — k-core peeling curve over the capped co-occurrence graph (the
+    * SAME edge construction as q144/q169/q282 — one graph, four
+    * algorithms): repeatedly delete nodes with degree < [[KCoreK]] and
+    * report nodes/edges remaining after each peel round. The fixpoint is
+    * the k-core — the maximal subgraph where everyone keeps ≥ k
+    * co-occurrence partners — the standard cohesion screen (a dense
+    * bot/spam ring survives peeling; organically sparse users fall out),
+    * and the curve shows HOW FAST the periphery sheds.
+    *
+    * Scale shape: each round is one degree aggregate over the current edge
+    * list plus two semi-joins against the surviving-node set — O(|E|) per
+    * round, keyed shuffles only, never a pairwise product. The round count
+    * is fixed ([[KCoreRounds]], the q155/q169 bounded-trajectory
+    * convention): rounds past the fixpoint provably repeat the same counts,
+    * so once the edge count stops changing the driver fills the remaining
+    * rows without launching jobs — the emitted table is identical to
+    * running them.
+    */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var cur = cooccurrencePairs(spark, dir).persistTracked()
+    // distinct endpoints need the union view, not per-column distincts
+    def measure(df: DataFrame): (Long, Long) = {
+      // bounded-collect: one scalar row per round (node count)
+      val n = df.select(explode(array(col("doc_a"), col("doc_b"))).as("u"))
+        .agg(count_distinct(col("u"))).collect()(0).getLong(0)
+      // bounded-collect: one scalar row per round (edge count)
+      val e = df.agg(count(lit(1))).collect()(0).getLong(0)
+      (n, e)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var (n0, e0) = measure(cur)
+    rows += ((0L, n0, e0))
+    var stable = false
+    for (r <- 1 to KCoreRounds) {
+      if (stable) rows += ((r.toLong, rows.last._2, rows.last._3))
+      else {
+        val deg = cur.select(explode(array(col("doc_a"), col("doc_b"))).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= KCoreK).select(col("u"))
+        val next = cur
+          .join(keep.withColumnRenamed("u", "doc_a"), Seq("doc_a"), "left_semi")
+          .join(keep.withColumnRenamed("u", "doc_b"), Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        val (n, e) = measure(next)
+        rows += ((r.toLong, n, e))
+        if (e == rows(rows.length - 2)._3) stable = true
+        cur = next
+      }
+    }
+    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+  }
+
+  /** The q301 twin — unrolled MATERIALIZED peel rounds on the shared
+    * `edges` chain (undirected counts derive from the pair list).
+    */
+  val kcorePeelOracle: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT u FROM (
+         |    SELECT u, count(*) AS d FROM (
+         |      SELECT doc_a AS u FROM m${r - 1} UNION ALL SELECT doc_b FROM m${r - 1})
+         |    GROUP BY 1)
+         |  WHERE d >= $KCoreK),
+         |m$r AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM m${r - 1}
+         |  WHERE doc_a IN (SELECT u FROM keep$r) AND doc_b IN (SELECT u FROM keep$r))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to KCoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM
+         |     (SELECT doc_a AS u FROM m$r UNION ALL SELECT doc_b FROM m$r)) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cooccurrenceEdgesCte,
+       |m0 AS MATERIALIZED (SELECT ua AS doc_a, ub AS doc_b FROM pairs),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   /** BFS hop budget — recursion depth bound shared with the q282 twin. */
   val BfsMaxHops = 4
 
@@ -1710,6 +1796,76 @@ object EventOps {
        |      FROM lagged GROUP BY 1)
        |SELECT lag, n, ${OracleMath.stableRoundSql(r, 6)} AS autocorr_r
        |FROM s ORDER BY lag""".stripMargin
+  }
+
+  /** q299 — Mann-Kendall trend test on per-type daily volumes: is a type's
+    * traffic monotonically drifting, without assuming linearity or normal
+    * noise? S = Σ_{i<j} sgn(x_j − x_i) over day-ordered counts — a purely
+    * ORDINAL statistic (robust where q193's OLS slope chases outliers), with
+    * the tie-corrected variance Var·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) and
+    * the continuity-corrected z = (S − sgn(S))∕√(Var). The
+    * significance-tested companion of q193 (fits the slope) and q281
+    * (validates forecasts): this one says whether a drift is REAL.
+    *
+    * Scale shape: the corpus pays one count scan into the (type, day)
+    * aggregate; the pair stage is a self-join on the CALENDAR-bounded daily
+    * table (days², not rows²) — the q219 shape. Everything is exact
+    * integers (sgn sums, tie polynomials) except the final z division.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        expr("a.event_type = b.event_type AND a.day < b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum((col("b.v") - col("a.v")).cast("double")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_levels"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_poly"))
+    val var18 = col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) - col("tie_poly")
+    // all-tied series: Var = 0 and S = 0 — z is undefined, not ±∞/NaN
+    val z = when(var18 === 0, lit(null).cast("double")).otherwise(OracleMath.stableRound(
+      (col("s_stat") - signum(col("s_stat").cast("double")).cast("long")).cast("double") /
+        sqrt(var18.cast("double") / lit(18.0)), 4))
+    pairs.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        z.as("z_stat"),
+        when(abs(z) > 1.96,
+          when(col("s_stat") > 0, "rising").otherwise("falling"))
+          .otherwise("none").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q299 twin — same sgn pairs, tie polynomial, and fixed z. */
+  val mannKendallOracle: String = {
+    val zSql = "(CAST(s_stat AS DOUBLE) - CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)) / " +
+      "sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_poly AS DOUBLE) / 18.0)"
+    val zr = s"(CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_poly = 0 THEN NULL " +
+      s"ELSE ${OracleMath.stableRoundSql(zSql, 4)} END)"
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |                 CAST(count(*) AS BIGINT) AS v
+       |               FROM events GROUP BY 1, 2),
+       |p AS (SELECT a.event_type,
+       |        CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |      FROM daily a JOIN daily b
+       |        ON a.event_type = b.event_type AND a.day < b.day
+       |      GROUP BY 1),
+       |ties AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_levels,
+       |           CAST(sum(t) AS BIGINT) AS n_days,
+       |           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
+       |         FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+       |               FROM daily GROUP BY 1, 2)
+       |         GROUP BY 1)
+       |SELECT event_type, n_days, s_stat,
+       |  $zr AS z_stat,
+       |  CASE WHEN abs($zr) > 1.96
+       |       THEN (CASE WHEN s_stat > 0 THEN 'rising' ELSE 'falling' END)
+       |       ELSE 'none' END AS trend
+       |FROM p JOIN ties USING (event_type)
+       |ORDER BY event_type""".stripMargin
   }
 
   /** Sample-ratio-mismatch (SRM) guard — the first sanity check any A/B

@@ -31,4 +31,22 @@ object OracleMath {
     if (s == 0) s"CAST(floor(($expr) + 0.5) AS DOUBLE)"
     else s"CAST(floor(($expr) * $p + 0.5) AS DOUBLE) / $p"
   }
+
+  /** Truncating integer division for SIGNED numerators (b > 0). The engines'
+    * native integer divisions disagree on negatives — Spark's `DIV`
+    * truncates toward zero, DuckDB's `//` floors — so any scaled-integer
+    * algorithm whose values can go negative (eigenvector components,
+    * centered moments) must spell the convention out: divide magnitudes,
+    * reapply the sign. Both operands of the inner division are
+    * non-negative, where the engines agree.
+    */
+  def tdiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{abs => cabs, call_function, when}
+    when(a >= 0, call_function("div", a, b))
+      .otherwise(-call_function("div", cabs(a), b))
+  }
+
+  /** DuckDB twin of [[tdiv]] (same magnitude-then-sign shape). */
+  def tdivSql(a: String, b: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
 }

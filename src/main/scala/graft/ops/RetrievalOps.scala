@@ -657,7 +657,143 @@ object RetrievalOps {
        |  FROM per_doc)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q298: rank-aware retrieval evaluation (MRR + nDCG@k) of the IVF index
+  // ---------------------------------------------------------------------------
+
+  /** Position discounts 1∕log₂(p+1) for p = 1..[[IvfK]], 6-dp-quantized in
+    * the DRIVER and injected into both engines as decimal literals — the
+    * per-term float (libm log) never runs inside either engine, so the DCG
+    * sums are exact decimal arithmetic on shared constants.
+    */
+  val NdcgDiscounts: Seq[java.math.BigDecimal] = (1 to IvfK).map { p =>
+    val d = math.log(2.0) / math.log(p + 1.0)
+    new java.math.BigDecimal(math.floor(d * 1e6 + 0.5).toLong).movePointLeft(6)
+  }
+
+  /** Ideal DCG@k under the graded gains 11−p (exact decimal constant). */
+  val NdcgIdcg: java.math.BigDecimal = (1 to IvfK).map { p =>
+    new java.math.BigDecimal(11 - p).multiply(NdcgDiscounts(p - 1))
+  }.reduce(_ add _)
+
+  /** q298 — rank-aware evaluation of the IVF retriever against exact
+    * ground truth: q161 measures recall@k (set overlap — WHAT the index
+    * found); this measures MRR and nDCG@k (WHERE it put things): reciprocal
+    * rank of the true nearest neighbour and the graded-gain
+    * position-discounted score against the ideal ordering. An index can
+    * hold recall while quietly shuffling the head — rank metrics catch
+    * that; they are the numbers a retrieval system is actually graded on.
+    *
+    * Same workload and plan shape as q161 (tiny query/centroid broadcasts,
+    * IVF touches nprobe∕nlists of the corpus, exact path is the declared
+    * ground-truth measurement). Metric parity: gains are integers
+    * (11 − exact rank), discounts are driver-quantized decimal literals
+    * shared by both engines ([[NdcgDiscounts]]), so DCG is an exact
+    * decimal sum — the only floats are the final nDCG division by the
+    * exact [[NdcgIdcg]] constant and MRR's 1∕rank of small integers.
+    */
+  def retrievalRankMetrics(spark: SparkSession, dir: String, nprobe: Int = IvfNProbe): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = Tables.embeddings(spark, dir)
+    val isEval = pmod(col("vec_id") * lit(EvalHashMult), lit(100L)) < lit(EvalPct)
+    val qs = e.filter(isEval).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val train = e.filter(!isEval).select(col("vec_id"), col("embedding"))
+
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("c_label"))
+
+    val probes = SimilarityOps.centroidTable(spark, dir).crossJoin(broadcast(qs))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("q_emb"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
+
+    val ivfRanked = train
+      .join(SimilarityOps.assignTable(spark, dir).select(col("vec_id"), col("assigned")), "vec_id")
+      .join(broadcast(probes), col("assigned") === col("probe_label"))
+      .select(col("q_id"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("ivf_rn", row_number().over(wTop).cast("long"))
+      .filter(col("ivf_rn") <= IvfK).select(col("q_id"), col("vec_id"), col("ivf_rn"))
+
+    val exactRanked = train.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        OracleMath.stableRound(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("ex_rn", row_number().over(wTop).cast("long"))
+      .filter(col("ex_rn") <= IvfK).select(col("q_id"), col("vec_id"), col("ex_rn"))
+
+    val disc = element_at(array(NdcgDiscounts.map(lit): _*), col("ivf_rn").cast("int"))
+    val rel = coalesce(lit(11L) - col("ex_rn"), lit(0L))
+    val perQ = ivfRanked.join(exactRanked, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(rel.cast(d18) * disc).as("dcg"),
+        max(when(col("ex_rn") === 1L,
+          OracleMath.stableRound(lit(1.0) / col("ivf_rn").cast("double"), 6))).as("rr"))
+    qs.select(col("q_id")).join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("rr"), lit(0.0)).as("mrr"),
+        OracleMath.stableRound(
+          coalesce(col("dcg"), lit(java.math.BigDecimal.ZERO).cast(d18)).cast("double")
+            / lit(NdcgIdcg.doubleValue()), 6).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The q298 twin — q161's CTE chain kept, metrics swapped in. */
+  val retrievalRankMetricsOracle: String = {
+    val discCase = (1 to IvfK).map { p =>
+      s"WHEN $p THEN CAST(${NdcgDiscounts(p - 1).toPlainString} AS DECIMAL(8,6))"
+    }.mkString(" ")
+    s"""WITH ${SimilarityOps.centCteSql},
+       |ev AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE (vec_id * $EvalHashMult) % 100 < $EvalPct),
+       |tr AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE NOT ((vec_id * $EvalHashMult) % 100 < $EvalPct)),
+       |${SimilarityOps.assignCteSql},
+       |probe AS (
+       |  SELECT q_id, q_emb, c_label FROM (
+       |    SELECT e.q_id, e.q_emb, c.c_label,
+       |      row_number() OVER (PARTITION BY e.q_id
+       |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("e.q_emb", "c.centroid"), 6)} DESC,
+       |                 c.c_label) AS rn
+       |    FROM ev e, cent c)
+       |  WHERE rn <= $IvfNProbe),
+       |ivftop AS (
+       |  SELECT q_id, vec_id, CAST(rn AS BIGINT) AS ivf_rn FROM (
+       |    SELECT p.q_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |        ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "p.q_emb"), 6)} DESC,
+       |        t.vec_id) AS rn
+       |    FROM tr t JOIN assign a ON t.vec_id = a.vec_id
+       |    JOIN probe p ON a.assigned = p.c_label)
+       |  WHERE rn <= $IvfK),
+       |exacttop AS (
+       |  SELECT q_id, vec_id, CAST(rn AS BIGINT) AS ex_rn FROM (
+       |    SELECT e.q_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY e.q_id
+       |        ORDER BY ${OracleMath.stableRoundSql(SimilarityOps.cosSql("t.embedding", "e.q_emb"), 6)} DESC,
+       |                 t.vec_id) AS rn
+       |    FROM tr t CROSS JOIN ev e)
+       |  WHERE rn <= $IvfK),
+       |perq AS (
+       |  SELECT i.q_id,
+       |    sum(CAST(coalesce(11 - e.ex_rn, 0) AS DECIMAL(18,6))
+       |        * (CASE i.ivf_rn $discCase END)) AS dcg,
+       |    max(CASE WHEN e.ex_rn = 1
+       |        THEN ${OracleMath.stableRoundSql("1.0 / CAST(i.ivf_rn AS DOUBLE)", 6)} END) AS rr
+       |  FROM ivftop i LEFT JOIN exacttop e USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT ev.q_id AS q_id,
+       |  coalesce(rr, 0.0) AS mrr,
+       |  ${OracleMath.stableRoundSql(
+      s"CAST(coalesce(dcg, 0) AS DOUBLE) / CAST(${NdcgIdcg.toPlainString} AS DOUBLE)", 6)} AS ndcg
+       |FROM ev LEFT JOIN perq p ON ev.q_id = p.q_id
+       |ORDER BY q_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q298_retrieval_ndcg" -> retrievalRankMetricsOracle,
     "q157_bm25_topk" -> {
       val roundedPer = Bm25Terms.map { t =>
         s"${OracleMath.stableRoundSql(s"coalesce(s_$t, 0.0)", 4)} AS s_$t"

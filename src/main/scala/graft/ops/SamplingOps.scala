@@ -3,7 +3,7 @@ package graft.ops
 import graft.ops.Caches.TrackedPersist
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -618,7 +618,177 @@ object SamplingOps {
        |ORDER BY k.event_type""".stripMargin
   }
 
+  /** k-center coreset size (the greedy 2-approximation's round count). */
+  val KCenterK = 8
+
+  /** q296 — farthest-point (k-center greedy) coreset selection over the
+    * embedding table: pick the [[KCenterK]] most MUTUALLY DISTANT vectors —
+    * the classic 2-approximation to the k-center cover, and the
+    * diversity-sampling primitive for training-data selection (pick
+    * exemplars that span the space, where uniform sampling oversamples
+    * dense regions; the query-free complement of q238's MMR). Also reports
+    * each pick's selection radius — the max-min distance at the moment it
+    * was chosen, i.e. the cover radius the coreset achieves as k grows.
+    *
+    * Scale shape: K synchronous rounds, each ONE row-local pass — the
+    * min-distance column is updated incrementally against only the single
+    * newest pick (`least(md, dist²(x, newest))`), so round k costs O(N·64)
+    * with a 1-row TakeOrderedAndProject argmax (never a full sort) and a
+    * 1-row collect. All distances are exact BIGINT sums of squared
+    * e6-quantized component differences (≤ 64·(1.1·10⁶)² ≈ 7.7·10¹³ —
+    * BIGINT-safe for unit-norm embeddings at any N); the radius readout is
+    * the only float. Seed = vec_id 0, so the whole trajectory is
+    * deterministic and the twin replays it exactly.
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xq.as("eq"))
+      .persistTracked()
+    // seed: vec_id 0 (deterministic), its embedding fetched once
+    // bounded-collect: limit(1) seed row — exactly one row by construction
+    val seedRow = base.filter(col("vec_id") === 0L).limit(1).collect()(0)
+    val seedEq = seedRow.getSeq[Long](1).toArray
+    def d2(pick: Array[Long]): Column = {
+      val pl = array(pick.map(lit): _*)
+      aggregate(
+        zip_with(col("eq"), pl, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    var md = base.select(col("vec_id"), col("eq"), d2(seedEq).as("md"))
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+    picks += ((1L, 0L, None))
+    for (k <- 2 to KCenterK) {
+      // bounded-collect: limit(1) argmax — exactly one row per round
+      val top = md.filter(!col("vec_id").isin(picks.map(_._2).toSeq: _*))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      val (vid, eqArr, radius) =
+        (top.getLong(0), top.getSeq[Long](1).toArray, top.getLong(2))
+      picks += ((k.toLong, vid, Some(radius)))
+      md = md.select(col("vec_id"), col("eq"),
+        least(col("md"), d2(eqArr)).as("md")).localCheckpoint()
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("sel_rank", "vec_id", "radius_sq")
+      .select(col("sel_rank"), col("vec_id"),
+        OracleMath.stableRound(sqrt(col("radius_sq").cast("double")) / lit(1000000.0), 6)
+          .as("radius"))
+      .orderBy(col("sel_rank"))
+  }
+
+  /** The q296 twin — unrolled greedy rounds with the same incremental
+    * `least(md, dist² to newest pick)` recurrence; MATERIALIZED so DuckDB's
+    * CTE inlining doesn't re-expand the chain per round.
+    */
+  val kcenterCoresetOracle: String = {
+    val d2 = "list_sum(list_transform(range(1, 65), i -> (a.eq[i] - b.eq[i]) * (a.eq[i] - b.eq[i])))"
+    val rounds = (2 to KCenterK).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT vec_id, md FROM m${k - 1}
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1}
+         |  UNION ALL SELECT $k AS sel_rank, vec_id, md AS radius_sq FROM p$k),
+         |m$k AS MATERIALIZED (
+         |  SELECT a.vec_id, a.eq,
+         |    least(a.md, $d2) AS md
+         |  FROM m${k - 1} a, (SELECT e.eq FROM q e JOIN p$k USING (vec_id)) b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS eq
+       |  FROM embeddings),
+       |m1 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.eq, $d2 AS md
+       |  FROM q a, (SELECT eq FROM q WHERE vec_id = 0) b),
+       |sel1 AS (SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+       |         CAST(NULL AS BIGINT) AS radius_sq),
+       |$rounds
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       |  ${OracleMath.stableRoundSql("sqrt(CAST(radius_sq AS DOUBLE)) / 1000000.0", 6)} AS radius
+       |FROM sel$KCenterK ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Neyman sampling budget (total rows across all strata). */
+  val NeymanBudget = 200L
+
+  /** q297 — Neyman (variance-optimal) stratified allocation vs proportional:
+    * for a fixed sample budget B, the per-source sample size that minimizes
+    * the estimator variance is n_h ∝ N_h·σ_h, not n_h ∝ N_h — a source
+    * whose quality/length metric barely varies needs few rows, a noisy one
+    * needs many. Reported next to the proportional allocation so the table
+    * shows exactly where uniform-rate sampling over- and under-samples —
+    * the survey-sampling upgrade of q150's proportional apportionment.
+    *
+    * Parity/exactness: N_h·σ_h = √(N_h·Σx² − (Σx)²) on exact BIGINT
+    * sufficient sums of the integer n_chars metric (the identity avoids the
+    * per-row mean subtraction); the single sqrt is quantized to e6-integer
+    * weight, after which seats are the q150 largest-remainder arithmetic —
+    * all integer, total exactly B by construction. One dictionary-sized
+    * aggregate; every window runs on the sources-sized table.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val b = NeymanBudget
+    val stats = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("wq",
+        floor(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) + lit(0.5))
+          .cast("long"))
+    val totals = stats.agg(sum(col("wq")).as("w_tot"), sum(col("n")).as("n_tot"))
+    val alloc0 = stats.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"($b * wq) DIV w_tot"))
+      .withColumn("rem", expr(s"$b * wq - (($b * wq) DIV w_tot) * w_tot"))
+      .withColumn("prop", expr(s"($b * n) DIV n_tot"))
+    val leftover = alloc0.agg((lit(b) - sum(col("base"))).as("leftover"))
+    alloc0
+      // groups-sized table: the global (unpartitioned) window is fine HERE
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n"),
+        OracleMath.stableRound(
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            / col("n").cast("double"), 4).as("sigma"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("k_neyman"),
+        col("prop").as("k_proportional"))
+      .orderBy(col("source"))
+  }
+
+  /** The q297 twin — identical sufficient sums, quantized weights and
+    * largest-remainder seats.
+    */
+  val neymanAllocationOracle: String = {
+    val b = NeymanBudget
+    s"""WITH stats AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT *,
+       |    CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+       |  FROM stats),
+       |t AS (SELECT CAST(sum(wq) AS BIGINT) AS w_tot, CAST(sum(n) AS BIGINT) AS n_tot FROM w),
+       |a0 AS (SELECT w.*, ($b * wq) // w_tot AS base,
+       |         $b * wq - (($b * wq) // w_tot) * w_tot AS rem,
+       |         ($b * n) // n_tot AS prop
+       |       FROM w, t),
+       |l AS (SELECT $b - CAST(sum(base) AS BIGINT) AS leftover FROM a0),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM a0)
+       |SELECT source, n,
+       |  ${OracleMath.stableRoundSql(
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)} AS sigma,
+       |  base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS k_neyman,
+       |  prop AS k_proportional
+       |FROM r, l ORDER BY source""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q296_kcenter_coreset" -> kcenterCoresetOracle,
+    "q297_neyman_alloc" -> neymanAllocationOracle,
     "q168_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, source, n_chars,
         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)

@@ -1017,7 +1017,200 @@ object SimilarityOps {
           "CAST(n_removed AS DOUBLE) / CAST(n_vectors AS DOUBLE)", 6)} AS removal_frac
        |FROM st JOIN aff USING (thr), t ORDER BY thr""".stripMargin
 
+  /** q293 PCA constants: per-component quantization scale (e4 — unit-norm
+    * components, so centered values stay ≤ ~2·10⁴ and every 64×64 scatter
+    * cell is ≤ ~10⁸·N, far inside BIGINT at bench SFs; the envelope is
+    * N ≲ 10¹⁰ rows before the cell sums need DECIMAL(38,0)), the iteration
+    * vector scale, and the fixed synchronous round count. The round count is
+    * part of the query's DEFINITION (like q169's PageRank rounds): both
+    * engines replay the identical trajectory, converged or not.
+    */
+  val PcaQuant = 10000L
+  val PcaScale = 1000000L
+  val PcaRounds = 6
+
+  /** q293 — distributed PCA top component via exact integer sufficient
+    * statistics + scaled-integer power iteration: how concentrated is the
+    * embedding space? A top-eigenvalue share near 1 means the "64-dim"
+    * embeddings are effectively 1-dimensional (a collapsed encoder, or a
+    * dominant nuisance direction like document length) — the standard
+    * representation-health check before trusting cosine similarity for
+    * dedup/retrieval. Output: the dominant eigendirection (scaled-integer
+    * components, sign fixed by the deterministic all-ones start) and the
+    * top-1 explained-variance share.
+    *
+    * Why this shape at 100 TB: PCA over N rows needs exactly ONE pass of
+    * per-row outer products into a 64×64 = 4096-cell aggregate (map-side
+    * combined — the shuffle is 4096 cells × partitions regardless of N),
+    * after which every iteration touches only the 4096-row matrix and a
+    * 64-row vector. Nothing downstream of the scatter aggregate ever
+    * rescans the data — the classic sufficient-statistics split. All
+    * arithmetic is integer: components quantized at e4, means by truncating
+    * division, the matrix renormalized by its max |cell| (denominator-side
+    * division so no product ever exceeds ~10¹⁴), each round's matvec
+    * renormalized the same way. The only floats are the three final
+    * divisions of exact integers (Rayleigh numerator as DECIMAL(38,0) —
+    * v·Sv reaches ~10¹⁹·64 — over den and trace), so the twin replays the
+    * whole trajectory bit-for-bit.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val quantize = (x: Column) =>
+      floor(x.cast("double") * lit(PcaQuant.toDouble) + lit(0.5)).cast("long")
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), quantize).as("xq"))
+    val sums = rows.select(posexplode(col("xq")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val meansArr = sums
+      .agg(sort_array(collect_list(struct(col("dim"),
+        OracleMath.tdiv(col("sx"), col("n")).as("m")))).as("p"))
+      .select(transform(col("p"), s => s.getField("m")).as("means"))
+    // centered components: one 1-row broadcast, then purely row-local
+    val centered = rows.crossJoin(broadcast(meansArr))
+      .select(zip_with(col("xq"), col("means"), (a, b) => a - b).as("c"))
+    // scatter matrix S = Σ c·cᵀ: two chained generators (4096 tuples per
+    // row, never materialized — they stream into the hash aggregate)
+    val sMat = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("ci") * col("cj")).as("s"))
+    val smax = sMat.agg(max(abs(col("s"))).as("smax"))
+    val sn = sMat.crossJoin(broadcast(smax))
+      .select(col("i"), col("j"),
+        OracleMath.tdiv(col("s"),
+          greatest(OracleMath.tdiv(col("smax"), lit(PcaScale)), lit(1L))).as("sn"))
+      .persistTracked()
+    var v = sums.select(col("dim").as("d"), lit(PcaScale).as("v"))
+    for (_ <- 1 to PcaRounds) {
+      val w = sn.join(v, sn("j") === v("d"))
+        .groupBy(col("i")).agg(sum(col("sn") * col("v")).as("w"))
+      val wmax = w.agg(max(abs(col("w"))).as("wmax"))
+      v = w.crossJoin(broadcast(wmax))
+        .select(col("i").as("d"),
+          OracleMath.tdiv(col("w"),
+            greatest(OracleMath.tdiv(col("wmax"), lit(PcaScale)), lit(1L))).as("v"))
+        .localCheckpoint()
+    }
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t1 = sn.join(v, sn("j") === v("d"))
+      .groupBy(col("i")).agg(sum(col("sn") * col("v")).as("t1"))
+    val metrics = t1.join(v, t1("i") === v("d"))
+      .agg(sum(col("v").cast(d38) * col("t1").cast(d38)).as("num"),
+        sum(col("v") * col("v")).as("den"))
+    val trace = sn.filter(col("i") === col("j")).agg(sum(col("sn")).as("tr"))
+    v.crossJoin(broadcast(metrics)).crossJoin(broadcast(trace))
+      .select(col("d").cast("long").as("dim"), col("v").as("eig_scaled"),
+        OracleMath.stableRound(col("num").cast("double") / col("den").cast("double")
+          / col("tr").cast("double"), 6).as("top1_share"))
+      .orderBy(col("dim"))
+  }
+
+  /** The q293 twin — the identical integer trajectory, rounds unrolled as
+    * CTEs (the q169/q289 oracle shape on the 4096-cell matrix). The heavy
+    * CTEs are MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references the previous one twice (matvec + its own max-renormalizer),
+    * so the inlined plan — and its parquet file handles — would grow 2^K.
+    */
+  val pcaPowerOracle: String = {
+    def tdiv(a: String, b: String) = OracleMath.tdivSql(a, b)
+    val renormS = s"greatest(${tdiv("smax", PcaScale.toString)}, 1)"
+    val rounds = (1 to PcaRounds).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT i, CAST(sum(sn * v) AS BIGINT) AS w
+         |  FROM sn JOIN v${k - 1} ON v${k - 1}.d = sn.j GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT i AS d, ${tdiv("w",
+        s"greatest(${tdiv(s"(SELECT max(abs(w)) FROM w$k)", PcaScale.toString)}, 1)")} AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT e.vec_id, e.dim, e.x - m.m AS c
+       |  FROM (SELECT vec_id, i - 1 AS dim,
+       |          CAST(floor(CAST(embedding[i] AS DOUBLE) * $PcaQuant.0 + 0.5) AS BIGINT) AS x
+       |        FROM embeddings, generate_series(1, 64) t(i)) e
+       |  JOIN (SELECT dim, ${tdiv("CAST(sum(x) AS BIGINT)", "count(*)")} AS m
+       |        FROM (SELECT i - 1 AS dim,
+       |                CAST(floor(CAST(embedding[i] AS DOUBLE) * $PcaQuant.0 + 0.5) AS BIGINT) AS x
+       |              FROM embeddings, generate_series(1, 64) t(i))
+       |        GROUP BY 1) m USING (dim)),
+       |s AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.c * b.c) AS BIGINT) AS s
+       |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |sn AS MATERIALIZED (
+       |  SELECT i, j, ${tdiv("s", renormS)} AS sn
+       |  FROM s, (SELECT max(abs(s)) AS smax FROM s) sm),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i AS d, CAST($PcaScale AS BIGINT) AS v FROM sn),
+       |$rounds,
+       |t1 AS (SELECT i, CAST(sum(sn * v) AS BIGINT) AS t1
+       |       FROM sn JOIN v$PcaRounds ON v$PcaRounds.d = sn.j GROUP BY 1),
+       |met AS (SELECT CAST(sum(CAST(v.v AS HUGEINT) * t1.t1) AS DOUBLE) AS num,
+       |               CAST(CAST(sum(v.v * v.v) AS BIGINT) AS DOUBLE) AS den
+       |        FROM t1 JOIN v$PcaRounds v ON v.d = t1.i),
+       |tr AS (SELECT CAST(CAST(sum(sn) AS BIGINT) AS DOUBLE) AS tr
+       |       FROM sn WHERE i = j)
+       |SELECT CAST(d AS BIGINT) AS dim, v AS eig_scaled,
+       |  ${OracleMath.stableRoundSql("num / den / tr", 6)} AS top1_share
+       |FROM v$PcaRounds, met, tr ORDER BY dim""".stripMargin
+  }
+
+  /** q295 — embedding distribution drift between sources, as the pairwise
+    * squared L2 distance between per-source centroid vectors (= linear-kernel
+    * MMD², the two-sample test statistic under a linear kernel): which
+    * sources live in a DIFFERENT region of embedding space? A large value
+    * between two sources means a semantic gate tuned on one will misfire on
+    * the other, and a retrieval index will segregate them — the
+    * embedding-space sibling of q271's token-distribution KL.
+    *
+    * Scale shape: embeddings join their documents on the vec_id = doc_id
+    * convention (the q160/q182 linkage) — one row-level equi-join,
+    * sort-merge at scale — then ONE (source, dim)-keyed aggregate
+    * (|sources|·64 cells, map-side combined) holds everything; the pairwise
+    * matrix is a self-join of that dictionary-sized table. Parity: component
+    * sums are exact e6-quantized BIGINTs, centroid coordinates are their
+    * truncating integer division (micro-units — no double→DECIMAL cast,
+    * whose half-way rounding the engines disagree on), so the 64-term
+    * distance sum is exact integer arithmetic (order-free) — only the final
+    * readout division is float.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.join(docs, e("vec_id") === docs("doc_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("source"), col("dim"), col("n"),
+        OracleMath.tdiv(col("sx"), col("n")).as("m"))
+    val a = cent.select(col("source").as("src_a"), col("dim"), col("m").as("ma"), col("n").as("n_a"))
+    val b = cent.select(col("source").as("src_b"), col("dim"), col("m").as("mb"), col("n").as("n_b"))
+    a.join(b, Seq("dim"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        OracleMath.stableRound(col("d2").cast("double") / lit(1.0e12), 8).as("mmd2"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The q295 twin — same quantized centroids and exact integer distance. */
+  val centroidDriftOracle: String =
+    s"""WITH ex AS (
+       |  SELECT d.source, i - 1 AS dim,
+       |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+       |       generate_series(1, 64) t(i)),
+       |cent AS (SELECT source, dim, CAST(count(*) AS BIGINT) AS n,
+       |    ${OracleMath.tdivSql("CAST(sum(x) AS BIGINT)", "count(*)")} AS m
+       |  FROM ex GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  max(a.n) AS n_a, max(b.n) AS n_b,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS DOUBLE) / 1.0e12", 8)} AS mmd2
+       |FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q293_pca_power" -> pcaPowerOracle,
+    "q295_centroid_drift" -> centroidDriftOracle,
     "q171_kmeans" -> {
       val off = KmOff
       val q = s"${KmQ.toLong}.0"

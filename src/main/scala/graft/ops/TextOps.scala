@@ -2654,7 +2654,131 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q294 — unseen-vocabulary estimation per source (Chao1 + Good-Turing
+    * coverage): from the frequency-of-frequencies alone — V observed types,
+    * f1 singletons, f2 doubletons — estimate how many word types the source
+    * HASN'T shown yet (bias-corrected Chao1, V + f1·(f1−1)∕(2·(f2+1))) and
+    * what fraction of its token mass future sampling will keep covering
+    * (Good-Turing coverage 1 − f1∕N). The forward-looking complement of
+    * q291: Heaps' β says how fast vocabulary grows with more data, Chao1
+    * says how much is left — both drive tokenizer-vocabulary sizing and
+    * how much more of a source is worth crawling.
+    *
+    * Scale shape: one (source, word)-keyed count aggregate (map-side
+    * combined, the q34 shape), then a sources-sized rollup — the f1/f2
+    * conditional counts, V and N all come from that single dictionary
+    * pass. The Chao1 correction term is an exact-BIGINT numerator over one
+    * fixed float division; coverage is one division of exact integers.
+    */
+  def chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("v_obs"), col("n_tokens"), col("f1"), col("f2"),
+        OracleMath.stableRound(col("v_obs").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 4).as("chao1"),
+        OracleMath.stableRound(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"), 6).as("gt_coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** The q294 twin — same frequency-of-frequencies rollup and fixed
+    * float expressions.
+    */
+  val chao1VocabOracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+       |        CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |      FROM counts GROUP BY 1)
+       |SELECT source, v_obs, n_tokens, f1, f2,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE))", 4)} AS chao1,
+       |  ${OracleMath.stableRoundSql(
+      "1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS gt_coverage
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Head-vocabulary size for the q300 rank correlation. */
+  val SpearmanTopK = 100
+
+  /** q300 — Spearman rank correlation of word usage between source pairs:
+    * over the corpus-wide top-[[SpearmanTopK]] words, rank each word within
+    * each source by count and correlate the rankings — ρ near 1 means two
+    * sources emphasize the same vocabulary in the same order (near-redundant
+    * for mixing), ρ near 0 means same words, different emphasis. The
+    * ORDINAL companion of q271's KL (distribution mass) and q259's χ²
+    * (count homogeneity): rank correlation ignores scale entirely, so a
+    * 100× bigger source can still correlate perfectly.
+    *
+    * Scale shape: the corpus pays one word-count pass; the head vocabulary
+    * is a global `orderBy().limit(K)` (TakeOrderedAndProject) broadcast
+    * back as a semi-join; per-source ranks are a window over ≤ K rows per
+    * source (bounded by the head-vocab filter, never vocabulary-sized);
+    * the pair matrix is a self-join of the |sources|·K table. Spearman's
+    * ρ = 1 − 6Σd²∕(m(m²−1)) is exact integers until the one final division.
+    */
+  def spearmanSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val head = wc.groupBy(col("w")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("w")).limit(SpearmanTopK)
+      .select(col("w"))
+    val ranked = wc.join(broadcast(head), Seq("w"))
+      .withColumn("r", row_number().over(
+        // bounded: ≤ SpearmanTopK rows per source after the head semi-join
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))).cast("long"))
+    val a = ranked.select(col("source").as("src_a"), col("w"), col("r").as("ra"))
+    val b = ranked.select(col("source").as("src_b"), col("w"), col("r").as("rb"))
+    val m = col("m")
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("m"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+      .select(col("src_a"), col("src_b"), m.as("m_shared"),
+        when(m < 2, lit(null).cast("double")).otherwise(
+          OracleMath.stableRound(lit(1.0) -
+            (lit(6L) * col("sum_d2")).cast("double") / (m * (m * m - 1)).cast("double"), 6))
+          .as("rho"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The q300 twin — same head vocabulary, bounded ranks and exact ρ. */
+  val spearmanSourcesOracle: String =
+    s"""WITH wc AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |head AS (SELECT w FROM (SELECT w, sum(c) AS ct FROM wc GROUP BY 1)
+       |         ORDER BY ct DESC, w LIMIT $SpearmanTopK),
+       |ranked AS (
+       |  SELECT source, w, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY c DESC, w) AS BIGINT) AS r
+       |  FROM wc JOIN head USING (w)),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        CAST(count(*) AS BIGINT) AS m,
+       |        CAST(sum((a.r - b.r) * (a.r - b.r)) AS BIGINT) AS sum_d2
+       |      FROM ranked a JOIN ranked b ON a.w = b.w AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, m AS m_shared,
+       |  CASE WHEN m < 2 THEN NULL ELSE
+       |    ${OracleMath.stableRoundSql(
+      "1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(m * (m * m - 1) AS DOUBLE)", 6)} END AS rho
+       |FROM p ORDER BY src_a, src_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q294_chao1_vocab" -> chao1VocabOracle,
+    "q300_spearman_sources" -> spearmanSourcesOracle,
     "q183_budget_trim" ->
       s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
          |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,

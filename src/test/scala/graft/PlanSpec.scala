@@ -357,6 +357,7 @@ class PlanSpec extends AnyFunSuite {
       "q186_mad_anomaly" -> "median ranks over the daily aggregate (calendar-sized)",
       "q196_chi2_cells" -> "totals frame over the contingency cells (enum x enum)",
       "q210_mix_allocation" -> "allocation ranks over per-SOURCE rows (sources-sized)",
+      "q297_neyman_alloc" -> "largest-remainder rank over per-SOURCE allocations (sources-sized, the q150 shape)",
       "q218_pareto_docs" -> "dominance over the 4-dp quality domain (<=10001 cells)",
       "q21_enrich_stats" -> "success-rate frame over the enrichment rollup (categories-sized)",
       "q226_benford" -> "totals frame over the 9 leading-digit rows",

@@ -621,4 +621,112 @@ class RetrievalSpec extends AnyFunSuite {
       .agg(countDistinct(col("naive_train")).as("k")).filter(col("k") > 1).count()
     assert(out.map(_.getAs[Long]("naive_leaky_groups")).sum == straddleNaive)
   }
+
+  /** Quantized embeddings collected for the in-JVM replays below (test-only
+    * materialization at sf0.001).
+    */
+  private def quantizedEmbeddings(scale: Double): Map[Long, Array[Long]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  test("q293 PCA: in-JVM integer power-iteration replay matches exactly") {
+    import graft.ops.SimilarityOps
+    val got = SimilarityOps.pcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 64)
+    assert(got.map(_._2).map(math.abs).max == SimilarityOps.PcaScale,
+      "renormalized eigenvector must peak at exactly the scale")
+    val share = got.head._3
+    assert(share > 0.0 && share <= 1.0)
+
+    // replay: same quantization, truncating means, scatter, renorm, rounds
+    def tdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val eq = quantizedEmbeddings(SimilarityOps.PcaQuant.toDouble).values.toArray
+    val n = eq.length
+    val means = Array.tabulate(64)(d => tdiv(eq.map(_(d)).sum, n.toLong))
+    val c = eq.map(row => Array.tabulate(64)(d => row(d) - means(d)))
+    val s = Array.tabulate(64, 64)((i, j) => c.map(r => r(i) * r(j)).sum)
+    val smax = s.flatten.map(math.abs).max
+    val sn = s.map(_.map(x => tdiv(x, math.max(tdiv(smax, SimilarityOps.PcaScale), 1L))))
+    var v = Array.fill(64)(SimilarityOps.PcaScale)
+    for (_ <- 1 to SimilarityOps.PcaRounds) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => sn(i)(j) * v(j)).sum)
+      val wmax = w.map(math.abs).max
+      v = w.map(x => tdiv(x, math.max(tdiv(wmax, SimilarityOps.PcaScale), 1L)))
+    }
+    assert(got.map(_._2).toSeq == v.toSeq, "engine eigenvector != in-JVM replay")
+  }
+
+  test("q296 k-center: greedy replay matches; radii non-increasing; picks distinct") {
+    import graft.ops.SamplingOps
+    val got = SamplingOps.kcenterCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == SamplingOps.KCenterK)
+    assert(got.map(_._2).distinct.length == got.length, "picks must be distinct")
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "k-center selection radii must be non-increasing")
+
+    // brute-force greedy replay on the quantized vectors
+    val eq = quantizedEmbeddings(1000000.0)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var selected = Vector(0L)
+    var md = eq.map { case (id, v) => id -> d2(v, eq(0L)) }
+    for (_ <- 2 to SamplingOps.KCenterK) {
+      val (pick, _) = md.filterNot(kv => selected.contains(kv._1))
+        .minBy { case (id, m) => (-m, id) }
+      selected :+= pick
+      md = md.map { case (id, m) => id -> math.min(m, d2(eq(id), eq(pick))) }
+    }
+    assert(got.map(_._2).toSeq == selected, "engine picks != in-JVM greedy replay")
+  }
+
+  test("q297 Neyman: seats total exactly the budget; never negative; sigma sane") {
+    import graft.ops.SamplingOps
+    val rows = SamplingOps.neymanAllocation(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k_neyman")).sum == SamplingOps.NeymanBudget,
+      "largest-remainder seats must total exactly B")
+    assert(rows.forall(_.getAs[Long]("k_neyman") >= 0L))
+    assert(rows.forall(_.getAs[Double]("sigma") >= 0.0))
+    // proportional baseline never exceeds the budget either
+    assert(rows.map(_.getAs[Long]("k_proportional")).sum <= SamplingOps.NeymanBudget)
+  }
+
+  test("q298 rank metrics: bounded in [0,1]; probing ALL lists is a perfect retriever") {
+    val got = RetrievalOps.retrievalRankMetrics(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (m, n) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(m >= 0.0 && m <= 1.0, s"mrr out of range: $m")
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, s"ndcg out of range: $n")
+    }
+    // with nprobe = all lists the IVF path IS exact search: both metrics 1
+    val full = RetrievalOps.retrievalRankMetrics(spark, sf, nprobe = 10).collect()
+    assert(full.forall(_.getAs[Double]("mrr") == 1.0))
+    assert(full.forall(_.getAs[Double]("ndcg") == 1.0))
+  }
+
+  test("q294 Chao1: estimate >= observed; saturated source collapses to V") {
+    import graft.ops.TextOps
+    val rows = TextOps.chao1Vocab(spark, sf).collect()
+    rows.foreach { r =>
+      val (v, f1, chao1, cov) = (r.getAs[Long]("v_obs"), r.getAs[Long]("f1"),
+        r.getAs[Double]("chao1"), r.getAs[Double]("gt_coverage"))
+      assert(chao1 >= v.toDouble, "Chao1 can never fall below the observed richness")
+      assert(cov >= 0.0 && cov <= 1.0)
+      if (f1 == 0L) assert(chao1 == v.toDouble, "no singletons => nothing unseen estimated")
+    }
+  }
+
+  test("q295 centroid drift: full pair matrix, symmetric-free, nonnegative") {
+    import graft.ops.SimilarityOps
+    val rows = SimilarityOps.centroidDrift(spark, sf).collect()
+    val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    assert(rows.length == srcs * (srcs - 1) / 2, "one row per unordered source pair")
+    assert(rows.forall(_.getAs[Double]("mmd2") >= 0.0))
+  }
 }
