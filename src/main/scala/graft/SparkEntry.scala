@@ -544,6 +544,14 @@ object SparkEntry {
     "q300_spearman_sources"    -> ((s, d) => TextOps.spearmanSources(s, d)),
     // -- k-core peeling curve on the co-occurrence graph -------------------------
     "q301_kcore_peel"          -> ((s, d) => EventOps.kcorePeel(s, d)),
+    // -- stratified k-fold CV assignment + fold-balance chi-square ---------------
+    "q302_kfold_assign"        -> ((s, d) => SamplingOps.kfoldAssign(s, d)),
+    // -- Hill tail-index of the document-length distribution ---------------------
+    "q303_hill_tail"           -> ((s, d) => TextOps.hillTail(s, d)),
+    // -- KMV rewrite, multi-column arm: count(DISTINCT user_id, event_type) ------
+    "q304_kmv_rewrite_tuple"   -> ((s, d) => SamplingOps.kmvRewriteTuple(s, d)),
+    // -- pairwise 1-D Wasserstein between source length distributions ------------
+    "q305_wasserstein_lengths" -> ((s, d) => TextOps.wassersteinLengths(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

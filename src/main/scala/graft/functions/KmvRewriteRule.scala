@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   *    uniform (`conv(substr(md5(cast(x as string)),1,12),16,10)`) used by
   *    the q263 family, so a DuckDB twin reproduces the sketch EXACTLY by
   *    ranking distinct hashes — the rewrite stays oracle-gateable.
-  *  - **Narrow trigger**: single non-foldable child of atomic
-  *    integer/string type, no `count(DISTINCT a, b)`, FILTER clauses kept.
-  *    Everything else is left for the built-in distinct planning.
+  *  - **Narrow trigger**: non-foldable children of atomic integer/string
+  *    types only, FILTER clauses kept. Multi-column `count(DISTINCT a, b)`
+  *    sketches a length-prefixed tuple encoding (collision-free by
+  *    construction); everything else is left for the built-in distinct
+  *    planning.
   *
   * Registered via [[graft.GraftExtensions]] (`injectOptimizerRule`) or
   * per-session through `experimental.extraOptimizations`; both batches run
@@ -55,6 +57,20 @@ object KmvCountDistinctRewrite extends Rule[LogicalPlan] {
     case _ => false
   })
 
+  /** Sketch key for `count(DISTINCT a, b, …)`: the children are
+    * LENGTH-PREFIXED before concatenation (`len(a):a|len(b):b|`), so two
+    * different tuples can never encode to the same key the way a bare
+    * separator join would (`('a|b','c')` vs `('a','b|c')`). `Concat`
+    * propagates NULL, matching Count's distinct semantics (a tuple with any
+    * NULL column is not counted).
+    */
+  private def tupleKey(children: Seq[Expression]): Expression =
+    if (children.length == 1) children.head
+    else Concat(children.flatMap { c =>
+      val s = Cast(c, StringType)
+      Seq(Cast(Length(s), StringType), Literal(":"), s, Literal("|"))
+    })
+
   /** The md5-prefix 48-bit hash as a Catalyst tree (the expression twin of
     * `conv(substring(md5(cast(x as string)), 1, 12), 16, 10)::bigint`).
     */
@@ -69,9 +85,10 @@ object KmvCountDistinctRewrite extends Rule[LogicalPlan] {
     if (conf.getConfString(FlagKey, "false") != "true") return plan
     plan.transform {
       case agg: Aggregate => agg.transformExpressions {
-        case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _) if eligible(child) =>
+        case ae @ AggregateExpression(Count(children), _, true, _, _)
+            if children.nonEmpty && children.forall(eligible) =>
           val sketch = ae.copy(
-            aggregateFunction = KmvSketch(hash48(child), Literal(K)),
+            aggregateFunction = KmvSketch(hash48(tupleKey(children)), Literal(K)),
             isDistinct = false)
           val n = Size(sketch, legacySizeOfNull = false)
           // size == K ⇒ h_k is the K-th smallest distinct hash = array_max;

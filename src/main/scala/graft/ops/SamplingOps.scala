@@ -618,6 +618,54 @@ object SamplingOps {
        |ORDER BY k.event_type""".stripMargin
   }
 
+  /** q304 — the MULTI-COLUMN arm of the KMV rewrite: a plain
+    * `count(DISTINCT user_id, event_type)` per day (distinct active
+    * (user, type) combinations — the engagement-breadth metric), written
+    * with the public API and rewritten by the flag-gated optimizer rule
+    * onto one sketch of the LENGTH-PREFIXED tuple encoding
+    * (`len(a):a|len(b):b|` — collision-free where a bare separator join is
+    * not). Same session-clone scoping as q284; the twin replays the exact
+    * encoding, so the estimate stays hash-gated.
+    */
+  def kmvRewriteTuple(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvCountDistinctRewrite
+    val s2 = spark.newSession()
+    s2.conf.set(KmvCountDistinctRewrite.FlagKey, "true")
+    if (!s2.experimental.extraOptimizations.contains(KmvCountDistinctRewrite))
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ KmvCountDistinctRewrite
+    Tables.events(s2, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id"), col("event_type")).as("du_pairs"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** The q304 twin — the tuple encoding replayed verbatim, then the q284
+    * rank-the-distinct-hashes estimate.
+    */
+  val kmvRewriteTupleOracle: String = {
+    val k = graft.functions.KmvCountDistinctRewrite.K
+    val key = "CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || '|' || " +
+      "CAST(length(event_type) AS VARCHAR) || ':' || event_type || '|'"
+    s"""WITH hv AS (SELECT date_trunc('day', ts) AS day,
+       |    ('0x' || substr(md5($key), 1, 12))::BIGINT AS h
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT day, h,
+       |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hv),
+       |k AS (SELECT day, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS h_k
+       |      FROM r WHERE rn <= $k GROUP BY 1),
+       |ev AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events
+       |       FROM events GROUP BY 1)
+       |SELECT k.day AS day,
+       |  CASE WHEN n_kmv < $k THEN n_kmv
+       |       ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                       / CAST(h_k AS DOUBLE)) AS BIGINT) END AS du_pairs,
+       |  n_events
+       |FROM k JOIN ev ON k.day = ev.day
+       |ORDER BY day""".stripMargin
+  }
+
   /** k-center coreset size (the greedy 2-approximation's round count). */
   val KCenterK = 8
 
@@ -786,9 +834,75 @@ object SamplingOps {
        |FROM r, l ORDER BY source""".stripMargin
   }
 
+  /** Number of cross-validation folds for q302. */
+  val CvFolds = 5
+
+  /** q302 — stratified k-fold assignment + fold-balance audit: documents are
+    * dealt into [[CvFolds]] folds by md5 hash WITHIN each (source, lang)
+    * stratum (every stratum contributes ≈ equally to every fold — the
+    * hygiene `randomSplit` can't give you), then each fold is χ²-tested
+    * against the pooled language distribution. A significant fold-vs-pool
+    * χ² means the CV estimate will wobble for reasons that have nothing to
+    * do with the model. Deterministic like q83/q140: re-running the
+    * pipeline reproduces the exact folds.
+    *
+    * Scale shape: assignment is a pure per-row hash expression (no state,
+    * no window); both audits are one (fold, lang)-keyed dictionary
+    * aggregate + a langs-sized broadcast back. χ² from exact integer
+    * marginals (the q196/q259 fixed-expression treatment).
+    */
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(
+      conv(substring(md5(concat_ws("|", col("source"), col("lang"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+      lit(CvFolds.toLong))
+    val cells = Tables.documents(spark, dir)
+      .select(fold.as("fold"), col("lang"))
+      .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    val foldTot = cells.groupBy(col("fold")).agg(sum(col("n")).as("n_fold"))
+    // chi2 term per cell vs the pooled expectation n_fold·n_lang/n_total:
+    // (n − e)²/e with e as one fixed float expression over exact integers
+    val e = col("n_fold").cast("double") * col("n_lang").cast("double") /
+      col("n_total").cast("double")
+    val term = (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+    cells
+      .join(broadcast(langTot), Seq("lang"))
+      .join(broadcast(foldTot), Seq("fold"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("fold"))
+      .agg(max(col("n_fold")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(OracleMath.stableRound(term, 6).cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("chi2"))
+      .orderBy(col("fold"))
+  }
+
+  /** The q302 twin — same hash deal and fixed χ² cells. */
+  val kfoldAssignOracle: String = {
+    val term = "(CAST(n AS DOUBLE) - CAST(n_fold AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) - CAST(n_fold AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE)) " +
+      "/ (CAST(n_fold AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    s"""WITH cells AS (
+       |  SELECT ('0x' || substr(md5(source || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % $CvFolds AS fold,
+       |         lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+       |ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS n_fold FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+       |SELECT fold, max(n_fold) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+       |  CAST(sum(CAST(${OracleMath.stableRoundSql(term, 6)} AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+       |FROM cells JOIN lt USING (lang) JOIN ft USING (fold), t
+       |GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q296_kcenter_coreset" -> kcenterCoresetOracle,
     "q297_neyman_alloc" -> neymanAllocationOracle,
+    "q302_kfold_assign" -> kfoldAssignOracle,
+    "q304_kmv_rewrite_tuple" -> kmvRewriteTupleOracle,
     "q168_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, source, n_chars,
         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)

@@ -2776,9 +2776,161 @@ object TextOps {
       "1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(m * (m * m - 1) AS DOUBLE)", 6)} END AS rho
        |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  /** Hill-estimator order-statistic count for q303. */
+  val HillK = 100
+
+  /** q303 — Hill tail-index estimate of the document-length distribution:
+    * over the [[HillK]] largest documents, α̂ = k ∕ Σ ln(x_(i) ∕ x_(k+1)) —
+    * how heavy is the mega-document tail? α near 1 means the corpus' token
+    * mass is dominated by a few giants (packing/chunking and q274's Gini
+    * will be driven by them; a shard containing one can straggle a whole
+    * stage); α ≥ 3 means the tail is benign. Reported with the tail's
+    * exact share of total characters — the operational size of the risk.
+    *
+    * Scale shape: the top-(k+1) cut is `orderBy().limit()` —
+    * TakeOrderedAndProject per-partition heaps, never a global sort — and
+    * the totals are one aggregate over the scan. Parity: each ln ratio is
+    * ln(x) − ln(x_ref) 6-dp-quantized to DECIMAL before the exact sum (the
+    * q223 ln treatment); tail share is exact integers divided once.
+    */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.documents(spark, dir)
+    val top = docs.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(HillK + 1)
+    val ref = top.orderBy(col("n_chars").asc, col("doc_id").desc).limit(1)
+      .select(col("n_chars").as("x_ref"))
+    val totals = docs.agg(sum(col("n_chars")).as("chars_total"),
+      count(lit(1)).as("n_docs"))
+    val tail = top.crossJoin(broadcast(ref))
+      // drop the reference row itself: the k largest remain
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= HillK)
+      .agg(count(lit(1)).as("k_eff"), // = HillK whenever the corpus has > k docs
+        sum(OracleMath.stableRound(
+          log(col("n_chars").cast("double")) - log(col("x_ref").cast("double")), 6)
+          .cast(d6)).as("sum_ln"),
+        sum(col("n_chars")).as("chars_tail"),
+        max(col("x_ref")).as("x_ref"))
+    tail.crossJoin(broadcast(totals))
+      .select(col("k_eff").as("k"), col("x_ref"), col("n_docs"),
+        OracleMath.stableRound(col("sum_ln").cast("double"), 6).as("sum_ln_r"),
+        when(col("sum_ln") === 0, lit(null).cast("double")).otherwise(
+          OracleMath.stableRound(
+            col("k_eff").cast("double") / col("sum_ln").cast("double"), 4)).as("hill_alpha"),
+        OracleMath.stableRound(
+          col("chars_tail").cast("double") / col("chars_total").cast("double"), 6)
+          .as("tail_char_share"))
+  }
+
+  /** The q303 twin — same top-(k+1) cut, quantized ln ratios, exact sums. */
+  val hillTailOracle: String =
+    s"""WITH top AS (SELECT doc_id, n_chars FROM documents
+       |             ORDER BY n_chars DESC, doc_id LIMIT ${HillK + 1}),
+       |ref AS (SELECT n_chars AS x_ref FROM top
+       |        ORDER BY n_chars ASC, doc_id DESC LIMIT 1),
+       |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |               CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |ranked AS (SELECT t.n_chars, r.x_ref,
+       |             row_number() OVER (ORDER BY t.n_chars DESC, t.doc_id) AS rn
+       |           FROM top t, ref r),
+       |s AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS k_eff,
+       |    sum(CAST(${OracleMath.stableRoundSql(
+      "ln(CAST(n_chars AS DOUBLE)) - ln(CAST(x_ref AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS sum_ln,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_tail,
+       |    max(x_ref) AS x_ref
+       |  FROM ranked WHERE rn <= $HillK)
+       |SELECT k_eff AS k, x_ref, n_docs,
+       |  ${OracleMath.stableRoundSql("CAST(sum_ln AS DOUBLE)", 6)} AS sum_ln_r,
+       |  CASE WHEN sum_ln = 0 THEN NULL ELSE
+       |    ${OracleMath.stableRoundSql(
+      "CAST(k_eff AS DOUBLE) / CAST(sum_ln AS DOUBLE)", 4)} END AS hill_alpha,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(chars_tail AS DOUBLE) / CAST(chars_total AS DOUBLE)", 6)} AS tail_char_share
+       |FROM s, tot""".stripMargin
+
+  /** q305 — pairwise 1-D Wasserstein (earth-mover) distance between source
+    * length distributions: W₁(a,b) = ∫|F_a − F_b| over the doc-length axis,
+    * the AREA between the CDFs — where q233's KS statistic sees only the
+    * single worst gap, W₁ integrates the whole mismatch in character units
+    * ("source A's docs are on average ~W₁ characters longer-distributed"),
+    * which is the right cost model for packing/truncation planning. The
+    * distribution-shape sibling of q295 (embedding space) and q271
+    * (vocabulary mass).
+    *
+    * Exactness: on the shared step support, |F_a∕n_a − F_b∕n_b| =
+    * |F_a·n_b − F_b·n_a| ∕ (n_a·n_b) — the numerator is an exact integer,
+    * summed weighted by Δv as DECIMAL(38,0) (at 100 TB, F·n reaches ~10¹⁹ —
+    * past BIGINT, inside DECIMAL), ONE float division per pair at the end.
+    *
+    * Scale shape: one (source, length)-keyed count aggregate; everything
+    * after lives on the sources × |length domain| grid (the bounded-domain
+    * argument of q250/q260 — doc length is capped by ingest policy, so the
+    * grid does not grow with N). The per-source CDF windows partition by
+    * source over ≤ |domain| rows; the Δv lead runs over the one bounded
+    * domain table.
+    */
+  def wassersteinLengths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(spark, dir)
+    // bounded length domain + the step width to the next support point
+    val vdom = docs.select(col("n_chars").as("v")).distinct()
+      .withColumn("dv",
+        coalesce(lead(col("v"), 1).over(Window.orderBy(col("v"))) - col("v"), lit(0L)))
+    val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val counts = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val grid = srcs.crossJoin(vdom) // |sources| × |domain| — both bounded
+      .join(counts, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .select(col("source"), col("n_src"), col("v"), col("dv"), col("cum"))
+    val a = grid.select(col("source").as("src_a"), col("n_src").as("n_a"),
+      col("v"), col("dv"), col("cum").as("fa"))
+    val b = grid.select(col("source").as("src_b"), col("n_src").as("n_b"),
+      col("v"), col("cum").as("fb"))
+    a.join(b, Seq("v")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((abs(col("fa") * col("n_b") - col("fb") * col("n_a")) * col("dv")).cast(d38))
+          .as("num"))
+      .select(col("src_a"), col("src_b"),
+        OracleMath.stableRound(col("num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("w1_chars"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The q305 twin — same grid, integer CDF cross-products, one division. */
+  val wassersteinLengthsOracle: String =
+    s"""WITH vdom AS (
+       |  SELECT v, coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS dv
+       |  FROM (SELECT DISTINCT n_chars AS v FROM documents)),
+       |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |         FROM documents GROUP BY 1),
+       |counts AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+       |           FROM documents GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.source, s.n_src, d.v, d.dv,
+       |    sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY d.v) AS cum
+       |  FROM srcs s CROSS JOIN vdom d
+       |  LEFT JOIN counts c ON c.source = s.source AND c.v = d.v)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(sum(CAST(abs(a.cum * b.n_src - b.cum * a.n_src) * a.dv AS HUGEINT)) AS DOUBLE) " +
+        "/ CAST(max(a.n_src) * max(b.n_src) AS DOUBLE)", 4)} AS w1_chars
+       |FROM grid a JOIN grid b ON a.v = b.v AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q294_chao1_vocab" -> chao1VocabOracle,
     "q300_spearman_sources" -> spearmanSourcesOracle,
+    "q303_hill_tail" -> hillTailOracle,
+    "q305_wasserstein_lengths" -> wassersteinLengthsOracle,
     "q183_budget_trim" ->
       s"""WITH base AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
          |       CAST(len(list_filter(string_split(text,' '), w -> w IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS sw,

@@ -194,6 +194,26 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().toSeq === off.collect().toSeq)
   }
 
+  test("KMV rewrite, multi-column arm: count(DISTINCT a, b) plans ONE sketch (q304)") {
+    import org.apache.spark.sql.functions._
+    val df = SamplingOps.kmvRewriteTuple(spark, sf)
+    df.collect()
+    val p = plan(df).toLowerCase
+    assert(p.contains("kmvsketch"),
+      "tuple distinct should rewrite onto the sketch:\n" + p.take(800))
+    assert(!p.contains("expand"),
+      "the rewrite must REPLACE the distinct Expand, not run beside it:\n" + p.take(800))
+    // below-k per-day tuple counts at this SF: exact equality with the
+    // built-in distinct planning
+    val off = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id"), col("event_type")).as("du_pairs"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+    assert(!plan(off).toLowerCase.contains("kmvsketch"))
+    assert(df.collect().toSeq === off.collect().toSeq)
+  }
+
   test("as-of join plans with exactly one shuffle+sort per side (q61)") {
     val df = EventOps.asofAttribution(spark, sf)
     df.collect()
@@ -358,6 +378,8 @@ class PlanSpec extends AnyFunSuite {
       "q196_chi2_cells" -> "totals frame over the contingency cells (enum x enum)",
       "q210_mix_allocation" -> "allocation ranks over per-SOURCE rows (sources-sized)",
       "q297_neyman_alloc" -> "largest-remainder rank over per-SOURCE allocations (sources-sized, the q150 shape)",
+      "q303_hill_tail" -> "rank over the top-(k+1) rows AFTER TakeOrderedAndProject (k=100)",
+      "q305_wasserstein_lengths" -> "Δv lead over the distinct doc-length domain (bounded, the q260 shape)",
       "q218_pareto_docs" -> "dominance over the 4-dp quality domain (<=10001 cells)",
       "q21_enrich_stats" -> "success-rate frame over the enrichment rollup (categories-sized)",
       "q226_benford" -> "totals frame over the 9 leading-digit rows",
