@@ -729,4 +729,77 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.length == srcs * (srcs - 1) / 2, "one row per unordered source pair")
     assert(rows.forall(_.getAs[Double]("mmd2") >= 0.0))
   }
+
+  test("q299 Mann-Kendall: S bounded by pair count; trend label consistent with z") {
+    import graft.ops.EventOps
+    val rows = EventOps.mannKendall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"))
+      assert(math.abs(s) <= n * (n - 1) / 2, "S cannot exceed the pair count")
+      val z = if (r.isNullAt(r.fieldIndex("z_stat"))) 0.0 else r.getAs[Double]("z_stat")
+      val trend = r.getAs[String]("trend")
+      if (math.abs(z) > 1.96) assert(trend == (if (s > 0) "rising" else "falling"))
+      else assert(trend == "none")
+    }
+  }
+
+  test("q300 Spearman: rho in [-1,1]; shared vocab bounded by the head size") {
+    import graft.ops.TextOps
+    val rows = TextOps.spearmanSources(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("m_shared") <= TextOps.SpearmanTopK)
+      if (!r.isNullAt(r.fieldIndex("rho"))) {
+        val rho = r.getAs[Double]("rho")
+        assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho out of range: $rho")
+      }
+    }
+  }
+
+  test("q301 k-core: nodes and edges are non-increasing over peel rounds") {
+    import graft.ops.EventOps
+    val rows = EventOps.kcorePeel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == EventOps.KCoreRounds + 1)
+    rows.zip(rows.tail).foreach { case ((_, n1, e1), (_, n2, e2)) =>
+      assert(n2 <= n1 && e2 <= e1, "peeling can never grow the graph")
+    }
+  }
+
+  test("q302 k-fold: folds partition the corpus; chi2 nonnegative") {
+    import graft.ops.SamplingOps
+    val rows = SamplingOps.kfoldAssign(spark, sf).collect()
+    assert(rows.length == SamplingOps.CvFolds)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "folds must partition the corpus")
+    assert(rows.forall(_.getAs[Double]("chi2") >= 0.0))
+  }
+
+  test("q303 Hill: k matches the available order statistics; shares bounded") {
+    import graft.ops.TextOps
+    val r = TextOps.hillTail(spark, sf).collect()(0)
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(r.getAs[Long]("k") == math.min(TextOps.HillK.toLong, nDocs))
+    val share = r.getAs[Double]("tail_char_share")
+    assert(share > 0.0 && share <= 1.0)
+    if (!r.isNullAt(r.fieldIndex("hill_alpha")))
+      assert(r.getAs[Double]("hill_alpha") > 0.0)
+  }
+
+  test("q305 Wasserstein: nonnegative, symmetric-free pair matrix, triangle inequality") {
+    import graft.ops.TextOps
+    val rows = TextOps.wassersteinLengths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Double]("w1_chars")))
+    val srcs = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2)
+    assert(rows.forall(_._3 >= 0.0))
+    // W1 is a metric: check the triangle inequality on every source triple
+    // (rounding at 4 dp injects ≤ 2e-4 slack per term)
+    val d = rows.flatMap(r => Seq((r._1, r._2) -> r._3, (r._2, r._1) -> r._3)).toMap
+    for {
+      a <- srcs; b <- srcs if a < b; c <- srcs if c != a && c != b
+    } assert(d((a, b)) <= d((a, c)) + d((c, b)) + 5e-4,
+      s"triangle violated: d($a,$b) > d($a,$c) + d($c,$b)")
+  }
 }
