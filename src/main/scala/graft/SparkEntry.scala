@@ -552,6 +552,8 @@ object SparkEntry {
     "q304_kmv_rewrite_tuple"   -> ((s, d) => SamplingOps.kmvRewriteTuple(s, d)),
     // -- pairwise 1-D Wasserstein between source length distributions ------------
     "q305_wasserstein_lengths" -> ((s, d) => TextOps.wassersteinLengths(s, d)),
+    // -- SRP bit-sketch calibration: Hamming-vs-cosine agreement curve -----------
+    "q306_srp_calibration"     -> ((s, d) => SimilarityOps.srpCalibration(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

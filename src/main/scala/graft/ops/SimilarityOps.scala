@@ -1219,9 +1219,122 @@ object SimilarityOps {
        |FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  /** Number of signed-random-projection hyperplanes for the q306 sketch. */
+  val SrpPlanes = 16
+
+  /** The ±1 projection matrix, derived ONCE in the driver from md5 of
+    * "plane:dim" (deterministic, seedless) and injected into BOTH engines
+    * as literals — the sketch definition lives outside either engine, so
+    * cross-engine parity is by construction (the q298 shared-constant
+    * pattern).
+    */
+  val SrpSigns: Seq[Seq[Int]] = (0 until SrpPlanes).map { p =>
+    (0 until 64).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((md(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** q306 — SRP (signed random projection) bit-sketch calibration: compress
+    * every embedding to [[SrpPlanes]] sign bits and measure, over the q161
+    * eval workload × corpus, how Hamming distance on the 16-bit sketch
+    * tracks true cosine — the decision table for "can a 2-byte sketch
+    * prefilter my 256-byte vectors?" (Charikar's SimHash on DENSE vectors;
+    * q40/q59 sketch word sets, this sketches the embedding space). Output:
+    * per Hamming bucket, pair count and the exact mean/min/max of the
+    * 6-dp-quantized cosine — a monotone-degrading curve when the sketch is
+    * healthy.
+    *
+    * Scale shape: sketching is one row-local pass (16 exact integer dot
+    * signs over e6-quantized components — no float, no RNG; the ±1 matrix
+    * is a driver literal). The pair stage is the q161/q298 declared
+    * MEASUREMENT shape: a ~5 % query panel × corpus broadcast-nested-loop,
+    * priced as brute force because it IS the ground-truth audit; the
+    * production prefilter this calibrates would bucket by sketch value
+    * instead. The rollup is a ≤ 17-key aggregate.
+    */
+  def srpCalibration(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val bits = array(SrpSigns.map { row =>
+      val signs = array(row.map(v => lit(v.toLong)): _*)
+      (aggregate(zip_with(col("xq"), signs, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+        >= 0L).cast("int")
+    }: _*)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), xq.as("xq"))
+      .withColumn("bits", bits)
+    val isEval = pmod(col("vec_id") * lit(RetrievalOps.EvalHashMult), lit(100L)) <
+      lit(RetrievalOps.EvalPct)
+    val qs = e.filter(isEval)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bits").as("q_bits"))
+    val tr = e.filter(!isEval)
+    val hamming = aggregate(
+      zip_with(col("q_bits"), col("bits"), (a, b) => when(a =!= b, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    tr.crossJoin(broadcast(qs))
+      .select(hamming.as("h"),
+        OracleMath.stableRound(cosine(col("embedding"), col("q_emb")), 6)
+          .cast(d18).as("cos_q"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("cos_q")).cast("double") / count(lit(1)).cast("double")).as("mean_cos0"),
+        min(col("cos_q")).cast("double").as("min_cos"),
+        max(col("cos_q")).cast("double").as("max_cos"))
+      .select(col("h"), col("n_pairs"),
+        OracleMath.stableRound(col("mean_cos0"), 6).as("mean_cos"),
+        col("min_cos"), col("max_cos"))
+      .orderBy(col("h"))
+  }
+
+  /** The q306 twin — the SAME driver-derived ±1 literals, integer dot
+    * signs, and exact quantized-cosine rollup.
+    */
+  val srpCalibrationOracle: String = {
+    val signsLit = SrpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |sgn AS MATERIALIZED (
+       |  -- the 16x64 literal indexed exactly once per cell (a per-element
+       |  -- lambda reference rebuilds the nested list per call: minutes)
+       |  SELECT p, i, $signsLit[p][i] AS s
+       |  FROM generate_series(1, $SrpPlanes) t(p), generate_series(1, 64) u(i)),
+       |dots AS (
+       |  SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |  FROM (SELECT vec_id, i, xq[i] AS x FROM e, generate_series(1, 64) u(i)) ex
+       |  JOIN sgn g USING (i) GROUP BY 1, 2),
+       |b AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, t.bits
+       |  FROM e JOIN (SELECT vec_id,
+       |                 list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |               FROM dots GROUP BY 1) t USING (vec_id)),
+       |ev AS (SELECT vec_id AS q_id, embedding AS q_emb, bits AS q_bits FROM b
+       |       WHERE (vec_id * ${RetrievalOps.EvalHashMult}) % 100 < ${RetrievalOps.EvalPct}),
+       |tr AS (SELECT * FROM b
+       |       WHERE NOT ((vec_id * ${RetrievalOps.EvalHashMult}) % 100 < ${RetrievalOps.EvalPct})),
+       |pairs AS (
+       |  SELECT len(list_filter(range(1, ${SrpPlanes + 1}),
+       |           p -> ev.q_bits[p] <> tr.bits[p])) AS h,
+       |    CAST(${OracleMath.stableRoundSql(cosSql("tr.embedding", "ev.q_emb"), 6)}
+       |         AS DECIMAL(18,6)) AS cos_q
+       |  FROM tr CROSS JOIN ev)
+       |SELECT CAST(h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(sum(cos_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_cos,
+       |  CAST(min(cos_q) AS DOUBLE) AS min_cos,
+       |  CAST(max(cos_q) AS DOUBLE) AS max_cos
+       |FROM pairs GROUP BY 1 ORDER BY h""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q293_pca_power" -> pcaPowerOracle,
     "q295_centroid_drift" -> centroidDriftOracle,
+    "q306_srp_calibration" -> srpCalibrationOracle,
     "q171_kmeans" -> {
       val off = KmOff
       val q = s"${KmQ.toLong}.0"
