@@ -554,6 +554,14 @@ object SparkEntry {
     "q305_wasserstein_lengths" -> ((s, d) => TextOps.wassersteinLengths(s, d)),
     // -- SRP bit-sketch calibration: Hamming-vs-cosine agreement curve -----------
     "q306_srp_calibration"     -> ((s, d) => SimilarityOps.srpCalibration(s, d)),
+    // -- the calibration DEPLOYED: q135 with the SRP Hamming candidate gate ------
+    "q307_srp_gated_neardup"   -> ((s, d) => SimilarityOps.srpGatedNearDup(s, d)),
+    // -- per-threshold gate decision table over q135's candidate set -------------
+    "q308_srp_gate_report"     -> ((s, d) => SimilarityOps.srpGateReport(s, d)),
+    // -- range-partitioned KEYLESS interval join (q64 semantics, 3rd shape) ------
+    "q309_range_interval_join" -> ((s, d) => CoreOps.rangeIntervalMonthly(s, d)),
+    // -- its big-interval-side consumer: keyless outage-window attribution -------
+    "q310_outage_attribution"  -> ((s, d) => CoreOps.supplierOutageAttribution(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1195,6 +1203,14 @@ object SparkEntry {
         |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
         |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same semantics a third time through the RANGE-PARTITIONED mode
+    "q309_range_interval_join" ->
+      """SELECT m AS month, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
+        |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q310_outage_attribution" -> CoreOps.supplierOutageOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

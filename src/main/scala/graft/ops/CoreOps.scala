@@ -1234,6 +1234,86 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** q64's month attribution a THIRD time, through the RANGE-PARTITIONED
+    * keyless interval join ([[graft.plans.IntervalJoin.joinRangePartitioned]])
+    * — same oracle SQL verbatim as q64/q239, so all three physical shapes
+    * (bin-explode, broadcast sweep, range-partitioned sweep) are pinned to
+    * one result. This is the shape that survives when the keyless interval
+    * side outgrows the broadcast ceiling: both sides exchange ONCE on the
+    * sampled equi-depth date bucket, nothing broadcasts (plan-asserted), and
+    * each bucket runs the same merge sweep.
+    */
+  def rangeIntervalMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int"))
+        .cast("timestamp_ntz").as("month"),
+        add_months(origin, col("id").cast("int") + 1)
+          .cast("timestamp_ntz").as("month_end"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+    graft.plans.IntervalJoin.joinRangePartitioned(
+        orders, months, orders("o_orderdate"), months("month"), months("month_end"),
+        "inner", numBuckets = 32)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** Outage-window day span (q310): windows per supplier start at a
+    * deterministic arithmetic offset and run [[OutageDays]] days.
+    */
+  val OutageSpanDays = 2400
+  val OutageDays = 30
+
+  /** Supplier outage-window attribution (q310) — the range-partitioned
+    * keyless interval join's REAL consumer shape: the interval side is one
+    * window per supplier (FACT-scaled — at a real deployment this is
+    * millions of maintenance/outage windows, far past any broadcast
+    * ceiling), there is NO shared key with the order stream, and every order
+    * inside a window attributes to it. Windows are derived in-query by
+    * deterministic arithmetic (`s_suppkey·997 mod 2400` days after epoch,
+    * [[OutageDays]] long) so both engines construct identical intervals.
+    * Windows overlap each other freely (≈ 12 active at any instant at
+    * sf0.1), exercising the sweep's multi-active emission.
+    *
+    * Scale shape: one quantile pass on the point side, one hash exchange
+    * per side on the equi-depth date bucket, interval replication bounded by
+    * 30 days ∕ (span ∕ buckets) ≈ 1–2 copies — never a broadcast, never a
+    * bin-per-day explode (the q64 encoding would make 30 copies per window).
+    */
+  def supplierOutageAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1992-01-01"))
+    val windows = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        date_add(origin, (col("s_suppkey") * lit(997) % lit(OutageSpanDays)).cast("int"))
+          .cast("timestamp_ntz").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr(s"INTERVAL $OutageDays DAYS"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+    graft.plans.IntervalJoin.joinRangePartitioned(
+        orders, windows, orders("o_orderdate"), windows("w_start"), windows("w_end"),
+        "inner", numBuckets = 32)
+      .groupBy(col("s_suppkey"), col("w_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val supplierOutageOracle: String =
+    s"""WITH w AS (
+       |  SELECT s_suppkey,
+       |    CAST(DATE '1992-01-01' + ((s_suppkey * 997) % $OutageSpanDays) * INTERVAL 1 DAY
+       |         AS TIMESTAMP) AS w_start
+       |  FROM supplier),
+       |w2 AS (SELECT s_suppkey, w_start,
+       |              w_start + INTERVAL $OutageDays DAY AS w_end FROM w)
+       |SELECT s_suppkey, w_start, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM w2 JOIN orders ON o_orderdate >= w_start AND o_orderdate < w_end
+       |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin
+
   /** SCD2 regime attribution by the KEYED merge interval join — each order
     * joins its OWN customer's priority validity interval (q113's SCD2
     * history; the open current version's end coalesced to a far-future

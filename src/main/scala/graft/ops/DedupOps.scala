@@ -911,20 +911,28 @@ object DedupOps {
     // scheduling overhead. ~2M edges per partition, floor 2; at a true
     // 100 TB edge set this formula widens right back out.
     val nEdges = edges.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
     // propagate+jump is the fast path (near-dup components are quasi-cliques,
     // 2-4 rounds); a pathological high-diameter graph that has not converged
     // in LabelPropMaxRounds falls back to the alternating large-star/
     // small-star contraction, whose round count is O(log n) on ANY shape.
-    val labels = labelPropagation(reps, edges, LabelPropMaxRounds)
-      .getOrElse(starLabels(reps.select(col("doc_id")), pairs))
+    // The loop runs under a NARROWED SESSION CLONE (loopFrames): the edge-
+    // count-sized shuffle width lives on the clone's SQLConf, so a concurrent
+    // query on the shared session can never observe — or be rescoped by —
+    // the override, and there is nothing to restore on failure.
+    val labels = try loopFrames(spark, nEdges, reps, edges, pairs) {
+      case (reps2, edges2, pairs2) =>
+        labelPropagation(reps2, edges2, LabelPropMaxRounds)
+          .getOrElse(starLabels(reps2.select(col("doc_id")), pairs2))
+    } finally {
+      // unpersist here, not after the consumers: a mid-loop failure must not
+      // leak the cached edge set (labels are localCheckpoint'ed, so the
+      // returned plan no longer depends on it)
+      edges.unpersist()
+    }
     // expand reps back to member docs; a component's min doc IS a rep
     // (group rep = min of group), so the propagated min-rep label is the
-    // min doc_id of the whole cluster. This runs OUTSIDE the narrowed-
-    // partition scope (restored in finally): it is corpus-sized again.
+    // min doc_id of the whole cluster. This runs OUTSIDE the narrowed
+    // clone (labels were rebound to the caller): it is corpus-sized again.
     val docLabels = groups
       .select(col("rep"), explode(col("ids")).as("doc_id"))
       .join(labels.select(col("doc_id").as("rep_id"), col("label")),
@@ -934,13 +942,29 @@ object DedupOps {
     docLabels
       .withColumn("cluster_size", count(lit(1)).over(cw))
       .orderBy(col("doc_id"))
-    } finally {
-      // unpersist here, not after the loop: a mid-loop failure must not leak
-      // the cached edge set (labels are localCheckpoint'ed, so the returned
-      // plan no longer depends on it)
-      edges.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    }
+  }
+
+  /** Run a CC loop body against a session CLONE whose shuffle width is sized
+    * from the MEASURED edge count: the loop's joins move |edges| rows, and
+    * running a few-thousand-row rep graph through the corpus-width
+    * partitioning is pure scheduling overhead (~2M edges per partition,
+    * floor 2; at a true 100 TB edge set the formula widens right back out).
+    * The clone (same SparkContext, same CacheManager — persisted inputs
+    * still hit via canonicalized-plan matching) scopes the narrowing to the
+    * frames REBOUND into it, instead of mutating the shared session's conf,
+    * which would silently rescope any unrelated query planned in the window.
+    * The body's result is rebound to the caller's session, so downstream
+    * corpus-sized consumers plan at full width again.
+    */
+  private[graft] def loopFrames(spark: SparkSession, nEdges: Long,
+                                nodes: DataFrame, edges: DataFrame, pairs: DataFrame)
+                               (body: ((DataFrame, DataFrame, DataFrame)) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge.{cloneSession, rebind}
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopParts = math.max(2L, math.min(sessionParts, nEdges / 2000000L + 1L))
+    val loop = cloneSession(spark)
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    rebind(body((rebind(nodes, loop), rebind(edges, loop), rebind(pairs, loop))), spark)
   }
 
   /** Rounds of propagate+jump before [[dedupClusters]] abandons label

@@ -1124,18 +1124,16 @@ object EventOps {
       .persistTracked()
     val nodes = Tables.events(spark, dir).select(col("user_id").as("doc_id")).distinct()
     // the user graph is distinct-user-sized (≪ events) — run the loop's
-    // shuffles narrow, same rationale as dedupClusters' edge-count sizing
+    // shuffles narrow, same rationale as dedupClusters' edge-count sizing.
+    // The narrowing lives on a session clone (DedupOps.loopFrames), never on
+    // the shared session's conf.
     val nEdges = edges.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val labels =
-      try DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
-        .getOrElse(DedupOps.starLabels(nodes, pairs))
-      finally {
-        edges.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-      }
+      try DedupOps.loopFrames(spark, nEdges, nodes, edges, pairs) {
+        case (nodes2, edges2, pairs2) =>
+          DedupOps.labelPropagation(nodes2, edges2, DedupOps.LabelPropMaxRounds)
+            .getOrElse(DedupOps.starLabels(nodes2, pairs2))
+      } finally edges.unpersist()
     labels.select(col("doc_id").as("user_id"), col("label").as("community_id"))
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("community_id"))))

@@ -164,20 +164,37 @@ object SimilarityOps {
     val sigBits = (0 until nBits).map { i =>
       when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
+    // Opt-in SRP Hamming prefilter (the q306 calibration's consumer): when
+    // the session carries [[SrpGateConf]], every vector additionally gets
+    // the 16-bit packed sign sketch, the band rows carry it (one extra long
+    // on the skinny shuffle), and candidate pairs whose sketch Hamming
+    // distance exceeds the gate are dropped INSIDE the band join — before
+    // the dedup shuffle and before the (wide) exact-verify joins ever see
+    // them. Output-preserving by the gate's calibration contract
+    // ([[SrpGateMaxH]]); enforced cross-engine by q307 hash-matching q135's
+    // ungated oracle.
+    val gateMaxH = e0.sparkSession.conf.getOption(SrpGateConf).map(_.toInt)
     // signature + norm computed once per vector; persisted: band explode and
     // both verify sides would re-derive 32 dot products per vector each
-    val e = e0.select(col("vec_id"), col("embedding"),
+    val eBase = e0.select(col("vec_id"), col("embedding"),
         sigBits.reduce(_ + _).as("sig"),
         sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
-      .persistTracked()
+    val e = (if (gateMaxH.isDefined) withSrpSketch(eBase) else eBase).persistTracked()
     // band keys: 4-bit slices of the signature; candidates share any band.
     // The join moves three longs per row (8 rows per vector), never vectors.
-    val banded = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
-      .select(col("vec_id"), col("b.bk").as("bk"), col("b.bv").as("bv"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
-          && col("a.vec_id") < col("b.vec_id"))
+    val bandStruct = e.select(col("vec_id") +: gateMaxH.map(_ => col("srp")).toSeq :+ explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"): _*)
+    val banded = bandStruct.select(
+      col("vec_id") +: gateMaxH.map(_ => col("srp")).toSeq
+        :+ col("b.bk").as("bk") :+ col("b.bv").as("bv"): _*)
+    val bandCond = col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+      col("a.vec_id") < col("b.vec_id")
+    val joinCond = gateMaxH match {
+      case Some(m) => bandCond &&
+        call_function("bit_count", col("a.srp").bitwiseXOR(col("b.srp"))) <= lit(m)
+      case None => bandCond
+    }
+    val cands = banded.as("a").join(banded.as("b"), joinCond)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verify — identical math to [[embeddingNearDup]], so verified
@@ -229,18 +246,16 @@ object SimilarityOps {
       .persistTracked()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
     // loop shuffles sized from the measured edge count (q101's rationale):
-    // the pair graph is candidate-bounded, far below the session default
+    // the pair graph is candidate-bounded, far below the session default.
+    // The narrowing lives on a session clone (DedupOps.loopFrames), never on
+    // the shared session's conf.
     val nEdges = edges.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(2L, math.min(sessionParts.toLong, nEdges / 2000000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val labels =
-      try DedupOps.labelPropagation(nodes, edges, DedupOps.LabelPropMaxRounds)
-        .getOrElse(DedupOps.starLabels(nodes, pairs))
-      finally {
-        edges.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-      }
+      try DedupOps.loopFrames(spark, nEdges, nodes, edges, pairs) {
+        case (nodes2, edges2, pairs2) =>
+          DedupOps.labelPropagation(nodes2, edges2, DedupOps.LabelPropMaxRounds)
+            .getOrElse(DedupOps.starLabels(nodes2, pairs2))
+      } finally edges.unpersist()
     labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -1290,12 +1305,123 @@ object SimilarityOps {
       .orderBy(col("h"))
   }
 
-  /** The q306 twin — the SAME driver-derived ±1 literals, integer dot
-    * signs, and exact quantized-cosine rollup.
+  /** Session conf (max Hamming distance, bits) that arms the SRP sketch
+    * prefilter inside [[annNearDupOn]]'s band join. Opt-in (the q284 flag
+    * pattern): unset ⇒ the candidate path is byte-identical to round 8.
     */
-  val srpCalibrationOracle: String = {
+  private[graft] val SrpGateConf = "graft.sim.srpGateMaxH"
+
+  /** The output-preserving gate width for the corpus threshold (0.35):
+    * measured true-pair sketch Hamming maxima are 11 (sf0.001), 12 (sf0.01),
+    * 13 (sf0.1) — monotone in corpus size because more pairs sample the
+    * binomial tail — and the +1 margin covers the next unobserved bucket
+    * (P(H ≥ 14 | cos = 0.35) ≈ 8·10⁻⁵ per pair, ≪ 1 expected loss at every
+    * SF). q307 proves the preservation cross-engine by hash-matching q135's
+    * UNGATED oracle at all SFs. At 16 bits and a threshold this weak
+    * (θ ≈ 69°, flip-prob 0.39/bit) the safe gate only trims the far tail —
+    * exactly what the q306 decision table says; q308 quantifies the cut at
+    * this and at tighter thresholds, where the same sketch removes most of
+    * the candidate space.
+    */
+  val SrpGateMaxH = 14
+
+  /** Add the [[SrpPlanes]]-bit packed SRP sign sketch (`srp` BIGINT) to a
+    * frame with an `embedding` column. Two stacked projections so the e6
+    * quantization runs once per vector, not once per plane; all integer
+    * arithmetic (the q306 sketch definition, bit p = 1 ⇔ ⟨xq, s_p⟩ ≥ 0).
+    */
+  private[graft] def withSrpSketch(df: DataFrame): DataFrame = {
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val packed = SrpSigns.zipWithIndex.map { case (row, p) =>
+      val signs = array(row.map(v => lit(v.toLong)): _*)
+      when(aggregate(zip_with(col("__xq"), signs, (a, b) => a * b), lit(0L),
+        (acc, v) => acc + v) >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("__xq", xq).withColumn("srp", packed).drop("__xq")
+  }
+
+  /** q307 — [[annNearDup]] with the SRP Hamming prefilter ARMED (the q306
+    * calibration deployed as a candidate gate): identical output to q135 —
+    * the oracle is q135's ungated twin, so a single dropped true pair fails
+    * the hash — with tail candidates cut before the dedup shuffle and the
+    * exact verify. Flag scoping follows q284: the conf lives on a session
+    * CLONE, so nothing else in the session ever sees the gate.
+    */
+  def srpGatedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val s2 = org.apache.spark.sql.graftbridge.GraftSqlBridge.cloneSession(spark)
+    s2.conf.set(SrpGateConf, SrpGateMaxH.toString)
+    annNearDup(s2, dir, threshold)
+  }
+
+  /** q308 — the SRP gate's decision report: for each near-dup threshold θ,
+    * the calibration-derived gate (max Hamming bucket whose OBSERVED max
+    * cosine still reaches θ, +1 margin for the unobserved tail — the rule
+    * that, at θ = 0.35, reproduces [[SrpGateMaxH]] on the full-size corpus)
+    * and the fraction of q135's band-candidate pairs that gate would keep.
+    * This is the "can 2 bytes prefilter 256?" answer as one table: at the
+    * corpus's weak 0.35 threshold the safe gate keeps ~99.7 % (the sketch
+    * cannot separate θ ≈ 69° from random at 16 bits — deploy wider sketches
+    * or tighter thresholds); at 0.65+ no observed bucket qualifies and the
+    * gate cuts everything.
+    *
+    * Scale shape: the calibration is the q306 measurement pass (5 % panel ×
+    * corpus broadcast); its 17-row rollup collects to drive four literal
+    * gate widths; candidates come from the same 8 band-key shuffles as q135
+    * (never N²) and roll up in one conditional aggregate.
+    */
+  def srpGateReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val thetas = Seq("0.35", "0.50", "0.65", "0.80") // exact decimal literals
+    // bounded-collect: ≤ SrpPlanes+1 rows (one per Hamming bucket) — the
+    // calibration rollup is a ≤ 17-key aggregate regardless of corpus size
+    val calib = srpCalibration(spark, dir)
+      .select(col("h"), col("max_cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val gates: Seq[(String, Long)] = thetas.map { t =>
+      val th = t.toDouble
+      val qualifying = calib.filter(_._2 >= th).map(_._1)
+      (t, if (qualifying.isEmpty) -1L else qualifying.max + 1L)
+    }
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val e = withSrpSketch(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), sigBits.reduce(_ + _).as("sig")))
+      .select(col("vec_id"), col("sig"), col("srp"))
+      .persistTracked()
+    val banded = e.select(col("vec_id"), col("srp"), explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
+      .select(col("vec_id"), col("srp"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val ch = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        call_function("bit_count", col("a.srp").bitwiseXOR(col("b.srp"))).as("hd"))
+      .dropDuplicates("id_a", "id_b")
+    val keptCols = gates.map { case (t, g) =>
+      sum(when(col("hd") <= lit(g), 1L).otherwise(0L)).as("kept_" + t.replace(".", "_"))
+    }
+    val row = ch.agg(count(lit(1)).as("n_cands"), keptCols: _*)
+    val outStructs = gates.map { case (t, g) =>
+      struct(lit(t.toDouble).as("theta"), lit(g).as("gate_max_h"),
+        col("n_cands").cast("long").as("n_cands"), col("kept_" + t.replace(".", "_")).cast("long").as("n_kept"))
+    }
+    row.select(explode(array(outStructs: _*)).as("r"))
+      .select(col("r.theta"), col("r.gate_max_h"), col("r.n_cands"), col("r.n_kept"),
+        OracleMath.stableRound(
+          col("r.n_kept").cast("double") / col("r.n_cands").cast("double"), 6).as("pct_kept"))
+      .orderBy(col("theta"))
+  }
+
+  /** The shared SRP-sketch CTE prefix (q306 calibration + q308 report):
+    * sketch bits per vector (`b`), the eval split, and the eval×corpus
+    * calibration pair set (`cpairs`: Hamming bucket + quantized cosine).
+    */
+  private def srpBaseCtesSql: String = {
     val signsLit = SrpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
        |  FROM embeddings),
@@ -1317,19 +1443,77 @@ object SimilarityOps {
        |       WHERE (vec_id * ${RetrievalOps.EvalHashMult}) % 100 < ${RetrievalOps.EvalPct}),
        |tr AS (SELECT * FROM b
        |       WHERE NOT ((vec_id * ${RetrievalOps.EvalHashMult}) % 100 < ${RetrievalOps.EvalPct})),
-       |pairs AS (
+       |cpairs AS (
        |  SELECT len(list_filter(range(1, ${SrpPlanes + 1}),
        |           p -> ev.q_bits[p] <> tr.bits[p])) AS h,
        |    CAST(${OracleMath.stableRoundSql(cosSql("tr.embedding", "ev.q_emb"), 6)}
        |         AS DECIMAL(18,6)) AS cos_q
-       |  FROM tr CROSS JOIN ev)
+       |  FROM tr CROSS JOIN ev)""".stripMargin
+  }
+
+  /** The q306 twin — the SAME driver-derived ±1 literals, integer dot
+    * signs, and exact quantized-cosine rollup.
+    */
+  val srpCalibrationOracle: String =
+    s"""WITH $srpBaseCtesSql
        |SELECT CAST(h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_pairs,
        |  ${OracleMath.stableRoundSql(
       "CAST(sum(cos_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_cos,
        |  CAST(min(cos_q) AS DOUBLE) AS min_cos,
        |  CAST(max(cos_q) AS DOUBLE) AS max_cos
-       |FROM pairs GROUP BY 1 ORDER BY h""".stripMargin
-  }
+       |FROM cpairs GROUP BY 1 ORDER BY h""".stripMargin
+
+  /** The q135 twin (and, verbatim, the q307 twin): per-band 4-bit keys
+    * bv0..bv7 from the same Weyl planes; candidates share any band; exact
+    * cosine verify — the Spark plan's dataflow, replayed as SQL over literal
+    * plane arrays. One hash-joinable equi-join per band, UNION-deduped: the
+    * prior OR-of-equalities join forced a quadratic nested loop in DuckDB
+    * (the sf0.1 sweep's ~105 s hot spot); embeddings re-attach AFTER the
+    * dedup so each surviving pair's cosine is computed exactly once.
+    */
+  private def annNearDupOracle: String =
+    s"""WITH sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+       |$annCandSql,
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, ${OracleMath.stableRoundSql("s", 6)} AS sim
+       |FROM ver WHERE s >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q308 twin — calibration-derived per-threshold gates applied to the
+    * q135 band-candidate set, replayed end-to-end: sketch bits, eval-pair
+    * calibration, gate rule (max qualifying Hamming bucket + 1, −1 when no
+    * bucket reaches θ), band candidates, and the conditional rollup.
+    */
+  val srpGateReportOracle: String =
+    s"""WITH $srpBaseCtesSql,
+       |calib AS (SELECT h, CAST(max(cos_q) AS DOUBLE) AS max_cos
+       |          FROM cpairs GROUP BY h),
+       |th AS (SELECT CAST(t AS DOUBLE) AS theta
+       |       FROM (VALUES (0.35), (0.50), (0.65), (0.80)) v(t)),
+       |gates AS (SELECT theta,
+       |    COALESCE(max(CASE WHEN c.max_cos >= th.theta THEN c.h END) + 1, -1) AS gate_max_h
+       |  FROM th CROSS JOIN calib c GROUP BY theta),
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+       |$annCandSql,
+       |ch AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(range(1, ${SrpPlanes + 1}),
+       |      p -> ba.bits[p] <> bb.bits[p])) AS hd
+       |  FROM cand c
+       |  JOIN b ba ON ba.vec_id = c.id_a
+       |  JOIN b bb ON bb.vec_id = c.id_b)
+       |SELECT g.theta AS theta, CAST(g.gate_max_h AS BIGINT) AS gate_max_h,
+       |  CAST(count(*) AS BIGINT) AS n_cands,
+       |  CAST(sum(CASE WHEN ch.hd <= g.gate_max_h THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${OracleMath.stableRoundSql(
+      "CAST(sum(CASE WHEN ch.hd <= g.gate_max_h THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS pct_kept
+       |FROM gates g CROSS JOIN ch
+       |GROUP BY g.theta, g.gate_max_h
+       |ORDER BY theta""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q293_pca_power" -> pcaPowerOracle,
@@ -1371,25 +1555,12 @@ object SimilarityOps {
       s"""SELECT CAST($bucket AS BIGINT) AS bucket, count(*) AS n_vectors
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
     },
-    "q135_ann_neardup" -> {
-      // per-band 4-bit keys bv0..bv7 from the same Weyl planes; candidates
-      // share any band; exact cosine verify — the Spark plan's dataflow,
-      // replayed as SQL over literal plane arrays. One hash-joinable
-      // equi-join per band, UNION-deduped: the prior OR-of-equalities join
-      // forced a quadratic nested loop in DuckDB (the sf0.1 sweep's ~105 s
-      // hot spot); embeddings re-attach AFTER the dedup so each surviving
-      // pair's cosine is computed exactly once.
-      s"""WITH sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
-         |$annCandSql,
-         |ver AS (
-         |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.id_a
-         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
-         |SELECT id_a, id_b, ${OracleMath.stableRoundSql("s", 6)} AS sim
-         |FROM ver WHERE s >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q135_ann_neardup" -> annNearDupOracle,
+    // q307 runs the SAME query with the SRP Hamming candidate gate armed:
+    // its oracle is q135's UNGATED twin on purpose — hash equality across
+    // engines at every SF is the proof that the gate is output-preserving.
+    "q307_srp_gated_neardup" -> annNearDupOracle,
+    "q308_srp_gate_report" -> srpGateReportOracle,
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)

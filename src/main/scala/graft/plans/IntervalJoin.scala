@@ -433,6 +433,60 @@ object IntervalJoin {
                       pointTime: Column, start: Column, end: Column): DataFrame =
     join(points, intervals, Nil, Nil, pointTime, start, end, "inner")
 
+  /** RANGE-PARTITIONED keyless mode — the third physical shape, for a
+    * HIGH-CARDINALITY interval side with NO equi-key (the case the broadcast
+    * mode's size ceiling shuts out): equi-depth range buckets are sampled
+    * from the point side's time distribution (one bounded quantile pass),
+    * each point maps to the single bucket containing its time, each interval
+    * replicates to every bucket its span overlaps, and the KEYED merge exec
+    * runs unchanged with the bucket id as the equi-key — both sides shuffle
+    * ONCE on the bucket id, nothing broadcasts, and per-bucket the sweep is
+    * the same O(points + intervals + matches) pass.
+    *
+    * This is the classic range-join partitioning (points placed by range,
+    * intervals replicated across the ranges they straddle); the bucket id IS
+    * the range — hash-exchanging on it places each range's rows in one task
+    * while staying composable with the existing exec, and replication is
+    * bounded by span ∕ bucket-width (equi-depth sizing keeps per-bucket point
+    * counts balanced even under time skew). Inner / left only: an interval's
+    * replicas straddle buckets, so per-bucket unmatchedness is not global —
+    * the same argument that bars right/full in broadcast mode.
+    *
+    * The sampled boundaries influence PLACEMENT only, never the result: each
+    * point lives in exactly one bucket, and every interval containing its
+    * time overlaps that bucket (monotone bucket map), so each match is found
+    * exactly once, wherever the boundaries fall.
+    */
+  def joinRangePartitioned(points: DataFrame, intervals: DataFrame,
+                           pointTime: Column, start: Column, end: Column,
+                           joinType: String = "inner",
+                           numBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(joinType == "inner" || joinType == "left",
+      s"range-partitioned interval join supports inner|left, got '$joinType'")
+    // monotone long proxy for BUCKETING only (truncation keeps ≤, which is
+    // all the bucket-cover argument needs); the exec still compares the
+    // original values exactly
+    def proxy(c: Column): Column = c.cast("timestamp").cast("long")
+    // bounded-collect: ≤ numBuckets−1 quantile boundaries, one lightweight
+    // approx-quantile pass regardless of corpus size
+    val bounds = points.select(proxy(pointTime).cast("double").as("__t")).na.drop()
+      .stat.approxQuantile("__t",
+        (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+      .map(_.toLong).distinct.sorted
+    val bArr = array(bounds.map(lit(_)): _*)
+    def bucketOf(c: Column): Column =
+      (if (bounds.isEmpty) lit(0) else size(filter(bArr, b => b <= proxy(c)))).cast("int")
+    val p2 = points.withColumn("__rb_l", bucketOf(pointTime))
+    // start ≥ end (incl. NULL bounds) can never match and must not reach the
+    // bucket sequence (Spark's sequence(hi, lo) DESCENDS instead of being
+    // empty); right/full outer are barred above so dropping them is safe
+    val i2 = intervals.filter(start < end)
+      .withColumn("__rb_r", explode(sequence(bucketOf(start), bucketOf(end))))
+    join(p2, i2, Seq(p2("__rb_l")), Seq(i2("__rb_r")), pointTime, start, end, joinType)
+      .drop("__rb_l", "__rb_r")
+  }
+
   /** Full form: `points [INNER|LEFT|RIGHT|FULL] INTERVAL JOIN intervals ON
     * lk = rk AND start <= t < end`. With keys, both sides hash-cluster
     * (SortMergeJoin's contract — no broadcast-size ceiling); keyless

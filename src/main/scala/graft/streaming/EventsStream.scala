@@ -96,6 +96,8 @@ object EventsStream {
       // OUT-OF-ORDER arrival for the late-data operator.
       val splits: Seq[org.apache.spark.sql.DataFrame] =
         if (byTime) {
+          // bounded-collect: ≤ nFiles−1 quantile boundaries (2–3 here), one
+          // sketch pass — sizes the staged landing files, not a data path
           val bounds = ev.stat.approxQuantile("ts",
             (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
           val edges = (Long.MinValue +: bounds.map(_.toLong)) :+ Long.MaxValue

@@ -26,6 +26,25 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Full session clone (same SparkContext and shared CacheManager, COPIED
+    * SessionState: runtime SQLConf, function registry, experimental rules) —
+    * the scoped-conf alternative to mutating the shared session. Unlike
+    * `newSession()` (fresh SessionState seeded from the context conf), a
+    * clone carries the caller's runtime conf, so per-operator overrides
+    * start from the session the user actually configured.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Rebind a DataFrame's logical plan into another session (typically a
+    * [[cloneSession]] clone) so every operator DERIVED from it plans under
+    * that session's conf. Persisted inputs still hit: the CacheManager lives
+    * in the shared state and matches on canonicalized analyzed plans, which
+    * normalize the expression ids a re-analysis mints.
+    */
+  def rebind(df: DataFrame, spark: SparkSession): DataFrame =
+    ofRows(spark, df.queryExecution.logical)
+
   /** Drain the async listener bus (best-effort, bounded) — needed when a
     * SparkListener's counters are snapshotted between queries (the bench's
     * opt-in per-query shuffle attribution): task-end events are delivered

@@ -92,6 +92,50 @@ class PlanSpec extends AnyFunSuite {
       s"keyed interval join must add no exchange beyond the window's:\n${p.take(1500)}")
   }
 
+  test("range-partitioned keyless interval join: bucket exchange per side, no broadcast (q310)") {
+    val df = CoreOps.supplierOutageAttribution(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("IntervalJoin"), "custom operator must be planned:\n" + p.take(800))
+    // the whole point of this mode: the interval side does NOT broadcast and
+    // there is no nested-loop fallback — both sides hash-exchange ONCE on
+    // the sampled equi-depth range bucket
+    assert(!p.contains("BroadcastExchange"),
+      "range mode must not broadcast the interval side:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val bucketExchanges = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(__rb"))
+    assert(bucketExchanges === 2,
+      s"exactly one range-bucket exchange per side expected:\n${p.take(1500)}")
+    // the ONLY Generate is the interval side's bucket-span replication
+    // (bounded by span/bucket-width), never a per-day bin explode: one
+    // explode node, on the window side, of a sequence over bucket ids
+    val gens = p.split("\n").filter(_.contains("Generate"))
+    assert(gens.length === 1 && gens.head.contains("sequence"),
+      s"one bucket-replication explode expected:\n${gens.mkString("\n")}")
+    // results equal the broadcast-mode sweep on the same inputs
+    val viaBroadcast = {
+      val origin = org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("1992-01-01"))
+      import org.apache.spark.sql.functions._
+      val windows = Tables.supplier(spark, sf)
+        .select(col("s_suppkey"),
+          date_add(origin, (col("s_suppkey") * lit(997) % lit(CoreOps.OutageSpanDays)).cast("int"))
+            .cast("timestamp_ntz").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr(s"INTERVAL ${CoreOps.OutageDays} DAYS"))
+      val orders = Tables.orders(spark, sf)
+        .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+      graft.plans.IntervalJoin.pointInInterval(
+          orders, windows, orders("o_orderdate"), windows("w_start"), windows("w_end"))
+        .groupBy(col("s_suppkey"), col("w_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy(col("s_suppkey"))
+    }
+    assert(df.collect().toSeq === viaBroadcast.collect().toSeq)
+  }
+
   test("binned range join plans as a broadcast HASH join, not nested-loop (q64)") {
     // the bin equi-key must reach the join: a nested-loop here is the
     // rows × intervals plan the binning exists to avoid
@@ -212,6 +256,33 @@ class PlanSpec extends AnyFunSuite {
       .orderBy(col("day"))
     assert(!plan(off).toLowerCase.contains("kmvsketch"))
     assert(df.collect().toSeq === off.collect().toSeq)
+  }
+
+  test("SRP gate runs on skinny band rows BEFORE the exact verify (q307), inert off-flag (q135)") {
+    import org.apache.spark.sql.functions._
+    val gated = SimilarityOps.srpGatedNearDup(spark, sf)
+    gated.collect() // AQE: materialize so the printed plan is the final one
+    val lines = plan(gated).split("\n").toSeq
+    // the Hamming gate exists and sits in the BAND join's condition (the
+    // same line carries the band keys) — evaluated on (vec_id, srp, bk, bv)
+    // rows, never on embeddings
+    val gateIdx = lines.indexWhere(_.contains("bit_count"))
+    assert(gateIdx >= 0, "gated plan must contain the bit_count Hamming filter:\n" +
+      lines.take(40).mkString("\n"))
+    assert(lines(gateIdx).contains("bk#") && lines(gateIdx).contains("vec_id#"),
+      "the gate must be part of the band-key join condition: " + lines(gateIdx).trim)
+    // tree printing puts descendants BELOW ancestors: the gate join must be
+    // deeper than (= evaluated before) the exact-cosine verify join
+    val verifyIdx = lines.indexWhere(l => l.contains("dotproduct(emb_a") && l.contains("Join"))
+    assert(verifyIdx >= 0 && verifyIdx < gateIdx,
+      s"gate (line $gateIdx) must be a descendant of the verify join (line $verifyIdx)")
+    // output-preserving at the default gate: gated == ungated, row for row
+    val ungated = SimilarityOps.annNearDup(spark, sf)
+    assert(gated.collect().toSeq === ungated.collect().toSeq)
+    // inert off the flag: q135's plan has no Hamming filter and no srp column
+    val off = ungated.queryExecution.executedPlan.toString
+    assert(!off.contains("bit_count") && !off.contains("srp"),
+      "ungated q135 must be byte-identical to the round-8 candidate path")
   }
 
   test("as-of join plans with exactly one shuffle+sort per side (q61)") {

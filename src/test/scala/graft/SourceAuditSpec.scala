@@ -26,8 +26,11 @@ class SourceAuditSpec extends AnyFunSuite {
   private val SkipFiles = Set("Bench.scala", "Verify.scala", "Probe.scala")
   // Dataset driver materializations. `\.collect\(\)` does not match Scala's
   // partial-function `.collect { ... }`; collectAsList/toLocalIterator have
-  // no common Scala-collection homonym.
-  private val SitePattern = raw"\.collect\(\)|\.collectAsList\(|\.toLocalIterator".r
+  // no common Scala-collection homonym; approxQuantile returns its result
+  // array to the driver (a sketch — but still a per-call materialization
+  // that must be boundedness-justified).
+  private val SitePattern =
+    raw"\.collect\(\)|\.collectAsList\(|\.toLocalIterator|\.approxQuantile\(".r
   private val Marker = "bounded-collect:"
   private val LookBack = 6
 
@@ -71,5 +74,27 @@ class SourceAuditSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       "\nStale bounded-collect markers (no collect site within " +
         s"$LookBack lines below — delete or move them):\n" + stale.mkString("\n"))
+  }
+
+  test("no operator mutates the shared session's shuffle width") {
+    // Scoped shuffle-width overrides belong on a session CLONE
+    // (DedupOps.loopFrames / StreamJoinOps.withStatePartitions): a
+    // set-and-restore on the caller's session silently rescopes any other
+    // query planned inside the window, and is unsafe the moment two queries
+    // share a session. Structural rule: the exact mutation call on a
+    // receiver named `spark` (the caller-session parameter convention
+    // throughout src/main) must not exist; clones are locally named `s`,
+    // `s2`, or `loop`.
+    val offenders = for {
+      path <- mainSources
+      if !Set("PlanDigest.scala").contains(path.getFileName.toString)
+      lines = Files.readAllLines(path).asScala.toVector
+      (line, idx) <- lines.zipWithIndex
+      if line.contains("spark.conf.set(\"spark.sql.shuffle.partitions\"") && !isComment(line)
+    } yield s"$path:${idx + 1}: ${line.trim}"
+    assert(offenders.isEmpty,
+      "\nShared-session shuffle-width mutation (use a session clone — " +
+        "DedupOps.loopFrames or GraftSqlBridge.cloneSession — instead):\n" +
+        offenders.mkString("\n"))
   }
 }
