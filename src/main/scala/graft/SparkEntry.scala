@@ -562,6 +562,12 @@ object SparkEntry {
     "q309_range_interval_join" -> ((s, d) => CoreOps.rangeIntervalMonthly(s, d)),
     // -- its big-interval-side consumer: keyless outage-window attribution -------
     "q310_outage_attribution"  -> ((s, d) => CoreOps.supplierOutageAttribution(s, d)),
+    // -- the q263 KMV sketch as streaming aggregation state (q263 twin verbatim) -
+    "q311_stream_kmv_distinct" -> ((s, d) => graft.streaming.EventsStream.kmvDistinctStreaming(s, d)),
+    // -- Fellegi-Sunter record linkage on a derived perturbed-entity table -------
+    "q312_record_linkage"      -> ((s, d) => LinkageOps.recordLinkage(s, d)),
+    // -- its trained model: per-field m/u counts and smoothed log-weights --------
+    "q313_linkage_weights"     -> ((s, d) => LinkageOps.linkageWeights(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1170,6 +1176,9 @@ object SparkEntry {
     "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
+    // the streaming sketch must equal the batch sketch bit for bit: KMV is
+    // deterministic given the hash column, so q311 reuses q263's twin
+    "q311_stream_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     "q264_bigram_lm" -> TextOps.bigramLmScoreOracle,
     "q265_scd2_coverage" -> CoreOps.scd2CoverageAuditOracle,
     "q266_mixture_epochs" -> TextOps.mixtureEpochsOracle,
@@ -1211,6 +1220,8 @@ object SparkEntry {
         |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_outage_attribution" -> CoreOps.supplierOutageOracle,
+    "q312_record_linkage" -> LinkageOps.recordLinkageOracle,
+    "q313_linkage_weights" -> LinkageOps.linkageWeightsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -185,6 +185,31 @@ object DedupOps {
     if (estBytes <= gate) broadcast(side) else side.hint("shuffle_hash")
   }
 
+  /** Session conf key (rows) gating the dictionary-side `broadcast()` hint;
+    * overridable so specs can force the ungated fallback plan.
+    */
+  val DictBroadcastRowsConf = "graft.dedup.maxDictBroadcastRows"
+
+  /** Default gate: ~100 M terms ≈ 1–2 GB encoded — the documented ceiling
+    * where a forced dictionary broadcast stops being a win (still inside
+    * Spark's 8 GB hard limit, but already unfriendly to executor memory).
+    */
+  val DefaultDictBroadcastRows: Long = 100000000L
+
+  /** Dictionary-encode join side gate: below the MEASURED row threshold the
+    * vocabulary gets the explicit `broadcast()` hint (dictionaries are tiny
+    * relative to the corpus — don't make AQE re-derive that); past it the
+    * side goes UNHINTED so AQE's size-based choice decides — a forced hint
+    * there would march a multi-GB dictionary into every executor. The row
+    * count comes free from the rank's prefix-sum totals
+    * ([[PrefixSum.rarityRanksCounted]]), never from an extra job.
+    */
+  private[graft] def gatedDictSide(dict: DataFrame, rows: Long): DataFrame = {
+    val gate = dict.sparkSession.conf
+      .getOption(DictBroadcastRowsConf).map(_.toLong).getOrElse(DefaultDictBroadcastRows)
+    if (rows <= gate) broadcast(dict) else dict
+  }
+
   /** Estimated in-memory bytes of a `(doc_id, ws, sz)` token-id table:
     * 4 B per token plus per-row object overhead.
     */
@@ -337,10 +362,10 @@ object DedupOps {
     // global-rarity dictionary over corpus ∪ delta (vocabulary-sized; the
     // per-batch refresh of the persisted index's dictionary) — ranked by the
     // PrefixSum two-pass, never a one-task vocabulary sort
-    val ranks = PrefixSum.rarityRanks(
+    val (ranks, vocabRows) = PrefixSum.rarityRanksCounted(
       all.select(explode(col("ws0")).as("word")), "word")
     val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
-      .join(broadcast(ranks), "word")
+      .join(gatedDictSide(ranks, vocabRows), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
       .persistTracked()
@@ -407,10 +432,10 @@ object DedupOps {
       .select(col("doc_id"), array_sort(array_distinct(words(col("text")))).as("ws0"))
     // rarity dictionary via the PrefixSum two-pass rank (q231's treatment —
     // a web-scale vocabulary never collapses into one window task)
-    val ranks = PrefixSum.rarityRanks(
+    val (ranks, vocabRows) = PrefixSum.rarityRanksCounted(
       all.select(explode(col("ws0")).as("word")), "word")
     val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
-      .join(broadcast(ranks), "word")
+      .join(gatedDictSide(ranks, vocabRows), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
       .persistTracked()
@@ -509,7 +534,7 @@ object DedupOps {
     // the shuffle moves ~4B per token instead of whole words. The rank itself
     // is the PrefixSum two-pass — exact and fully distributed even for a
     // web-scale vocabulary (no one-task window sort).
-    val ranks = PrefixSum.rarityRanks(
+    val (ranks, vocabRows) = PrefixSum.rarityRanksCounted(
       docs.select(explode(col("ws0")).as("word")), "word")
 
     // int-ified ascending word-set: rarest tokens get the smallest ids, so a
@@ -520,7 +545,7 @@ object DedupOps {
     // this is the classic cache-the-dictionary-encoded-view step.
     val ids = docs
       .select(col("doc_id"), explode(col("ws0")).as("word"))
-      .join(broadcast(ranks), "word")
+      .join(gatedDictSide(ranks, vocabRows), "word")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("ws"), count(lit(1)).as("sz"))
       .persistTracked()
@@ -1121,8 +1146,8 @@ object DedupOps {
     // rank is the PrefixSum two-pass — no one-task gram-dictionary sort)
     val grams = names.select(col("name"), col("len"),
       explode(expr(s"array_distinct(transform(sequence(1, CAST(length(name) AS INT) - ${q - 1}), i -> substr(name, i, $q)))")).as("g"))
-    val ranks = PrefixSum.rarityRanks(grams.select(col("g")), "g")
-    val pref = grams.join(broadcast(ranks), "g")
+    val (ranks, vocabRows) = PrefixSum.rarityRanksCounted(grams.select(col("g")), "g")
+    val pref = grams.join(gatedDictSide(ranks, vocabRows), "g")
       .groupBy(col("name"), col("len"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))
       .select(col("name"), col("len"), explode(slice(col("toks"), 1, prefLen)).as("tok"))

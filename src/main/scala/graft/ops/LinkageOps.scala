@@ -1,0 +1,302 @@
+package graft.ops
+
+import graft.Tables
+import graft.ops.Caches.TrackedPersist
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fellegi–Sunter record linkage (q312/q313) — the probabilistic
+  * merge/purge decision model on top of the q287 sorted-neighborhood
+  * blocking machinery.
+  *
+  * The testdata has no second entity table (and is read-only), so the "other
+  * database" is DERIVED in-query from `customer` by deterministic
+  * perturbations both engines replay literally: 90 % of customers reappear
+  * (key % 10 ≠ 9), every third name gets a trailing-character typo, every
+  * fifth account balance is floored (a re-keying loses the cents), every
+  * seventh nation takes a ±1 migration,
+  * every eleventh segment is lost to 'UNKNOWN'. Ground truth (same source
+  * customer) rides along for the EVALUATION aggregates — the linkage score
+  * itself only ever reads the four compared fields.
+  *
+  * Pipeline, each stage exactly replayable in SQL:
+  *
+  *  1. **Blocking** — Hernández–Stolfo MULTI-PASS sorted neighborhood: one
+  *     pass sorted by name, one by balance (window [[LinkWindow]] each),
+  *     pair = A-record × B-record within a window, union of passes, dedup.
+  *     A perturbed key sorts its record away from its partner, so each pass
+  *     catches the pairs the other key left intact — only records with BOTH
+  *     keys perturbed (≈ 1/15) can escape blocking entirely. Ranks come from
+  *     [[PrefixSum.cumSums]] (never an unpartitioned window); pairing is the
+  *     q287 rank-block equi-join.
+  *  2. **m/u weights** — agreement probabilities per field among true
+  *     matches (m) and non-matches (u), estimated from the labeled candidate
+  *     set with add-one smoothing (a zero u — e.g. names never agreeing
+  *     across entities — would make a weight infinite). All counts are exact
+  *     integers; each log-weight `ln(m/u)` / `ln((1−m)/(1−u))` is ONE float
+  *     expression over exact integer products (the q264 ln discipline),
+  *     6-dp-rounded into DECIMAL(18,6).
+  *  3. **Score & decide** — a pair's score is the exact DECIMAL sum of its
+  *     four agreement/disagreement weights (order-free — no float
+  *     accumulation); `score ≥ 3` ⇒ match, `≤ −3` ⇒ non-match, else
+  *     possible (decimal-vs-decimal threshold compare in both engines).
+  *
+  * Scale shape: two prefix-sum rank passes + two rank-block equi-joins
+  * (candidates = 2·w·n by construction), one confusion-matrix aggregate.
+  * The weights frame is ONE row, broadcast back onto the candidate set —
+  * the same measure-then-apply shape as the SRP gate (q306→q307).
+  */
+object LinkageOps {
+
+  /** Sorted-neighborhood window per pass. */
+  val LinkWindow = 5
+
+  /** Decision thresholds on the summed log-weight score (natural log). */
+  val MatchThreshold = "3.0"
+  val NonMatchThreshold = "-3.0"
+
+  private val d186 = DecimalType(18, 6)
+
+  /** The A side: customers as linkage records. uid = 2·key (even ⇒ A). */
+  private def sideA(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), lit("A").as("src"),
+      (col("c_custkey") * 2).as("uid"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+
+  /** The B side: the perturbed re-observation. uid = 2·key + 1 (odd ⇒ B). */
+  private def sideB(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 =!= 9)
+      .select(
+        col("c_custkey").as("key"), lit("B").as("src"),
+        (col("c_custkey") * 2 + 1).as("uid"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0, floor(col("c_acctbal")))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nation"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+
+  /** One sorted-neighborhood pass over the A∪B record set: (uid_a, uid_b)
+    * pairs with rank distance ≤ w in `bk`-order, one record from each side,
+    * oriented A-first by uid parity. The q287 rank-block equi-join on the
+    * PrefixSum global rank.
+    */
+  private def snPass(u: DataFrame, bk: Column, w: Int): DataFrame = {
+    val nParts = PrefixSum.defaultParts(u.sparkSession)
+    val ranked = PrefixSum.cumSums(
+        u.select(col("uid"), col("src"), bk.as("bk")),
+        Seq(col("bk"), col("uid")), Seq("rn" -> lit(1L)), nParts).df
+      .select(col("uid"), col("src"), col("cum_rn").as("rn"),
+        expr(s"(cum_rn - 1) DIV $w").as("blk"))
+    val left = ranked.select(col("uid").as("ux"), col("src").as("sx"),
+      col("rn").as("rnx"), explode(array(col("blk"), col("blk") + 1)).as("jk"))
+    val right = ranked.select(col("uid").as("uy"), col("src").as("sy"),
+      col("rn").as("rny"), col("blk").as("jk"))
+    left.join(right, Seq("jk"))
+      .filter(col("rnx") < col("rny") && col("rny") - col("rnx") <= w
+        && col("sx") =!= col("sy"))
+      .select(
+        when(col("ux") % 2 === 0, col("ux")).otherwise(col("uy")).as("uid_a"),
+        when(col("ux") % 2 === 0, col("uy")).otherwise(col("ux")).as("uid_b"))
+  }
+
+  /** Candidate pairs with agreement flags and the ground-truth label. */
+  private def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val u = sideA(spark, dir).unionByName(sideB(spark, dir)).persistTracked()
+    val pairs = snPass(u, col("name"), LinkWindow)
+      .unionByName(snPass(u, col("bal"), LinkWindow))
+      .distinct()
+    val au = u.select(col("uid").as("uid_a"), col("key").as("key_a"),
+      col("name").as("name_a"), col("bal").as("bal_a"),
+      col("nation").as("nation_a"), col("seg").as("seg_a"))
+    val bu = u.select(col("uid").as("uid_b"), col("key").as("key_b"),
+      col("name").as("name_b"), col("bal").as("bal_b"),
+      col("nation").as("nation_b"), col("seg").as("seg_b"))
+    pairs.join(au, "uid_a").join(bu, "uid_b")
+      .select(col("key_a"), col("key_b"),
+        (col("name_a") === col("name_b")).as("f_name"),
+        (col("bal_a") === col("bal_b")).as("f_bal"),
+        (col("nation_a") === col("nation_b")).as("f_nation"),
+        (col("seg_a") === col("seg_b")).as("f_seg"),
+        (col("key_a") === col("key_b")).as("is_true"))
+  }
+
+  private val Fields = Seq("name", "bal", "nation", "seg")
+
+  /** One-row frame of exact counts: n, n_match, and per-field agreement
+    * counts among matches / non-matches.
+    */
+  private def weightCounts(cand: DataFrame): DataFrame = {
+    val perField = Fields.flatMap { f =>
+      Seq(
+        sum(when(col("is_true") && col(s"f_$f"), 1L).otherwise(0L)).as(s"ma_$f"),
+        sum(when(!col("is_true") && col(s"f_$f"), 1L).otherwise(0L)).as(s"ua_$f"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("nm")) ++ perField
+    cand.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Smoothed log-weight: `ln((cntAgree+1)/(nGroup+2) ÷ (cntOther+1)/(nOther+2))`
+    * written as ONE ln over exact integer cross-products (all counts ≤ 10⁶,
+    * products exact in a double), 6-dp-rounded into DECIMAL(18,6). The SQL
+    * twin spells the identical expression.
+    */
+  private def w(numCnt: Column, numN: Column, denCnt: Column, denN: Column): Column =
+    OracleMath.stableRound(
+      log(((numCnt + 1).cast("double") * (denN + 2).cast("double")) /
+        ((denCnt + 1).cast("double") * (numN + 2).cast("double"))), 6).cast(d186)
+
+  /** The 8 decision weights (agree/disagree per field) as one broadcast row. */
+  private def weightsRow(cand: DataFrame): DataFrame = {
+    val c = weightCounts(cand)
+    val nu = col("n") - col("nm")
+    val cols = Fields.flatMap { f =>
+      val ma = col(s"ma_$f"); val ua = col(s"ua_$f")
+      Seq(
+        w(ma, col("nm"), ua, nu).as(s"wa_$f"),
+        w(col("nm") - ma, col("nm"), nu - ua, nu).as(s"wd_$f"))
+    }
+    c.select(cols: _*)
+  }
+
+  /** q312 — the linkage confusion matrix: Fellegi–Sunter decision class ×
+    * ground truth, with pair counts and the score range per cell. The
+    * decisions a curator reads off: matches found, false matches let
+    * through, true pairs parked in 'possible' for clerical review.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir).persistTracked()
+    val score = Fields.map { f =>
+      when(col(s"f_$f"), col(s"wa_$f")).otherwise(col(s"wd_$f"))
+    }.reduce(_ + _).cast(d186)
+    val scored = cand.crossJoin(broadcast(weightsRow(cand)))
+      .select(col("is_true"), score.as("score"))
+    val decision = when(col("score") >= lit(MatchThreshold).cast(d186), lit("match"))
+      .when(col("score") <= lit(NonMatchThreshold).cast(d186), lit("non_match"))
+      .otherwise(lit("possible"))
+    scored
+      .groupBy(decision.as("decision"), col("is_true"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("score")).cast("double").as("min_score"),
+        max(col("score")).cast("double").as("max_score"))
+      .orderBy(col("decision"), col("is_true"))
+  }
+
+  /** q313 — the estimated model itself, one row per compared field: exact
+    * agreement counts among matches/non-matches and the smoothed
+    * log-weights. The audit surface for q312 (and what a real deployment
+    * would persist as "the trained linker").
+    */
+  def linkageWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir).persistTracked()
+    val c = weightCounts(cand).crossJoin(broadcast(weightsRow(cand)))
+    val rows = Fields.map { f =>
+      struct(lit(f).as("field"),
+        col("nm").cast("long").as("n_match"),
+        (col("n") - col("nm")).cast("long").as("n_nonmatch"),
+        col(s"ma_$f").cast("long").as("m_agree"),
+        col(s"ua_$f").cast("long").as("u_agree"),
+        col(s"wa_$f").cast("double").as("w_agree"),
+        col(s"wd_$f").cast("double").as("w_disagree"))
+    }
+    c.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.field"), col("r.n_match"), col("r.n_nonmatch"),
+        col("r.m_agree"), col("r.u_agree"), col("r.w_agree"), col("r.w_disagree"))
+      .orderBy(col("field"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Oracle twins
+  // --------------------------------------------------------------------------
+
+  /** Shared CTE prefix: derivation, union, both blocking passes, candidate
+    * flags, and the exact weight counts.
+    */
+  private def linkageCtesSql: String = {
+    val w = LinkWindow
+    s"""a AS (SELECT c_custkey AS key, 'A' AS src, c_custkey * 2 AS uid,
+       |    c_name AS name, c_acctbal AS bal, c_nationkey AS nation,
+       |    c_mktsegment AS seg FROM customer),
+       |b AS (SELECT c_custkey AS key, 'B' AS src, c_custkey * 2 + 1 AS uid,
+       |    CASE WHEN c_custkey % 3 = 0
+       |         THEN substr(c_name, 1, length(c_name) - 1) || 'X' ELSE c_name END AS name,
+       |    CASE WHEN c_custkey % 5 = 0 THEN floor(c_acctbal) ELSE c_acctbal END AS bal,
+       |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nation,
+       |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+       |  FROM customer WHERE c_custkey % 10 <> 9),
+       |u AS MATERIALIZED (SELECT * FROM a UNION ALL SELECT * FROM b),
+       |r1 AS (SELECT uid, src, row_number() OVER (ORDER BY name, uid) AS rn FROM u),
+       |p1 AS (SELECT x.uid AS ux, y.uid AS uy FROM r1 x JOIN r1 y
+       |       ON y.rn - x.rn BETWEEN 1 AND $w AND x.src <> y.src),
+       |r2 AS (SELECT uid, src, row_number() OVER (ORDER BY bal, uid) AS rn FROM u),
+       |p2 AS (SELECT x.uid AS ux, y.uid AS uy FROM r2 x JOIN r2 y
+       |       ON y.rn - x.rn BETWEEN 1 AND $w AND x.src <> y.src),
+       |pp AS (SELECT DISTINCT
+       |    CASE WHEN ux % 2 = 0 THEN ux ELSE uy END AS uid_a,
+       |    CASE WHEN ux % 2 = 0 THEN uy ELSE ux END AS uid_b
+       |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+       |cand AS MATERIALIZED (
+       |  SELECT au.key AS key_a, bu.key AS key_b,
+       |    au.name = bu.name AS f_name, au.bal = bu.bal AS f_bal,
+       |    au.nation = bu.nation AS f_nation, au.seg = bu.seg AS f_seg,
+       |    au.key = bu.key AS is_true
+       |  FROM pp JOIN u au ON au.uid = pp.uid_a JOIN u bu ON bu.uid = pp.uid_b),
+       |cnt AS (SELECT count(*) AS n,
+       |    sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS nm,
+       |${Fields.map(f =>
+          s"""    sum(CASE WHEN is_true AND f_$f THEN 1 ELSE 0 END) AS ma_$f,
+             |    sum(CASE WHEN NOT is_true AND f_$f THEN 1 ELSE 0 END) AS ua_$f""".stripMargin)
+         .mkString(",\n")}
+       |  FROM cand),
+       |wt AS (SELECT
+       |${Fields.map { f =>
+          val wa = wSql(s"ma_$f", "nm", s"ua_$f", "(n - nm)")
+          val wd = wSql(s"(nm - ma_$f)", "nm", s"((n - nm) - ua_$f)", "(n - nm)")
+          s"    $wa AS wa_$f,\n    $wd AS wd_$f"
+        }.mkString(",\n")}
+       |  FROM cnt)""".stripMargin
+  }
+
+  /** SQL twin of [[w]]: identical single-ln-over-integer-products form. */
+  private def wSql(numCnt: String, numN: String, denCnt: String, denN: String): String =
+    "CAST(" + OracleMath.stableRoundSql(
+      s"ln((CAST($numCnt + 1 AS DOUBLE) * CAST($denN + 2 AS DOUBLE)) / " +
+        s"(CAST($denCnt + 1 AS DOUBLE) * CAST($numN + 2 AS DOUBLE)))", 6) +
+      " AS DECIMAL(18,6))"
+
+  val recordLinkageOracle: String = {
+    val score = Fields.map(f => s"CASE WHEN f_$f THEN wa_$f ELSE wd_$f END")
+      .mkString(" + ")
+    s"""WITH $linkageCtesSql,
+       |sc AS (SELECT is_true,
+       |    CAST($score AS DECIMAL(18,6)) AS score
+       |  FROM cand CROSS JOIN wt)
+       |SELECT CASE WHEN score >= CAST($MatchThreshold AS DECIMAL(18,6)) THEN 'match'
+       |            WHEN score <= CAST($NonMatchThreshold AS DECIMAL(18,6)) THEN 'non_match'
+       |            ELSE 'possible' END AS decision,
+       |  is_true, count(*) AS n_pairs,
+       |  CAST(min(score) AS DOUBLE) AS min_score,
+       |  CAST(max(score) AS DOUBLE) AS max_score
+       |FROM sc GROUP BY 1, 2 ORDER BY decision, is_true""".stripMargin
+  }
+
+  val linkageWeightsOracle: String = {
+    val rows = Fields.map { f =>
+      s"""SELECT '$f' AS field, CAST(nm AS BIGINT) AS n_match,
+         |  CAST(n - nm AS BIGINT) AS n_nonmatch,
+         |  CAST(ma_$f AS BIGINT) AS m_agree, CAST(ua_$f AS BIGINT) AS u_agree,
+         |  CAST(wa_$f AS DOUBLE) AS w_agree, CAST(wd_$f AS DOUBLE) AS w_disagree
+         |FROM cnt CROSS JOIN wt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $linkageCtesSql
+       |SELECT * FROM ($rows) ORDER BY field""".stripMargin
+  }
+}

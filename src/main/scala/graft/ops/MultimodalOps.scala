@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   * decode UDF (same shape: executor-side batches of rows in, feature rows
   * out, decode library called once per batch).
   *
-  * No real image/audio bytes exist in the testdata (and no codec libs in
-  * this container — north-star brief says STUB the decode), so the payload
-  * is the document text's UTF-8 bytes and [[StubDecoder]] derives
-  * deterministic fake media features from the raw bytes. Everything around
-  * the stub — the binary+metadata schema, the typed Dataset, the batched
-  * mapPartitions stage, the partitioning — is the real production plumbing:
-  * swapping [[StubDecoder]] for a JNI/codec-backed decoder changes one
-  * function.
+  * No real image/audio bytes exist in the testdata, so the registry queries
+  * use the document text's UTF-8 bytes as payloads and [[StubDecoder]]
+  * derives deterministic fake media features from them. Everything around
+  * the decoder — the binary+metadata schema, the typed Dataset, the batched
+  * mapPartitions stage, the partitioning — is the real production plumbing,
+  * and [[ImageIoDecoder]] PROVES the one-swap claim: the same batch contract
+  * backed by `javax.imageio`, exercised with real in-memory PNGs by
+  * `ImageIoDecodeSpec` (decode + letterbox resize on actual pixels).
   */
 object MultimodalOps {
 
@@ -77,6 +77,64 @@ object MultimodalOps {
             while (x < outW) {
               val sx = x * width / outW
               sum += java.lang.Byte.toUnsignedLong(r.data(((rowBase + sx) % n).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          Some(ResizedImage(r.doc_id, width, height, outW, outH,
+            (box - outW) / 2, (box - outH) / 2, box.toLong * box, sum))
+        }
+      }
+  }
+
+  /** REAL image decoder behind the SAME batch contract as [[StubDecoder]] —
+    * `javax.imageio` ships with the JDK (PNG/JPEG/BMP/GIF), so no container
+    * codec is needed to prove the plumbing is one-swap from production. The
+    * registry queries stay on the stub because the testdata payloads are
+    * synthetic text bytes, not images; `ImageIoDecodeSpec` drives THIS
+    * decoder with real in-memory PNGs through the same executor-side
+    * batched-mapPartitions stage the stub queries use.
+    */
+  object ImageIoDecoder extends Serializable {
+    private def read(data: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: Throwable => null } // undecodable payload → ok=false row
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val n = r.data.length.toLong
+        val first = if (n > 0) java.lang.Byte.toUnsignedLong(r.data(0)) else 0L
+        val img = read(r.data)
+        if (img == null) MediaFeatures(r.doc_id, n, first, 0L, 0L, ok = false)
+        else MediaFeatures(r.doc_id, n, first, img.getWidth.toLong, img.getHeight.toLong, ok = true)
+      }
+
+    /** The q154/q156 letterbox geometry on REAL pixels: nearest-neighbor map
+      * each content-region output pixel back to a source pixel (the same
+      * integer floor arithmetic as [[StubDecoder.resizeBatch]]) and checksum
+      * the produced bytes as Σ(R+G+B) over content pixels (padding is zeros,
+      * contributing nothing) — byte-level contract unchanged, byte SOURCE
+      * swapped from fake addressing to decoded pixels.
+      */
+    def resizeBatch(batch: Seq[MediaRecord], box: Int): Seq[ResizedImage] =
+      batch.flatMap { r =>
+        val img = read(r.data)
+        if (img == null) None
+        else {
+          val width = img.getWidth.toLong
+          val height = img.getHeight.toLong
+          val m = math.max(width, height)
+          val outW = width * box / m
+          val outH = height * box / m
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = (y * height / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x * width / outW).toInt
+              val rgb = img.getRGB(sx, sy)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
               x += 1
             }
             y += 1

@@ -113,11 +113,22 @@ object PrefixSum {
     * window task. (`Int` ids: the verify kernels merge int arrays; a >2B-term
     * dictionary would switch the kernel to longs before overflowing.)
     */
-  def rarityRanks(tokens: DataFrame, tokenCol: String): DataFrame = {
+  def rarityRanks(tokens: DataFrame, tokenCol: String): DataFrame =
+    rarityRanksCounted(tokens, tokenCol)._1
+
+  /** [[rarityRanks]] plus the dictionary's MEASURED row count — free, because
+    * the rank's two-pass prefix sum already collects per-partition totals
+    * whose grand total IS the vocabulary size. Consumers use it to size-gate
+    * their dictionary `broadcast()` hint ([[DedupOps.gatedDictSide]]) instead
+    * of hinting unconditionally.
+    */
+  def rarityRanksCounted(tokens: DataFrame, tokenCol: String): (DataFrame, Long) = {
     val freq = tokens.groupBy(col(tokenCol)).agg(count(lit(1)).as("df"))
-    globalRowNumber(freq, Seq(col("df"), col(tokenCol)), "tok",
-        defaultParts(tokens.sparkSession))
-      .select(col(tokenCol), col("tok").cast("int").as("tok"))
+    val cum = cumSums(freq, Seq(col("df"), col(tokenCol)),
+      Seq("rn" -> lit(1L)), defaultParts(tokens.sparkSession))
+    (cum.df.withColumnRenamed("cum_rn", "tok")
+       .select(col(tokenCol), col("tok").cast("int").as("tok")),
+     cum.totals("rn"))
   }
 }
 

@@ -1180,14 +1180,17 @@ object TextOps {
     val applied = rules.foldLeft(rendered) { case (c, (_, a, b, _, _)) =>
       call_function("replace", c, lit(s"$M$a$M$M$b$M"), lit(s"$M$a$b$M"))
     }
+    // persisted so the size-gate's count and the encode join share one
+    // materialization of the per-word replace() chain
     val encDict = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word")).distinct()
       .select(col("word"),
         size(split(trim(applied, M), M + M)).cast("long").as("n_sub"))
+      .persistTracked()
 
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .join(broadcast(encDict), "word")
+      .join(DedupOps.gatedDictSide(encDict, encDict.count()), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_subwords"),

@@ -322,4 +322,59 @@ object EventsStream {
     """SELECT date_trunc('day', ts) AS day, event_type,
       | count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q311 — the q263 KMV sketch as STREAMING aggregation state: the same
+    * `graft_kmv` TypedImperativeAggregate runs in complete mode over the
+    * staged landing dir, so each microbatch partial-merges its ≤ k smallest
+    * distinct hashes into the state store (set-union re-capped at k — the
+    * mergeability that makes the sketch a streaming synopsis, not just a
+    * batch shuffle trick). KMV is deterministic given the hash column, so
+    * the streamed sketch must be IDENTICAL to the batch one regardless of
+    * microbatch boundaries: the oracle is q263's twin VERBATIM, and the
+    * exact-count audit columns ride along from the batch side (streaming
+    * `count(DISTINCT)` is unsupported — and unnecessary, the sketch is the
+    * streaming answer, the audit is ground truth by definition).
+    */
+  def kmvDistinctStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{OracleMath, SamplingOps}
+    val k = SamplingOps.KmvK
+    val name = "graft_stream_kmv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val srcDir = stageStreamDirShared(spark, dir)
+    val drained = StreamJoinOps.withStatePartitions(spark, 2, skipFinalize = true) { s =>
+      graft.functions.VectorFunctions.register(s)
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+      val q = s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1) // one staged file per microbatch: the
+        // sketch state genuinely partial-merges across 3 batches, not 1
+        .parquet(srcDir)
+        .select(col("event_type"), h.as("h"))
+        .groupBy(col("event_type"))
+        .agg(expr(s"graft_kmv(h, $k)").as("kmv"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamJoinOps.drainMemorySink(s, name)
+    }
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val est = when(col("n_kmv") < k, col("n_kmv").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) / col("h_k").cast("double"))
+    drained
+      .select(col("event_type"),
+        size(col("kmv")).cast("long").as("n_kmv"),
+        element_at(col("kmv"), size(col("kmv"))).as("h_k"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_kmv"), col("h_k"), col("n_exact"),
+        OracleMath.stableRound(est, 4).as("est_distinct"),
+        OracleMath.stableRound(
+          abs(est - col("n_exact").cast("double")) / col("n_exact").cast("double"), 4)
+          .as("rel_err"))
+      .orderBy(col("event_type"))
+  }
 }

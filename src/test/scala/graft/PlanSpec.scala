@@ -92,6 +92,36 @@ class PlanSpec extends AnyFunSuite {
       s"keyed interval join must add no exchange beyond the window's:\n${p.take(1500)}")
   }
 
+  test("dictionary broadcast hint is size-gated: forced-low gate yields shuffle join, rows unchanged (q38)") {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val wordBcast = """BroadcastHashJoin \[word#""".r
+    val wordShuffle = """(SortMergeJoin|ShuffledHashJoin) \[word#""".r
+    // default: the vocabulary is measured-small, so the dict join IS hinted
+    val base = DedupOps.nearDupJaccard(spark, sf, forceGeneral = true)
+    val baseRows = base.collect().toSeq
+    assert(wordBcast.findFirstIn(plan(base)).isDefined,
+      "below the gate the dictionary join must broadcast:\n" + plan(base).take(1200))
+    // drop the base run's cached token-id frame: its stored plan embeds the
+    // broadcast hint and would satisfy (and pollute the printout of) the
+    // gated run's lookup
+    graft.ops.Caches.release()
+    // forced-low gate (conf on a session CLONE) + size-based broadcast off:
+    // the hint must be ABSENT and the dict join must degrade to a shuffle
+    // join — the plan a 100M-term dictionary gets
+    val s2 = GraftSqlBridge.cloneSession(spark)
+    s2.conf.set(DedupOps.DictBroadcastRowsConf, "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val gated = DedupOps.nearDupJaccard(s2, sf, forceGeneral = true)
+    val gatedRows = gated.collect().toSeq
+    val gp = plan(gated)
+    assert(wordBcast.findFirstIn(gp).isEmpty,
+      "past the gate the dictionary must NOT carry a broadcast hint:\n" + gp.take(1500))
+    assert(wordShuffle.findFirstIn(gp).isDefined,
+      "expected the shuffle-join fallback on the dict key:\n" + gp.take(1500))
+    assert(gatedRows === baseRows)
+    graft.ops.Caches.release()
+  }
+
   test("range-partitioned keyless interval join: bucket exchange per side, no broadcast (q310)") {
     val df = CoreOps.supplierOutageAttribution(spark, sf)
     df.collect()
