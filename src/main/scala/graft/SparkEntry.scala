@@ -564,10 +564,14 @@ object SparkEntry {
     "q310_outage_attribution"  -> ((s, d) => CoreOps.supplierOutageAttribution(s, d)),
     // -- the q263 KMV sketch as streaming aggregation state (q263 twin verbatim) -
     "q311_stream_kmv_distinct" -> ((s, d) => graft.streaming.EventsStream.kmvDistinctStreaming(s, d)),
+    // -- right-outer keyless range interval join: quiet-window coverage audit ----
+    "q314_outage_coverage"     -> ((s, d) => CoreOps.supplierOutageCoverage(s, d)),
     // -- Fellegi-Sunter record linkage on a derived perturbed-entity table -------
     "q312_record_linkage"      -> ((s, d) => LinkageOps.recordLinkage(s, d)),
     // -- its trained model: per-field m/u counts and smoothed log-weights --------
     "q313_linkage_weights"     -> ((s, d) => LinkageOps.linkageWeights(s, d)),
+    // -- golden records: match pairs closed into entity clusters + survivorship --
+    "q315_golden_records"      -> ((s, d) => LinkageOps.goldenRecords(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1220,8 +1224,10 @@ object SparkEntry {
         |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_outage_attribution" -> CoreOps.supplierOutageOracle,
+    "q314_outage_coverage" -> CoreOps.supplierOutageCoverageOracle,
     "q312_record_linkage" -> LinkageOps.recordLinkageOracle,
     "q313_linkage_weights" -> LinkageOps.linkageWeightsOracle,
+    "q315_golden_records" -> LinkageOps.goldenRecordsOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

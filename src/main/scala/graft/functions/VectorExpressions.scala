@@ -66,6 +66,43 @@ object VectorKernels {
     acc
   }
 
+  /** The 16×64 ±1 SRP plane matrix, derived ONCE from md5("p:d") — the
+    * single source for the Scala kernel, the HOF formulation it replaced,
+    * and the oracle literals (via `SimilarityOps.SrpSigns`).
+    */
+  val SrpSigns16: Array[Array[Long]] = Array.tabulate(16, 64) { (p, d) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if ((md(0) & 1) == 0) 1L else -1L
+  }
+
+  /** Packed 16-bit SRP sign sketch of a float[] embedding: bit p = 1 ⇔
+    * Σⱼ floor(xⱼ·10⁶ + 0.5) · signs(p)(j) ≥ 0 — bit-identical to the
+    * `aggregate(zip_with(...))` formulation (same e6 quantization, exact
+    * long arithmetic), but one static loop instead of 16 interpreted
+    * lambda folds per row.
+    */
+  def srpSketch16(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), 64)
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(a.getFloat(j).toDouble * 1000000.0 + 0.5).toLong
+      j += 1
+    }
+    var sketch = 0L
+    var p = 0
+    while (p < 16) {
+      val s = SrpSigns16(p)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += q(i) * s(i); i += 1 }
+      if (acc >= 0L) sketch |= (1L << p)
+      p += 1
+    }
+    sketch
+  }
+
   /** |A ∩ B| for two ascending-sorted int arrays (set semantics). */
   def intersectSizeSortedInt(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -142,6 +179,24 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
+/** Packed 16-bit SRP sign sketch of an ArrayType(FloatType) embedding as
+  * LongType — the q306/q307 sketch as one codegen'd static call.
+  */
+case class SrpSketch16(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpSketch16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.srpSketch16($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** |A ∩ B| of two ascending-sorted ArrayType(IntegerType) columns. */
 case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -184,6 +239,8 @@ object VectorFunctions {
       exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv",
       exprs => KmvSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_srp16",
+      exprs => SrpSketch16(exprs(0)), "built-in")
     // idempotently install the optimizer rules (the KMV rewrite is inert
     // until a session opts in via its conf flag)
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
@@ -213,4 +270,6 @@ object VectorFunctions {
 
   def ngrams(words: Column, n: Int): Column =
     call_function("graft_ngrams", words, org.apache.spark.sql.functions.lit(n))
+
+  def srp16(embedding: Column): Column = call_function("graft_srp16", embedding)
 }

@@ -1301,6 +1301,45 @@ object CoreOps {
       .orderBy(col("s_suppkey"))
   }
 
+  /** q314 — the same outage attribution as RIGHT OUTER: every window
+    * surfaces, including the ones no order fell into (n_orders = 0,
+    * revenue NULL) — the coverage-audit shape (which maintenance windows
+    * were quiet?) that completes the keyless range mode's join matrix.
+    * Unmatchedness is global, not per-bucket, so the mode recovers it with
+    * one DISTINCT + anti-join over the interval side after the bucketed
+    * sweep — still no broadcast anywhere (plan-asserted).
+    */
+  def supplierOutageCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1992-01-01"))
+    val windows = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        date_add(origin, (col("s_suppkey") * lit(997) % lit(OutageSpanDays)).cast("int"))
+          .cast("timestamp_ntz").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr(s"INTERVAL $OutageDays DAYS"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+    graft.plans.IntervalJoin.joinRangePartitioned(
+        orders, windows, orders("o_orderdate"), windows("w_start"), windows("w_end"),
+        "right", numBuckets = 32)
+      .groupBy(col("s_suppkey"), col("w_start"))
+      .agg(count(col("o_orderdate")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val supplierOutageCoverageOracle: String =
+    s"""WITH w AS (
+       |  SELECT s_suppkey,
+       |    CAST(DATE '1992-01-01' + ((s_suppkey * 997) % $OutageSpanDays) * INTERVAL 1 DAY
+       |         AS TIMESTAMP) AS w_start
+       |  FROM supplier),
+       |w2 AS (SELECT s_suppkey, w_start,
+       |              w_start + INTERVAL $OutageDays DAY AS w_end FROM w)
+       |SELECT s_suppkey, w_start, count(o_orderdate) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM w2 LEFT JOIN orders ON o_orderdate >= w_start AND o_orderdate < w_end
+       |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin
+
   val supplierOutageOracle: String =
     s"""WITH w AS (
        |  SELECT s_suppkey,

@@ -120,12 +120,23 @@ object LinkageOps {
       col("name").as("name_b"), col("bal").as("bal_b"),
       col("nation").as("nation_b"), col("seg").as("seg_b"))
     pairs.join(au, "uid_a").join(bu, "uid_b")
-      .select(col("key_a"), col("key_b"),
+      .select(col("uid_a"), col("uid_b"), col("key_a"), col("key_b"),
         (col("name_a") === col("name_b")).as("f_name"),
         (col("bal_a") === col("bal_b")).as("f_bal"),
         (col("nation_a") === col("nation_b")).as("f_nation"),
         (col("seg_a") === col("seg_b")).as("f_seg"),
         (col("key_a") === col("key_b")).as("is_true"))
+  }
+
+  /** Candidates with their DECIMAL-exact Fellegi–Sunter score attached (the
+    * one-row weights frame broadcast back — measure-then-apply).
+    */
+  private def scoredPairs(cand: DataFrame): DataFrame = {
+    val score = Fields.map { f =>
+      when(col(s"f_$f"), col(s"wa_$f")).otherwise(col(s"wd_$f"))
+    }.reduce(_ + _).cast(d186)
+    cand.crossJoin(broadcast(weightsRow(cand)))
+      .select(col("uid_a"), col("uid_b"), col("is_true"), score.as("score"))
   }
 
   private val Fields = Seq("name", "bal", "nation", "seg")
@@ -174,11 +185,7 @@ object LinkageOps {
     */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidates(spark, dir).persistTracked()
-    val score = Fields.map { f =>
-      when(col(s"f_$f"), col(s"wa_$f")).otherwise(col(s"wd_$f"))
-    }.reduce(_ + _).cast(d186)
-    val scored = cand.crossJoin(broadcast(weightsRow(cand)))
-      .select(col("is_true"), score.as("score"))
+    val scored = scoredPairs(cand)
     val decision = when(col("score") >= lit(MatchThreshold).cast(d186), lit("match"))
       .when(col("score") <= lit(NonMatchThreshold).cast(d186), lit("non_match"))
       .otherwise(lit("possible"))
@@ -213,6 +220,45 @@ object LinkageOps {
       .orderBy(col("field"))
   }
 
+  /** q315 — golden records: the match decisions closed into entity CLUSTERS
+    * (connected components over match pairs — fourth consumer of the generic
+    * q101 CC machinery, loop shuffles sized from the measured match-edge
+    * count on a session clone) and collapsed by a deterministic survivorship
+    * rule: the minimum-uid record (the A-side original whenever one is in
+    * the cluster) donates the golden fields. Per cluster: size, how many
+    * A-records it absorbed, the survivor's name, and whether the members
+    * disagree on nation (the conflict a steward would review). This is the
+    * stage an entity-resolution pipeline actually ships — q312 scores
+    * pairs, q315 turns them into one row per real-world entity.
+    */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val u = sideA(spark, dir).unionByName(sideB(spark, dir)).persistTracked()
+    val cand = candidates(spark, dir).persistTracked()
+    val matches = scoredPairs(cand)
+      .filter(col("score") >= lit(MatchThreshold).cast(d186))
+      .select(col("uid_a").as("doc_a"), col("uid_b").as("doc_b"))
+    val edges = matches.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persistTracked()
+    val nodes = u.select(col("uid").as("doc_id"))
+    val nEdges = edges.count()
+    val labels =
+      try DedupOps.loopFrames(spark, nEdges, nodes, edges, matches) {
+        case (n2, e2, p2) =>
+          DedupOps.labelPropagation(n2, e2, DedupOps.LabelPropMaxRounds)
+            .getOrElse(DedupOps.starLabels(n2, p2))
+      } finally edges.unpersist()
+    u.join(labels.select(col("doc_id").as("uid"), col("label").as("cluster_id")), "uid")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("src") === "A", 1L).otherwise(0L)).as("n_a"),
+        max(when(col("uid") === col("cluster_id"), col("name"))).as("survivor_name"),
+        (countDistinct(col("nation")) > 1).as("nation_conflict"))
+      .orderBy(col("cluster_id"))
+  }
+
   // --------------------------------------------------------------------------
   // Oracle twins
   // --------------------------------------------------------------------------
@@ -244,7 +290,7 @@ object LinkageOps {
        |    CASE WHEN ux % 2 = 0 THEN uy ELSE ux END AS uid_b
        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
        |cand AS MATERIALIZED (
-       |  SELECT au.key AS key_a, bu.key AS key_b,
+       |  SELECT pp.uid_a, pp.uid_b, au.key AS key_a, bu.key AS key_b,
        |    au.name = bu.name AS f_name, au.bal = bu.bal AS f_bal,
        |    au.nation = bu.nation AS f_nation, au.seg = bu.seg AS f_seg,
        |    au.key = bu.key AS is_true
@@ -286,6 +332,27 @@ object LinkageOps {
        |  CAST(min(score) AS DOUBLE) AS min_score,
        |  CAST(max(score) AS DOUBLE) AS max_score
        |FROM sc GROUP BY 1, 2 ORDER BY decision, is_true""".stripMargin
+  }
+
+  val goldenRecordsOracle: String = {
+    val score = Fields.map(f => s"CASE WHEN f_$f THEN wa_$f ELSE wd_$f END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $linkageCtesSql,
+       |sc AS (SELECT uid_a, uid_b, CAST($score AS DECIMAL(18,6)) AS score
+       |       FROM cand CROSS JOIN wt),
+       |m AS (SELECT uid_a, uid_b FROM sc
+       |      WHERE score >= CAST($MatchThreshold AS DECIMAL(18,6))),
+       |edges AS (SELECT uid_a AS src, uid_b AS dst FROM m
+       |          UNION ALL SELECT uid_b, uid_a FROM m),
+       |reach AS (SELECT uid AS node, uid AS r FROM u
+       |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |cc AS (SELECT node AS uid, min(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT cc.cluster_id, count(*) AS n_records,
+       |  CAST(sum(CASE WHEN u.src = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  max(CASE WHEN u.uid = cc.cluster_id THEN u.name END) AS survivor_name,
+       |  count(DISTINCT u.nation) > 1 AS nation_conflict
+       |FROM cc JOIN u USING (uid)
+       |GROUP BY cc.cluster_id ORDER BY cc.cluster_id""".stripMargin
   }
 
   val linkageWeightsOracle: String = {

@@ -1241,15 +1241,12 @@ object SimilarityOps {
     * "plane:dim" (deterministic, seedless) and injected into BOTH engines
     * as literals — the sketch definition lives outside either engine, so
     * cross-engine parity is by construction (the q298 shared-constant
-    * pattern).
+    * pattern). Single-sourced from the codegen kernel's matrix
+    * ([[graft.functions.VectorKernels.SrpSigns16]]) so the kernel, the HOF
+    * formulation, and the oracle literals can never drift.
     */
-  val SrpSigns: Seq[Seq[Int]] = (0 until SrpPlanes).map { p =>
-    (0 until 64).map { d =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8"))
-      if ((md(0) & 1) == 0) 1 else -1
-    }
-  }
+  val SrpSigns: Seq[Seq[Int]] =
+    graft.functions.VectorKernels.SrpSigns16.toIndexedSeq.map(_.toIndexedSeq.map(_.toInt))
 
   /** q306 — SRP (signed random projection) bit-sketch calibration: compress
     * every embedding to [[SrpPlanes]] sign bits and measure, over the q161
@@ -1272,24 +1269,15 @@ object SimilarityOps {
   def srpCalibration(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val xq = expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-    val bits = array(SrpSigns.map { row =>
-      val signs = array(row.map(v => lit(v.toLong)): _*)
-      (aggregate(zip_with(col("xq"), signs, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
-        >= 0L).cast("int")
-    }: _*)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), xq.as("xq"))
-      .withColumn("bits", bits)
+    val e = withSrpSketch(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
     val isEval = pmod(col("vec_id") * lit(RetrievalOps.EvalHashMult), lit(100L)) <
       lit(RetrievalOps.EvalPct)
     val qs = e.filter(isEval)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bits").as("q_bits"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("srp").as("q_srp"))
     val tr = e.filter(!isEval)
-    val hamming = aggregate(
-      zip_with(col("q_bits"), col("bits"), (a, b) => when(a =!= b, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    val hamming = call_function("bit_count",
+      col("q_srp").bitwiseXOR(col("srp"))).cast("long")
     tr.crossJoin(broadcast(qs))
       .select(hamming.as("h"),
         OracleMath.stableRound(cosine(col("embedding"), col("q_emb")), 6)
@@ -1326,20 +1314,14 @@ object SimilarityOps {
   val SrpGateMaxH = 14
 
   /** Add the [[SrpPlanes]]-bit packed SRP sign sketch (`srp` BIGINT) to a
-    * frame with an `embedding` column. Two stacked projections so the e6
-    * quantization runs once per vector, not once per plane; all integer
-    * arithmetic (the q306 sketch definition, bit p = 1 ⇔ ⟨xq, s_p⟩ ≥ 0).
+    * frame with an `embedding` column — the codegen'd
+    * [[graft.functions.SrpSketch16]] kernel (one static loop per row; the
+    * original 16 × `aggregate(zip_with(...))` interpreted folds cost q307
+    * ~0.4 s at sf0.1). Requires `VectorFunctions.register` on the session,
+    * which every caller already does.
     */
-  private[graft] def withSrpSketch(df: DataFrame): DataFrame = {
-    val xq = expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-    val packed = SrpSigns.zipWithIndex.map { case (row, p) =>
-      val signs = array(row.map(v => lit(v.toLong)): _*)
-      when(aggregate(zip_with(col("__xq"), signs, (a, b) => a * b), lit(0L),
-        (acc, v) => acc + v) >= 0L, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn("__xq", xq).withColumn("srp", packed).drop("__xq")
-  }
+  private[graft] def withSrpSketch(df: DataFrame): DataFrame =
+    df.withColumn("srp", graft.functions.VectorFunctions.srp16(col("embedding")))
 
   /** q307 — [[annNearDup]] with the SRP Hamming prefilter ARMED (the q306
     * calibration deployed as a candidate gate): identical output to q135 —

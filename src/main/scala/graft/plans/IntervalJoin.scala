@@ -462,8 +462,39 @@ object IntervalJoin {
                            joinType: String = "inner",
                            numBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
+    // right/full decompose over the inner/left core: an interval's replicas
+    // straddle buckets, so per-bucket unmatchedness is not global — but the
+    // DISTINCT matched-interval set IS, and one anti-join recovers the
+    // never-matched intervals (null-padded on the point side). Same result
+    // matrix as the keyed exec, still zero broadcasts.
+    if (joinType == "right" || joinType == "full") {
+      val base = joinRangePartitionedCore(points, intervals, pointTime, start, end,
+        if (joinType == "full") "left" else "inner", numBuckets)
+      // positional slice: the join output is points-columns ++ interval-columns
+      val pLen = points.columns.length
+      val iCols = intervals.columns
+      val fresh = base.toDF(base.columns.indices.map(i => s"__c$i"): _*)
+      val matched = fresh.select(iCols.indices.map(j => col(s"__c${pLen + j}").as(iCols(j))): _*)
+        .distinct()
+      // null-safe on every interval column: null-bounded intervals never
+      // match and must surface as unmatched, exactly like the keyed exec
+      val unmatched = intervals.join(matched,
+        iCols.map(c => intervals(c) <=> matched(c)).reduce(_ && _), "left_anti")
+      val padded = unmatched.select(
+        points.schema.zipWithIndex.map { case (f, i) =>
+          lit(null).cast(f.dataType).as(s"__p$i") } ++ iCols.map(col): _*)
+      return base.union(padded) // positional: base may carry duplicate names
+    }
     require(joinType == "inner" || joinType == "left",
-      s"range-partitioned interval join supports inner|left, got '$joinType'")
+      s"range-partitioned interval join supports inner|left|right|full, got '$joinType'")
+    joinRangePartitionedCore(points, intervals, pointTime, start, end, joinType, numBuckets)
+  }
+
+  private def joinRangePartitionedCore(points: DataFrame, intervals: DataFrame,
+                                       pointTime: Column, start: Column, end: Column,
+                                       joinType: String,
+                                       numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     // monotone long proxy for BUCKETING only (truncation keeps ≤, which is
     // all the bucket-cover argument needs); the exec still compares the
     // original values exactly

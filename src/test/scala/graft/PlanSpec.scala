@@ -315,6 +315,31 @@ class PlanSpec extends AnyFunSuite {
       "ungated q135 must be byte-identical to the round-8 candidate path")
   }
 
+  test("SrpSketch16 kernel is bit-identical to the HOF formulation it replaced") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val xq = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+    val hofPacked = SimilarityOps.SrpSigns.zipWithIndex.map { case (row, p) =>
+      val signs = array(row.map(v => lit(v.toLong)): _*)
+      when(aggregate(zip_with(col("__xq"), signs, (a, b) => a * b), lit(0L),
+        (acc, v) => acc + v) >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mismatches = e.withColumn("__xq", xq)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.srp16(col("embedding")).as("k"),
+        hofPacked.as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(mismatches === 0L)
+    // and the kernel stays inside whole-stage codegen
+    val p = plan(e.select(graft.functions.VectorFunctions.srp16(col("embedding"))))
+    assert(p.contains("srpsketch16") || p.contains("SrpSketch16"))
+    // `*(n)` marks operators inside a WholeStageCodegen stage
+    assert(p.split("\n").exists(l => l.contains("srpsketch16") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      "kernel must not fall out of codegen:\n" + p.take(600))
+  }
+
   test("as-of join plans with exactly one shuffle+sort per side (q61)") {
     val df = EventOps.asofAttribution(spark, sf)
     df.collect()
