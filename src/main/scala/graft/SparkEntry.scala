@@ -572,6 +572,10 @@ object SparkEntry {
     "q313_linkage_weights"     -> ((s, d) => LinkageOps.linkageWeights(s, d)),
     // -- golden records: match pairs closed into entity clusters + survivorship --
     "q315_golden_records"      -> ((s, d) => LinkageOps.goldenRecords(s, d)),
+    // -- REAL codec in the oracle loop: render PNGs, decode, checksum pixels -----
+    "q316_png_roundtrip"       -> ((s, d) => MultimodalOps.pngRoundtrip(s, d)),
+    // -- incremental linkage: delta batch vs corpus under the FROZEN weights -----
+    "q317_delta_linkage"       -> ((s, d) => LinkageOps.deltaLinkage(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1228,6 +1232,8 @@ object SparkEntry {
     "q312_record_linkage" -> LinkageOps.recordLinkageOracle,
     "q313_linkage_weights" -> LinkageOps.linkageWeightsOracle,
     "q315_golden_records" -> LinkageOps.goldenRecordsOracle,
+    "q316_png_roundtrip" -> MultimodalOps.pngRoundtripOracle,
+    "q317_delta_linkage" -> LinkageOps.deltaLinkageOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

@@ -259,6 +259,110 @@ object LinkageOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** The incremental batch: the 10 % of customers NOT in B re-observed
+    * "today", same perturbation scheme (uid = 2·key + 1 — disjoint from the
+    * corpus uids because those keys never produced a B record).
+    */
+  private def sideDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 9)
+      .select(
+        col("c_custkey").as("key"), lit("D").as("src"),
+        (col("c_custkey") * 2 + 1).as("uid"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0, floor(col("c_acctbal")))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nation"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+
+  /** q317 — INCREMENTAL linkage: today's delta batch linked against the
+    * corpus with the FROZEN model (the m/u weights q313 estimated on the
+    * base candidates — apply-time never re-trains). Blocking switches from
+    * rank neighborhoods to standard KEY blocking so the cost is
+    * delta × bucket size, never corpus × corpus: a name-prefix key (the
+    * trailing-typo perturbation only touches the last character) OR an
+    * integer balance-floor key (flooring is idempotent, so a cents-lost
+    * re-observation lands in its source's bucket by construction). Output
+    * is the delta's decision matrix — the daily-ingest report an
+    * incremental entity-resolution pipeline actually produces.
+    */
+  def deltaLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir).persistTracked()
+    val wts = weightsRow(cand) // trained on the BASE, applied to the delta
+    val a = sideA(spark, dir)
+    val d = sideDelta(spark, dir)
+    def keyed(df: DataFrame, side: String) = df.select(
+      col("uid").as(s"uid_$side"), col("key").as(s"key_$side"),
+      col("name").as(s"name_$side"), col("bal").as(s"bal_$side"),
+      col("nation").as(s"nation_$side"), col("seg").as(s"seg_$side"),
+      expr("substr(name, 1, length(name) - 1)").as("bk1"),
+      floor(col("bal")).as("bk2"))
+    val aK = keyed(a, "a").persistTracked()
+    val dK = keyed(d, "b")
+    val pairIds = aK.select(col("uid_a"), col("bk1")).join(dK.select(col("uid_b"), col("bk1")), "bk1")
+      .select(col("uid_a"), col("uid_b"))
+      .unionByName(
+        aK.select(col("uid_a"), col("bk2")).join(dK.select(col("uid_b"), col("bk2")), "bk2")
+          .select(col("uid_a"), col("uid_b")))
+      .distinct()
+    val dc = pairIds
+      .join(aK.drop("bk1", "bk2"), "uid_a")
+      .join(dK.drop("bk1", "bk2"), "uid_b")
+      .select(
+        (col("name_a") === col("name_b")).as("f_name"),
+        (col("bal_a") === col("bal_b")).as("f_bal"),
+        (col("nation_a") === col("nation_b")).as("f_nation"),
+        (col("seg_a") === col("seg_b")).as("f_seg"),
+        (col("key_a") === col("key_b")).as("is_true"))
+    val score = Fields.map { f =>
+      when(col(s"f_$f"), col(s"wa_$f")).otherwise(col(s"wd_$f"))
+    }.reduce(_ + _).cast(d186)
+    val decision = when(col("score") >= lit(MatchThreshold).cast(d186), lit("match"))
+      .when(col("score") <= lit(NonMatchThreshold).cast(d186), lit("non_match"))
+      .otherwise(lit("possible"))
+    dc.crossJoin(broadcast(wts))
+      .select(col("is_true"), score.as("score"))
+      .groupBy(decision.as("decision"), col("is_true"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("decision"), col("is_true"))
+  }
+
+  val deltaLinkageOracle: String = {
+    val score = Fields.map(f => s"CASE WHEN f_$f THEN wa_$f ELSE wd_$f END")
+      .mkString(" + ")
+    s"""WITH $linkageCtesSql,
+       |dl AS (SELECT c_custkey AS key, c_custkey * 2 + 1 AS uid,
+       |    CASE WHEN c_custkey % 3 = 0
+       |         THEN substr(c_name, 1, length(c_name) - 1) || 'X' ELSE c_name END AS name,
+       |    CASE WHEN c_custkey % 5 = 0 THEN floor(c_acctbal) ELSE c_acctbal END AS bal,
+       |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nation,
+       |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+       |  FROM customer WHERE c_custkey % 10 = 9),
+       |ak AS (SELECT uid, key, name, bal, nation, seg,
+       |         substr(name, 1, length(name) - 1) AS bk1, floor(bal) AS bk2 FROM a),
+       |dk AS (SELECT uid, key, name, bal, nation, seg,
+       |         substr(name, 1, length(name) - 1) AS bk1, floor(bal) AS bk2 FROM dl),
+       |dp AS (SELECT DISTINCT uid_a, uid_b FROM (
+       |    SELECT ak.uid AS uid_a, dk.uid AS uid_b FROM ak JOIN dk ON ak.bk1 = dk.bk1
+       |    UNION ALL
+       |    SELECT ak.uid, dk.uid FROM ak JOIN dk ON ak.bk2 = dk.bk2)),
+       |dc AS (SELECT a2.name = d2.name AS f_name, a2.bal = d2.bal AS f_bal,
+       |         a2.nation = d2.nation AS f_nation, a2.seg = d2.seg AS f_seg,
+       |         a2.key = d2.key AS is_true
+       |       FROM dp JOIN ak a2 ON a2.uid = dp.uid_a JOIN dk d2 ON d2.uid = dp.uid_b),
+       |sc AS (SELECT is_true, CAST($score AS DECIMAL(18,6)) AS score
+       |       FROM dc CROSS JOIN wt)
+       |SELECT CASE WHEN score >= CAST($MatchThreshold AS DECIMAL(18,6)) THEN 'match'
+       |            WHEN score <= CAST($NonMatchThreshold AS DECIMAL(18,6)) THEN 'non_match'
+       |            ELSE 'possible' END AS decision,
+       |  is_true, count(*) AS n_pairs
+       |FROM sc GROUP BY 1, 2 ORDER BY decision, is_true""".stripMargin
+  }
+
   // --------------------------------------------------------------------------
   // Oracle twins
   // --------------------------------------------------------------------------

@@ -109,6 +109,29 @@ object MultimodalOps {
         else MediaFeatures(r.doc_id, n, first, img.getWidth.toLong, img.getHeight.toLong, ok = true)
       }
 
+    /** Decode + whole-image Σ(R+G+B) checksum — the q316 roundtrip's decode
+      * half (undecodable payloads degrade to an ok=false row).
+      */
+    def decodeSumBatch(batch: Seq[MediaRecord]): Seq[PngRoundtrip] =
+      batch.map { r =>
+        val img = read(r.data)
+        if (img == null) PngRoundtrip(r.doc_id, 0L, 0L, ok = false, 0L)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          PngRoundtrip(r.doc_id, img.getWidth.toLong, img.getHeight.toLong, ok = true, sum)
+        }
+      }
+
     /** The q154/q156 letterbox geometry on REAL pixels: nearest-neighbor map
       * each content-region output pixel back to a source pixel (the same
       * integer floor arithmetic as [[StubDecoder.resizeBatch]]) and checksum
@@ -144,6 +167,62 @@ object MultimodalOps {
         }
       }
   }
+
+  /** One real-codec roundtrip row (q316): geometry and pixel checksum the
+    * decoder RECOVERED from actual PNG bytes.
+    */
+  final case class PngRoundtrip(doc_id: Long, width: Long, height: Long,
+      ok: Boolean, pix_sum: Long)
+
+  /** q316 — the REAL codec inside a verified registry query: each document
+    * is rendered executor-side into an actual PNG (geometry and fill color
+    * are deterministic functions of `n_chars` / `doc_id`), the bytes go
+    * through [[ImageIoDecoder]], and the output is what the DECODER
+    * recovered — dimensions and the Σ(R+G+B) pixel checksum. The oracle
+    * computes the same values from the construction arithmetic alone, so a
+    * decoder that misread size, color depth, or a single pixel value fails
+    * the hash. This closes the q44/q156 stub asterisk inside the oracle
+    * gate itself (the testdata has no image bytes, so the query makes its
+    * own — every byte that reaches the decoder is a real PNG).
+    *
+    * Scale shape: row-local encode/decode in 32-record batches inside one
+    * mapPartitions (no shuffle until the presentation sort); at 100 TB this
+    * is exactly the decode-and-featurize pass, with the synthetic render
+    * swapped for a payload column read.
+    */
+  def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    recs.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        val encoded = batch.map { case (d, n) =>
+          val w = (n % 64).toInt + 1
+          val h = ((n * 7) % 48).toInt + 1
+          val rgb = ((((d % 256) << 16) | (((d * 7) % 256) << 8) | ((d * 13) % 256))).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRecord(d, out.toByteArray, "png", n)
+        }
+        ImageIoDecoder.decodeSumBatch(encoded)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val pngRoundtripOracle: String =
+    """SELECT doc_id, (n_chars % 64) + 1 AS width, ((n_chars * 7) % 48) + 1 AS height,
+      | true AS ok,
+      | ((n_chars % 64) + 1) * (((n_chars * 7) % 48) + 1)
+      |   * ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) AS pix_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** documents → binary media records (payload = UTF-8 bytes of `text`). */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
