@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension (SURVEY §7.4 path c): AS-OF join strategy
     // plus the pushdown rule Catalyst can't apply to a node it doesn't know
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinFilterPushdown)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }

@@ -576,6 +576,8 @@ object SparkEntry {
     "q316_png_roundtrip"       -> ((s, d) => MultimodalOps.pngRoundtrip(s, d)),
     // -- incremental linkage: delta batch vs corpus under the FROZEN weights -----
     "q317_delta_linkage"       -> ((s, d) => LinkageOps.deltaLinkage(s, d)),
+    // -- custom-node filter pushdown: predicate above the interval join -> scan --
+    "q318_interval_filtered"   -> ((s, d) => CoreOps.intervalJoinFiltered(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1234,6 +1236,7 @@ object SparkEntry {
     "q315_golden_records" -> LinkageOps.goldenRecordsOracle,
     "q316_png_roundtrip" -> MultimodalOps.pngRoundtripOracle,
     "q317_delta_linkage" -> LinkageOps.deltaLinkageOracle,
+    "q318_interval_filtered" -> CoreOps.intervalJoinFilteredOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_m IS NULL OR date_diff('second', prev_m, m) > 1800 THEN 1 ELSE 0 END AS new_session FROM (

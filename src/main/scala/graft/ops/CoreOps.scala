@@ -1261,6 +1261,41 @@ object CoreOps {
       .orderBy(col("month"))
   }
 
+  /** q318 — q239's month attribution with a point-side predicate applied
+    * ABOVE the custom interval-join node on purpose: Catalyst cannot push
+    * through a node it doesn't know, so
+    * [[graft.plans.IntervalJoinFilterPushdown]] is what moves the priority
+    * filter below the join and into the parquet scan's PushedFilters
+    * (plan-asserted in PlanSpec) — at 100 TB the difference between
+    * sweeping one priority class and sweeping every order.
+    */
+  def intervalJoinFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int"))
+        .cast("timestamp_ntz").as("month"),
+        add_months(origin, col("id").cast("int") + 1)
+          .cast("timestamp_ntz").as("month_end"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+    graft.plans.IntervalJoin.pointInInterval(
+        orders, months, orders("o_orderdate"), months("month"), months("month_end"))
+      .filter(col("o_orderpriority") === "1-URGENT") // above the node: the rule pushes it
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  val intervalJoinFilteredOracle: String =
+    """SELECT m AS month, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
+      |JOIN orders ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Outage-window day span (q310): windows per supplier start at a
     * deterministic arithmetic offset and run [[OutageDays]] days.
     */

@@ -418,11 +418,17 @@ case class IntervalJoinExec(
 
 /** DataFrame-level API for the merge interval join. */
 object IntervalJoin {
-  /** Installs [[IntervalJoinStrategy]] on the session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  /** Installs [[IntervalJoinStrategy]] + the filter-pushdown rule on the
+    * session (idempotent).
+    */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(IntervalJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinFilterPushdown
+  }
 
   /** `points INTERVAL JOIN intervals ON start <= t AND t < end` (inner,
     * keyless — the interval side must be broadcast-sized; the point side

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Predicate pushdown through the custom [[IntervalJoinPlan]] node — the
+  * interval-join sibling of [[AsOfJoinFilterPushdown]]: Catalyst's
+  * `PushDownPredicates` only understands built-in nodes, so without this a
+  * `Filter` above the join blocks all scan pruning below it.
+  *
+  * Which conjuncts may move differs from the as-of rule because the interval
+  * join matches ALL containing intervals (no "latest" selection to perturb),
+  * while the outer modes make one side null-producing:
+  *
+  *  1. **Point-side push** (deterministic, references ⊆ left): safe unless
+  *     `keepRight` — under right/full outer the left side is null-producing,
+  *     and dropping a point early can turn a matched interval into an
+  *     unmatched (null-padded) emission the original filter never saw.
+  *  2. **Interval-side push** (references ⊆ right): safe unless `keepLeft` —
+  *     matches are per-interval independent, so dropping a failing interval
+  *     drops exactly its own match (and, under `keepRight`, its own
+  *     null-padded emission, which the filter above would have dropped
+  *     anyway). Under left/full outer the right side is null-producing and
+  *     the push would resurrect rows.
+  *  3. **Key mirror** (keyed mode): a pushed `key = lit` / `key IN (lits)`
+  *     conjunct is duplicated onto the positionally-matching key of the
+  *     OTHER side — a row outside `lits` can never equi-match a surviving
+  *     row, and under the outer modes its null-padded emission carries a
+  *     NULL key on the filtered side, which the original conjunct already
+  *     rejected. Safe in every mode.
+  */
+object IntervalJoinFilterPushdown extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def mirror(keys: Seq[Expression], onto: Seq[Expression],
+                     c: Expression): Option[Expression] = {
+    def keyFor(k: Expression): Option[Expression] =
+      keys.zipWithIndex.collectFirst {
+        case (lk, i) if lk.semanticEquals(k) => onto(i)
+      }
+    c match {
+      case EqualTo(k, v: Literal) => keyFor(k).map(EqualTo(_, v))
+      case EqualTo(v: Literal, k) => keyFor(k).map(EqualTo(_, v))
+      case In(k, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        keyFor(k).map(In(_, vs))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: IntervalJoinPlan) =>
+      val cs = conjuncts(cond)
+      val leftPush = cs.filter(c => !j.keepRight && c.deterministic &&
+        c.references.nonEmpty && c.references.subsetOf(j.left.outputSet))
+      val rightPush = cs.filter(c => !j.keepLeft && c.deterministic &&
+        c.references.nonEmpty && c.references.subsetOf(j.right.outputSet))
+      if (leftPush.isEmpty && rightPush.isEmpty) f
+      else {
+        val rest = cs.filterNot(c => leftPush.contains(c) || rightPush.contains(c))
+        val rightSide = rightPush ++ leftPush.flatMap(mirror(j.leftKeys, j.rightKeys, _))
+        val leftSide = leftPush ++ rightPush.flatMap(mirror(j.rightKeys, j.leftKeys, _))
+        val newLeft = if (leftSide.isEmpty) j.left else Filter(leftSide.reduce(And), j.left)
+        val newRight = if (rightSide.isEmpty) j.right else Filter(rightSide.reduce(And), j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}

@@ -365,6 +365,53 @@ class PlanSpec extends AnyFunSuite {
     assert(pushedIn == 2, s"expected user_id IN pushed to both scans:\n$finalP")
   }
 
+  test("filter above the interval join pushes through the custom node to the scan") {
+    import org.apache.spark.sql.functions._
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int")).cast("timestamp_ntz").as("month"),
+        add_months(origin, col("id").cast("int") + 1).cast("timestamp_ntz").as("month_end"))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val joined = graft.plans.IntervalJoin.pointInInterval(
+      orders, months, orders("o_orderdate"), months("month"), months("month_end"))
+    // point-side conjunct above the custom node: without
+    // IntervalJoinFilterPushdown it is stuck there and the scan reads the
+    // whole table; with it, the predicate reaches PushedFilters
+    val filtered = joined.filter(col("o_orderpriority") === "1-URGENT")
+    filtered.collect()
+    val p = plan(filtered).split("== Initial Plan ==").head
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(o_orderpriority".r.findFirstIn(p).isDefined,
+      "point-side filter must reach the parquet scan:\n" + p.take(1500))
+    // semantics: identical to filtering before the join
+    val pre = graft.plans.IntervalJoin.pointInInterval(
+      orders.filter(col("o_orderpriority") === "1-URGENT"), months,
+      orders("o_orderdate"), months("month"), months("month_end"))
+    assert(filtered.count() === pre.count())
+    // the registry consumer (q318) gets the same pushdown
+    val q318 = CoreOps.intervalJoinFiltered(spark, sf)
+    q318.collect()
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(o_orderpriority".r
+      .findFirstIn(plan(q318).split("== Initial Plan ==").head).isDefined)
+    // interval-side (right) conjuncts must NOT push under LEFT outer — the
+    // null-producing side would resurrect rows; the rule leaves the plan as
+    // a Filter above the join
+    val leftJoined = graft.plans.IntervalJoin.join(
+      orders, months, Nil, Nil, orders("o_orderdate"), months("month"), months("month_end"), "left")
+    val lf = leftJoined.filter(col("month") >= lit("1998-01-01").cast("timestamp_ntz"))
+    val lp = lf.queryExecution.optimizedPlan.toString
+    assert(lp.trim.startsWith("Filter") || lp.contains("Filter ("),
+      "right-side conjunct must stay above the left-outer interval join:\n" + lp.take(800))
+    // and the null-padded semantics survive: no month filter below the join
+    val nUnmatchedDropped = lf.count()
+    val above = leftJoined.collect().count { r =>
+      val m = r.getAs[java.time.LocalDateTime]("month")
+      m != null && !m.isBefore(java.time.LocalDateTime.of(1998, 1, 1, 0, 0))
+    }
+    assert(nUnmatchedDropped === above.toLong)
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (q70)") {
     val df = EventOps.partitionedScan(spark, sf)
     df.collect()
