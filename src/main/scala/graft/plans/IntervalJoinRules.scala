@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -29,6 +29,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     row, and under the outer modes its null-padded emission carries a
   *     NULL key on the filtered side, which the original conjunct already
   *     rejected. Safe in every mode.
+  *  4. **Time-range mirror**: a PUSHED point-time bound implies an interval
+  *     bound — `t ≥ L` (every surviving point) means an interval with
+  *     `end ≤ L` contains none of them (`t < end ≤ L` contradicts), so
+  *     `end > L` mirrors onto the interval side; symmetrically `t ≤ U` ⇒
+  *     `start ≤ U` (and the strict forms). Mirrors only ever derive from
+  *     conjuncts that were themselves pushable, so the mode restrictions
+  *     above already hold, and removing an interval no surviving point can
+  *     land in never changes a surviving row's match set.
   */
 object IntervalJoinFilterPushdown extends Rule[LogicalPlan] {
 
@@ -52,6 +60,24 @@ object IntervalJoinFilterPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** A pushed bound on the point time, re-expressed as the loosest interval
+    * bound that still excludes nothing a surviving point could match.
+    */
+  private def timeMirror(j: IntervalJoinPlan, c: Expression): Option[Expression] = {
+    def isT(e: Expression): Boolean = e.semanticEquals(j.leftTime)
+    c match {
+      case GreaterThanOrEqual(t, v: Literal) if isT(t) => Some(GreaterThan(j.rightEnd, v))
+      case GreaterThan(t, v: Literal) if isT(t)        => Some(GreaterThan(j.rightEnd, v))
+      case LessThan(v: Literal, t) if isT(t)           => Some(GreaterThan(j.rightEnd, v))
+      case LessThanOrEqual(v: Literal, t) if isT(t)    => Some(GreaterThan(j.rightEnd, v))
+      case LessThanOrEqual(t, v: Literal) if isT(t)    => Some(LessThanOrEqual(j.rightStart, v))
+      case LessThan(t, v: Literal) if isT(t)           => Some(LessThan(j.rightStart, v))
+      case GreaterThan(v: Literal, t) if isT(t)        => Some(LessThan(j.rightStart, v))
+      case GreaterThanOrEqual(v: Literal, t) if isT(t) => Some(LessThanOrEqual(j.rightStart, v))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: IntervalJoinPlan) =>
       val cs = conjuncts(cond)
@@ -62,7 +88,9 @@ object IntervalJoinFilterPushdown extends Rule[LogicalPlan] {
       if (leftPush.isEmpty && rightPush.isEmpty) f
       else {
         val rest = cs.filterNot(c => leftPush.contains(c) || rightPush.contains(c))
-        val rightSide = rightPush ++ leftPush.flatMap(mirror(j.leftKeys, j.rightKeys, _))
+        val rightSide = rightPush ++
+          leftPush.flatMap(mirror(j.leftKeys, j.rightKeys, _)) ++
+          leftPush.flatMap(timeMirror(j, _))
         val leftSide = leftPush ++ rightPush.flatMap(mirror(j.rightKeys, j.leftKeys, _))
         val newLeft = if (leftSide.isEmpty) j.left else Filter(leftSide.reduce(And), j.left)
         val newRight = if (rightSide.isEmpty) j.right else Filter(rightSide.reduce(And), j.right)

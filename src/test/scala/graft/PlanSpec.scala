@@ -394,6 +394,18 @@ class PlanSpec extends AnyFunSuite {
     q318.collect()
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(o_orderpriority".r
       .findFirstIn(plan(q318).split("== Initial Plan ==").head).isDefined)
+    // time-range MIRROR: a pushed point-time bound re-expresses as an
+    // interval bound on the other side (t >= L  ⇒  month_end > L), so both
+    // children shrink before the sweep
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val tf = joined.filter(col("o_orderdate") >= cutoff)
+    val opt = tf.queryExecution.optimizedPlan.toString
+    assert(opt.contains("month_end") && "month_end#\\d+ >".r.findFirstIn(opt).isDefined,
+      "t >= L must mirror as end > L on the interval side:\n" + opt.take(1200))
+    val preT = graft.plans.IntervalJoin.pointInInterval(
+      orders.filter(col("o_orderdate") >= cutoff), months,
+      orders("o_orderdate"), months("month"), months("month_end"))
+    assert(tf.count() === preT.count())
     // interval-side (right) conjuncts must NOT push under LEFT outer — the
     // null-producing side would resurrect rows; the rule leaves the plan as
     // a Filter above the join
