@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plus the pushdown rule Catalyst can't apply to a node it doesn't know
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.GraftJoinColumnPruning)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }

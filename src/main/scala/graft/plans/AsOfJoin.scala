@@ -169,6 +169,9 @@ object AsOfJoin {
     if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+    if (!spark.experimental.extraOptimizations.contains(GraftJoinColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftJoinColumnPruning
   }
 
   /** `left ASOF [LEFT] JOIN right ON leftKey = rightKey AND leftTime >=

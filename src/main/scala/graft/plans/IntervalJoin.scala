@@ -428,6 +428,9 @@ object IntervalJoin {
     if (!spark.experimental.extraOptimizations.contains(IntervalJoinFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntervalJoinFilterPushdown
+    if (!spark.experimental.extraOptimizations.contains(GraftJoinColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftJoinColumnPruning
   }
 
   /** `points INTERVAL JOIN intervals ON start <= t AND t < end` (inner,

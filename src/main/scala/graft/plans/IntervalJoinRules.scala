@@ -38,6 +38,47 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     above already hold, and removing an interval no surviving point can
   *     land in never changes a surviving row's match set.
   */
+/** Column pruning through the custom join nodes: Catalyst's `ColumnPruning`
+  * inserts per-child Projects below nodes it knows; for [[IntervalJoinPlan]]
+  * and [[AsOfJoinPlan]] it can't, so `join(...).select(two cols)` would scan
+  * every column of both inputs. A `Project` above either node prunes each
+  * child to (columns the projection references) ∪ (columns the join
+  * condition itself reads — keys, times, bounds); fires only when that
+  * actually drops something, so the optimizer batch reaches a fixpoint.
+  * The join's `output` derives from its children's outputs, so the node
+  * re-resolves to the narrow schema by construction.
+  */
+object GraftJoinColumnPruning extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  private def prune(child: LogicalPlan, needed: AttributeSet): Option[LogicalPlan] = {
+    val keep = child.output.filter(needed.contains)
+    if (keep.size < child.output.size) Some(Project(keep, child)) else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, j: IntervalJoinPlan) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet((j.leftKeys ++ j.rightKeys ++
+          Seq(j.leftTime, j.rightStart, j.rightEnd)).flatMap(_.references))
+      val l = prune(j.left, needed)
+      val r = prune(j.right, needed)
+      if (l.isEmpty && r.isEmpty) p
+      else Project(projectList,
+        j.copy(left = l.getOrElse(j.left), right = r.getOrElse(j.right)))
+    case p @ Project(projectList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet((j.leftKeys ++ j.rightKeys ++
+          Seq(j.leftTime, j.rightTime)).flatMap(_.references))
+      val l = prune(j.left, needed)
+      val r = prune(j.right, needed)
+      if (l.isEmpty && r.isEmpty) p
+      else Project(projectList,
+        j.copy(left = l.getOrElse(j.left), right = r.getOrElse(j.right)))
+  }
+}
+
 object IntervalJoinFilterPushdown extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

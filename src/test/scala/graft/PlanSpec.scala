@@ -424,6 +424,43 @@ class PlanSpec extends AnyFunSuite {
     assert(nUnmatchedDropped === above.toLong)
   }
 
+  test("column pruning reaches the scans through the custom join nodes") {
+    import org.apache.spark.sql.functions._
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int")).cast("timestamp_ntz").as("month"),
+        add_months(origin, col("id").cast("int") + 1).cast("timestamp_ntz").as("month_end"))
+    // deliberately hand the join the FULL orders table (no pre-select): the
+    // projection above the custom node must be what narrows the scan
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val thin = graft.plans.IntervalJoin.pointInInterval(
+        orders, months, orders("o_orderdate"), months("month"), months("month_end"))
+      .select(col("month"), col("o_totalprice"))
+    thin.collect()
+    val p = plan(thin).split("== Initial Plan ==").head
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("o_totalprice") && readSchema.contains("o_orderdate"),
+      s"needed columns must survive: $readSchema")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"),
+      s"projected-away columns must not reach the scan: $readSchema")
+    // same through the as-of node (right side aliased: fresh attribute ids)
+    val ev = Tables.events(spark, sf)
+    val purch = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"), col("props").as("c_props"))
+    val asof = graft.plans.AsOfJoin.asof(
+        purch, clicks, Seq(purch("user_id")), Seq(clicks("c_uid")),
+        purch("ts"), clicks("c_ts"))
+      .select(purch("event_id"), col("c_eid"))
+    asof.collect()
+    val ap = plan(asof).split("== Initial Plan ==").head
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(ap).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("props")),
+      s"as-of scans must drop the unreferenced wide column: $schemas")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (q70)") {
     val df = EventOps.partitionedScan(spark, sf)
     df.collect()
