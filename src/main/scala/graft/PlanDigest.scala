@@ -41,7 +41,9 @@ object PlanDigest {
     "q61_asof_join", "q89_runtime_filter", "q118_big_spenders",
     "q126_lateral_topk", "q129_not_in_nullaware", "q146_salted_join",
     "q157_bm25_topk", "q187_phash_neardup", "q198_gdpr_purge",
-    "q233_ks_test", "q239_interval_join", "q261_scd2_interval_attr")
+    "q233_ks_test", "q239_interval_join", "q261_scd2_interval_attr",
+    "q307_srp_gated_neardup", "q309_range_interval_join", "q310_outage_attribution",
+    "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered")
 
   val snapshotDir = "src/test/resources/plans"
 
@@ -65,6 +67,17 @@ object PlanDigest {
       .replaceAll("file:[^\\s\\],)\\]]*", "<path>")
       .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <loc>")
       .replaceAll("WHEN \\(__ps_pid# = (\\d+)\\) THEN -?\\d+", "WHEN (__ps_pid# = $1) THEN <off>")
+      // typed-API lambdas print a JVM-run-specific class + identity hash
+      // (…$$Lambda$5975/0x…@7df…) — scrub to the stable prefix
+      .replaceAll("\\$\\$(?:anonfun\\$)?Lambda\\$?[\\d/x0-9a-fA-F]*@[0-9a-f]+", "\\$\\$Lambda@<id>")
+      // sampled range-bucket boundaries (epoch-second literal arrays in the
+      // q309/q310 plans) are PLACEMENT-only — the result provably doesn't
+      // depend on them, and the sample shifts with scan partitioning (e.g.
+      // a prior suite's cached scan), so pin the shape, not the sample
+      .replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+      // HOF lambda variable names carry a session-global counter (x_4 vs
+      // x_130 depending on what ran before) — scrub the counter
+      .replaceAll("\\bx_\\d+#", "x_#")
       .replaceAll("(?m)\\s+$", "")
 
   /** The session shape the snapshots are pinned under — MUST match the test
