@@ -195,11 +195,21 @@ object Bench {
             case _ => None
           }
         }.toMap finally src.close()
-        val common = results.collect { case (k, mn, _, false, _) if ref.contains(k) => (mn, ref(k)) }
+        val common = results.collect { case (k, mn, _, false, _) if ref.contains(k) => (k, mn, ref(k)) }
         if (common.size >= 20) {
-          val ratio = common.map(_._1).sum / common.map(_._2).sum
-          val ok = ratio <= 1.25 && ratio >= 0.75
-          s""","sanity_common_n":${common.size},"sanity_vs_ref":${math.rint(ratio * 10000) / 10000},"sanity_ok":$ok"""
+          val ratio = common.map(_._2).sum / common.map(_._3).sum
+          // Per-query flag (the r9 lesson: a 1.22× aggregate ratio hid 7
+          // individual +30–60% regressions). Any query >1.5× its reference
+          // AND >0.3 s absolute excess is flagged — the absolute floor keeps
+          // sub-100ms queries' scheduling jitter out of the flag; a real
+          // plan regression on a query that cheap is caught by the shuffle-
+          // bytes record instead.
+          val flagged = common.collect {
+            case (k, mn, r) if mn > r * 1.5 && mn - r > 0.3 => k
+          }
+          val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val ok = ratio <= 1.25 && ratio >= 0.75 && flagged.isEmpty
+          s""","sanity_common_n":${common.size},"sanity_vs_ref":${math.rint(ratio * 10000) / 10000},"sanity_flagged":$flaggedJson,"sanity_ok":$ok"""
         } else ""
       } else ""
     }
