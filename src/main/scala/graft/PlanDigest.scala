@@ -73,8 +73,14 @@ object PlanDigest {
       // sampled range-bucket boundaries (epoch-second literal arrays in the
       // q309/q310 plans) are PLACEMENT-only — the result provably doesn't
       // depend on them, and the sample shifts with scan partitioning (e.g.
-      // a prior suite's cached scan), so pin the shape, not the sample
-      .replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+      // a prior suite's cached scan), so pin the shape, not the sample.
+      // Scoped to the lines that mention the __rb_ bucket columns: a global
+      // number-run scrub would also mask SEMANTIC literal arrays (SRP/Weyl
+      // plane constants, big IN-lists), silencing real drift in those
+      .split("\n", -1).map { l =>
+        if (l.contains("__rb_")) l.replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+        else l
+      }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs
       // x_130 depending on what ran before) — scrub the counter
       .replaceAll("\\bx_\\d+#", "x_#")

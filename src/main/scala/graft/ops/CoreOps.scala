@@ -1423,6 +1423,32 @@ object CoreOps {
       .orderBy(col("priority"))
   }
 
+  /** q323 — q261's SCD2 attribution through the SALTED keyed interval join
+    * ([[graft.plans.IntervalJoin.joinSalted]]): each order takes a
+    * deterministic salt from its order key, each validity interval
+    * replicates to all 8 salts, and the merge runs per (custkey, salt) —
+    * the hot-key escape hatch, pinned to q261's oracle VERBATIM (salting is
+    * placement-only) and plan-pinned to carry the salt in both exchanges.
+    */
+  def scd2IntervalAttributionSalted(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryBase(spark, dir)
+      .select(col("o_custkey").as("h_custkey"), col("priority"),
+        col("valid_from").cast("timestamp_ntz").as("vf"),
+        coalesce(col("valid_to").cast("timestamp_ntz"),
+          lit(Scd2OpenEnd).cast("timestamp_ntz")).as("vt"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("t"), col("o_totalprice"))
+    graft.plans.IntervalJoin.joinSalted(orders, hist,
+        Seq(orders("o_custkey")), Seq(hist("h_custkey")),
+        orders("t"), hist("vf"), hist("vt"), "inner",
+        saltBy = orders("o_orderkey"), numSalts = 8)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("priority"))
+  }
+
   /** Far-future open-interval sentinel shared with the q261/q262 twins. */
   val Scd2OpenEnd = "9999-01-01"
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -20,6 +20,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     surviving left row has leftKey ∈ lits, and a right row can only match
   *     a left row with rightKey = leftKey, so right rows outside lits can
   *     never match — removable under inner and outer alike.
+  *
+  *  3. **Time upper-bound mirror**: a pushed `leftTime ≤ U` (or `< U`)
+  *     conjunct implies `rightTime ≤ U` (resp. `< U`) for every right row
+  *     that can match — the join is backward-looking (`rightTime ≤
+  *     leftTime`), so a right row past U satisfies `rightTime > U ≥
+  *     leftTime` against every surviving left row and was never a
+  *     candidate; removing it cannot change which row is "latest ≤
+  *     leftTime" for any survivor. LOWER bounds must NOT mirror: a right
+  *     row before `leftTime ≥ L`'s cutoff can still be the latest match
+  *     for a surviving left row.
   *
   * Right-only conjuncts must NOT push: filtering the right child changes
   * *which* right row is the latest-at-or-before candidate (post-join they
@@ -49,13 +59,30 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** A pushed UPPER bound on the left time mirrored onto the right time
+    * (backward mode: `rightTime ≤ leftTime ≤ U` ⇒ `rightTime ≤ U`). Strict
+    * vs inclusive is preserved through the `rightTime ≤ leftTime`
+    * inequality chain.
+    */
+  private def timeMirror(j: AsOfJoinPlan, c: Expression): Option[Expression] = {
+    def isT(e: Expression): Boolean = e.semanticEquals(j.leftTime)
+    c match {
+      case LessThanOrEqual(t, v: Literal) if isT(t)    => Some(LessThanOrEqual(j.rightTime, v))
+      case LessThan(t, v: Literal) if isT(t)           => Some(LessThan(j.rightTime, v))
+      case GreaterThan(v: Literal, t) if isT(t)        => Some(LessThan(j.rightTime, v))
+      case GreaterThanOrEqual(v: Literal, t) if isT(t) => Some(LessThanOrEqual(j.rightTime, v))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
       val (leftOnly, rest) = conjuncts(cond).partition(c =>
         c.deterministic && c.references.subsetOf(j.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
-        val mirrored = leftOnly.flatMap(mirror(j, _))
+        val mirrored = leftOnly.flatMap(mirror(j, _)) ++
+          leftOnly.flatMap(timeMirror(j, _))
         val newLeft = Filter(leftOnly.reduce(And), j.left)
         val newRight =
           if (mirrored.isEmpty) j.right else Filter(mirrored.reduce(And), j.right)

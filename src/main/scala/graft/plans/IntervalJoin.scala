@@ -477,13 +477,22 @@ object IntervalJoin {
     // never-matched intervals (null-padded on the point side). Same result
     // matrix as the keyed exec, still zero broadcasts.
     if (joinType == "right" || joinType == "full") {
-      val base = joinRangePartitionedCore(points, intervals, pointTime, start, end,
+      // non-nullable marker on the interval side: under "full" the core
+      // left-join's PADDING rows carry an all-NULL interval slice, and a
+      // GENUINE interval row whose columns are all NULL would null-safe-equal
+      // that tuple and be wrongly suppressed from the unmatched recovery —
+      // the marker (NULL exactly on padding rows) keeps padding out of the
+      // matched set, and value-equal interval rows have identical bounds and
+      // therefore identical matchedness, so value anti-join stays exact
+      val tagged = intervals.withColumn("__iv_m", lit(1))
+      val baseT = joinRangePartitionedCore(points, tagged, pointTime, start, end,
         if (joinType == "full") "left" else "inner", numBuckets)
       // positional slice: the join output is points-columns ++ interval-columns
       val pLen = points.columns.length
       val iCols = intervals.columns
-      val fresh = base.toDF(base.columns.indices.map(i => s"__c$i"): _*)
-      val matched = fresh.select(iCols.indices.map(j => col(s"__c${pLen + j}").as(iCols(j))): _*)
+      val fresh = baseT.toDF(baseT.columns.indices.map(i => s"__c$i"): _*)
+      val matched = fresh.filter(col(s"__c${pLen + iCols.length}").isNotNull)
+        .select(iCols.indices.map(j => col(s"__c${pLen + j}").as(iCols(j))): _*)
         .distinct()
       // null-safe on every interval column: null-bounded intervals never
       // match and must surface as unmatched, exactly like the keyed exec
@@ -492,6 +501,11 @@ object IntervalJoin {
       val padded = unmatched.select(
         points.schema.zipWithIndex.map { case (f, i) =>
           lit(null).cast(f.dataType).as(s"__p$i") } ++ iCols.map(col): _*)
+      // drop the marker (last column) before the positional union — via the
+      // uniquely-renamed frame, then restore the original (possibly
+      // duplicated) names
+      val base = fresh.select((0 until (pLen + iCols.length)).map(i => col(s"__c$i")): _*)
+        .toDF(baseT.columns.take(pLen + iCols.length): _*)
       return base.union(padded) // positional: base may carry duplicate names
     }
     require(joinType == "inner" || joinType == "left",
@@ -525,6 +539,41 @@ object IntervalJoin {
       .withColumn("__rb_r", explode(sequence(bucketOf(start), bucketOf(end))))
     join(p2, i2, Seq(p2("__rb_l")), Seq(i2("__rb_r")), pointTime, start, end, joinType)
       .drop("__rb_l", "__rb_r")
+  }
+
+  /** SALTED keyed mode — the hot-key escape hatch (the q146/q48 salting
+    * pattern applied to the custom operator): the keyed merge hash-clusters
+    * both sides on the equi-keys, so ONE hot entity (a key carrying a large
+    * share of the points) serializes into a single task. Salting fans it
+    * out: every point gets a deterministic salt from `saltBy` (a
+    * high-cardinality point column — e.g. the point's primary key), every
+    * interval row replicates to ALL `numSalts` salt values (one explode —
+    * interval-side amplification ×numSalts, the usual salting price, paid
+    * on the SMALL side), and the merge runs per (key, salt) — each point
+    * still meets every interval of its key exactly once, in whichever salt
+    * partition the point landed.
+    *
+    * Inner / left only: an interval's replicas straddle salt partitions, so
+    * per-replica unmatchedness is not global — the same argument that bars
+    * right/full in the broadcast and range-partitioned modes (and fixable
+    * the same way: one distinct/anti-join pass — add it when a consumer
+    * needs it).
+    */
+  def joinSalted(points: DataFrame, intervals: DataFrame,
+                 leftKeys: Seq[Column], rightKeys: Seq[Column],
+                 pointTime: Column, start: Column, end: Column,
+                 joinType: String, saltBy: Column,
+                 numSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(joinType == "inner" || joinType == "left",
+      s"salted interval join supports inner|left, got '$joinType'")
+    require(numSalts > 1, s"numSalts must exceed 1, got $numSalts")
+    val pS = points.withColumn("__salt", pmod(xxhash64(saltBy), lit(numSalts.toLong)).cast("int"))
+    val iS = intervals.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    join(pS, iS, leftKeys :+ pS("__salt"), rightKeys :+ iS("__salt"),
+        pointTime, start, end, joinType)
+      .drop("__salt") // drops BOTH sides' salt columns
   }
 
   /** Full form: `points [INNER|LEFT|RIGHT|FULL] INTERVAL JOIN intervals ON

@@ -57,25 +57,43 @@ object GraftJoinColumnPruning extends Rule[LogicalPlan] {
     if (keep.size < child.output.size) Some(Project(keep, child)) else None
   }
 
+  private def joinNeeds(j: LogicalPlan): AttributeSet = j match {
+    case ij: IntervalJoinPlan => AttributeSet((ij.leftKeys ++ ij.rightKeys ++
+      Seq(ij.leftTime, ij.rightStart, ij.rightEnd)).flatMap(_.references))
+    case aj: AsOfJoinPlan => AttributeSet((aj.leftKeys ++ aj.rightKeys ++
+      Seq(aj.leftTime, aj.rightTime)).flatMap(_.references))
+    case _ => AttributeSet.empty
+  }
+
+  private def pruned(j: LogicalPlan, needed0: AttributeSet): Option[LogicalPlan] = {
+    val needed = needed0 ++ joinNeeds(j)
+    val (left, right) = j match {
+      case ij: IntervalJoinPlan => (ij.left, ij.right)
+      case aj: AsOfJoinPlan     => (aj.left, aj.right)
+      case _                    => return None
+    }
+    val l = prune(left, needed)
+    val r = prune(right, needed)
+    if (l.isEmpty && r.isEmpty) None
+    else Some(j match {
+      case ij: IntervalJoinPlan =>
+        ij.copy(left = l.getOrElse(ij.left), right = r.getOrElse(ij.right))
+      case aj: AsOfJoinPlan =>
+        aj.copy(left = l.getOrElse(aj.left), right = r.getOrElse(aj.right))
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(projectList, j: IntervalJoinPlan) =>
-      val needed = AttributeSet(projectList.flatMap(_.references)) ++
-        AttributeSet((j.leftKeys ++ j.rightKeys ++
-          Seq(j.leftTime, j.rightStart, j.rightEnd)).flatMap(_.references))
-      val l = prune(j.left, needed)
-      val r = prune(j.right, needed)
-      if (l.isEmpty && r.isEmpty) p
-      else Project(projectList,
-        j.copy(left = l.getOrElse(j.left), right = r.getOrElse(j.right)))
-    case p @ Project(projectList, j: AsOfJoinPlan) =>
-      val needed = AttributeSet(projectList.flatMap(_.references)) ++
-        AttributeSet((j.leftKeys ++ j.rightKeys ++
-          Seq(j.leftTime, j.rightTime)).flatMap(_.references))
-      val l = prune(j.left, needed)
-      val r = prune(j.right, needed)
-      if (l.isEmpty && r.isEmpty) p
-      else Project(projectList,
-        j.copy(left = l.getOrElse(j.left), right = r.getOrElse(j.right)))
+    // the bare shape, and the shape IntervalJoinFilterPushdown leaves behind
+    // when part of the predicate could not move (Project–Filter–join): the
+    // residual Filter's references join the needed set, so pruning still
+    // reaches the scans instead of silently keeping both children wide
+    case p @ Project(projectList, j @ (_: IntervalJoinPlan | _: AsOfJoinPlan)) =>
+      pruned(j, AttributeSet(projectList.flatMap(_.references)))
+        .map(Project(projectList, _)).getOrElse(p)
+    case p @ Project(projectList, f @ Filter(cond, j @ (_: IntervalJoinPlan | _: AsOfJoinPlan))) =>
+      pruned(j, AttributeSet(projectList.flatMap(_.references)) ++ cond.references)
+        .map(nj => Project(projectList, Filter(cond, nj))).getOrElse(p)
   }
 }
 

@@ -365,6 +365,80 @@ class PlanSpec extends AnyFunSuite {
     assert(pushedIn == 2, s"expected user_id IN pushed to both scans:\n$finalP")
   }
 
+  test("as-of join mirrors a pushed left-time UPPER bound onto the right scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val purch = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val joined = graft.plans.AsOfJoin.asof(
+      purch, clicks, Seq(purch("user_id")), Seq(clicks("c_uid")),
+      purch("ts"), clicks("c_ts"))
+    val cutoff = "2024-03-01 00:00:00"
+    val tf = joined.filter(col("ts") <= to_timestamp(lit(cutoff)))
+    tf.collect()
+    // backward mode: rightTime <= leftTime <= U, so the bound lands on BOTH
+    // children (the ts column is a cast, so it stops above the scan — the
+    // mirrored Filter on the right child is the fact to pin)
+    val opt = tf.queryExecution.optimizedPlan.toString
+    assert(s"<= $cutoff".r.findAllIn(opt).size == 2,
+      "ts <= U must filter the left child AND mirror to the right child:\n" + opt.take(1500))
+    // rows unchanged vs filtering the left side before the join (the mirror
+    // must never drop a right row that was some survivor's latest match)
+    val pre = graft.plans.AsOfJoin.asof(
+      purch.filter(col("ts") <= to_timestamp(lit(cutoff))), clicks,
+      Seq(purch("user_id")), Seq(clicks("c_uid")), purch("ts"), clicks("c_ts"))
+    assert(tf.count() === pre.count())
+    // LOWER bounds must NOT mirror: a right row before the cutoff can still
+    // be the latest match for a surviving left row
+    val lf = joined.filter(col("ts") >= to_timestamp(lit(cutoff)))
+    val lp = lf.queryExecution.optimizedPlan.toString
+    assert(s">= $cutoff".r.findAllIn(lp).size == 1,
+      "ts >= L must filter the left child ONLY:\n" + lp.take(1500))
+    val preL = graft.plans.AsOfJoin.asof(
+      purch.filter(col("ts") >= to_timestamp(lit(cutoff))), clicks,
+      Seq(purch("user_id")), Seq(clicks("c_uid")), purch("ts"), clicks("c_ts"))
+    assert(lf.count() === preL.count())
+  }
+
+  test("salted keyed interval join carries the salt in both exchanges, same result (q323)") {
+    val salted = CoreOps.scd2IntervalAttributionSalted(spark, sf)
+    salted.collect()
+    val p = plan(salted).split("== Initial Plan ==").head
+    // both children hash-exchange on (key, __salt) — the hot key fans out
+    val saltedEx = "hashpartitioning\\([a-z_]*custkey#\\d+L?, __salt#\\d+".r.findAllIn(p).size
+    assert(saltedEx == 2, s"expected both exchanges salted, got $saltedEx:\n" +
+      "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+    // salting is placement-only: bit-identical to the unsalted q261
+    val unsalted = CoreOps.scd2IntervalAttribution(spark, sf).collect().toSeq
+    assert(salted.collect().toSeq === unsalted)
+  }
+
+  test("column pruning fires through a residual Filter between Project and the join") {
+    import org.apache.spark.sql.functions._
+    val origin = to_date(lit("1995-01-01"))
+    val months = spark.range(0, 80)
+      .select(add_months(origin, col("id").cast("int")).cast("timestamp_ntz").as("month"),
+        add_months(origin, col("id").cast("int") + 1).cast("timestamp_ntz").as("month_end"))
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    // a mixed-side disjunction cannot push through the join, so
+    // IntervalJoinFilterPushdown leaves it as a residual Filter; the
+    // Project above it must STILL narrow both scans
+    val thin = graft.plans.IntervalJoin.pointInInterval(
+        orders, months, orders("o_orderdate"), months("month"), months("month_end"))
+      .filter(col("o_totalprice") > 1000.0 ||
+        col("month") > lit("1996-01-01").cast("timestamp_ntz"))
+      .select(col("month"), col("o_totalprice"))
+    thin.collect()
+    val p = plan(thin).split("== Initial Plan ==").head
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("o_totalprice") && readSchema.contains("o_orderdate"),
+      s"needed columns must survive: $readSchema")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"),
+      s"projected-away columns must not reach the scan under Project(Filter(join)): $readSchema")
+  }
+
   test("filter above the interval join pushes through the custom node to the scan") {
     import org.apache.spark.sql.functions._
     val origin = to_date(lit("1995-01-01"))
