@@ -578,6 +578,18 @@ object SparkEntry {
     "q317_delta_linkage"       -> ((s, d) => LinkageOps.deltaLinkage(s, d)),
     // -- custom-node filter pushdown: predicate above the interval join -> scan --
     "q318_interval_filtered"   -> ((s, d) => CoreOps.intervalJoinFiltered(s, d)),
+    // -- near-dup at the REAL dedup threshold (0.9) over a derived-dup corpus ----
+    "q319_derived_neardup"     -> ((s, d) => SimilarityOps.derivedNearDup(s, d)),
+    // -- graded (Winkler-style) agreement linkage: JW close level on the addr ----
+    "q320_graded_linkage"      -> ((s, d) => LinkageOps.gradedLinkage(s, d)),
+    // -- q319 with the 64-bit SRP gate ARMED (oracle = q319's, verbatim) ---------
+    "q321_srp64_gated_neardup" -> ((s, d) => SimilarityOps.srp64GatedDerivedNearDup(s, d)),
+    // -- the 64-bit gate's measurement row: recall, cut fraction, preservation ---
+    "q322_srp64_gate_report"   -> ((s, d) => SimilarityOps.srp64GateReport(s, d)),
+    // -- SALTED keyed interval join: q261's oracle verbatim, hot-key fan-out -----
+    "q323_scd2_salted"         -> ((s, d) => CoreOps.scd2IntervalAttributionSalted(s, d)),
+    // -- INCREMENTAL gated near-dup: today's batch vs corpus, cost ∝ delta -------
+    "q324_delta_gated_neardup" -> ((s, d) => SimilarityOps.deltaGatedNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1185,6 +1197,7 @@ object SparkEntry {
     "q238_mmr_rerank" -> RetrievalOps.mmrRerankOracle,
     "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
+    "q323_scd2_salted" -> CoreOps.scd2IntervalAttributionOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // the streaming sketch must equal the batch sketch bit for bit: KMV is
     // deterministic given the hash column, so q311 reuses q263's twin
@@ -1236,6 +1249,7 @@ object SparkEntry {
     "q315_golden_records" -> LinkageOps.goldenRecordsOracle,
     "q316_png_roundtrip" -> MultimodalOps.pngRoundtripOracle,
     "q317_delta_linkage" -> LinkageOps.deltaLinkageOracle,
+    "q320_graded_linkage" -> LinkageOps.gradedLinkageOracle,
     "q318_interval_filtered" -> CoreOps.intervalJoinFilteredOracle,
     "q206_tws_timer_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (

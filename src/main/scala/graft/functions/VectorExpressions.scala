@@ -103,6 +103,43 @@ object VectorKernels {
     sketch
   }
 
+  /** The 64×64 ±1 SRP plane matrix — the WIDE sketch's single source
+    * (kernel + oracle literals, like [[SrpSigns16]]). Seed namespace "w:"
+    * keeps the two matrices independent: plane p of the 64-bit sketch is
+    * NOT plane p of the 16-bit one.
+    */
+  val SrpSigns64: Array[Array[Long]] = Array.tabulate(64, 64) { (p, d) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w:$p:$d".getBytes("UTF-8"))
+    if ((md(0) & 1) == 0) 1L else -1L
+  }
+
+  /** Packed 64-bit SRP sign sketch — [[srpSketch16]] at 4× the planes (the
+    * width q306's calibration says 16 bits lacks): bit p = 1 ⇔
+    * Σⱼ floor(xⱼ·10⁶ + 0.5) · signs64(p)(j) ≥ 0. Same e6 quantization,
+    * exact long arithmetic — every bit reproducible in SQL.
+    */
+  def srpSketch64(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), 64)
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(a.getFloat(j).toDouble * 1000000.0 + 0.5).toLong
+      j += 1
+    }
+    var sketch = 0L
+    var p = 0
+    while (p < 64) {
+      val s = SrpSigns64(p)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += q(i) * s(i); i += 1 }
+      if (acc >= 0L) sketch |= (1L << p)
+      p += 1
+    }
+    sketch
+  }
+
   /** |A ∩ B| for two ascending-sorted int arrays (set semantics). */
   def intersectSizeSortedInt(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -197,6 +234,24 @@ case class SrpSketch16(child: Expression)
     copy(child = c)
 }
 
+/** Packed 64-bit SRP sign sketch of an ArrayType(FloatType) embedding as
+  * LongType — [[SrpSketch16]]'s wide sibling (independent plane matrix).
+  */
+case class SrpSketch64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpSketch64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.srpSketch64($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** |A ∩ B| of two ascending-sorted ArrayType(IntegerType) columns. */
 case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -241,6 +296,8 @@ object VectorFunctions {
       exprs => KmvSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_srp16",
       exprs => SrpSketch16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_srp64",
+      exprs => SrpSketch64(exprs(0)), "built-in")
     // idempotently install the optimizer rules (the KMV rewrite is inert
     // until a session opts in via its conf flag)
     if (!spark.experimental.extraOptimizations.contains(IntersectKernelRule))
@@ -272,4 +329,6 @@ object VectorFunctions {
     call_function("graft_ngrams", words, org.apache.spark.sql.functions.lit(n))
 
   def srp16(embedding: Column): Column = call_function("graft_srp16", embedding)
+
+  def srp64(embedding: Column): Column = call_function("graft_srp64", embedding)
 }

@@ -259,6 +259,161 @@ object LinkageOps {
       .orderBy(col("cluster_id"))
   }
 
+  // --------------------------------------------------------------------------
+  // Graded (Winkler-style) agreement — q320
+  // --------------------------------------------------------------------------
+
+  /** Close-agreement threshold on the 6-dp-quantized Jaro-Winkler (the
+    * quantization is what lets DuckDB's `jaro_winkler_similarity` replay
+    * the comparison bit-for-bit — StringSimSpec pins the raw doubles).
+    */
+  val JwCloseThreshold = 0.9
+
+  /** A-side records EXTENDED with the address-fingerprint field the graded
+    * model scores. The testdata's customer table carries no high-entropy
+    * string (no c_address), and c_name cannot host the story — every
+    * customer shares an 18-char prefix, so a last-char typo and a
+    * NEIGHBORING key both sit at JW ≈ 0.978 and "close" would be
+    * uninformative. The fingerprint `md5(key)` behaves exactly like a real
+    * street address: unique per entity (32 hex chars, cross-entity JW ≈
+    * 0.6), one-character typos keep JW ≈ 0.98, and both engines derive it
+    * identically.
+    */
+  private def sideA2(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), lit("A").as("src"),
+      (col("c_custkey") * 2).as("uid"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+      md5(col("c_custkey").cast("string")).as("addr"))
+
+  /** B-side with the q312 perturbations + an address typo on every third
+    * key (residue 1 — independent of the name-typo residue 0, so pairs
+    * exist with exactly one of the two strings perturbed).
+    */
+  private def sideB2(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 =!= 9)
+      .select(
+        col("c_custkey").as("key"), lit("B").as("src"),
+        (col("c_custkey") * 2 + 1).as("uid"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0, floor(col("c_acctbal")))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nation"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        when(col("c_custkey") % 3 === 1,
+          concat(expr("substr(md5(CAST(c_custkey AS STRING)), 1, 31)"), lit("Q")))
+          .otherwise(md5(col("c_custkey").cast("string"))).as("addr"))
+
+  /** Candidates with the boolean flags + the GRADED address level:
+    * 2 = exact, 1 = close (quantized JW ≥ [[JwCloseThreshold]]), 0 =
+    * disagree. Same two sorted-neighborhood blocking passes (they read
+    * only name/bal).
+    */
+  private def candidatesGraded(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.StringFunctions.register(spark)
+    val u = sideA2(spark, dir).unionByName(sideB2(spark, dir)).persistTracked()
+    val pairs = snPass(u, col("name"), LinkWindow)
+      .unionByName(snPass(u, col("bal"), LinkWindow))
+      .distinct()
+    val au = u.select(col("uid").as("uid_a"), col("key").as("key_a"),
+      col("name").as("name_a"), col("bal").as("bal_a"),
+      col("nation").as("nation_a"), col("seg").as("seg_a"), col("addr").as("addr_a"))
+    val bu = u.select(col("uid").as("uid_b"), col("key").as("key_b"),
+      col("name").as("name_b"), col("bal").as("bal_b"),
+      col("nation").as("nation_b"), col("seg").as("seg_b"), col("addr").as("addr_b"))
+    val jw6 = OracleMath.stableRound(
+      graft.functions.StringFunctions.jaroWinkler(col("addr_a"), col("addr_b")), 6)
+    pairs.join(au, "uid_a").join(bu, "uid_b")
+      .select(col("uid_a"), col("uid_b"),
+        (col("name_a") === col("name_b")).as("f_name"),
+        (col("bal_a") === col("bal_b")).as("f_bal"),
+        (col("nation_a") === col("nation_b")).as("f_nation"),
+        (col("seg_a") === col("seg_b")).as("f_seg"),
+        when(col("addr_a") === col("addr_b"), 2)
+          .when(jw6 >= lit(JwCloseThreshold), 1).otherwise(0).as("lvl_addr"),
+        (col("key_a") === col("key_b")).as("is_true"))
+  }
+
+  private val AddrLevels = Seq(0, 1, 2)
+
+  /** Graded log-weight: 3-category add-one smoothing (+3 denominators),
+    * same single-ln-over-integer-products discipline as [[w]].
+    */
+  private def w3(numCnt: Column, numN: Column, denCnt: Column, denN: Column): Column =
+    OracleMath.stableRound(
+      log(((numCnt + 1).cast("double") * (denN + 3).cast("double")) /
+        ((denCnt + 1).cast("double") * (numN + 3).cast("double"))), 6).cast(d186)
+
+  /** One-row exact counts for the graded model: the q312 boolean counts +
+    * per-level address counts among matches / non-matches.
+    */
+  private def gradedWeightCounts(cand: DataFrame): DataFrame = {
+    val perField = Fields.flatMap { f =>
+      Seq(
+        sum(when(col("is_true") && col(s"f_$f"), 1L).otherwise(0L)).as(s"ma_$f"),
+        sum(when(!col("is_true") && col(s"f_$f"), 1L).otherwise(0L)).as(s"ua_$f"))
+    }
+    val perLevel = AddrLevels.flatMap { l =>
+      Seq(
+        sum(when(col("is_true") && col("lvl_addr") === l, 1L).otherwise(0L)).as(s"ma_addr_$l"),
+        sum(when(!col("is_true") && col("lvl_addr") === l, 1L).otherwise(0L)).as(s"ua_addr_$l"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("nm")) ++ perField ++ perLevel
+    cand.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The graded decision weights: 8 boolean + 3 per-level address. */
+  private def gradedWeightsRow(cand: DataFrame): DataFrame = {
+    val c = gradedWeightCounts(cand)
+    val nu = col("n") - col("nm")
+    val bools = Fields.flatMap { f =>
+      val ma = col(s"ma_$f"); val ua = col(s"ua_$f")
+      Seq(
+        w(ma, col("nm"), ua, nu).as(s"wa_$f"),
+        w(col("nm") - ma, col("nm"), nu - ua, nu).as(s"wd_$f"))
+    }
+    val lvls = AddrLevels.map { l =>
+      w3(col(s"ma_addr_$l"), col("nm"), col(s"ua_addr_$l"), nu).as(s"wa_addr_$l")
+    }
+    c.select(bools ++ lvls: _*)
+  }
+
+  /** q320 — the GRADED confusion matrix: Fellegi–Sunter with a
+    * string-similarity agreement level on the address field (exact / close
+    * / disagree, the Winkler-style refinement), boolean agreement on the
+    * rest. `n_addr_close` per cell surfaces the recovery story: true pairs
+    * whose address is typo'd score at the close level instead of flatly
+    * "disagree" — the pairs a boolean model under-scores (LinkageSpec
+    * quantifies the recovery against the q312 baseline).
+    */
+  def gradedLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidatesGraded(spark, dir).persistTracked()
+    val score = (Fields.map { f =>
+      when(col(s"f_$f"), col(s"wa_$f")).otherwise(col(s"wd_$f"))
+    }.reduce(_ + _) +
+      when(col("lvl_addr") === 2, col("wa_addr_2"))
+        .when(col("lvl_addr") === 1, col("wa_addr_1"))
+        .otherwise(col("wa_addr_0"))).cast(d186)
+    val decision = when(col("score") >= lit(MatchThreshold).cast(d186), lit("match"))
+      .when(col("score") <= lit(NonMatchThreshold).cast(d186), lit("non_match"))
+      .otherwise(lit("possible"))
+    cand.crossJoin(broadcast(gradedWeightsRow(cand)))
+      .select(col("is_true"), col("lvl_addr"), score.as("score"))
+      .groupBy(decision.as("decision"), col("is_true"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lvl_addr") === 1, 1L).otherwise(0L)).as("n_addr_close"),
+        min(col("score")).cast("double").as("min_score"),
+        max(col("score")).cast("double").as("max_score"))
+      .orderBy(col("decision"), col("is_true"))
+  }
+
   /** The incremental batch: the 10 % of customers NOT in B re-observed
     * "today", same perturbation scheme (uid = 2·key + 1 — disjoint from the
     * corpus uids because those keys never produced a B record).
@@ -421,6 +576,95 @@ object LinkageOps {
       s"ln((CAST($numCnt + 1 AS DOUBLE) * CAST($denN + 2 AS DOUBLE)) / " +
         s"(CAST($denCnt + 1 AS DOUBLE) * CAST($numN + 2 AS DOUBLE)))", 6) +
       " AS DECIMAL(18,6))"
+
+  /** SQL twin of [[w3]] (3-category smoothing). */
+  private def w3Sql(numCnt: String, numN: String, denCnt: String, denN: String): String =
+    "CAST(" + OracleMath.stableRoundSql(
+      s"ln((CAST($numCnt + 1 AS DOUBLE) * CAST($denN + 3 AS DOUBLE)) / " +
+        s"(CAST($denCnt + 1 AS DOUBLE) * CAST($numN + 3 AS DOUBLE)))", 6) +
+      " AS DECIMAL(18,6))"
+
+  /** Graded-model CTE prefix (q320): the q312 derivation + the md5 address
+    * fingerprint, the same blocking, candidate flags with the graded level
+    * (DuckDB's built-in `jaro_winkler_similarity` replays the kernel — the
+    * raw doubles are bit-equal, pinned in StringSimSpec), and the extended
+    * counts/weights.
+    */
+  private def gradedCtesSql: String = {
+    val w = LinkWindow
+    val jwq = OracleMath.stableRoundSql("jaro_winkler_similarity(au.addr, bu.addr)", 6)
+    s"""a AS (SELECT c_custkey AS key, 'A' AS src, c_custkey * 2 AS uid,
+       |    c_name AS name, c_acctbal AS bal, c_nationkey AS nation,
+       |    c_mktsegment AS seg, md5(CAST(c_custkey AS VARCHAR)) AS addr FROM customer),
+       |b AS (SELECT c_custkey AS key, 'B' AS src, c_custkey * 2 + 1 AS uid,
+       |    CASE WHEN c_custkey % 3 = 0
+       |         THEN substr(c_name, 1, length(c_name) - 1) || 'X' ELSE c_name END AS name,
+       |    CASE WHEN c_custkey % 5 = 0 THEN floor(c_acctbal) ELSE c_acctbal END AS bal,
+       |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nation,
+       |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+       |    CASE WHEN c_custkey % 3 = 1
+       |         THEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 31) || 'Q'
+       |         ELSE md5(CAST(c_custkey AS VARCHAR)) END AS addr
+       |  FROM customer WHERE c_custkey % 10 <> 9),
+       |u AS MATERIALIZED (SELECT * FROM a UNION ALL SELECT * FROM b),
+       |r1 AS (SELECT uid, src, row_number() OVER (ORDER BY name, uid) AS rn FROM u),
+       |p1 AS (SELECT x.uid AS ux, y.uid AS uy FROM r1 x JOIN r1 y
+       |       ON y.rn - x.rn BETWEEN 1 AND $w AND x.src <> y.src),
+       |r2 AS (SELECT uid, src, row_number() OVER (ORDER BY bal, uid) AS rn FROM u),
+       |p2 AS (SELECT x.uid AS ux, y.uid AS uy FROM r2 x JOIN r2 y
+       |       ON y.rn - x.rn BETWEEN 1 AND $w AND x.src <> y.src),
+       |pp AS (SELECT DISTINCT
+       |    CASE WHEN ux % 2 = 0 THEN ux ELSE uy END AS uid_a,
+       |    CASE WHEN ux % 2 = 0 THEN uy ELSE ux END AS uid_b
+       |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+       |cand AS MATERIALIZED (
+       |  SELECT pp.uid_a, pp.uid_b,
+       |    au.name = bu.name AS f_name, au.bal = bu.bal AS f_bal,
+       |    au.nation = bu.nation AS f_nation, au.seg = bu.seg AS f_seg,
+       |    CASE WHEN au.addr = bu.addr THEN 2
+       |         WHEN $jwq >= $JwCloseThreshold THEN 1 ELSE 0 END AS lvl_addr,
+       |    au.key = bu.key AS is_true
+       |  FROM pp JOIN u au ON au.uid = pp.uid_a JOIN u bu ON bu.uid = pp.uid_b),
+       |cnt AS (SELECT count(*) AS n,
+       |    sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS nm,
+       |${Fields.map(f =>
+          s"""    sum(CASE WHEN is_true AND f_$f THEN 1 ELSE 0 END) AS ma_$f,
+             |    sum(CASE WHEN NOT is_true AND f_$f THEN 1 ELSE 0 END) AS ua_$f""".stripMargin)
+         .mkString(",\n")},
+       |${AddrLevels.map(l =>
+          s"""    sum(CASE WHEN is_true AND lvl_addr = $l THEN 1 ELSE 0 END) AS ma_addr_$l,
+             |    sum(CASE WHEN NOT is_true AND lvl_addr = $l THEN 1 ELSE 0 END) AS ua_addr_$l""".stripMargin)
+         .mkString(",\n")}
+       |  FROM cand),
+       |wt AS (SELECT
+       |${Fields.map { f =>
+          val wa = wSql(s"ma_$f", "nm", s"ua_$f", "(n - nm)")
+          val wd = wSql(s"(nm - ma_$f)", "nm", s"((n - nm) - ua_$f)", "(n - nm)")
+          s"    $wa AS wa_$f,\n    $wd AS wd_$f"
+        }.mkString(",\n")},
+       |${AddrLevels.map { l =>
+          s"    ${w3Sql(s"ma_addr_$l", "nm", s"ua_addr_$l", "(n - nm)")} AS wa_addr_$l"
+        }.mkString(",\n")}
+       |  FROM cnt)""".stripMargin
+  }
+
+  val gradedLinkageOracle: String = {
+    val score = Fields.map(f => s"CASE WHEN f_$f THEN wa_$f ELSE wd_$f END")
+      .mkString(" + ") +
+      " + CASE lvl_addr WHEN 2 THEN wa_addr_2 WHEN 1 THEN wa_addr_1 ELSE wa_addr_0 END"
+    s"""WITH $gradedCtesSql,
+       |sc AS (SELECT is_true, lvl_addr,
+       |    CAST($score AS DECIMAL(18,6)) AS score
+       |  FROM cand CROSS JOIN wt)
+       |SELECT CASE WHEN score >= CAST($MatchThreshold AS DECIMAL(18,6)) THEN 'match'
+       |            WHEN score <= CAST($NonMatchThreshold AS DECIMAL(18,6)) THEN 'non_match'
+       |            ELSE 'possible' END AS decision,
+       |  is_true, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN lvl_addr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_addr_close,
+       |  CAST(min(score) AS DOUBLE) AS min_score,
+       |  CAST(max(score) AS DOUBLE) AS max_score
+       |FROM sc GROUP BY 1, 2 ORDER BY decision, is_true""".stripMargin
+  }
 
   val recordLinkageOracle: String = {
     val score = Fields.map(f => s"CASE WHEN f_$f THEN wa_$f ELSE wd_$f END")

@@ -173,13 +173,19 @@ object SimilarityOps {
     // them. Output-preserving by the gate's calibration contract
     // ([[SrpGateMaxH]]); enforced cross-engine by q307 hash-matching q135's
     // ungated oracle.
-    val gateMaxH = e0.sparkSession.conf.getOption(SrpGateConf).map(_.toInt)
+    val gate16 = e0.sparkSession.conf.getOption(SrpGateConf).map(_.toInt)
+    val gate64 = e0.sparkSession.conf.getOption(Srp64GateConf).map(_.toInt)
+    require(gate16.isEmpty || gate64.isEmpty,
+      "arm at most one SRP gate (16- or 64-bit) per session clone")
+    val gateMaxH = gate16.orElse(gate64)
     // signature + norm computed once per vector; persisted: band explode and
     // both verify sides would re-derive 32 dot products per vector each
     val eBase = e0.select(col("vec_id"), col("embedding"),
         sigBits.reduce(_ + _).as("sig"),
         sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
-    val e = (if (gateMaxH.isDefined) withSrpSketch(eBase) else eBase).persistTracked()
+    val e = (if (gate64.isDefined) withSrpSketch64(eBase)
+      else if (gate16.isDefined) withSrpSketch(eBase)
+      else eBase).persistTracked()
     // band keys: 4-bit slices of the signature; candidates share any band.
     // The join moves three longs per row (8 rows per vector), never vectors.
     val bandStruct = e.select(col("vec_id") +: gateMaxH.map(_ => col("srp")).toSeq :+ explode(expr(
@@ -1323,6 +1329,197 @@ object SimilarityOps {
   private[graft] def withSrpSketch(df: DataFrame): DataFrame =
     df.withColumn("srp", graft.functions.VectorFunctions.srp16(col("embedding")))
 
+  /** Session conf arming the 64-bit SRP gate inside [[annNearDupOn]] (same
+    * clone-scoped opt-in as [[SrpGateConf]]; at most one gate per clone).
+    */
+  private[graft] val Srp64GateConf = "graft.sim.srp64GateMaxH"
+
+  /** Output-preserving 64-bit gate width for the θ = 0.9 near-dup corpus
+    * ([[derivedDupCorpus]]): measured max true-pair Hamming is 12 / 11 / 14
+    * (sf0.001 / 0.01 / 0.1 — [[srp64GateReport]]'s `max_true_h`), and the
+    * margin to 24 covers ~4σ of the true-pair binomial (cos ≥ 0.9578 ⇒
+    * flip-prob ≤ 0.093/bit ⇒ H ~ Binom(64, ≤0.093), mean ≤ 6, σ ≈ 2.4;
+    * P(H ≥ 24) ≪ 10⁻⁸ per pair). HardeningSpec's margin test fails loudly
+    * if a regenerated corpus breaches max_true_h ≤ 23 — the r9-advice fix
+    * for the silent-margin problem. Candidates at this threshold sit near
+    * H ≈ 25-32, so the gate keeps only ~7 % of them (93 % cut at sf0.1)
+    * while q321 hash-matches q319's ungated oracle at all three SFs — the
+    * double-digit cut 16 bits could not deliver at θ = 0.35 (q308).
+    */
+  val Srp64GateMaxH = 24
+
+  /** 64-bit packed SRP sketch column (same `srp` name — the gate path in
+    * [[annNearDupOn]] is width-agnostic downstream).
+    */
+  private[graft] def withSrpSketch64(df: DataFrame): DataFrame =
+    df.withColumn("srp", graft.functions.VectorFunctions.srp64(col("embedding")))
+
+  /** Deterministic near-dup corpus for the θ = 0.9 regime the raw testdata
+    * lacks (its observed max pair cosine is < 0.5 — q306/q308): every
+    * [[PerturbEvery]]-th vector reappears with each component scaled by the
+    * alternating [[PerturbMults]] pattern (±30 %), exactly replayable in
+    * SQL. Writing odd-dim mass a and even-dim mass b = 1−a, the derived
+    * pair's cosine is (0.6a + 0.7)/√(1.2a + 0.49) ∈ [1/√1.09, 1] ≈
+    * [0.9578, 1] for EVERY vector — the constructed truth is the full
+    * perturbed set, with ≥ 0.057 margin above the 0.9 verify threshold, so
+    * banding recall and gate preservation are measurable against it.
+    */
+  val PerturbEvery = 5
+  val PerturbIdOffset = 1000000000L
+  val PerturbMults: IndexedSeq[Double] = (1 to 64).map(j => if (j % 2 == 1) 1.3 else 0.7)
+
+  /** The perturbed re-observations alone — q324's "today's batch". */
+  private[graft] def perturbedDelta(spark: SparkSession, dir: String): DataFrame = {
+    val mults = array(PerturbMults.map(lit): _*)
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % PerturbEvery === 0)
+      .select((col("vec_id") + PerturbIdOffset).as("vec_id"),
+        zip_with(col("embedding"), mults,
+          (x, m) => (x.cast("double") * m).cast("float")).as("embedding"))
+  }
+
+  private[graft] def derivedDupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .unionByName(perturbedDelta(spark, dir))
+
+  /** q319 — ANN near-dup at the REAL dedup threshold (0.9) over the derived
+    * duplicate corpus: the same band-OR blocking + exact-cosine verify as
+    * q135, UNGATED — the oracle twin replays derivation, banding and verify,
+    * and is also q321's oracle (the cross-engine proof the 64-bit gate is
+    * output-preserving).
+    */
+  def derivedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annNearDupOn(derivedDupCorpus(spark, dir), 0.9)
+  }
+
+  /** q321 — q319 with the 64-bit SRP Hamming gate ARMED (clone-scoped conf,
+    * the q307 pattern at the width and threshold where the gate finally
+    * PAYS): candidates drop inside the band join before the dedup shuffle
+    * and the wide verify; output hash-matches q319's ungated oracle.
+    */
+  def srp64GatedDerivedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = org.apache.spark.sql.graftbridge.GraftSqlBridge.cloneSession(spark)
+    s2.conf.set(Srp64GateConf, Srp64GateMaxH.toString)
+    graft.functions.VectorFunctions.register(s2)
+    annNearDupOn(derivedDupCorpus(s2, dir), 0.9)
+  }
+
+  /** Two-sided (delta × corpus) band-OR near-dup core — the INCREMENTAL
+    * shape: band keys computed for both sides, candidates from the per-band
+    * equi-joins (no self-join triangle constraint — the sides are disjoint
+    * id spaces), optional 64-bit Hamming gate inside the band join, exact
+    * cosine verify. Cost ∝ delta × bucket sizes, never corpus² — the shape
+    * a daily-ingest dedup actually runs at 100 TB: the corpus side's
+    * sig/sketch columns are computed once per batch here, and would be
+    * precomputed-and-stored in a standing deployment.
+    */
+  private[graft] def deltaNearDupOn(corpus0: DataFrame, delta0: DataFrame,
+      threshold: Double): DataFrame = {
+    val gate64 = corpus0.sparkSession.conf.getOption(Srp64GateConf).map(_.toInt)
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    def prep(df: DataFrame): DataFrame = {
+      val base = df.select(col("vec_id"), col("embedding"),
+        sigBits.reduce(_ + _).as("sig"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+      (if (gate64.isDefined) withSrpSketch64(base) else base).persistTracked()
+    }
+    val c = prep(corpus0)
+    val d = prep(delta0)
+    def bands(e: DataFrame): DataFrame = e.select(
+      col("vec_id") +: gate64.map(_ => col("srp")).toSeq :+ explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"): _*)
+      .select(col("vec_id") +: gate64.map(_ => col("srp")).toSeq
+        :+ col("b.bk").as("bk") :+ col("b.bv").as("bv"): _*)
+    val bandCond = col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+    val joinCond = gate64 match {
+      case Some(m) => bandCond &&
+        call_function("bit_count", col("a.srp").bitwiseXOR(col("b.srp"))) <= lit(m)
+      case None => bandCond
+    }
+    val cands = bands(c).as("a").join(bands(d).as("b"), joinCond)
+      .select(col("a.vec_id").as("id_c"), col("b.vec_id").as("id_d"))
+      .dropDuplicates("id_c", "id_d")
+    val estC = c.count() * (64L * 4L + 64L)
+    val estD = d.count() * (64L * 4L + 64L)
+    val vc = c.select(col("vec_id").as("id_c"), col("embedding").as("emb_c"), col("nrm").as("nrm_c"))
+    val vd = d.select(col("vec_id").as("id_d"), col("embedding").as("emb_d"), col("nrm").as("nrm_d"))
+    cands.join(DedupOps.gatedVerifySide(vc, estC), "id_c")
+      .join(DedupOps.gatedVerifySide(vd, estD), "id_d")
+      .withColumn("sim", dotp(col("emb_c"), col("emb_d")) / (col("nrm_c") * col("nrm_d")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_c"), col("id_d"), OracleMath.stableRound(col("sim"), 6).as("sim"))
+      .orderBy(col("id_c"), col("id_d"))
+  }
+
+  /** q324 — INCREMENTAL near-dup with the 64-bit gate armed: today's batch
+    * (the perturbed re-observations) against the standing corpus at
+    * θ = 0.9. The oracle replays the UNGATED two-sided banding + verify —
+    * the same cross-engine output-preservation proof as q321, now on the
+    * daily-ingest shape whose cost scales with the delta.
+    */
+  def deltaGatedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = org.apache.spark.sql.graftbridge.GraftSqlBridge.cloneSession(spark)
+    s2.conf.set(Srp64GateConf, Srp64GateMaxH.toString)
+    graft.functions.VectorFunctions.register(s2)
+    deltaNearDupOn(
+      Tables.embeddings(s2, dir).select(col("vec_id"), col("embedding")),
+      perturbedDelta(s2, dir), 0.9)
+  }
+
+  /** q322 — the 64-bit gate's measurement row over the derived corpus: band
+    * candidate count, gate keep count/fraction at [[Srp64GateMaxH]],
+    * constructed-truth banding recall, and the preservation evidence
+    * (n_true_kept must equal n_true_caught; max_true_h is the measured
+    * calibration the gate constant must clear). One row, fully replayable.
+    */
+  def srp64GateReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val e = withSrpSketch64(derivedDupCorpus(spark, dir)
+        .select(col("vec_id"), col("embedding"), sigBits.reduce(_ + _).as("sig")))
+      .select(col("vec_id"), col("sig"), col("srp"))
+      .persistTracked()
+    val banded = e.select(col("vec_id"), col("srp"), explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
+      .select(col("vec_id"), col("srp"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val ch = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        call_function("bit_count", col("a.srp").bitwiseXOR(col("b.srp"))).as("hd"))
+      .dropDuplicates("id_a", "id_b")
+    val truth = e.filter(col("vec_id") < PerturbIdOffset
+        && col("vec_id") % PerturbEvery === 0)
+      .select(col("vec_id").as("id_a"),
+        (col("vec_id") + PerturbIdOffset).as("id_b"), lit(true).as("is_true"))
+    val g = lit(Srp64GateMaxH)
+    val stats = ch.join(truth, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("hd") <= g, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_caught"),
+        sum(when(col("is_true") && col("hd") <= g, 1L).otherwise(0L)).as("n_true_kept"),
+        max(when(col("is_true"), col("hd"))).cast("long").as("max_true_h"))
+    val nv = e.agg(count(lit(1)).as("n_vectors"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    stats.crossJoin(broadcast(nv)).crossJoin(broadcast(nt))
+      .select(col("n_vectors"), col("n_true"), col("n_true_caught"),
+        OracleMath.stableRound(
+          col("n_true_caught").cast("double") / col("n_true").cast("double"), 6)
+          .as("band_recall"),
+        col("n_cands"), col("n_kept"),
+        OracleMath.stableRound(
+          col("n_kept").cast("double") / col("n_cands").cast("double"), 6)
+          .as("pct_kept"),
+        col("n_true_kept"), col("max_true_h"))
+  }
+
   /** q307 — [[annNearDup]] with the SRP Hamming prefilter ARMED (the q306
     * calibration deployed as a candidate gate): identical output to q135 —
     * the oracle is q135's ungated twin, so a single dropped true pair fails
@@ -1465,6 +1662,125 @@ object SimilarityOps {
        |FROM ver WHERE s >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Derived duplicate corpus CTE — the q319/q321/q322 shared prefix: the
+    * SAME float arithmetic as [[derivedDupCorpus]] (double-promote, scale by
+    * the exact decimal-literal multiplier, round back to REAL — both
+    * engines' float cast is IEEE round-to-nearest).
+    */
+  private def dcorpCteSql: String = {
+    val multsLit = PerturbMults.map(_.toString).mkString("[", ", ", "]")
+    s"""dcorp AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PerturbIdOffset AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) * ($multsLit)[i] AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id % $PerturbEvery = 0)""".stripMargin
+  }
+
+  /** The q319 twin — and, VERBATIM, the q321 twin (the gated run must
+    * reproduce the ungated pair set bit-for-bit).
+    */
+  val derivedNearDupOracle: String =
+    s"""WITH $dcorpCteSql,
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
+       |$annCandSql,
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+       |  FROM cand c
+       |  JOIN dcorp ea ON ea.vec_id = c.id_a
+       |  JOIN dcorp eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, ${OracleMath.stableRoundSql("s", 6)} AS sim
+       |FROM ver WHERE s >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The 64×64 ±1 plane literal re-exported for the oracle (single source:
+    * [[graft.functions.VectorKernels.SrpSigns64]]). Declared BEFORE the
+    * oracle string that interpolates it — object vals initialize in order.
+    */
+  val SrpSigns64: Seq[Seq[Int]] =
+    graft.functions.VectorKernels.SrpSigns64.toIndexedSeq.map(_.toIndexedSeq.map(_.toInt))
+
+  /** The q324 twin — the delta CTE, band keys on BOTH sides, per-band
+    * two-sided equi-joins (UNION-deduped), exact verify. Ungated: the gated
+    * Spark run must hash-match it (the q321 preservation argument on the
+    * incremental shape).
+    */
+  val deltaNearDupOracle: String = {
+    val multsLit = PerturbMults.map(_.toString).mkString("[", ", ", "]")
+    val unions = (0 until AnnBands).map { b =>
+      s"SELECT c.vec_id AS id_c, d.vec_id AS id_d\n" +
+        s"  FROM sigs_c c JOIN sigs_d d ON c.bv$b = d.bv$b"
+    }.mkString("\n  UNION\n  ")
+    s"""WITH delta AS MATERIALIZED (
+       |  SELECT vec_id + $PerturbIdOffset AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) * ($multsLit)[i] AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id % $PerturbEvery = 0),
+       |sigs_c AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+       |sigs_d AS (SELECT vec_id, $annBandColsSql FROM delta),
+       |cand AS (
+       |  $unions),
+       |ver AS (
+       |  SELECT c.id_c, c.id_d, ${cosSql("ec.embedding", "ed.embedding")} AS s
+       |  FROM cand c
+       |  JOIN embeddings ec ON ec.vec_id = c.id_c
+       |  JOIN delta ed ON ed.vec_id = c.id_d)
+       |SELECT id_c, id_d, ${OracleMath.stableRoundSql("s", 6)} AS sim
+       |FROM ver WHERE s >= 0.9
+       |ORDER BY id_c, id_d""".stripMargin
+  }
+
+  /** The q322 twin — 64-plane integer dot signs from the driver-derived ±1
+    * literal matrix, band candidates over the derived corpus, Hamming per
+    * candidate, and the one-row preservation/cut rollup.
+    */
+  val srp64GateReportOracle: String = {
+    val signsLit = SrpSigns64.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH $dcorpCteSql,
+       |e64 AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM dcorp),
+       |sgn64 AS MATERIALIZED (
+       |  SELECT p, i, $signsLit[p][i] AS s
+       |  FROM generate_series(1, 64) t(p), generate_series(1, 64) u(i)),
+       |dots64 AS (
+       |  SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |  FROM (SELECT vec_id, i, xq[i] AS x FROM e64, generate_series(1, 64) u(i)) ex
+       |  JOIN sgn64 g USING (i) GROUP BY 1, 2),
+       |b64 AS MATERIALIZED (
+       |  SELECT vec_id, list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |  FROM dots64 GROUP BY 1),
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
+       |$annCandSql,
+       |ch AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(range(1, 65), p -> ba.bits[p] <> bb.bits[p])) AS hd,
+       |    (c.id_b = c.id_a + $PerturbIdOffset AND c.id_a % $PerturbEvery = 0) AS is_true
+       |  FROM cand c
+       |  JOIN b64 ba ON ba.vec_id = c.id_a
+       |  JOIN b64 bb ON bb.vec_id = c.id_b),
+       |nv AS (SELECT count(*) AS n_vectors FROM dcorp),
+       |nt AS (SELECT count(*) AS n_true FROM embeddings WHERE vec_id % $PerturbEvery = 0),
+       |st AS (SELECT count(*) AS n_cands,
+       |    sum(CASE WHEN hd <= $Srp64GateMaxH THEN 1 ELSE 0 END) AS n_kept,
+       |    sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_caught,
+       |    sum(CASE WHEN is_true AND hd <= $Srp64GateMaxH THEN 1 ELSE 0 END) AS n_true_kept,
+       |    max(CASE WHEN is_true THEN hd END) AS max_true_h
+       |  FROM ch)
+       |SELECT CAST(n_vectors AS BIGINT) AS n_vectors, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_true_caught AS BIGINT) AS n_true_caught,
+       |  ${OracleMath.stableRoundSql(
+        "CAST(n_true_caught AS DOUBLE) / CAST(n_true AS DOUBLE)", 6)} AS band_recall,
+       |  CAST(n_cands AS BIGINT) AS n_cands, CAST(n_kept AS BIGINT) AS n_kept,
+       |  ${OracleMath.stableRoundSql(
+        "CAST(n_kept AS DOUBLE) / CAST(n_cands AS DOUBLE)", 6)} AS pct_kept,
+       |  CAST(n_true_kept AS BIGINT) AS n_true_kept,
+       |  CAST(max_true_h AS BIGINT) AS max_true_h
+       |FROM st CROSS JOIN nv CROSS JOIN nt""".stripMargin
+  }
+
   /** The q308 twin — calibration-derived per-threshold gates applied to the
     * q135 band-candidate set, replayed end-to-end: sketch bits, eval-pair
     * calibration, gate rule (max qualifying Hamming bucket + 1, −1 when no
@@ -1543,6 +1859,10 @@ object SimilarityOps {
     // engines at every SF is the proof that the gate is output-preserving.
     "q307_srp_gated_neardup" -> annNearDupOracle,
     "q308_srp_gate_report" -> srpGateReportOracle,
+    "q319_derived_neardup" -> derivedNearDupOracle,
+    "q321_srp64_gated_neardup" -> derivedNearDupOracle,
+    "q322_srp64_gate_report" -> srp64GateReportOracle,
+    "q324_delta_gated_neardup" -> deltaNearDupOracle,
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)

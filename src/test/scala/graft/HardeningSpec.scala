@@ -114,6 +114,74 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("range-partitioned right/full interval join emits an ALL-NULL interval row as unmatched") {
+    // the r9-advice latent gap: the unmatched-interval recovery anti-joined
+    // on interval VALUES against the left-join base, whose padding rows
+    // contribute an all-NULL interval tuple — a genuine interval row whose
+    // columns are all NULL (it can never match: NULL bounds fail the range
+    // predicate) was wrongly suppressed instead of emitted null-padded
+    import spark.implicits._
+    val pts = Seq((100L, 1L), (250L, 2L)).toDF("t", "pid")
+    val ivs = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (90L, 120L, 10L),          // matches pid 1
+      (300L, 400L, 11L),         // matches nothing -> unmatched emission
+      (null, null, null)         // ALL-NULL row -> must also emit unmatched
+    ).toDF("s", "e", "iid")
+    for (jt <- Seq("right", "full")) {
+      val got = graft.plans.IntervalJoin.joinRangePartitioned(
+          pts, ivs, pts("t"), ivs("s"), ivs("e"), jt)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val brute = pts.join(ivs, pts("t") >= ivs("s") && pts("t") < ivs("e"),
+          if (jt == "right") "right_outer" else "full_outer")
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      assert(got === brute, s"joinType=$jt")
+      assert(got.count(p => p._1 == -1L && p._2 == -1L) == 1,
+        s"joinType=$jt must emit the all-NULL interval row exactly once, got $got")
+    }
+  }
+
+  test("SRP gate margins hold: measured max true-pair Hamming stays below both gates") {
+    // the r9-advice fix: the gate constants were empirical (observed maxima
+    // + margin); a regenerated corpus or new SF that pushes a true pair past
+    // the margin must fail HERE with a targeted message, not as an opaque
+    // oracle hash mismatch on q307/q321
+    import org.apache.spark.sql.functions._
+    // 16-bit gate (q307, θ = 0.35 corpus): true pairs are q135's verified
+    // output; their max sketch Hamming must stay <= SrpGateMaxH - 1
+    val pairs = SimilarityOps.annNearDup(spark, sf)
+      .select(col("id_a"), col("id_b"))
+    val sk16 = SimilarityOps.withSrpSketch(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("srp"))
+    val max16 = pairs
+      .join(sk16.select(col("vec_id").as("id_a"), col("srp").as("sa")), "id_a")
+      .join(sk16.select(col("vec_id").as("id_b"), col("srp").as("sb")), "id_b")
+      .agg(max(call_function("bit_count", col("sa").bitwiseXOR(col("sb")))))
+      .head().getInt(0)
+    assert(max16 <= SimilarityOps.SrpGateMaxH - 1,
+      s"16-bit SRP gate margin breached: measured max true-pair Hamming $max16 " +
+        s"vs gate ${SimilarityOps.SrpGateMaxH} — recalibrate SrpGateMaxH before trusting q307")
+    // 64-bit gate (q321, θ = 0.9 derived corpus): the report's own
+    // preservation columns are the margin evidence
+    val r = SimilarityOps.srp64GateReport(spark, sf).head()
+    val maxTrueH = r.getAs[Long]("max_true_h")
+    val nTrueCaught = r.getAs[Long]("n_true_caught")
+    val nTrueKept = r.getAs[Long]("n_true_kept")
+    assert(maxTrueH <= SimilarityOps.Srp64GateMaxH - 1,
+      s"64-bit SRP gate margin breached: measured max true-pair Hamming $maxTrueH " +
+        s"vs gate ${SimilarityOps.Srp64GateMaxH} — recalibrate Srp64GateMaxH before trusting q321")
+    assert(nTrueKept === nTrueCaught,
+      s"64-bit gate dropped ${nTrueCaught - nTrueKept} true pairs — not output-preserving")
+    // and the gate must actually PAY at this threshold (the whole point of
+    // the 64-bit width): double-digit candidate cut
+    val pctKept = r.getAs[Double]("pct_kept")
+    assert(pctKept < 0.9, s"64-bit gate keeps ${pctKept * 100}% of candidates — no real cut")
+  }
+
   test("outer as-of join emits NULLs, not zeros, for NON-NULLABLE right frames") {
     // pins the nullability-binding fix: the output projection must bind a
     // nullable view of the right attributes, or a non-nullable right column

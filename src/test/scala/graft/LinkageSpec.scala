@@ -37,6 +37,33 @@ class LinkageSpec extends AnyFunSuite {
     // is loose on purpose (rank neighborhoods shift), the 90% is the contract
   }
 
+  test("graded agreement recovers typo'd-address true pairs that boolean agreement misses (q320)") {
+    // the r9-verdict item: a close level (6-dp-quantized Jaro-Winkler >= 0.9)
+    // between exact and disagree. The derivation typos the address of every
+    // key % 3 == 1 B-record, so those true pairs can NEVER agree exactly on
+    // addr — a boolean model scores them "disagree"; the graded model must
+    // route them through the close level into 'match'.
+    def cell(rows: Array[org.apache.spark.sql.Row], d: String, t: Boolean): Long =
+      rows.collectFirst {
+        case r if r.getString(0) == d && r.getBoolean(1) == t => r.getLong(2)
+      }.getOrElse(0L)
+    val graded = LinkageOps.gradedLinkage(spark, sf).collect()
+    val boolean = LinkageOps.recordLinkage(spark, sf).collect()
+    val gradedTrueMatch = cell(graded, "match", t = true)
+    val booleanTrueMatch = cell(boolean, "match", t = true)
+    assert(gradedTrueMatch > booleanTrueMatch,
+      s"graded model must find MORE true matches ($gradedTrueMatch vs $booleanTrueMatch)")
+    assert(cell(graded, "match", t = false) <= cell(boolean, "match", t = false),
+      "the high-entropy graded field must not ADD false matches")
+    // the recovery is genuinely the close level's doing: typo'd true pairs
+    // land in (match, true) with lvl_addr == 1
+    val closeInMatch = graded.collectFirst {
+      case r if r.getString(0) == "match" && r.getBoolean(1) => r.getLong(3)
+    }.getOrElse(0L)
+    assert(closeInMatch > 0L,
+      "true matches must include close-level (typo'd-address) pairs")
+  }
+
   test("golden-record collapse conserves records; matched clusters absorb one A and one B (q315)") {
     val g = LinkageOps.goldenRecords(spark, sf).collect()
     val total = g.map(_.getLong(1)).sum
