@@ -85,6 +85,7 @@ object Bench {
       graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 2) // q51/q88/q111/q131
       graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 2, byTime = false) // q72
       graft.streaming.EventsStream.stageStreamDirMulti(spark, sfDir, nFiles = 3) // q80 (same as q100)
+      graft.streaming.EmbeddingStream.stageDeltaDir(spark, sfDir) // q325
       val wq = spark.readStream
         .schema(graft.streaming.SessionStream.rawSchema)
         .parquet(graft.streaming.EventsStream.stageStreamDirShared(spark, sfDir))

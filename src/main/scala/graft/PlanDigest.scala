@@ -43,7 +43,9 @@ object PlanDigest {
     "q157_bm25_topk", "q187_phash_neardup", "q198_gdpr_purge",
     "q233_ks_test", "q239_interval_join", "q261_scd2_interval_attr",
     "q307_srp_gated_neardup", "q309_range_interval_join", "q310_outage_attribution",
-    "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered")
+    "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered",
+    "q320_graded_linkage", "q321_srp64_gated_neardup", "q323_scd2_salted",
+    "q324_delta_gated_neardup")
 
   val snapshotDir = "src/test/resources/plans"
 

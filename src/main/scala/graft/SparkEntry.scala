@@ -590,6 +590,8 @@ object SparkEntry {
     "q323_scd2_salted"         -> ((s, d) => CoreOps.scd2IntervalAttributionSalted(s, d)),
     // -- INCREMENTAL gated near-dup: today's batch vs corpus, cost ∝ delta -------
     "q324_delta_gated_neardup" -> ((s, d) => SimilarityOps.deltaGatedNearDup(s, d)),
+    // -- the same shape STREAMING: landing-dir microbatches vs static corpus -----
+    "q325_stream_delta_neardup" -> ((s, d) => graft.streaming.EmbeddingStream.deltaGatedNearDupStreaming(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

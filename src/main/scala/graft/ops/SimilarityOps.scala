@@ -1405,6 +1405,30 @@ object SimilarityOps {
     annNearDupOn(derivedDupCorpus(s2, dir), 0.9)
   }
 
+  /** (vec_id, embedding) + the ANN banding signature, L2 norm, and the
+    * 64-bit SRP sketch — the row-local sketch block shared by the batch
+    * delta path and the streaming lane (stateless projections: safe in a
+    * streaming plan).
+    */
+  private[graft] def withBandSketch64(df: DataFrame): DataFrame = {
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    withSrpSketch64(df.select(col("vec_id"), col("embedding"),
+      sigBits.reduce(_ + _).as("sig"),
+      sqrt(dotp(col("embedding"), col("embedding"))).as("nrm")))
+  }
+
+  /** Explode a [[withBandSketch64]] frame to one row per (band key, band
+    * value), carrying the listed extra columns.
+    */
+  private[graft] def explodeBands(df: DataFrame, carry: Seq[String]): DataFrame =
+    df.select(col("vec_id") +: carry.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"): _*)
+      .select(col("vec_id") +: carry.map(col)
+        :+ col("b.bk").as("bk") :+ col("b.bv").as("bv"): _*)
+
   /** Two-sided (delta × corpus) band-OR near-dup core — the INCREMENTAL
     * shape: band keys computed for both sides, candidates from the per-band
     * equi-joins (no self-join triangle constraint — the sides are disjoint
@@ -1863,6 +1887,7 @@ object SimilarityOps {
     "q321_srp64_gated_neardup" -> derivedNearDupOracle,
     "q322_srp64_gate_report" -> srp64GateReportOracle,
     "q324_delta_gated_neardup" -> deltaNearDupOracle,
+    "q325_stream_delta_neardup" -> deltaNearDupOracle, // streamed twin: batch-boundary-independent
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)
