@@ -592,6 +592,8 @@ object SparkEntry {
     "q324_delta_gated_neardup" -> ((s, d) => SimilarityOps.deltaGatedNearDup(s, d)),
     // -- the same shape STREAMING: landing-dir microbatches vs static corpus -----
     "q325_stream_delta_neardup" -> ((s, d) => graft.streaming.EmbeddingStream.deltaGatedNearDupStreaming(s, d)),
+    // -- as-of with a reporting cutoff: the ts<=U bound mirrors to BOTH scans -----
+    "q326_asof_bounded"        -> ((s, d) => EventOps.asofAttributionBounded(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -882,6 +884,14 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |WHERE p.user_id IN (1, 3, 7, 11, 13)
+        |ORDER BY purchase_id""".stripMargin,
+    "q326_asof_bounded" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS click_id,
+        | date_diff('second', v.ts, p.ts) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |WHERE p.ts <= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY purchase_id""".stripMargin,
     "q85_unpivot_measures" ->
       """WITH a AS (SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,

@@ -559,6 +559,30 @@ object EventOps {
       .filter(col("user_id").isin(1L, 3L, 7L, 11L, 13L))
       .orderBy(col("purchase_id"))
 
+  /** q326 — [[asofAttribution]] restricted to a reporting CUTOFF, written
+    * the analyst way (filter after the join): the pushed `ts ≤ U` now also
+    * MIRRORS onto the right side as `click_ts ≤ U` (backward as-of: a later
+    * click can never be the latest-at-or-before match for a surviving
+    * purchase), so BOTH children shrink before their shuffles — the
+    * consumer of the round-10 time-bound mirror in
+    * [[graft.plans.AsOfJoinFilterPushdown]].
+    */
+  def asofAttributionBounded(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq(purchases("user_id")), Seq(clicks("click_user")),
+        purchases("ts"), clicks("click_ts"))
+      .filter(col("ts") <= to_timestamp(lit("2024-01-15 00:00:00")))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(ts) DIV 1000000 - unix_micros(click_ts) DIV 1000000")
+          .as("lag_seconds"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Outer variant of [[asofAttribution]]: keep purchases with NO prior
     * click (user's first purchase precedes any click). Unmatched right
     * columns coalesce to -1 so the oracle compare never faces null-vs-NaN

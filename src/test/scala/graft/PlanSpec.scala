@@ -399,6 +399,11 @@ class PlanSpec extends AnyFunSuite {
       purch.filter(col("ts") >= to_timestamp(lit(cutoff))), clicks,
       Seq(purch("user_id")), Seq(clicks("c_uid")), purch("ts"), clicks("c_ts"))
     assert(lf.count() === preL.count())
+    // the registry consumer (q326) gets the same double-sided bound
+    val q326 = EventOps.asofAttributionBounded(spark, sf)
+    assert("<= 2024-01-15 00:00:00".r
+      .findAllIn(q326.queryExecution.optimizedPlan.toString).size == 2,
+      "q326's cutoff must land on both children")
   }
 
   test("salted keyed interval join carries the salt in both exchanges, same result (q323)") {

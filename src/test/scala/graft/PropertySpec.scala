@@ -77,3 +77,24 @@ object SketchProps extends Properties("SketchKernels") {
       (0 until k).forall(i => sab(i) <= sa(i))
     }
 }
+
+/** Pure-JVM invariants of the string-similarity kernel (q320's scorer). */
+object StringSimProps extends Properties("StringKernels") {
+  import graft.functions.StringKernels
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def jw(a: String, b: String): Double =
+    StringKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  property("jaroWinkler is total and bounded on arbitrary strings") =
+    forAll { (a: String, b: String) =>
+      val v = jw(a, b)
+      v >= 0.0 && v <= 1.0
+    }
+
+  property("jaroWinkler is symmetric") =
+    forAll { (a: String, b: String) => jw(a, b) == jw(b, a) }
+
+  property("jaroWinkler of a nonempty string with itself is 1") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { a => jw(a, a) == 1.0 }
+}
