@@ -594,6 +594,8 @@ object SparkEntry {
     "q325_stream_delta_neardup" -> ((s, d) => graft.streaming.EmbeddingStream.deltaGatedNearDupStreaming(s, d)),
     // -- as-of with a reporting cutoff: the ts<=U bound mirrors to BOTH scans -----
     "q326_asof_bounded"        -> ((s, d) => EventOps.asofAttributionBounded(s, d)),
+    // -- the same incremental near-dup against a STORED bucketed band index ------
+    "q327_band_index_probe"    -> ((s, d) => SimilarityOps.indexProbeNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -1494,6 +1494,57 @@ object SimilarityOps {
       perturbedDelta(s2, dir), 0.9)
   }
 
+  /** q327 — the incremental gated near-dup against a STORED banded-corpus
+    * index: the deployment shape the q324/q325 Scaladocs describe. The
+    * corpus's (vec_id, srp, bk, bv) band rows are paid ONCE at ingest and
+    * persisted as a parquet table BUCKETED on the band key — every daily
+    * probe then reads matching buckets directly: the corpus side of the
+    * candidate join has NO Exchange (plan-asserted in PlanSpec with
+    * auto-broadcast disabled, the genuine big-corpus shape), only the
+    * delta side shuffles, and its volume is 8 skinny rows per arriving
+    * vector. Third physical shape for the incremental path (recompute →
+    * q324, streaming → q325, stored index → q327), all pinned to ONE
+    * oracle.
+    */
+  def indexProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tIdx = s"graft_band_idx_$sfx"
+    val s = spark.newSession() // shares the persistent catalog + context
+    graft.functions.VectorFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bkt_idx_$sfx")
+    if (!s.catalog.tableExists(tIdx) || !path.exists()) {
+      // one file per bucket: the scan stays sorted within buckets
+      explodeBands(withBandSketch64(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))), Seq("srp"))
+        .repartition(8, col("bk"), col("bv"))
+        .write.format("parquet")
+        .bucketBy(8, "bk", "bv").sortBy("bk", "bv")
+        .option("path", path.getAbsolutePath)
+        .mode("overwrite").saveAsTable(tIdx)
+    }
+    val cBands = s.table(tIdx).select(col("vec_id").as("id_c"),
+      col("srp").as("srp_c"), col("bk"), col("bv"))
+    val delta = withBandSketch64(perturbedDelta(s, dir)).persistTracked()
+    val dBands = explodeBands(delta, Seq("srp"))
+      .select(col("vec_id").as("id_d"), col("srp").as("srp_d"), col("bk"), col("bv"))
+    val cands = dBands.join(cBands, Seq("bk", "bv"))
+      .filter(call_function("bit_count",
+        col("srp_c").bitwiseXOR(col("srp_d"))) <= lit(Srp64GateMaxH))
+      .select(col("id_c"), col("id_d"))
+      .dropDuplicates("id_c", "id_d")
+    val vc = withBandSketch64(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("id_c"), col("embedding").as("emb_c"), col("nrm").as("nrm_c"))
+    val vd = delta.select(col("vec_id").as("id_d"),
+      col("embedding").as("emb_d"), col("nrm").as("nrm_d"))
+    cands.join(vc, "id_c").join(vd, "id_d")
+      .withColumn("sim", dotp(col("emb_c"), col("emb_d")) / (col("nrm_c") * col("nrm_d")))
+      .filter(col("sim") >= 0.9)
+      .select(col("id_c"), col("id_d"), OracleMath.stableRound(col("sim"), 6).as("sim"))
+      .orderBy(col("id_c"), col("id_d"))
+  }
+
   /** q322 — the 64-bit gate's measurement row over the derived corpus: band
     * candidate count, gate keep count/fraction at [[Srp64GateMaxH]],
     * constructed-truth banding recall, and the preservation evidence
@@ -1888,6 +1939,7 @@ object SimilarityOps {
     "q322_srp64_gate_report" -> srp64GateReportOracle,
     "q324_delta_gated_neardup" -> deltaNearDupOracle,
     "q325_stream_delta_neardup" -> deltaNearDupOracle, // streamed twin: batch-boundary-independent
+    "q327_band_index_probe" -> deltaNearDupOracle, // stored-index twin: same pair set
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)

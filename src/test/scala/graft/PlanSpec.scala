@@ -419,6 +419,21 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.collect().toSeq === unsalted)
   }
 
+  test("band-index probe: bucketed corpus scan, exchange only on the delta side (q327)") {
+    val df = SimilarityOps.indexProbeNearDup(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the stored index is read AS BUCKETS — the scan itself satisfies the
+    // join's clustering, so the corpus side of the candidate join moves
+    // nothing (the whole point of paying the banding at ingest)
+    assert(p.contains("Bucketed: true"),
+      "index scan must use the bucketed layout:\n" + p.take(1500))
+    val bandEx = "Exchange hashpartitioning\\(bk#".r.findAllIn(p).size
+    assert(bandEx == 1,
+      s"exactly one band-key exchange (the delta side) expected, got $bandEx:\n" +
+        "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+  }
+
   test("column pruning fires through a residual Filter between Project and the join") {
     import org.apache.spark.sql.functions._
     val origin = to_date(lit("1995-01-01"))
