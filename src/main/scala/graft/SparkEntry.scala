@@ -596,6 +596,8 @@ object SparkEntry {
     "q326_asof_bounded"        -> ((s, d) => EventOps.asofAttributionBounded(s, d)),
     // -- the same incremental near-dup against a STORED bucketed band index ------
     "q327_band_index_probe"    -> ((s, d) => SimilarityOps.indexProbeNearDup(s, d)),
+    // -- q265's full-outer coverage audit through the SALTED path ----------------
+    "q328_scd2_salted_full"    -> ((s, d) => CoreOps.scd2CoverageAuditSalted(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1212,6 +1214,7 @@ object SparkEntry {
     "q261_scd2_interval_attr" -> CoreOps.scd2IntervalAttributionOracle,
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     "q323_scd2_salted" -> CoreOps.scd2IntervalAttributionOracle,
+    "q328_scd2_salted_full" -> CoreOps.scd2CoverageAuditOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // the streaming sketch must equal the batch sketch bit for bit: KMV is
     // deterministic given the hash column, so q311 reuses q263's twin

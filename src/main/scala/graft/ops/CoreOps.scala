@@ -1449,6 +1449,39 @@ object CoreOps {
       .orderBy(col("priority"))
   }
 
+  /** q328 — q265's FULL-outer SCD2 coverage audit through the SALTED path:
+    * the hot-key fan-out now covers the complete join matrix — unmatched
+    * intervals are recovered globally by the shared marker +
+    * distinct/anti-join pass (an interval's salt replicas straddle
+    * partitions, so no task sees its full match set). Oracle = q265's
+    * VERBATIM; all three buckets (BOTH / ORDER_ONLY / REGIME_ONLY) must
+    * survive the decomposition.
+    */
+  def scd2CoverageAuditSalted(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryBase(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("o_custkey").as("h_custkey"), col("priority"),
+        col("valid_from").cast("timestamp_ntz").as("vf"),
+        col("valid_to").cast("timestamp_ntz").as("vt"))
+    val pts = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(Scd2HighValue))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("t"), col("o_totalprice"))
+    graft.plans.IntervalJoin.joinSalted(pts, hist,
+        Seq(pts("o_custkey")), Seq(hist("h_custkey")),
+        pts("t"), hist("vf"), hist("vt"), "full",
+        saltBy = pts("o_orderkey"), numSalts = 8)
+      .select(
+        when(col("o_orderkey").isNotNull && col("priority").isNotNull, lit("BOTH"))
+          .when(col("o_orderkey").isNotNull, lit("ORDER_ONLY"))
+          .otherwise(lit("REGIME_ONLY")).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+      .orderBy(col("bucket"))
+  }
+
   /** Far-future open-interval sentinel shared with the q261/q262 twins. */
   val Scd2OpenEnd = "9999-01-01"
 

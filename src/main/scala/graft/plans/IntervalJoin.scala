@@ -476,41 +476,55 @@ object IntervalJoin {
     // DISTINCT matched-interval set IS, and one anti-join recovers the
     // never-matched intervals (null-padded on the point side). Same result
     // matrix as the keyed exec, still zero broadcasts.
-    if (joinType == "right" || joinType == "full") {
-      // non-nullable marker on the interval side: under "full" the core
-      // left-join's PADDING rows carry an all-NULL interval slice, and a
-      // GENUINE interval row whose columns are all NULL would null-safe-equal
-      // that tuple and be wrongly suppressed from the unmatched recovery —
-      // the marker (NULL exactly on padding rows) keeps padding out of the
-      // matched set, and value-equal interval rows have identical bounds and
-      // therefore identical matchedness, so value anti-join stays exact
-      val tagged = intervals.withColumn("__iv_m", lit(1))
-      val baseT = joinRangePartitionedCore(points, tagged, pointTime, start, end,
-        if (joinType == "full") "left" else "inner", numBuckets)
-      // positional slice: the join output is points-columns ++ interval-columns
-      val pLen = points.columns.length
-      val iCols = intervals.columns
-      val fresh = baseT.toDF(baseT.columns.indices.map(i => s"__c$i"): _*)
-      val matched = fresh.filter(col(s"__c${pLen + iCols.length}").isNotNull)
-        .select(iCols.indices.map(j => col(s"__c${pLen + j}").as(iCols(j))): _*)
-        .distinct()
-      // null-safe on every interval column: null-bounded intervals never
-      // match and must surface as unmatched, exactly like the keyed exec
-      val unmatched = intervals.join(matched,
-        iCols.map(c => intervals(c) <=> matched(c)).reduce(_ && _), "left_anti")
-      val padded = unmatched.select(
-        points.schema.zipWithIndex.map { case (f, i) =>
-          lit(null).cast(f.dataType).as(s"__p$i") } ++ iCols.map(col): _*)
-      // drop the marker (last column) before the positional union — via the
-      // uniquely-renamed frame, then restore the original (possibly
-      // duplicated) names
-      val base = fresh.select((0 until (pLen + iCols.length)).map(i => col(s"__c$i")): _*)
-        .toDF(baseT.columns.take(pLen + iCols.length): _*)
-      return base.union(padded) // positional: base may carry duplicate names
-    }
+    if (joinType == "right" || joinType == "full")
+      return recoverUnmatchedIntervals(points, intervals,
+        tagged => joinRangePartitionedCore(points, tagged, pointTime, start, end,
+          if (joinType == "full") "left" else "inner", numBuckets))
     require(joinType == "inner" || joinType == "left",
       s"range-partitioned interval join supports inner|left|right|full, got '$joinType'")
     joinRangePartitionedCore(points, intervals, pointTime, start, end, joinType, numBuckets)
+  }
+
+  /** Shared right/full recovery for the REPLICATING modes (range-partitioned
+    * and salted), where an interval's replicas straddle partitions and no
+    * task can decide global unmatchedness: run the inner/left core over a
+    * MARKER-tagged interval side, take the DISTINCT matched interval tuples,
+    * and anti-join the original interval table against them to emit the
+    * never-matched rows null-padded on the point side.
+    *
+    * The non-nullable marker is load-bearing: under "full" the core
+    * left-join's PADDING rows carry an all-NULL interval slice, and a
+    * GENUINE interval row whose columns are all NULL would null-safe-equal
+    * that tuple and be wrongly suppressed — the marker (NULL exactly on
+    * padding rows) keeps padding out of the matched set. Value-equal
+    * interval rows have identical keys and bounds and therefore identical
+    * matchedness, so the value anti-join stays exact.
+    */
+  private def recoverUnmatchedIntervals(points: DataFrame, intervals: DataFrame,
+      core: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tagged = intervals.withColumn("__iv_m", lit(1))
+    val baseT = core(tagged)
+    // positional slice: the core output is points-columns ++ interval-columns ++ marker
+    val pLen = points.columns.length
+    val iCols = intervals.columns
+    val fresh = baseT.toDF(baseT.columns.indices.map(i => s"__c$i"): _*)
+    val matched = fresh.filter(col(s"__c${pLen + iCols.length}").isNotNull)
+      .select(iCols.indices.map(j => col(s"__c${pLen + j}").as(iCols(j))): _*)
+      .distinct()
+    // null-safe on every interval column: null-bounded intervals never
+    // match and must surface as unmatched, exactly like the keyed exec
+    val unmatched = intervals.join(matched,
+      iCols.map(c => intervals(c) <=> matched(c)).reduce(_ && _), "left_anti")
+    val padded = unmatched.select(
+      points.schema.zipWithIndex.map { case (f, i) =>
+        lit(null).cast(f.dataType).as(s"__p$i") } ++ iCols.map(col): _*)
+    // drop the marker (last column) before the positional union — via the
+    // uniquely-renamed frame, then restore the original (possibly
+    // duplicated) names
+    val base = fresh.select((0 until (pLen + iCols.length)).map(i => col(s"__c$i")): _*)
+      .toDF(baseT.columns.take(pLen + iCols.length): _*)
+    base.union(padded) // positional: base may carry duplicate names
   }
 
   private def joinRangePartitionedCore(points: DataFrame, intervals: DataFrame,
@@ -553,21 +567,36 @@ object IntervalJoin {
     * still meets every interval of its key exactly once, in whichever salt
     * partition the point landed.
     *
-    * Inner / left only: an interval's replicas straddle salt partitions, so
-    * per-replica unmatchedness is not global — the same argument that bars
-    * right/full in the broadcast and range-partitioned modes (and fixable
-    * the same way: one distinct/anti-join pass — add it when a consumer
-    * needs it).
+    * All four join shapes: inner/left run directly (a point's salt exists on
+    * every interval replica, so left-outer emission is per-point local);
+    * right/full decompose over the inner/left core exactly like the
+    * range-partitioned mode — an interval's replicas straddle salt
+    * partitions, so global unmatchedness is recovered by the shared
+    * marker + distinct/anti-join pass ([[recoverUnmatchedIntervals]]).
     */
   def joinSalted(points: DataFrame, intervals: DataFrame,
                  leftKeys: Seq[Column], rightKeys: Seq[Column],
                  pointTime: Column, start: Column, end: Column,
                  joinType: String, saltBy: Column,
                  numSalts: Int = 16): DataFrame = {
-    import org.apache.spark.sql.functions._
-    require(joinType == "inner" || joinType == "left",
-      s"salted interval join supports inner|left, got '$joinType'")
     require(numSalts > 1, s"numSalts must exceed 1, got $numSalts")
+    if (joinType == "right" || joinType == "full")
+      return recoverUnmatchedIntervals(points, intervals,
+        tagged => joinSaltedCore(points, tagged, leftKeys, rightKeys,
+          pointTime, start, end, if (joinType == "full") "left" else "inner",
+          saltBy, numSalts))
+    require(joinType == "inner" || joinType == "left",
+      s"salted interval join supports inner|left|right|full, got '$joinType'")
+    joinSaltedCore(points, intervals, leftKeys, rightKeys,
+      pointTime, start, end, joinType, saltBy, numSalts)
+  }
+
+  private def joinSaltedCore(points: DataFrame, intervals: DataFrame,
+                             leftKeys: Seq[Column], rightKeys: Seq[Column],
+                             pointTime: Column, start: Column, end: Column,
+                             joinType: String, saltBy: Column,
+                             numSalts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     val pS = points.withColumn("__salt", pmod(xxhash64(saltBy), lit(numSalts.toLong)).cast("int"))
     val iS = intervals.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))

@@ -114,6 +114,39 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("SALTED IntervalJoin equals the brute-force keyed range join in all four modes") {
+    // the salted fan-out must be placement-only for every join shape,
+    // including the recovered right/full (replicas straddle salt partitions;
+    // the marker + distinct/anti-join pass restores global unmatchedness) —
+    // same randomized pin as the keyed test, plus an all-NULL interval row
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val pts = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(200).toLong, i.toLong)).toDF("k", "t", "pid")
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextInt(220).toLong - 10
+      (rnd.nextInt(12).toLong + 2, s, s + rnd.nextInt(30).toLong - 2, i.toLong)
+    }.toDF("ik", "s", "e", "iid")
+      .unionByName(Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)](
+        (null, null, null, null)).toDF("ik", "s", "e", "iid"))
+    for ((jt, sqlType) <- Seq("inner" -> "inner", "left" -> "left_outer",
+        "right" -> "right_outer", "full" -> "full_outer")) {
+      def pair(r: org.apache.spark.sql.Row) =
+        (if (r.isNullAt(0)) -1L else r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+      val got = graft.plans.IntervalJoin.joinSalted(pts, ivs,
+          Seq(pts("k")), Seq(ivs("ik")), pts("t"), ivs("s"), ivs("e"), jt,
+          saltBy = pts("pid"), numSalts = 4)
+        .select(col("pid"), col("iid")).collect().map(pair).sorted.toSeq
+      val brute = pts.join(ivs,
+          pts("k") === ivs("ik") && pts("t") >= ivs("s") && pts("t") < ivs("e"), sqlType)
+        .select(col("pid"), col("iid")).collect().map(pair).sorted.toSeq
+      assert(got === brute, s"joinType=$jt")
+      if (jt == "right" || jt == "full")
+        assert(got.count(p => p._1 == -1L && p._2 == -1L) == 1,
+          s"joinType=$jt must emit the all-NULL interval row exactly once")
+    }
+  }
+
   test("range-partitioned right/full interval join emits an ALL-NULL interval row as unmatched") {
     // the r9-advice latent gap: the unmatched-interval recovery anti-joined
     // on interval VALUES against the left-join base, whose padding rows
