@@ -598,6 +598,8 @@ object SparkEntry {
     "q327_band_index_probe"    -> ((s, d) => SimilarityOps.indexProbeNearDup(s, d)),
     // -- q265's full-outer coverage audit through the SALTED path ----------------
     "q328_scd2_salted_full"    -> ((s, d) => CoreOps.scd2CoverageAuditSalted(s, d)),
+    // -- sketch WIDTH vs THRESHOLD: 16 vs 64 bits on the original 0.35 corpus ----
+    "q329_srp_width_report"    -> ((s, d) => SimilarityOps.srpWidthReport(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -1494,6 +1494,70 @@ object SimilarityOps {
       perturbedDelta(s2, dir), 0.9)
   }
 
+  /** q329 — the WIDTH question answered with data: is the 16-bit gate's
+    * profitlessness at the corpus's θ = 0.35 (q308: safe gate keeps
+    * 99.96 %) a sketch-width problem or a threshold problem? One row per
+    * width (16 / 64 bits) over the ORIGINAL corpus: the measured max
+    * true-pair Hamming (true pairs = q135's verified output), the
+    * data-derived safe gate (max + 1), and the fraction of the band
+    * candidates that gate keeps. The 64-bit row keeps ~98-99 % — at
+    * cos ≈ 0.35 (θ ≈ 69°, flip-prob 0.39/bit) true pairs sit ~2σ from
+    * random for ANY practical width, so the failure is the THRESHOLD's,
+    * which is exactly why the deployed 64-bit gate lives on the θ = 0.9
+    * corpus (q321/q322) instead.
+    */
+  def srpWidthReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sigBits.reduce(_ + _).as("sig"))
+    val e = withSrpSketch64(withSrpSketch(base).withColumnRenamed("srp", "s16"))
+      .withColumnRenamed("srp", "s64")
+      .select(col("vec_id"), col("sig"), col("s16"), col("s64"),
+        col("embedding"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+      .persistTracked()
+    val banded = e.select(col("vec_id"), col("s16"), col("s64"), explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
+      .select(col("vec_id"), col("s16"), col("s64"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val ch = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        call_function("bit_count", col("a.s16").bitwiseXOR(col("b.s16"))).as("h16"),
+        call_function("bit_count", col("a.s64").bitwiseXOR(col("b.s64"))).as("h64"))
+      .dropDuplicates("id_a", "id_b")
+      .persistTracked()
+    // true pairs = the candidates the exact verify keeps at θ = 0.35
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val truePairs = ch.join(va, "id_a").join(vb, "id_b")
+      .filter(dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= 0.35)
+      .select(col("h16"), col("h64"))
+    // bounded-collect: a 2-value rollup (one max per width)
+    val tp = truePairs.agg(max(col("h16")).as("m16"), max(col("h64")).as("m64")).head()
+    val gates = Seq(16 -> (tp.getInt(0) + 1), 64 -> (tp.getInt(1) + 1))
+    val keptCols = gates.map { case (w, g) =>
+      sum(when((if (w == 16) col("h16") else col("h64")) <= lit(g), 1L).otherwise(0L))
+        .as(s"kept_$w")
+    }
+    val row = ch.agg(count(lit(1)).as("n_cands"), keptCols: _*)
+    val outStructs = gates.map { case (w, g) =>
+      struct(lit(w).as("width"), lit(g - 1).as("max_true_h"), lit(g).as("gate_max_h"),
+        col("n_cands").cast("long").as("n_cands"),
+        col(s"kept_$w").cast("long").as("n_kept"))
+    }
+    row.select(explode(array(outStructs: _*)).as("r"))
+      .select(col("r.width"), col("r.max_true_h"), col("r.gate_max_h"),
+        col("r.n_cands"), col("r.n_kept"),
+        OracleMath.stableRound(
+          col("r.n_kept").cast("double") / col("r.n_cands").cast("double"), 6).as("pct_kept"))
+      .orderBy(col("width"))
+  }
+
   /** q327 — the incremental gated near-dup against a STORED banded-corpus
     * index: the deployment shape the q324/q325 Scaladocs describe. The
     * corpus's (vec_id, srp, bk, bv) band rows are paid ONCE at ingest and
@@ -1806,6 +1870,63 @@ object SimilarityOps {
        |ORDER BY id_c, id_d""".stripMargin
   }
 
+  /** The q329 twin — both sketch widths replayed over the ORIGINAL corpus,
+    * the data-derived safe gate per width (max true-pair Hamming + 1), and
+    * the keep fraction over the band candidates.
+    */
+  val srpWidthReportOracle: String = {
+    val s16 = SrpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val s64 = SrpSigns64.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (SELECT vec_id, i, xq[i] AS x FROM e, generate_series(1, 64) u(i)),
+       |sgn16 AS MATERIALIZED (SELECT p, i, $s16[p][i] AS s
+       |  FROM generate_series(1, $SrpPlanes) t(p), generate_series(1, 64) u(i)),
+       |sgn64 AS MATERIALIZED (SELECT p, i, $s64[p][i] AS s
+       |  FROM generate_series(1, 64) t(p), generate_series(1, 64) u(i)),
+       |b16 AS MATERIALIZED (SELECT vec_id,
+       |    list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |  FROM (SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |        FROM ex JOIN sgn16 g USING (i) GROUP BY 1, 2) GROUP BY 1),
+       |b64 AS MATERIALIZED (SELECT vec_id,
+       |    list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |  FROM (SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |        FROM ex JOIN sgn64 g USING (i) GROUP BY 1, 2) GROUP BY 1),
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+       |$annCandSql,
+       |ch AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(range(1, ${SrpPlanes + 1}), p -> xa.bits[p] <> xb.bits[p])) AS h16,
+       |    len(list_filter(range(1, 65), p -> ya.bits[p] <> yb.bits[p])) AS h64
+       |  FROM cand c
+       |  JOIN b16 xa ON xa.vec_id = c.id_a JOIN b16 xb ON xb.vec_id = c.id_b
+       |  JOIN b64 ya ON ya.vec_id = c.id_a JOIN b64 yb ON yb.vec_id = c.id_b),
+       |tp AS (SELECT max(ch.h16) AS m16, max(ch.h64) AS m64
+       |  FROM ch
+       |  JOIN e ea ON ea.vec_id = ch.id_a
+       |  JOIN e eb ON eb.vec_id = ch.id_b
+       |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35),
+       |st AS (SELECT count(*) AS n_cands,
+       |    sum(CASE WHEN ch.h16 <= tp.m16 + 1 THEN 1 ELSE 0 END) AS k16,
+       |    sum(CASE WHEN ch.h64 <= tp.m64 + 1 THEN 1 ELSE 0 END) AS k64
+       |  FROM ch CROSS JOIN tp)
+       |SELECT width, max_true_h, gate_max_h, n_cands, n_kept,
+       |  ${OracleMath.stableRoundSql(
+        "CAST(n_kept AS DOUBLE) / CAST(n_cands AS DOUBLE)", 6)} AS pct_kept
+       |FROM (
+       |  SELECT CAST(16 AS INT) AS width, CAST(tp.m16 AS INT) AS max_true_h,
+       |    CAST(tp.m16 + 1 AS INT) AS gate_max_h,
+       |    CAST(st.n_cands AS BIGINT) AS n_cands, CAST(st.k16 AS BIGINT) AS n_kept
+       |  FROM st CROSS JOIN tp
+       |  UNION ALL
+       |  SELECT CAST(64 AS INT), CAST(tp.m64 AS INT), CAST(tp.m64 + 1 AS INT),
+       |    CAST(st.n_cands AS BIGINT), CAST(st.k64 AS BIGINT)
+       |  FROM st CROSS JOIN tp)
+       |ORDER BY width""".stripMargin
+  }
+
   /** The q322 twin — 64-plane integer dot signs from the driver-derived ±1
     * literal matrix, band candidates over the derived corpus, Hamming per
     * candidate, and the one-row preservation/cut rollup.
@@ -1940,6 +2061,7 @@ object SimilarityOps {
     "q324_delta_gated_neardup" -> deltaNearDupOracle,
     "q325_stream_delta_neardup" -> deltaNearDupOracle, // streamed twin: batch-boundary-independent
     "q327_band_index_probe" -> deltaNearDupOracle, // stored-index twin: same pair set
+    "q329_srp_width_report" -> srpWidthReportOracle,
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)
