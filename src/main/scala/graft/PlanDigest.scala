@@ -84,8 +84,9 @@ object PlanDigest {
         else l
       }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs
-      // x_130 depending on what ran before) — scrub the counter
-      .replaceAll("\\bx_\\d+#", "x_#")
+      // x_130 depending on what ran before) — scrub the counter for EVERY
+      // lambda variable letter (zip_with binds a second one, y_N)
+      .replaceAll("\\b([a-z])_\\d+#", "$1_#")
       .replaceAll("(?m)\\s+$", "")
 
   /** The session shape the snapshots are pinned under — MUST match the test

@@ -1537,7 +1537,7 @@ object SimilarityOps {
     val truePairs = ch.join(va, "id_a").join(vb, "id_b")
       .filter(dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= 0.35)
       .select(col("h16"), col("h64"))
-    // bounded-collect: a 2-value rollup (one max per width)
+    // a 2-value rollup row (one max per width) drives the literal gates
     val tp = truePairs.agg(max(col("h16")).as("m16"), max(col("h64")).as("m64")).head()
     val gates = Seq(16 -> (tp.getInt(0) + 1), 64 -> (tp.getInt(1) + 1))
     val keptCols = gates.map { case (w, g) =>
