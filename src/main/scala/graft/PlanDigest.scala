@@ -84,9 +84,13 @@ object PlanDigest {
         else l
       }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs
-      // x_130 depending on what ran before) — scrub the counter for EVERY
-      // lambda variable letter (zip_with binds a second one, y_N)
-      .replaceAll("\\b([a-z])_\\d+#", "$1_#")
+      // x_130 depending on what ran before) — scrub the counter for the
+      // letters our HOFs actually bind (transform/filter/aggregate bind x,
+      // zip_with binds x and y, nested aggregates bind acc via x/y/z). A
+      // broader [a-z] scrub would also normalize genuine plan columns
+      // named like s_1/e_2 and mask real drift (the same hazard the
+      // <bounds> scoping above closed).
+      .replaceAll("\\b([xyz])_\\d+#", "$1_#")
       .replaceAll("(?m)\\s+$", "")
 
   /** The session shape the snapshots are pinned under — MUST match the test

@@ -1539,6 +1539,12 @@ object SimilarityOps {
       .select(col("h16"), col("h64"))
     // a 2-value rollup row (one max per width) drives the literal gates
     val tp = truePairs.agg(max(col("h16")).as("m16"), max(col("h64")).as("m64")).head()
+    // max() over an empty set is NULL — fail with a targeted message
+    // instead of an opaque NPE when a tiny/regenerated corpus produces no
+    // band candidate clearing the 0.35 verify
+    require(!tp.isNullAt(0) && !tp.isNullAt(1),
+      "srpWidthReport: no true pairs at θ=0.35 in this corpus — the width " +
+        "decision table needs at least one verified band candidate")
     val gates = Seq(16 -> (tp.getInt(0) + 1), 64 -> (tp.getInt(1) + 1))
     val keptCols = gates.map { case (w, g) =>
       sum(when((if (w == 16) col("h16") else col("h64")) <= lit(g), 1L).otherwise(0L))

@@ -116,6 +116,14 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(output,
         if (emitUnmatched) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut)
       val rBuf = rIter.buffered
+      // the time field is the last slot of the (keys, time) projections;
+      // SQL semantics: NULL never satisfies `rightTime <= leftTime`, so a
+      // NULL-time right row is never a candidate and a NULL-time left row
+      // never matches — without this, the nulls-first natural ordering
+      // would hold a NULL-time right row as "latest ≤ leftTime", and the
+      // AsOfJoinFilterPushdown time mirror (which drops NULL-time right
+      // rows via `rightTime ≤ U`) would change results
+      val tIdx = leftKeys.length
 
       new Iterator[InternalRow] {
         private var held: InternalRow = _      // latest right row ≤ current left (key, time)
@@ -131,11 +139,15 @@ case class AsOfJoinExec(
             // (key, time) merge order; the last same-key one is the match
             while (rBuf.hasNext && ktOrd.compare(rKT(rBuf.head), lktRow) <= 0) {
               val rRow = rBuf.next()
-              if (keyOrd.compare(rK(rRow), lK(lRow)) == 0) {
+              if (rKT(rRow).isNullAt(tIdx)) {
+                // NULL rightTime: consume for merge progress, never hold
+                // (and never clear — a prior same-key candidate stays live)
+              } else if (keyOrd.compare(rK(rRow), lK(lRow)) == 0) {
                 held = rRow.copy(); heldKey = rK(rRow).copy()
               } else { held = null; heldKey = null }
             }
-            if (held != null && keyOrd.compare(heldKey, lK(lRow)) == 0) {
+            if (!lktRow.isNullAt(tIdx) &&
+                held != null && keyOrd.compare(heldKey, lK(lRow)) == 0) {
               nextOut = outProj(joined(lRow, held))
             } else if (emitUnmatched) {
               nextOut = outProj(joined(lRow, nullRight))

@@ -62,7 +62,11 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] {
   /** A pushed UPPER bound on the left time mirrored onto the right time
     * (backward mode: `rightTime ≤ leftTime ≤ U` ⇒ `rightTime ≤ U`). Strict
     * vs inclusive is preserved through the `rightTime ≤ leftTime`
-    * inequality chain.
+    * inequality chain. NULL-time right rows: the mirrored filter drops
+    * them (`NULL ≤ U` is not true), which is safe because
+    * [[AsOfJoinExec]] itself never holds a NULL-time right row as a
+    * candidate (SQL semantics: NULL never satisfies `rightTime ≤
+    * leftTime`) — asserted by the NULL-time cases in GraftSpec.
     */
   private def timeMirror(j: AsOfJoinPlan, c: Expression): Option[Expression] = {
     def isT(e: Expression): Boolean = e.semanticEquals(j.leftTime)

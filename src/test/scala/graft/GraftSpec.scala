@@ -971,6 +971,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === Set(("a", Some("y")), ("b", None), ("d", None)))
   }
 
+  test("as-of join: NULL times never match (SQL semantics), and the time mirror stays safe") {
+    import TestSpark.spark.implicits._
+    // NULL rightTime sorts FIRST under the natural nulls-first ordering —
+    // without the exec-side skip it would be held as "latest ≤ leftTime"
+    val l = Seq((1L, Option(10L), "a"), (1L, None: Option[Long], "b"),
+        (2L, Option(5L), "c")).toDF("k", "t", "tag")
+    val r = Seq((1L, None: Option[Long], "n"), (1L, Option(6L), "y"),
+        (2L, None: Option[Long], "z")).toDF("rk", "rt", "rtag")
+    def run(outer: Boolean) = graft.plans.AsOfJoin
+      .asof(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"), outer = outer)
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.get(1)))).toSet
+    // a(k=1,t=10) -> y (NOT the null-time n); b(t=NULL) -> none; c -> only
+    // a null-time candidate exists -> none
+    assert(run(outer = false) === Set(("a", Some("y"))))
+    assert(run(outer = true) ===
+      Set(("a", Some("y")), ("b", None), ("c", None)))
+    // the time-upper-bound mirror (rightTime <= U pushed by
+    // AsOfJoinFilterPushdown) drops the NULL-time right rows — provably
+    // result-preserving now that the exec never holds them
+    val filtered = graft.plans.AsOfJoin
+      .asof(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"), outer = true)
+      .filter(col("t") <= lit(10L))
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.get(1)))).toSet
+    assert(filtered === Set(("a", Some("y")), ("c", None)))
+  }
+
   test("ngram generator emits order-preserving shingles; short docs emit none") {
     import TestSpark.spark.implicits._
     graft.functions.VectorFunctions.register(spark)
