@@ -600,6 +600,8 @@ object SparkEntry {
     "q328_scd2_salted_full"    -> ((s, d) => CoreOps.scd2CoverageAuditSalted(s, d)),
     // -- sketch WIDTH vs THRESHOLD: 16 vs 64 bits on the original 0.35 corpus ----
     "q329_srp_width_report"    -> ((s, d) => SimilarityOps.srpWidthReport(s, d)),
+    // -- band-index MERGE: delta appended into the bucketed index, then probed ---
+    "q330_band_index_merge"    -> ((s, d) => SimilarityOps.indexMergeProbeNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -499,6 +499,52 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("band index identity: regenerated corpus forces a rebuild; valid index is reused") {
+    graft.functions.VectorFunctions.register(spark)
+    // scratch corpus: a copy of sf0.001's embeddings the test can touch
+    val scratch = java.nio.file.Files.createTempDirectory("graft_idx_corpus").toFile
+    val src = new java.io.File(sf, "embeddings.parquet").toPath
+    val dst = new java.io.File(scratch, "embeddings.parquet").toPath
+    java.nio.file.Files.copy(src, dst)
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    try {
+      val (t1, path, built1) =
+        SimilarityOps.ensureBandIndex(s, scratch.getAbsolutePath, "idxt", None)
+      assert(built1, "first call must build")
+      // an unchanged corpus: the snapshot marker validates, no rebuild
+      val (_, _, built2) =
+        SimilarityOps.ensureBandIndex(s, scratch.getAbsolutePath, "idxt", None)
+      assert(!built2, "unchanged corpus must reuse the index")
+      // leave a merge marker so the rebuild can prove it clears batch state
+      val merged = new java.io.File(path, "_GRAFT_MERGED_test")
+      java.nio.file.Files.write(merged.toPath, Array.emptyByteArray)
+      // in-place regeneration: same bytes, new mtime — the (name, length,
+      // mtime) snapshot must change and force a rebuild (the r10-advice
+      // stale-probe hole: the old tableExists||path.exists guard would
+      // happily probe the stale index here)
+      assert(dst.toFile.setLastModified(dst.toFile.lastModified() + 2000))
+      val (t3, _, built3) =
+        SimilarityOps.ensureBandIndex(s, scratch.getAbsolutePath, "idxt", None)
+      assert(built3, "regenerated corpus must force a rebuild")
+      assert(!merged.exists(), "rebuild must clear per-batch merge markers")
+      assert(t1 === t3)
+      // the rebuilt index still answers: every band row belongs to a corpus id
+      val n = s.table(t3).count()
+      assert(n > 0)
+      s.sql(s"DROP TABLE $t3")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(path)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(scratch)
+    }
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq

@@ -434,6 +434,21 @@ class PlanSpec extends AnyFunSuite {
         "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
   }
 
+  test("band-index merge: probe of the merged index stays bucketed, delta-side exchange only (q330)") {
+    val df = SimilarityOps.indexMergeProbeNearDup(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // after the append each bucket has 2+ files — the scan must STILL be
+    // bucketed (the merged rows joined exchange-free is the whole point of
+    // merging instead of rebuilding)
+    assert(p.contains("Bucketed: true"),
+      "merged index scan must use the bucketed layout:\n" + p.take(1500))
+    val bandEx = "Exchange hashpartitioning\\(bk#".r.findAllIn(p).size
+    assert(bandEx == 1,
+      s"exactly one band-key exchange (the delta side) expected, got $bandEx:\n" +
+        "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+  }
+
   test("column pruning fires through a residual Filter between Project and the join") {
     import org.apache.spark.sql.functions._
     val origin = to_date(lit("1995-01-01"))
