@@ -45,7 +45,7 @@ object PlanDigest {
     "q307_srp_gated_neardup", "q309_range_interval_join", "q310_outage_attribution",
     "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered",
     "q320_graded_linkage", "q321_srp64_gated_neardup", "q323_scd2_salted",
-    "q324_delta_gated_neardup")
+    "q324_delta_gated_neardup", "q331_salted_adaptive", "q332_auto_gated_neardup")
 
   val snapshotDir = "src/test/resources/plans"
 

@@ -318,5 +318,29 @@ object Steps {
       time("q38")(ops.DedupOps.nearDupJaccard(spark, dir).count())
       time("q39")(ops.DedupOps.lshNearDupPairs(spark, dir).count())
       time("q59")(ops.DedupOps.simhashNearDup(spark, dir).count())
+    case "r11" =>
+      val df = time("q331")(ops.CoreOps.adaptiveSaltedHotKeyAudit(spark, dir))
+      df.show(10, false)
+      println(df.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("__salt") || l.contains("sequence(0"))
+        .take(6).mkString("\n"))
+      val g = time("q332")(ops.SimilarityOps.autoGatedDerivedNearDup(spark, dir))
+      println(s"q332 rows=${g.count()}; gate in plan: " +
+        g.queryExecution.executedPlan.toString.contains("bit_count"))
+      val ungated = ops.SimilarityOps.derivedNearDup(spark, dir)
+      println("q332 == q319: " + (g.collect().toSeq == ungated.collect().toSeq))
+      println("q135 gate absent: " + !ops.SimilarityOps.annNearDup(spark, dir)
+        .queryExecution.executedPlan.toString.contains("bit_count"))
+    case "q315jobs" =>
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = { n.incrementAndGet(); () }
+      })
+      time("q315")(ops.LinkageOps.goldenRecords(spark, dir).collect())
+      Thread.sleep(500)
+      println("jobs: " + n.get)
+    case name if SparkEntry.queries.contains(name) =>
+      val df = time(name)(SparkEntry.queries(name)(spark, dir))
+      time(s"$name collect")(df.show(20, false))
   }
 }

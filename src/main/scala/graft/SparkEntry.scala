@@ -602,6 +602,12 @@ object SparkEntry {
     "q329_srp_width_report"    -> ((s, d) => SimilarityOps.srpWidthReport(s, d)),
     // -- band-index MERGE: delta appended into the bucketed index, then probed ---
     "q330_band_index_merge"    -> ((s, d) => SimilarityOps.indexMergeProbeNearDup(s, d)),
+    // -- ADAPTIVE salt, armed: measured hot key fans out, full-outer recovery ----
+    "q331_salted_adaptive"     -> ((s, d) => CoreOps.adaptiveSaltedHotKeyAudit(s, d)),
+    // -- AUTO gate width from θ alone: no flags, arms 64-bit@24 at θ=0.9 ---------
+    "q332_auto_gated_neardup"  -> ((s, d) => SimilarityOps.autoGatedDerivedNearDup(s, d)),
+    // -- index COMPACTION: build → 3 merges → compact to 1 file/bucket → probe ---
+    "q333_band_index_compact"  -> ((s, d) => SimilarityOps.indexCompactProbeNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1219,6 +1225,7 @@ object SparkEntry {
     "q262_scd2_regime_outer" -> CoreOps.scd2RegimeOuterOracle,
     "q323_scd2_salted" -> CoreOps.scd2IntervalAttributionOracle,
     "q328_scd2_salted_full" -> CoreOps.scd2CoverageAuditOracle,
+    "q331_salted_adaptive" -> CoreOps.adaptiveSaltedHotKeyAuditOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // the streaming sketch must equal the batch sketch bit for bit: KMV is
     // deterministic given the hash column, so q311 reuses q263's twin

@@ -49,6 +49,23 @@ final class HttpClassifier(cfg: HttpClassifierConfig) extends Classifier {
        |"completionOptions":{"stream":false,"temperature":${cfg.temperature},"maxTokens":"${cfg.maxTokens}"},
        |"messages":[{"role":"user","text":"${esc(buildPrompt(batch))}"}]}""".stripMargin
 
+  /** The reference unwraps the completion ENVELOPE before parsing —
+    * `result['result']['alternatives'][0]['message']['text']` (dag:246) —
+    * and only then runs safe_json_parse on the model text. Replicated with
+    * Jackson (already on every Spark classpath): without this step the
+    * embedded-array fallback regex would latch onto the `alternatives`
+    * ARRAY of the envelope itself and read the wrong fields. A body that
+    * is not envelope-shaped (a bare array from a simpler endpoint, or
+    * unparseable junk) passes through untouched — parseScala's own
+    * fallbacks handle it.
+    */
+  private[enrich] def extractText(body: String): String =
+    try {
+      val t = HttpClassifier.mapper.readTree(body)
+        .path("result").path("alternatives").path(0).path("message").path("text")
+      if (t.isTextual) t.asText() else body
+    } catch { case scala.util.control.NonFatal(_) => body }
+
   override def classify(batch: Seq[String]): Seq[Classified] = {
     val req = HttpRequest.newBuilder(URI.create(cfg.endpoint))
       .timeout(Duration.ofSeconds(cfg.timeoutSeconds))
@@ -60,6 +77,10 @@ final class HttpClassifier(cfg: HttpClassifierConfig) extends Classifier {
     // Non-2xx or junk → Nil; Enrichment's retry/stub layer handles it
     // (dag:302-307 treats transport errors as an empty reply).
     if (resp.statusCode() / 100 != 2) Nil
-    else SafeJsonParse.parseScala(resp.body())
+    else SafeJsonParse.parseScala(extractText(resp.body()))
   }
+}
+
+object HttpClassifier {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

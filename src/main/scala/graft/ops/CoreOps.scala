@@ -1423,12 +1423,17 @@ object CoreOps {
       .orderBy(col("priority"))
   }
 
-  /** q323 — q261's SCD2 attribution through the SALTED keyed interval join
-    * ([[graft.plans.IntervalJoin.joinSalted]]): each order takes a
-    * deterministic salt from its order key, each validity interval
-    * replicates to all 8 salts, and the merge runs per (custkey, salt) —
-    * the hot-key escape hatch, pinned to q261's oracle VERBATIM (salting is
-    * placement-only) and plan-pinned to carry the salt in both exchanges.
+  /** q323 — q261's SCD2 attribution through the ADAPTIVE salted interval
+    * join ([[graft.plans.IntervalJoin.joinSalted]] in `AutoSalts` mode):
+    * the chooser profiles orders-per-customer first and salts only if some
+    * customer's order count approaches a task's share. On TPC-H's uniform
+    * custkey the measured straggler ratio is ≈ 0.1 at every SF (the ratio
+    * is scale-free), so the chooser correctly DECLINES to salt and the plan
+    * degrades to the plain keyed merge — no interval replication, no
+    * `__salt` exchange; the r10 fixed ×8 paid ~8× history replication on
+    * data with no straggler. q331 is the armed case: a constructed hot-key
+    * corpus where the same chooser measures ratio ≈ 29 and salts. Oracle
+    * stays q261's VERBATIM — the decision is placement-only either way.
     */
   def scd2IntervalAttributionSalted(spark: SparkSession, dir: String): DataFrame = {
     val hist = scd2HistoryBase(spark, dir)
@@ -1442,20 +1447,21 @@ object CoreOps {
     graft.plans.IntervalJoin.joinSalted(orders, hist,
         Seq(orders("o_custkey")), Seq(hist("h_custkey")),
         orders("t"), hist("vf"), hist("vt"), "inner",
-        saltBy = orders("o_orderkey"), numSalts = 8)
+        saltBy = orders("o_orderkey"))
       .groupBy(col("priority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("priority"))
   }
 
-  /** q328 — q265's FULL-outer SCD2 coverage audit through the SALTED path:
-    * the hot-key fan-out now covers the complete join matrix — unmatched
-    * intervals are recovered globally by the shared marker +
-    * distinct/anti-join pass (an interval's salt replicas straddle
-    * partitions, so no task sees its full match set). Oracle = q265's
+  /** q328 — q265's FULL-outer SCD2 coverage audit through the salted path
+    * in ADAPTIVE mode (see [[scd2IntervalAttributionSalted]]): the chooser
+    * measures the high-value-order key histogram, finds no straggler, and
+    * runs the plain keyed full join — the correct decision on this corpus.
+    * The armed full-outer lane (recovery pass under real salting) is q331,
+    * whose constructed hot key forces the fan-out. Oracle = q265's
     * VERBATIM; all three buckets (BOTH / ORDER_ONLY / REGIME_ONLY) must
-    * survive the decomposition.
+    * survive whichever physical path the measurement picks.
     */
   def scd2CoverageAuditSalted(spark: SparkSession, dir: String): DataFrame = {
     val hist = scd2HistoryBase(spark, dir)
@@ -1470,7 +1476,7 @@ object CoreOps {
     graft.plans.IntervalJoin.joinSalted(pts, hist,
         Seq(pts("o_custkey")), Seq(hist("h_custkey")),
         pts("t"), hist("vf"), hist("vt"), "full",
-        saltBy = pts("o_orderkey"), numSalts = 8)
+        saltBy = pts("o_orderkey"))
       .select(
         when(col("o_orderkey").isNotNull && col("priority").isNotNull, lit("BOTH"))
           .when(col("o_orderkey").isNotNull, lit("ORDER_ONLY"))
@@ -1481,6 +1487,83 @@ object CoreOps {
         coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
       .orderBy(col("bucket"))
   }
+
+  /** q331 — the adaptive salt chooser's ARMED case: a constructed hot-key
+    * corpus (every order whose customer key is not a multiple of 10
+    * collapses onto synthetic entity 0 — one key carrying ~90 % of all
+    * points, the "mega-tenant" shape that serializes a keyed merge) FULL
+    * interval-joined against a deterministic per-key regime table. The
+    * chooser measures straggler ratio ≈ 0.9 × shuffle-partitions ≈ 29 (the
+    * ratio is a row FRACTION, so the decision is identical at every SF) and
+    * fans the hot key across that many salts; unmatched intervals are
+    * recovered through the marker + distinct/anti-join pass UNDER salting —
+    * the armed full-outer lane q323/q328 no longer exercise now that the
+    * measurement (correctly) disarms them on uniform data.
+    *
+    * The regime table is derived, not loaded: for every distinct entity key
+    * except those ≡ 50 (mod 100) — whose orders become `ORDER_ONLY` — three
+    * regimes: EARLY/LATE partition the order-date domain (the driver's
+    * corpus spans 1995-2001; every matched point lands in exactly one),
+    * PRE predates all orders (structurally `REGIME_ONLY`, proving
+    * right-side recovery survives the fan-out).
+    * Oracle: DuckDB replays the derivation and the full non-equi join
+    * directly.
+    */
+  def adaptiveSaltedHotKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    def hotKey(c: Column): Column =
+      when(c % 10 === 0, c.cast("long")).otherwise(lit(0L))
+    val pts = Tables.orders(spark, dir).select(
+      hotKey(col("o_custkey")).as("k"), col("o_orderkey"),
+      col("o_orderdate").as("t"), col("o_totalprice"))
+    val regimes = array(
+      struct(lit("EARLY").as("regime"), lit("1992-01-01").as("vf"), lit("1997-01-01").as("vt")),
+      struct(lit("LATE").as("regime"), lit("1997-01-01").as("vf"), lit("2002-01-01").as("vt")),
+      struct(lit("PRE").as("regime"), lit("1980-01-01").as("vf"), lit("1990-01-01").as("vt")))
+    val ivals = Tables.customer(spark, dir)
+      .select(hotKey(col("c_custkey")).as("ik")).distinct()
+      .filter(col("ik") % 100 =!= 50)
+      .select(col("ik"), explode(regimes).as("r"))
+      .select(col("ik"), col("r.regime").as("regime"),
+        col("r.vf").cast("timestamp_ntz").as("vf"),
+        col("r.vt").cast("timestamp_ntz").as("vt"))
+    graft.plans.IntervalJoin.joinSalted(pts, ivals,
+        Seq(pts("k")), Seq(ivals("ik")),
+        pts("t"), ivals("vf"), ivals("vt"), "full",
+        saltBy = pts("o_orderkey"))
+      .select(
+        when(col("o_orderkey").isNotNull && col("regime").isNotNull, lit("BOTH"))
+          .when(col("o_orderkey").isNotNull, lit("ORDER_ONLY"))
+          .otherwise(lit("REGIME_ONLY")).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+      .orderBy(col("bucket"))
+  }
+
+  val adaptiveSaltedHotKeyAuditOracle: String =
+    """WITH pts AS (
+      |  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey ELSE 0 END AS k,
+      |         o_orderkey, o_orderdate AS t, o_totalprice
+      |  FROM orders),
+      |ivals AS (
+      |  SELECT ik, regime, vf, vt
+      |  FROM (SELECT DISTINCT CASE WHEN c_custkey % 10 = 0 THEN c_custkey ELSE 0 END AS ik
+      |        FROM customer) k,
+      |       (VALUES ('EARLY', DATE '1992-01-01', DATE '1997-01-01'),
+      |               ('LATE',  DATE '1997-01-01', DATE '2002-01-01'),
+      |               ('PRE',   DATE '1980-01-01', DATE '1990-01-01')) AS r(regime, vf, vt)
+      |  WHERE ik % 100 <> 50),
+      |j AS (
+      |  SELECT p.o_orderkey, p.o_totalprice, i.regime
+      |  FROM pts p FULL OUTER JOIN ivals i
+      |    ON p.k = i.ik AND i.vf <= p.t AND p.t < i.vt)
+      |SELECT CASE WHEN o_orderkey IS NOT NULL AND regime IS NOT NULL THEN 'BOTH'
+      |            WHEN o_orderkey IS NOT NULL THEN 'ORDER_ONLY'
+      |            ELSE 'REGIME_ONLY' END AS bucket,
+      |  count(*) AS n,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+      |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Far-future open-interval sentinel shared with the q261/q262 twins. */
   val Scd2OpenEnd = "9999-01-01"

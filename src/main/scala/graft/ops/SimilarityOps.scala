@@ -159,7 +159,7 @@ object SimilarityOps {
     * second full-table job for the byte-gate estimate.
     */
   private[graft] def annNearDupOn(e0: DataFrame, threshold: Double,
-      knownRowCount: Option[Long] = None): DataFrame = {
+      knownRowCount: Option[Long] = None, autoGate: Boolean = true): DataFrame = {
     val nBits = AnnBands * AnnRowsPerBand
     val sigBits = (0 until nBits).map { i =>
       when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -174,9 +174,18 @@ object SimilarityOps {
     // ([[SrpGateMaxH]]); enforced cross-engine by q307 hash-matching q135's
     // ungated oracle.
     val gate16 = e0.sparkSession.conf.getOption(SrpGateConf).map(_.toInt)
-    val gate64 = e0.sparkSession.conf.getOption(Srp64GateConf).map(_.toInt)
-    require(gate16.isEmpty || gate64.isEmpty,
+    val gate64conf = e0.sparkSession.conf.getOption(Srp64GateConf).map(_.toInt)
+    require(gate16.isEmpty || gate64conf.isEmpty,
       "arm at most one SRP gate (16- or 64-bit) per session clone")
+    // Threshold-aware automatic width (the q322/q329 decision rule as code,
+    // not prose): with no explicit gate conf, [[srp64AutoWidth]] arms the
+    // 64-bit gate from θ alone when its safe width still cuts, and stays
+    // out of the plan otherwise — annNearDup(0.9) gets the paying gate,
+    // annNearDup(0.35) the byte-identical ungated plan, no session flags.
+    // `autoGate = false` is the measurement hook: q319 stays the ungated
+    // control the q321/q332 preservation proofs compare against.
+    val gate64 = gate64conf.orElse(
+      if (autoGate && gate16.isEmpty) srp64AutoWidth(threshold) else None)
     val gateMaxH = gate16.orElse(gate64)
     // signature + norm computed once per vector; persisted: band explode and
     // both verify sides would re-derive 32 dot products per vector each
@@ -1354,6 +1363,43 @@ object SimilarityOps {
   private[graft] def withSrpSketch64(df: DataFrame): DataFrame =
     df.withColumn("srp", graft.functions.VectorFunctions.srp64(col("embedding")))
 
+  /** Threshold-driven automatic 64-bit gate width — the decision rule the
+    * q322/q329 measurements established, derived from θ alone so
+    * [[annNearDup]] callers get the right gate without session flags.
+    *
+    * A TRUE pair at exactly the verify threshold flips each SRP bit with
+    * probability p = acos(θ)/π (the random-hyperplane identity), so its
+    * sketch Hamming distance is Binom(64, p). The output-preserving width
+    * is mean + 5σ: at θ = 0.9 that is ⌈9.19 + 5·2.81⌉ = 24 — re-deriving
+    * the hand-calibrated [[Srp64GateMaxH]] exactly (measured true-pair
+    * maxima 12/11/14, q322; per-pair breach odds < 3·10⁻⁷). The gate PAYS
+    * only if that width undercuts where uncorrelated candidates live
+    * (H ≈ Binom(64, ½): mean 32, σ 4 — arm iff width ≤ 32 − 2σ = 24):
+    * at θ = 0.35 the safe width is 45 and a gate would keep ~90 % of
+    * candidates (q329's measured 89.9 %), so it correctly disarms. One
+    * closed-form rule reproducing both measured decisions.
+    */
+  private[graft] def srp64AutoWidth(threshold: Double): Option[Int] = {
+    val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val mean = 64.0 * p
+    val sigma = math.sqrt(64.0 * p * (1.0 - p))
+    val width = math.ceil(mean + 5.0 * sigma).toInt
+    if (width <= 24) Some(width) else None
+  }
+
+  /** q332 — the automatic gate's registry consumer: [[annNearDupOn]] over
+    * the derived duplicate corpus at θ = 0.9 with NO session flags — the
+    * [[srp64AutoWidth]] rule arms the 64-bit gate at width 24 from the
+    * threshold alone (plan-pinned), and the result hash-matches q319's
+    * UNGATED oracle at every SF: a user calling the one entry point gets
+    * q321's 93 % candidate cut for free, or no gate at all at θ = 0.35
+    * (q135's plan stays byte-identical — its digest snapshot is the pin).
+    */
+  def autoGatedDerivedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annNearDupOn(derivedDupCorpus(spark, dir), 0.9)
+  }
+
   /** Deterministic near-dup corpus for the θ = 0.9 regime the raw testdata
     * lacks (its observed max pair cosine is < 0.5 — q306/q308): every
     * [[PerturbEvery]]-th vector reappears with each component scaled by the
@@ -1390,7 +1436,7 @@ object SimilarityOps {
     */
   def derivedNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    annNearDupOn(derivedDupCorpus(spark, dir), 0.9)
+    annNearDupOn(derivedDupCorpus(spark, dir), 0.9, autoGate = false)
   }
 
   /** q321 — q319 with the 64-bit SRP Hamming gate ARMED (clone-scoped conf,
@@ -1733,6 +1779,99 @@ object SimilarityOps {
         .mode("append").saveAsTable(tIdx)
       java.nio.file.Files.write(batchMarker.toPath, Array.emptyByteArray)
     }
+    probeIndex(s, dir, tIdx)
+  }
+
+  /** Rewrite a merged band index back to ONE file per bucket. Every
+    * [[indexMergeProbeNearDup]]-style merge appends a file per bucket, so
+    * after a run of daily batches each probe opens files ∝ batch count —
+    * the classic small-files decay of an append-only bucketed store.
+    * Compaction scans the standing table, writes the identical rows to a
+    * STAGING dir under the SAME bucket spec (the hash-repartition matches
+    * the bucket hash, so each task owns exactly its bucket — one output
+    * file each), carries the snapshot + merge markers over, and swaps:
+    * drop DDL → rename staging over the index path → re-register. On a
+    * filesystem the swap is one rename; on an object store the same
+    * operator would flip a manifest. A torn attempt is safe at every step:
+    * a leftover staging dir is cleared on entry, and the swap's DDL
+    * re-registration is derived from the schema captured before the drop.
+    * Already-compact indexes (≤ one data file per bucket) return untouched,
+    * so the call is idempotent and safe to run on a schedule.
+    */
+  private[graft] def compactBandIndex(s: SparkSession, tIdx: String,
+      path: java.io.File): Boolean = {
+    def dataFiles = Option(path.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    if (dataFiles.length <= 8) return false
+    val ddl = s.table(tIdx).schema.toDDL
+    val staging = new java.io.File(path.getParentFile, path.getName + "__compact")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(staging)
+    val tTmp = tIdx + "_staging"
+    if (s.catalog.tableExists(tTmp)) s.sql(s"DROP TABLE $tTmp")
+    // read the RAW path, not the bucketed table: against a bucketed scan
+    // the optimizer elides the repartition as already-satisfied, the writer
+    // then splits one file per (task × bucket) and the compaction would
+    // LOSE its one-file-per-bucket goal; a plain parquet scan keeps the
+    // exchange, whose hash is the bucket-id function, so each task owns
+    // exactly its bucket (same alignment the initial build gets)
+    s.read.parquet(path.getAbsolutePath)
+      .repartition(8, col("bk"), col("bv"))
+      .write.format("parquet")
+      .bucketBy(8, "bk", "bv").sortBy("bk", "bv")
+      .option("path", staging.getAbsolutePath)
+      .mode("overwrite").saveAsTable(tTmp)
+    s.sql(s"DROP TABLE $tTmp") // external: DDL only, the staged files stay
+    Option(path.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_GRAFT_")).foreach { m =>
+        java.nio.file.Files.copy(m.toPath,
+          new java.io.File(staging, m.getName).toPath)
+      }
+    s.sql(s"DROP TABLE $tIdx")
+    rmrf(path)
+    require(staging.renameTo(path), s"compaction swap failed: $staging -> $path")
+    s.sql(s"""CREATE TABLE $tIdx ($ddl)
+      |USING parquet CLUSTERED BY (bk, bv) SORTED BY (bk, bv) INTO 8 BUCKETS
+      |LOCATION '${path.getAbsolutePath}'""".stripMargin)
+    s.sql(s"REFRESH TABLE $tIdx")
+    true
+  }
+
+  /** q333 — the maintenance lifecycle CLOSED: build (quarter corpus) → three
+    * daily merges (the q330 append, one batch marker each) → COMPACT
+    * ([[compactBandIndex]]: 8 build files + 24 merge files → 8) → probe.
+    * The probe must hash-match the same full-recompute oracle as
+    * q324/q327/q330 — compaction that loses, duplicates, or misroutes a
+    * band row fails the pair-set hash — and the compacted scan keeps the
+    * zero-corpus-side-Exchange plan (the bucket DDL survives the swap;
+    * plan-asserted). With merge (q330) and compaction (q333) the stored
+    * index is genuinely operable: ingest once, append daily, compact on a
+    * schedule, probe always cheap.
+    */
+  def indexCompactProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tIdx, path, _) =
+      ensureBandIndex(s, dir, "idxk", Some(col("vec_id") % 4 === 0))
+    Seq(1, 2, 3).foreach { r =>
+      val marker = new java.io.File(path, s"_GRAFT_MERGED_q$r")
+      if (!marker.exists()) {
+        explodeBands(withBandSketch64(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+              .filter(col("vec_id") % 4 === r)), Seq("srp"))
+          .repartition(8, col("bk"), col("bv"))
+          .write.format("parquet")
+          .bucketBy(8, "bk", "bv").sortBy("bk", "bv")
+          .option("path", path.getAbsolutePath)
+          .mode("append").saveAsTable(tIdx)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    compactBandIndex(s, tIdx, path)
     probeIndex(s, dir, tIdx)
   }
 
@@ -2184,12 +2323,14 @@ object SimilarityOps {
     "q308_srp_gate_report" -> srpGateReportOracle,
     "q319_derived_neardup" -> derivedNearDupOracle,
     "q321_srp64_gated_neardup" -> derivedNearDupOracle,
+    "q332_auto_gated_neardup" -> derivedNearDupOracle,
     "q322_srp64_gate_report" -> srp64GateReportOracle,
     "q324_delta_gated_neardup" -> deltaNearDupOracle,
     "q325_stream_delta_neardup" -> deltaNearDupOracle, // streamed twin: batch-boundary-independent
     "q327_band_index_probe" -> deltaNearDupOracle, // stored-index twin: same pair set
     // probe-after-merge must equal the full recompute — the merge proof
     "q330_band_index_merge" -> deltaNearDupOracle,
+    "q333_band_index_compact" -> deltaNearDupOracle,
     "q329_srp_width_report" -> srpWidthReportOracle,
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively

@@ -573,22 +573,81 @@ object IntervalJoin {
     * range-partitioned mode — an interval's replicas straddle salt
     * partitions, so global unmatchedness is recovered by the shared
     * marker + distinct/anti-join pass ([[recoverUnmatchedIntervals]]).
+    *
+    * `numSalts = AutoSalts` (the default) MEASURES instead of guessing:
+    * [[chooseSaltFactor]] profiles the point-side key histogram and arms the
+    * salt only when some key's point count actually exceeds a task's share —
+    * on a uniform corpus the answer is 1 and the call degrades to the plain
+    * keyed [[join]] (no explode, no replication, no `__salt` exchange), so
+    * a caller no longer pays ×k interval replication "just in case".
     */
   def joinSalted(points: DataFrame, intervals: DataFrame,
                  leftKeys: Seq[Column], rightKeys: Seq[Column],
                  pointTime: Column, start: Column, end: Column,
                  joinType: String, saltBy: Column,
-                 numSalts: Int = 16): DataFrame = {
-    require(numSalts > 1, s"numSalts must exceed 1, got $numSalts")
+                 numSalts: Int = AutoSalts): DataFrame = {
+    val salts =
+      if (numSalts == AutoSalts) chooseSaltFactor(points, leftKeys)
+      else { require(numSalts > 1, s"numSalts must exceed 1, got $numSalts"); numSalts }
+    if (salts == 1)
+      return join(points, intervals, leftKeys, rightKeys,
+        pointTime, start, end, joinType)
     if (joinType == "right" || joinType == "full")
       return recoverUnmatchedIntervals(points, intervals,
         tagged => joinSaltedCore(points, tagged, leftKeys, rightKeys,
           pointTime, start, end, if (joinType == "full") "left" else "inner",
-          saltBy, numSalts))
+          saltBy, salts))
     require(joinType == "inner" || joinType == "left",
       s"salted interval join supports inner|left|right|full, got '$joinType'")
     joinSaltedCore(points, intervals, leftKeys, rightKeys,
-      pointTime, start, end, joinType, saltBy, numSalts)
+      pointTime, start, end, joinType, saltBy, salts)
+  }
+
+  /** Sentinel `numSalts` asking [[joinSalted]] to measure the skew and pick
+    * the factor itself.
+    */
+  val AutoSalts = 0
+
+  /** Straggler trigger for [[chooseSaltFactor]]: a key only justifies
+    * salting when its point count exceeds this multiple of an average
+    * task's share of the rows.
+    */
+  val SaltTriggerRatio = 1.5
+
+  /** Ceiling on the measured factor — interval replication (the price of
+    * salting) grows linearly with it, and past the task count extra salts
+    * buy no parallelism.
+    */
+  val MaxAutoSalts = 64
+
+  /** Measured salt factor for a keyed merge over `points` clustered by
+    * `keys` — the consumer of the q165 skew-profile arithmetic. One
+    * count-only aggregation pass (map-side combine: only the distinct keys
+    * per input partition travel — the cheapest full-data statistic there
+    * is) rolled up to a single driver row (bounded collect: 1 row).
+    *
+    * The decision statistic is the STRAGGLER ratio `max_cnt / (rows /
+    * shuffle-partitions)` — the hottest key's share of one task — not the
+    * naive key-skew ratio `max_cnt / avg_cnt` the q165 report also prints:
+    * a key 4× the average key is irrelevant when every task holds thousands
+    * of keys (TPC-H custkey: skew ratio ≈ 4, straggler ratio ≈ 0.1 — no
+    * task ever sees a straggler, so salting would pay ×k replication for
+    * nothing). This stays correct at any scale because both numerator and
+    * denominator grow linearly with the data. Past [[SaltTriggerRatio]] the
+    * factor is the ceiling of the ratio — enough salts to split the hot key
+    * into roughly task-sized chunks — capped at [[MaxAutoSalts]].
+    */
+  def chooseSaltFactor(points: DataFrame, keys: Seq[Column],
+                       maxSalts: Int = MaxAutoSalts): Int = {
+    import org.apache.spark.sql.functions._
+    val parts = points.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = points.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("n_rows"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) return 1
+    val ratio = row.getLong(0).toDouble * parts / row.getLong(1).toDouble
+    if (ratio <= SaltTriggerRatio) 1
+    else math.min(maxSalts, math.ceil(ratio).toInt)
   }
 
   private def joinSaltedCore(points: DataFrame, intervals: DataFrame,
@@ -598,8 +657,11 @@ object IntervalJoin {
                              numSalts: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val pS = points.withColumn("__salt", pmod(xxhash64(saltBy), lit(numSalts.toLong)).cast("int"))
+    // array-of-literals, not sequence(): both fold, but sequence() folds to
+    // an UnsafeArrayData whose toString is identity-based — a plan-digest
+    // snapshot of a salted query would differ every JVM
     val iS = intervals.withColumn("__salt",
-      explode(sequence(lit(0), lit(numSalts - 1))))
+      explode(array((0 until numSalts).map(lit(_)): _*)))
     join(pS, iS, leftKeys :+ pS("__salt"), rightKeys :+ iS("__salt"),
         pointTime, start, end, joinType)
       .drop("__salt") // drops BOTH sides' salt columns

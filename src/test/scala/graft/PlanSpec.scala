@@ -406,17 +406,48 @@ class PlanSpec extends AnyFunSuite {
       "q326's cutoff must land on both children")
   }
 
-  test("salted keyed interval join carries the salt in both exchanges, same result (q323)") {
+  test("adaptive salt DISARMS on uniform keys: q323 degrades to the plain keyed merge") {
+    // the chooser measures orders-per-customer, finds no straggler (the
+    // hottest customer's orders are a tiny fraction of one task's share),
+    // and declines to salt: no interval replication, no __salt exchange
+    import org.apache.spark.sql.functions._
     val salted = CoreOps.scd2IntervalAttributionSalted(spark, sf)
     salted.collect()
     val p = plan(salted).split("== Initial Plan ==").head
-    // both children hash-exchange on (key, __salt) — the hot key fans out
-    val saltedEx = "hashpartitioning\\([a-z_]*custkey#\\d+L?, __salt#\\d+".r.findAllIn(p).size
-    assert(saltedEx == 2, s"expected both exchanges salted, got $saltedEx:\n" +
-      "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
-    // salting is placement-only: bit-identical to the unsalted q261
+    assert(!p.contains("__salt"),
+      "uniform custkey must not be salted — the measurement should disarm:\n" +
+        "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+    assert(graft.plans.IntervalJoin.chooseSaltFactor(
+      graft.Tables.orders(spark, sf), Seq(col("o_custkey"))) === 1)
+    // the decision is placement-only: bit-identical to the unsalted q261
     val unsalted = CoreOps.scd2IntervalAttribution(spark, sf).collect().toSeq
     assert(salted.collect().toSeq === unsalted)
+  }
+
+  test("adaptive salt ARMS on a measured hot key: q331 fans out and carries __salt") {
+    // the constructed mega-entity (one key holding ~90% of points) measures
+    // straggler ratio ≈ 0.9 × shuffle-partitions; the chooser picks that
+    // ceiling and the armed plan salts both exchanges of the keyed merge
+    import org.apache.spark.sql.functions._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pts = graft.Tables.orders(spark, sf).select(
+      when(col("o_custkey") % 10 === 0, col("o_custkey").cast("long"))
+        .otherwise(lit(0L)).as("k"))
+    val factor = graft.plans.IntervalJoin.chooseSaltFactor(pts, Seq(col("k")))
+    assert(factor > parts / 2 && factor <= parts,
+      s"expected ≈ 0.9×$parts salts for the 90%-hot key, got $factor")
+    val audit = CoreOps.adaptiveSaltedHotKeyAudit(spark, sf)
+    audit.collect()
+    val p = plan(audit).split("== Initial Plan ==").head
+    val saltedEx = "hashpartitioning\\(k#\\d+L?, __salt#\\d+".r.findAllIn(p).size +
+      "hashpartitioning\\(ik#\\d+L?, __salt#\\d+".r.findAllIn(p).size
+    assert(saltedEx >= 2, s"expected both exchanges salted, got $saltedEx:\n" +
+      "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+    // the measured factor is the literal in the point-side salt expression
+    assert(("pmod\\(xxhash64\\(o_orderkey#\\d+L?, 42\\), " + factor + "\\)")
+        .r.findFirstIn(p).isDefined,
+      s"plan must salt points to the measured $factor buckets:\n" +
+        "pmod\\(xxhash64\\([^)]*\\), \\d+\\)".r.findAllIn(p).mkString("\n"))
   }
 
   test("band-index probe: bucketed corpus scan, exchange only on the delta side (q327)") {
@@ -447,6 +478,41 @@ class PlanSpec extends AnyFunSuite {
     assert(bandEx == 1,
       s"exactly one band-key exchange (the delta side) expected, got $bandEx:\n" +
         "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+  }
+
+  test("band-index compaction: one file per bucket, scan still bucketed, pairs unchanged (q333)") {
+    val df = SimilarityOps.indexCompactProbeNearDup(spark, sf)
+    val rows = df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the swap must preserve the bucket DDL: probe plan shape identical to
+    // the merged-index probe (bucketed scan, only the delta side exchanges)
+    assert(p.contains("Bucketed: true"),
+      "compacted index scan must use the bucketed layout:\n" + p.take(1500))
+    val bandEx = "Exchange hashpartitioning\\(bk#".r.findAllIn(p).size
+    assert(bandEx == 1,
+      s"exactly one band-key exchange (the delta side) expected, got $bandEx:\n" +
+        "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n"))
+    // compaction is physical-only: the build(¼)+3-merges index yields the
+    // same pair set as the probe of the one-shot full index (q327)
+    assert(rows.toSeq === SimilarityOps.indexProbeNearDup(spark, sf).collect().toSeq)
+    // 32 data files (8 build + 3×8 merge) became exactly one per bucket
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bkt_idxk_${SimilarityOps.bandIndexConstantsFp}_" +
+        sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val dataFiles = path.listFiles().filter(_.getName.startsWith("part-"))
+    assert(dataFiles.length === 8,
+      s"expected one data file per bucket, got ${dataFiles.length}")
+    // markers survive the swap: a bench rep or a restarted job must see the
+    // merges as done (exactly-once) and the snapshot as current (no rebuild)
+    val names = path.listFiles().map(_.getName).toSet
+    assert(names.contains("_GRAFT_SNAPSHOT"))
+    assert(Seq(1, 2, 3).forall(r => names.contains(s"_GRAFT_MERGED_q$r")))
+    // idempotent: an already-compact index is returned untouched
+    val s2 = spark.newSession()
+    graft.functions.VectorFunctions.register(s2)
+    val (tIdx, path2, _) = SimilarityOps.ensureBandIndex(
+      s2, sf, "idxk", Some(org.apache.spark.sql.functions.col("vec_id") % 4 === 0))
+    assert(!SimilarityOps.compactBandIndex(s2, tIdx, path2))
   }
 
   test("column pruning fires through a residual Filter between Project and the join") {
