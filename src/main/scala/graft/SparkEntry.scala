@@ -1352,7 +1352,10 @@ object SparkEntry {
            |FROM (SELECT $key AS k, count(*) AS cnt FROM lineitem GROUP BY 1)""".stripMargin
       s"""SELECT key_name, n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
          | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(n_keys AS DOUBLE) / n_rows", 4)} AS skew_ratio,
-         | (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+         | (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor,
+         | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(32 AS DOUBLE) / n_rows", 4)} AS straggler_ratio,
+         | CASE WHEN max_cnt * 64 <= 3 * n_rows THEN 1
+         |      ELSE LEAST(64, (max_cnt * 32 + n_rows - 1) // n_rows) END AS auto_salt
          |FROM (${side("l_suppkey")}
          |UNION ALL
          |${side("l_orderkey")})

@@ -534,9 +534,20 @@ object CoreOps {
     * [[saltedAgg]]/[[saltedJoin]]'s salting (or AQE skew split) is needed and
     * at what factor, before a 100 TB shuffle finds out the hard way. One
     * map-side-combined count per key, then a tiny stats aggregate per
-    * profiled key: max/mean ratio (the straggler multiplier of an unsalted
-    * shuffle) and an integer recommended salt factor ⌈max·n_keys∕n_rows⌉
-    * (the replication needed to flatten the hottest key to the mean).
+    * profiled key, reporting BOTH decision statistics side by side:
+    *
+    *  - `skew_ratio`/`salt_factor` — max/mean per KEY (the naive statistic:
+    *    replication needed to flatten the hottest key to the mean key);
+    *  - `straggler_ratio`/`auto_salt` — max over an average TASK's share at
+    *    the reference 32-slot layout: the statistic
+    *    [[graft.plans.IntervalJoin.chooseSaltFactor]] actually consumes,
+    *    because a key 4× the mean key is irrelevant when every task holds
+    *    thousands of keys. The two columns disagreeing (salt_factor 2,
+    *    auto_salt 1 on l_suppkey) IS the report's message: naive skew says
+    *    salt, task-relative says don't. auto_salt replays the chooser's
+    *    rule in exact integer arithmetic (trigger ratio 1.5 ⇔
+    *    64·max ≤ 3·rows; ⌈32·max∕rows⌉ capped at 64).
+    *
     * Percentiles are exact here for oracle-ability; production would swap in
     * the mergeable t-digest (q137) at no plan-shape change.
     */
@@ -552,7 +563,11 @@ object CoreOps {
           col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
           OracleMath.stableRound(
             col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 4).as("skew_ratio"),
-          expr("(max_cnt * n_keys + n_rows - 1L) DIV n_rows").as("salt_factor"))
+          expr("(max_cnt * n_keys + n_rows - 1L) DIV n_rows").as("salt_factor"),
+          OracleMath.stableRound(
+            col("max_cnt") * lit(32.0) / col("n_rows"), 4).as("straggler_ratio"),
+          expr("CASE WHEN max_cnt * 64L <= 3L * n_rows THEN 1L " +
+            "ELSE LEAST(64L, (max_cnt * 32L + n_rows - 1L) DIV n_rows) END").as("auto_salt"))
     profile("l_suppkey").unionByName(profile("l_orderkey")).orderBy(col("key_name"))
   }
 

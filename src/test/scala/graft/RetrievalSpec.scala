@@ -208,6 +208,14 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("salt_factor") >= 1L)
       assert(r.getAs[Double]("p50_cnt") <= r.getAs[Double]("p99_cnt"))
       assert(r.getAs[Long]("max_cnt") >= r.getAs[Double]("p99_cnt").toLong)
+      // the task-relative columns replay chooseSaltFactor's exact rule at
+      // the reference 32-slot layout
+      val expectAuto =
+        if (r.getAs[Long]("max_cnt") * 64L <= 3L * nRows) 1L
+        else math.min(64L, (r.getAs[Long]("max_cnt") * 32L + nRows - 1L) / nRows)
+      assert(r.getAs[Long]("auto_salt") == expectAuto)
+      assert(math.abs(r.getAs[Double]("straggler_ratio") -
+        r.getAs[Long]("max_cnt") * 32.0 / nRows) < 2e-4)
     }
   }
 
