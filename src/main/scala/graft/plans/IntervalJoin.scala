@@ -469,8 +469,11 @@ object IntervalJoin {
   def joinRangePartitioned(points: DataFrame, intervals: DataFrame,
                            pointTime: Column, start: Column, end: Column,
                            joinType: String = "inner",
-                           numBuckets: Int = 64): DataFrame = {
+                           numBuckets: Int = AutoBuckets): DataFrame = {
     import org.apache.spark.sql.functions._
+    val buckets =
+      if (numBuckets == AutoBuckets) chooseBucketCount(points)
+      else { require(numBuckets > 1, s"numBuckets must exceed 1, got $numBuckets"); numBuckets }
     // right/full decompose over the inner/left core: an interval's replicas
     // straddle buckets, so per-bucket unmatchedness is not global — but the
     // DISTINCT matched-interval set IS, and one anti-join recovers the
@@ -479,10 +482,42 @@ object IntervalJoin {
     if (joinType == "right" || joinType == "full")
       return recoverUnmatchedIntervals(points, intervals,
         tagged => joinRangePartitionedCore(points, tagged, pointTime, start, end,
-          if (joinType == "full") "left" else "inner", numBuckets))
+          if (joinType == "full") "left" else "inner", buckets))
     require(joinType == "inner" || joinType == "left",
       s"range-partitioned interval join supports inner|left|right|full, got '$joinType'")
-    joinRangePartitionedCore(points, intervals, pointTime, start, end, joinType, numBuckets)
+    joinRangePartitionedCore(points, intervals, pointTime, start, end, joinType, buckets)
+  }
+
+  /** Sentinel `numBuckets` asking [[joinRangePartitioned]] to measure the
+    * point count and size the range buckets itself.
+    */
+  val AutoBuckets = 0
+
+  /** Target point rows per range bucket in auto mode — a task-sized merge
+    * chunk. The bucket count is what bounds a bucket's sweep to one task's
+    * memory/time; a FIXED count is wrong in both directions across scales
+    * (64 buckets at 100 TB ⇒ ~1.6 TB single-task merges; 64k buckets on a
+    * laptop corpus ⇒ quantile-sketch overkill and empty partitions).
+    */
+  val RangeBucketTargetRows = 2000000L
+
+  /** Auto-mode ceiling: bounds the quantile-boundary array a driver holds
+    * and the per-interval replication worst case.
+    */
+  val MaxRangeBuckets = 65536
+
+  /** Measured bucket count: enough buckets that the average bucket holds
+    * [[RangeBucketTargetRows]] points, never fewer than the session's
+    * shuffle parallelism (below it, slots idle), never more than
+    * [[MaxRangeBuckets]]. One column-pruned count job — the same
+    * measure-then-plan pre-pass as [[chooseSaltFactor]], and cheap next to
+    * the quantile scan the range mode already pays.
+    */
+  def chooseBucketCount(points: DataFrame): Int = {
+    val parts = points.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = points.count()
+    val byRows = ((n + RangeBucketTargetRows - 1L) / RangeBucketTargetRows).toInt
+    math.max(parts, math.min(MaxRangeBuckets, byRows))
   }
 
   /** Shared right/full recovery for the REPLICATING modes (range-partitioned
@@ -537,10 +572,14 @@ object IntervalJoin {
     // original values exactly
     def proxy(c: Column): Column = c.cast("timestamp").cast("long")
     // bounded-collect: ≤ numBuckets−1 quantile boundaries, one lightweight
-    // approx-quantile pass regardless of corpus size
+    // approx-quantile pass regardless of corpus size; the sketch error must
+    // resolve a quarter-bucket once bucket counts grow past 1/0.01 (the
+    // fixed default would collapse adjacent boundaries), and balance only
+    // affects placement, never results
     val bounds = points.select(proxy(pointTime).cast("double").as("__t")).na.drop()
       .stat.approxQuantile("__t",
-        (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+        (1 until numBuckets).map(_.toDouble / numBuckets).toArray,
+        math.min(0.01, 0.25 / numBuckets))
       .map(_.toLong).distinct.sorted
     val bArr = array(bounds.map(lit(_)): _*)
     def bucketOf(c: Column): Column =

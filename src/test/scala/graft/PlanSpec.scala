@@ -515,6 +515,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!SimilarityOps.compactBandIndex(s2, tIdx, path2))
   }
 
+  test("range-mode auto bucket count: parallelism floor small, row-target at scale, placement-only") {
+    import org.apache.spark.sql.functions._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // small corpus: the floor is the session's parallelism, not 1 bucket
+    assert(graft.plans.IntervalJoin.chooseBucketCount(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"))) === parts)
+    // large corpus: buckets track the row target so a bucket stays one
+    // task-sized merge (the fixed 64 would be ~1.6 TB buckets at 100 TB)
+    val big = spark.range(
+      graft.plans.IntervalJoin.RangeBucketTargetRows * 50).toDF("x")
+    assert(graft.plans.IntervalJoin.chooseBucketCount(big) === 50)
+    // the measured count is placement-only: auto == fixed-64 on the same
+    // inputs (boundaries move, the match set cannot)
+    import spark.implicits._
+    val pts = (1 to 500).map(i => ((i * 37 % 1000).toLong, i.toLong)).toDF("t", "pid")
+    val ivs = (1 to 40).map { i =>
+      val s = (i * 53 % 900).toLong; (s, s + 25L, i.toLong)
+    }.toDF("s", "e", "iid")
+    def run(nb: Int) = graft.plans.IntervalJoin.joinRangePartitioned(
+        pts, ivs, pts("t"), ivs("s"), ivs("e"), "full", numBuckets = nb)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(run(graft.plans.IntervalJoin.AutoBuckets) === run(64))
+  }
+
   test("column pruning fires through a residual Filter between Project and the join") {
     import org.apache.spark.sql.functions._
     val origin = to_date(lit("1995-01-01"))
