@@ -177,6 +177,17 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("auto gate width re-derives the deployed constants from the threshold alone") {
+    // the closed-form binomial rule must reproduce both measured decisions:
+    // arm at the dedup threshold with exactly the hand-calibrated width,
+    // stay out of the plan at the weak corpus threshold and the mid-band
+    assert(SimilarityOps.srp64AutoWidth(0.9) === Some(SimilarityOps.Srp64GateMaxH))
+    assert(SimilarityOps.srp64AutoWidth(0.95) === Some(19))
+    assert(SimilarityOps.srp64AutoWidth(0.35) === None)
+    assert(SimilarityOps.srp64AutoWidth(0.5) === None)
+    assert(SimilarityOps.srp64AutoWidth(0.8) === None)
+  }
+
   test("SRP gate margins hold: measured max true-pair Hamming stays below both gates") {
     // the r9-advice fix: the gate constants were empirical (observed maxima
     // + margin); a regenerated corpus or new SF that pushes a true pair past
