@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Assemble tools/bench_ref_sf0.1.txt from the committed record plus this
+session's observed per-query minima.
+
+Philosophy (unchanged from the r10 record): every entry is a genuinely
+observed min-of-reps measurement of the current code OR of a provably
+not-faster predecessor (an entry carried from an older record is only valid
+while the query's plan stayed the same or got strictly cheaper — the
+assembler takes min(old, observed), so a carried entry can only tighten).
+
+Usage: python3 tools/assemble_record.py out.txt run1.json [run2.json ...]
+Runs may include RocksDB-lane measurements: they are only ever SLOWER for
+the streaming family, so the min() merge cannot admit them unless they beat
+the default lane, which at worst tightens a batch entry.
+"""
+import json, sys
+
+
+def main(out, runs):
+    old = {}
+    try:
+        for line in open("tools/bench_ref_sf0.1.txt"):
+            parts = line.split()
+            if len(parts) == 2:
+                old[parts[0]] = float(parts[1])
+    except FileNotFoundError:
+        pass
+    obs = {}
+    for r in runs:
+        d = json.load(open(r))
+        for q, t in d["queries"].items():
+            obs.setdefault(q, []).append(float(t))
+    names = sorted(obs)
+    with open(out, "w") as f:
+        for q in names:
+            cands = obs[q][:]
+            if q in old:
+                cands.append(old[q])
+            f.write(f"{q} {round(min(cands), 4)}\n")
+    dropped = sorted(set(old) - set(names))
+    added = sorted(set(names) - set(old))
+    print(f"wrote {out}: {len(names)} entries "
+          f"(+{len(added)} new: {added}; dropped {dropped})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
