@@ -608,6 +608,8 @@ object SparkEntry {
     "q332_auto_gated_neardup"  -> ((s, d) => SimilarityOps.autoGatedDerivedNearDup(s, d)),
     // -- index COMPACTION: build → 3 merges → compact to 1 file/bucket → probe ---
     "q333_band_index_compact"  -> ((s, d) => SimilarityOps.indexCompactProbeNearDup(s, d)),
+    // -- ADAPTIVE two-phase agg: measured straggler ratio arms the salt phase ----
+    "q334_salted_agg_adaptive" -> ((s, d) => CoreOps.adaptiveSaltedAgg(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1226,6 +1228,7 @@ object SparkEntry {
     "q323_scd2_salted" -> CoreOps.scd2IntervalAttributionOracle,
     "q328_scd2_salted_full" -> CoreOps.scd2CoverageAuditOracle,
     "q331_salted_adaptive" -> CoreOps.adaptiveSaltedHotKeyAuditOracle,
+    "q334_salted_agg_adaptive" -> CoreOps.adaptiveSaltedAggOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // the streaming sketch must equal the batch sketch bit for bit: KMV is
     // deterministic given the hash column, so q311 reuses q263's twin

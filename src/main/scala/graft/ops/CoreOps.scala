@@ -587,6 +587,50 @@ object CoreOps {
       .agg(sum(col("c")).as("cnt"), sum(col("s")).cast("double").as("total_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** q334 — ADAPTIVE two-phase aggregation: [[saltedAgg]]'s salting decided
+    * by measurement instead of a constant. The same straggler statistic the
+    * salted interval join consumes
+    * ([[graft.plans.IntervalJoin.chooseSaltFactor]] — the hottest group
+    * key's share of one reduce task) picks between the plain single-shuffle
+    * aggregate (two-phase costs an EXTRA exchange when no straggler exists;
+    * Spark's partial aggregation already handles mere key imbalance) and
+    * the (key, salt) partial phase sized to split the hot key into
+    * task-sized chunks. Run over the q331 mega-entity corpus (one key
+    * holding ~90 % of all orders — partial aggregation does NOT save an
+    * unsalted plan here, because the reduce-side combine of one key still
+    * lands in one task when the upstream map outputs are many), the
+    * chooser arms; on TPC-H's own keys it would pick the plain plan
+    * (plan-pinned both ways). Exact decimal sums keep the two-phase total
+    * bit-identical to the plain GROUP BY oracle.
+    */
+  def adaptiveSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir).select(
+      when(col("o_custkey") % 10 === 0, col("o_custkey").cast("long"))
+        .otherwise(lit(0L)).as("k"),
+      col("o_orderkey"), col("o_totalprice"))
+    val factor = graft.plans.IntervalJoin.chooseSaltFactor(pts, Seq(col("k")))
+    val agged =
+      if (factor == 1)
+        pts.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("s"))
+      else
+        pts.withColumn("__salt",
+            pmod(xxhash64(col("o_orderkey")), lit(factor.toLong)).cast("int"))
+          .groupBy(col("k"), col("__salt"))
+          .agg(count(lit(1)).as("c"), sum(dec(col("o_totalprice"))).as("ps"))
+          .groupBy(col("k"))
+          .agg(sum(col("c")).as("n_orders"), sum(col("ps")).as("s"))
+    agged.select(col("k"), col("n_orders").cast("long").as("n_orders"),
+        col("s").cast("double").as("revenue"))
+      .orderBy(col("k"))
+  }
+
+  val adaptiveSaltedAggOracle: String =
+    """SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey ELSE 0 END AS k,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY k""".stripMargin
+
   /** Skew-resilient JOIN by salt replication — the join-side counterpart of
     * [[saltedAgg]]: the fact side gets a salt, the dimension side is
     * REPLICATED once per salt value (explode over 0..k−1), and the join key

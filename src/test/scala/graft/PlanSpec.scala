@@ -515,6 +515,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!SimilarityOps.compactBandIndex(s2, tIdx, path2))
   }
 
+  test("adaptive salted agg: hot key arms the (key,salt) phase, uniform keys stay single-shuffle (q334)") {
+    import org.apache.spark.sql.functions._
+    val armed = CoreOps.adaptiveSaltedAgg(spark, sf)
+    armed.collect()
+    val p = plan(armed).split("== Initial Plan ==").head
+    assert(p.contains("__salt"),
+      "the 90%-hot key must arm the salt phase:\n" + p.take(1200))
+    // two aggregate pairs: (k,__salt) partial+final, then (k) partial+final
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      "expected the two-phase aggregate chain:\n" + p.take(1500))
+    // uniform keys (plain custkey): the chooser declines — no salt column,
+    // single aggregate pair, one exchange
+    val uniform = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"))
+    assert(graft.plans.IntervalJoin.chooseSaltFactor(uniform, Seq(col("k"))) === 1)
+  }
+
   test("range-mode auto bucket count: parallelism floor small, row-target at scale, placement-only") {
     import org.apache.spark.sql.functions._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt

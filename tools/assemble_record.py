@@ -30,17 +30,15 @@ def main(out, runs):
         d = json.load(open(r))
         for q, t in d["queries"].items():
             obs.setdefault(q, []).append(float(t))
-    names = sorted(obs)
+    names = sorted(set(obs) | set(old))  # carry unobserved old entries
     with open(out, "w") as f:
         for q in names:
-            cands = obs[q][:]
+            cands = obs.get(q, [])[:]
             if q in old:
                 cands.append(old[q])
             f.write(f"{q} {round(min(cands), 4)}\n")
-    dropped = sorted(set(old) - set(names))
-    added = sorted(set(names) - set(old))
-    print(f"wrote {out}: {len(names)} entries "
-          f"(+{len(added)} new: {added}; dropped {dropped})")
+    added = sorted(set(obs) - set(old))
+    print(f"wrote {out}: {len(names)} entries (+{len(added)} new: {added})")
 
 
 if __name__ == "__main__":
