@@ -610,6 +610,12 @@ object SparkEntry {
     "q333_band_index_compact"  -> ((s, d) => SimilarityOps.indexCompactProbeNearDup(s, d)),
     // -- ADAPTIVE two-phase agg: measured straggler ratio arms the salt phase ----
     "q334_salted_agg_adaptive" -> ((s, d) => CoreOps.adaptiveSaltedAgg(s, d)),
+    // -- range-mode hot-bucket split ARMED: 90% point mass fans out, measured ----
+    "q335_outage_hot_window"   -> ((s, d) => CoreOps.supplierOutageHotWindow(s, d)),
+    // -- gate-width decision table MEASURED on the θ=0.65 band (both disarm) -----
+    "q336_srp_width_decision"  -> ((s, d) => SimilarityOps.srpWidthDecisionReport(s, d)),
+    // -- 16-bit auto gate armed where it genuinely pays: near-exact θ=0.998 ------
+    "q337_near_exact_gated"    -> ((s, d) => SimilarityOps.nearExactAutoGatedNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
@@ -1229,6 +1235,7 @@ object SparkEntry {
     "q328_scd2_salted_full" -> CoreOps.scd2CoverageAuditOracle,
     "q331_salted_adaptive" -> CoreOps.adaptiveSaltedHotKeyAuditOracle,
     "q334_salted_agg_adaptive" -> CoreOps.adaptiveSaltedAggOracle,
+    "q335_outage_hot_window" -> CoreOps.supplierOutageHotWindowOracle,
     "q263_kmv_distinct" -> SamplingOps.kmvDistinctOracle,
     // the streaming sketch must equal the batch sketch bit for bit: KMV is
     // deterministic given the hash column, so q311 reuses q263's twin
@@ -1356,9 +1363,9 @@ object SparkEntry {
       s"""SELECT key_name, n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
          | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(n_keys AS DOUBLE) / n_rows", 4)} AS skew_ratio,
          | (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor,
-         | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(32 AS DOUBLE) / n_rows", 4)} AS straggler_ratio,
+         | ${graft.ops.OracleMath.stableRoundSql("max_cnt * CAST(32 AS DOUBLE) / n_rows", 4)} AS ref32_straggler_ratio,
          | CASE WHEN max_cnt * 64 <= 3 * n_rows THEN 1
-         |      ELSE LEAST(64, (max_cnt * 32 + n_rows - 1) // n_rows) END AS auto_salt
+         |      ELSE LEAST(64, (max_cnt * 32 + n_rows - 1) // n_rows) END AS ref32_auto_salt
          |FROM (${side("l_suppkey")}
          |UNION ALL
          |${side("l_orderkey")})

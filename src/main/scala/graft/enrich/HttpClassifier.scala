@@ -58,12 +58,23 @@ final class HttpClassifier(cfg: HttpClassifierConfig) extends Classifier {
     * is not envelope-shaped (a bare array from a simpler endpoint, or
     * unparseable junk) passes through untouched — parseScala's own
     * fallbacks handle it.
+    *
+    * A body that IS envelope-shaped (an object carrying `result`) but whose
+    * `message.text` is missing or non-textual — a refusal or alternate
+    * status envelope — yields "" (the empty-reply retry/stub lane), NEVER
+    * the raw envelope: feeding the envelope to parseScala would let the
+    * embedded-array regex latch onto the envelope's own `alternatives`
+    * array — exactly the misread the unwrap exists to prevent. The
+    * reference's KeyError path (dag:246 under try) lands in the same retry
+    * lane.
     */
   private[enrich] def extractText(body: String): String =
     try {
-      val t = HttpClassifier.mapper.readTree(body)
-        .path("result").path("alternatives").path(0).path("message").path("text")
-      if (t.isTextual) t.asText() else body
+      val root = HttpClassifier.mapper.readTree(body)
+      val t = root.path("result").path("alternatives").path(0).path("message").path("text")
+      if (t.isTextual) t.asText()
+      else if (root.isObject && root.has("result")) ""
+      else body
     } catch { case scala.util.control.NonFatal(_) => body }
 
   override def classify(batch: Seq[String]): Seq[Classified] = {

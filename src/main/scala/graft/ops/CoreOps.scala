@@ -538,13 +538,19 @@ object CoreOps {
     *
     *  - `skew_ratio`/`salt_factor` — max/mean per KEY (the naive statistic:
     *    replication needed to flatten the hottest key to the mean key);
-    *  - `straggler_ratio`/`auto_salt` — max over an average TASK's share at
-    *    the reference 32-slot layout: the statistic
-    *    [[graft.plans.IntervalJoin.chooseSaltFactor]] actually consumes,
-    *    because a key 4× the mean key is irrelevant when every task holds
-    *    thousands of keys. The two columns disagreeing (salt_factor 2,
-    *    auto_salt 1 on l_suppkey) IS the report's message: naive skew says
-    *    salt, task-relative says don't. auto_salt replays the chooser's
+    *  - `ref32_straggler_ratio`/`ref32_auto_salt` — max over an average
+    *    TASK's share at a FIXED reference 32-slot layout (the `ref32_`
+    *    prefix makes the fixed layout explicit — the report must stay
+    *    oracle-deterministic across sessions, so it cannot read the live
+    *    `spark.sql.shuffle.partitions` the way
+    *    [[graft.plans.IntervalJoin.chooseSaltFactor]] does; a session with
+    *    different parallelism can reach a different live decision at the
+    *    same data, and these columns replay the RULE, not the session).
+    *    The statistic itself is what the chooser consumes, because a key 4×
+    *    the mean key is irrelevant when every task holds thousands of keys.
+    *    The two columns disagreeing (salt_factor 2, ref32_auto_salt 1 on
+    *    l_suppkey) IS the report's message: naive skew says salt,
+    *    task-relative says don't. ref32_auto_salt replays the chooser's
     *    rule in exact integer arithmetic (trigger ratio 1.5 ⇔
     *    64·max ≤ 3·rows; ⌈32·max∕rows⌉ capped at 64).
     *
@@ -565,9 +571,9 @@ object CoreOps {
             col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 4).as("skew_ratio"),
           expr("(max_cnt * n_keys + n_rows - 1L) DIV n_rows").as("salt_factor"),
           OracleMath.stableRound(
-            col("max_cnt") * lit(32.0) / col("n_rows"), 4).as("straggler_ratio"),
+            col("max_cnt") * lit(32.0) / col("n_rows"), 4).as("ref32_straggler_ratio"),
           expr("CASE WHEN max_cnt * 64L <= 3L * n_rows THEN 1L " +
-            "ELSE LEAST(64L, (max_cnt * 32L + n_rows - 1L) DIV n_rows) END").as("auto_salt"))
+            "ELSE LEAST(64L, (max_cnt * 32L + n_rows - 1L) DIV n_rows) END").as("ref32_auto_salt"))
     profile("l_suppkey").unionByName(profile("l_orderkey")).orderBy(col("key_name"))
   }
 
@@ -1394,6 +1400,60 @@ object CoreOps {
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** q335 — the HOT-WINDOW outage attribution: the range-partitioned
+    * keyless mode's measured-split arm (the r11 verdict's missing half —
+    * [[graft.plans.IntervalJoin.chooseSaltFactor]] fixed the keyed mode;
+    * this is the same straggler discipline for the keyless one). The order
+    * stream is warped so 90 % of all orders land on ONE instant
+    * (1995-06-15 — a flash-sale/backfill shape): equi-depth range buckets
+    * cannot split a point MASS by value, so ~29 of the 31 sampled quantile
+    * boundaries collapse onto it and the unsalted plan would sweep 90 % of
+    * the corpus in a single task at any scale. The core detects exactly
+    * that — duplicate raw boundaries — and fans the hot bucket out by a
+    * whole-row hash while cold buckets stay unsalted and unreplicated
+    * (plan-pinned: `__rb_s` + the measured salt literal; q310's pinned
+    * plan is the uniform-corpus DISARM proof, byte-unchanged). Oracle: the
+    * same non-equi join over the warped dates — salting is placement only.
+    */
+  def supplierOutageHotWindow(spark: SparkSession, dir: String): DataFrame = {
+    val origin = to_date(lit("1992-01-01"))
+    val windows = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        date_add(origin, (col("s_suppkey") * lit(997) % lit(OutageSpanDays)).cast("int"))
+          .cast("timestamp_ntz").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr(s"INTERVAL $OutageDays DAYS"))
+    val orders = Tables.orders(spark, dir)
+      .select(when(col("o_orderkey") % 10 =!= 0,
+          lit("1995-06-15 00:00:00").cast("timestamp_ntz"))
+          .otherwise(col("o_orderdate").cast("timestamp_ntz")).as("o_orderdate"),
+        col("o_totalprice"))
+    graft.plans.IntervalJoin.joinRangePartitioned(
+        orders, windows, orders("o_orderdate"), windows("w_start"), windows("w_end"),
+        "inner", numBuckets = 32)
+      .groupBy(col("s_suppkey"), col("w_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val supplierOutageHotWindowOracle: String =
+    s"""WITH o AS (
+       |  SELECT CASE WHEN o_orderkey % 10 <> 0 THEN TIMESTAMP '1995-06-15 00:00:00'
+       |              ELSE CAST(o_orderdate AS TIMESTAMP) END AS o_orderdate,
+       |         o_totalprice
+       |  FROM orders),
+       |w AS (
+       |  SELECT s_suppkey,
+       |    CAST(DATE '1992-01-01' + ((s_suppkey * 997) % $OutageSpanDays) * INTERVAL 1 DAY
+       |         AS TIMESTAMP) AS w_start
+       |  FROM supplier),
+       |w2 AS (SELECT s_suppkey, w_start,
+       |              w_start + INTERVAL $OutageDays DAY AS w_end FROM w)
+       |SELECT s_suppkey, w_start, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM w2 JOIN o ON o_orderdate >= w_start AND o_orderdate < w_end
+       |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin
 
   /** q314 — the same outage attribution as RIGHT OUTER: every window
     * surfaces, including the ones no order fell into (n_orders = 0,

@@ -517,7 +517,10 @@ object IntervalJoin {
     val parts = points.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val n = points.count()
     val byRows = ((n + RangeBucketTargetRows - 1L) / RangeBucketTargetRows).toInt
-    math.max(parts, math.min(MaxRangeBuckets, byRows))
+    // cap OUTSIDE the parallelism floor: the ceiling bounds the driver-held
+    // quantile-boundary array and worst-case per-interval replication, so it
+    // must dominate even a session whose shuffle parallelism exceeds it
+    math.min(MaxRangeBuckets, math.max(parts, byRows))
   }
 
   /** Shared right/full recovery for the REPLICATING modes (range-partitioned
@@ -576,22 +579,62 @@ object IntervalJoin {
     // resolve a quarter-bucket once bucket counts grow past 1/0.01 (the
     // fixed default would collapse adjacent boundaries), and balance only
     // affects placement, never results
-    val bounds = points.select(proxy(pointTime).cast("double").as("__t")).na.drop()
+    val rawBounds = points.select(proxy(pointTime).cast("double").as("__t")).na.drop()
       .stat.approxQuantile("__t",
         (1 until numBuckets).map(_.toDouble / numBuckets).toArray,
         math.min(0.01, 0.25 / numBuckets))
-      .map(_.toLong).distinct.sorted
+      .map(_.toLong)
+    val bounds = rawBounds.distinct.sorted
+    // HOT-BUCKET detection, measured for FREE from the quantile pass the
+    // mode already pays (the r11 keyed-mode lesson — measure, then split —
+    // applied to the keyless mode): equi-depth boundaries flatten any time
+    // SKEW, but a point MASS (one proxy value holding ≥ a whole bucket's
+    // share) cannot be split by value — it swallows its quantile positions
+    // instead, so a value appearing k ≥ 2 times among the raw boundaries
+    // holds ≥ (k−1)/numBuckets of all points (mass ≥ (k−1) bucket shares,
+    // straggler ratio ≈ k ≥ SaltTriggerRatio) and its bucket would
+    // serialize into one task at any scale. Each such bucket fans out
+    // k-ways (cap MaxAutoSalts): points by a deterministic whole-row hash,
+    // intervals replicated to the k sub-salts of THAT bucket only — cold
+    // buckets keep salt 0 and pay zero replication, and a uniform corpus
+    // (no duplicate boundaries) takes exactly the unsalted plan,
+    // byte-identical (q310's pinned digest is the disarm proof; q335 the
+    // armed one).
+    val hot: Seq[(Int, Int)] = rawBounds.groupBy(identity).collect {
+      case (v, occ) if occ.length >= 2 =>
+        (bounds.indexOf(v) + 1, math.min(occ.length, MaxAutoSalts))
+    }.toSeq.sortBy(_._1)
     val bArr = array(bounds.map(lit(_)): _*)
     def bucketOf(c: Column): Column =
       (if (bounds.isEmpty) lit(0) else size(filter(bArr, b => b <= proxy(c)))).cast("int")
-    val p2 = points.withColumn("__rb_l", bucketOf(pointTime))
+    val p2base = points.withColumn("__rb_l", bucketOf(pointTime))
     // start ≥ end (incl. NULL bounds) can never match and must not reach the
     // bucket sequence (Spark's sequence(hi, lo) DESCENDS instead of being
     // empty); right/full outer are barred above so dropping them is safe
-    val i2 = intervals.filter(start < end)
+    val i2base = intervals.filter(start < end)
       .withColumn("__rb_r", explode(sequence(bucketOf(start), bucketOf(end))))
-    join(p2, i2, Seq(p2("__rb_l")), Seq(i2("__rb_r")), pointTime, start, end, joinType)
-      .drop("__rb_l", "__rb_r")
+    if (hot.isEmpty)
+      join(p2base, i2base, Seq(p2base("__rb_l")), Seq(i2base("__rb_r")),
+          pointTime, start, end, joinType)
+        .drop("__rb_l", "__rb_r")
+    else {
+      // deterministic point-side sub-salt: whole-row hash (placement only —
+      // colliding duplicates cost balance, never correctness); interval
+      // replicas get array(0..k−1) on hot buckets, array(0) elsewhere
+      // (array(lit*), never sequence(): the digest-poison lesson)
+      val pHash = xxhash64(points.columns.map(points(_)): _*)
+      val pSalt = hot.foldLeft(lit(0): Column) { case (els, (b, k)) =>
+        when(col("__rb_l") === b, pmod(pHash, lit(k.toLong)).cast("int")).otherwise(els)
+      }
+      val iSalts = hot.foldLeft(array(lit(0)): Column) { case (els, (b, k)) =>
+        when(col("__rb_r") === b, array((0 until k).map(lit): _*)).otherwise(els)
+      }
+      val p2 = p2base.withColumn("__rb_s", pSalt)
+      val i2 = i2base.withColumn("__rb_s", explode(iSalts))
+      join(p2, i2, Seq(p2("__rb_l"), p2("__rb_s")), Seq(i2("__rb_r"), i2("__rb_s")),
+          pointTime, start, end, joinType)
+        .drop("__rb_l", "__rb_r", "__rb_s")
+    }
   }
 
   /** SALTED keyed mode — the hot-key escape hatch (the q146/q48 salting

@@ -105,6 +105,23 @@ class HttpClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("refusal envelope (result present, no textual message.text) → empty reply lane, never the raw envelope") {
+    // an alternate-status envelope: `result` exists but alternatives[0] has
+    // no message.text — the reference raises KeyError here (dag:246) and
+    // lands in the retry lane; feeding the RAW envelope to parseScala would
+    // let the embedded-array regex latch onto the envelope's own
+    // `alternatives` array and emit wrong-field Classified rows
+    withServer { ex =>
+      ex.getRequestBody.readAllBytes()
+      (200, """{"result":{"alternatives":[{"status":"ALTERNATIVE_STATUS_CONTENT_FILTER"}],"usage":{"totalTokens":"7"}}}""")
+    } { url =>
+      val c = new HttpClassifier(cfg(url))
+      assert(c.classify(Seq("zeta")) === Nil)
+      val out = Enrichment.classifyBatchWithRetry(c, Seq("zeta"), maxRetries = 1, retryOther = false)
+      assert(out === Seq(Classified("zeta", Defaults.Unclassified, "")))
+    }
+  }
+
   test("truncated reply → empty parse → retry → stub fallback (dag:269-278)") {
     var calls = 0
     withServer { ex =>

@@ -213,8 +213,8 @@ class RetrievalSpec extends AnyFunSuite {
       val expectAuto =
         if (r.getAs[Long]("max_cnt") * 64L <= 3L * nRows) 1L
         else math.min(64L, (r.getAs[Long]("max_cnt") * 32L + nRows - 1L) / nRows)
-      assert(r.getAs[Long]("auto_salt") == expectAuto)
-      assert(math.abs(r.getAs[Double]("straggler_ratio") -
+      assert(r.getAs[Long]("ref32_auto_salt") == expectAuto)
+      assert(math.abs(r.getAs[Double]("ref32_straggler_ratio") -
         r.getAs[Long]("max_cnt") * 32.0 / nRows) < 2e-4)
     }
   }
