@@ -1,0 +1,171 @@
+package graft.bench
+
+/** Self-attributing bench sanity verdict (the r11 lesson, twice over): a
+  * min-of-mins reference record plus an absolute aggregate threshold cannot
+  * distinguish HOST WEATHER from a code regression — two consecutive rounds
+  * archived `sanity_ok:false` on byte-identical plans (r10: 4 flagged, r11:
+  * 53 flagged at 1.58×), each costing a manual session of focused re-runs to
+  * adjudicate. This gate makes the attribution part of the bench line:
+  *
+  *  1. **Host calibration from controls.** [[Controls]] is a fixed panel of
+  *     cheap queries whose plans never change (4 batch shapes + 2 streaming
+  *     shapes — streaming's fixed multi-second setup is the shape host
+  *     throttling inflates most, so the panel must include it). The MEDIAN
+  *     control ratio (this run's min-of-reps ÷ the committed record) is the
+  *     host-calibration factor `env_ratio`: on a quiet host ≈ 1, on a
+  *     throttled host it measures the throttle directly. Median over six
+  *     tolerates two genuinely-regressed controls without polluting the
+  *     calibration.
+  *  2. **Calibrated per-query flags.** A query is flagged only when it
+  *     exceeds `ref × env_ratio × `[[FlagRatio]] with >[[FlagAbsSec]]
+  *     absolute excess — i.e. it is slow RELATIVE TO HOW SLOW THIS HOST IS
+  *     RIGHT NOW. Under a uniform 2× throttle nothing flags; a single query
+  *     that tripled while the controls sat at 1× still flags.
+  *  3. **Shuffle-bytes plan check.** Wall time can lie on a noisy host;
+  *     per-execution shuffle volume cannot — it is a pure function of the
+  *     plan. Each query's tallied bytes are compared against the committed
+  *     [[graft.Bench]] shuffle record; an INCREASE beyond tolerance is a
+  *     plan regression ([[Result.planChanged]]) regardless of timing, a
+  *     decrease is reported separately ([[Result.planCheaper]] — the record
+  *     premise "carried entries stay valid while plans only got cheaper"
+  *     still holds, but the record deserves regeneration).
+  *
+  * The aggregate `sanity_vs_ref` (this run's common-slice sum ÷ the record
+  * sum) is still emitted for cross-round continuity, but it no longer
+  * gates: the record is a per-query best-ever composite no single honest
+  * run can sum-match on a loaded host, so gating on its sum is gating on
+  * the weather. The verdict is:
+  *
+  *  - `"regression"` — any calibrated flag or any plan-bytes increase;
+  *  - `"environmental"` — no flags, but the controls measured the host
+  *    outside [[EnvBand]] (timings untrustworthy, code fine);
+  *  - `"ok"` — no flags, quiet host.
+  *
+  * `sanity_ok` is `verdict != "regression"` — the question the driver's
+  * gate actually asks ("did the code get slower?"), not "was the host
+  * quiet?". Proven by injection in SanityGateSpec and end-to-end via
+  * `SPARK_GRAFT_BENCH_SLOW` (timing-only regression: flags, controls
+  * quiet) / `SPARK_GRAFT_BENCH_RESHUFFLE` (plan change: bytes flag it even
+  * if timing hides it) / a CPU-starved run (uniform slowdown: verdict
+  * "environmental", zero flags).
+  */
+object SanityGate {
+
+  /** The calibration panel: plan-stable, cheap (record total ≈ 4.3 s),
+    * covering the suite's cost shapes — scan+agg (q02), shuffle join+agg
+    * (q03), window dedup (q10), vector/ADC (q108), and two streaming
+    * queries (q100, q111) whose fixed state-store/planner setup dominates
+    * their time and therefore probes exactly the overhead host throttling
+    * inflates most. Changing any control's PLAN requires regenerating the
+    * committed record in the same commit (the shuffle-bytes check enforces
+    * this: a control whose bytes moved flags as a plan change).
+    */
+  val Controls: Seq[String] = Seq(
+    "q02_priority_agg", "q03_revenue_by_nation", "q10_dedup_by_key",
+    "q108_pq_adc_knn", "q100_stream_sink", "q111_stream_dedup_wm")
+
+  /** Calibrated per-query flag threshold: > 1.5× the host-adjusted
+    * reference (same ratio the uncalibrated r9 gate used — calibration
+    * moves the baseline, not the sensitivity).
+    */
+  val FlagRatio = 1.5
+
+  /** Absolute excess floor (seconds) under the ratio flag — keeps sub-100ms
+    * queries' scheduling jitter out; a plan regression on a query that
+    * cheap is caught by the shuffle-bytes check instead.
+    */
+  val FlagAbsSec = 0.3
+
+  /** env_ratio band outside which a no-flag run reads "environmental":
+    * timings are not record-quality, but nothing points at the code.
+    */
+  val EnvBand: (Double, Double) = (0.8, 1.25)
+
+  /** Minimum controls present (a dev subset run without the panel gets
+    * env_ratio = 1 — uncalibrated, same behavior as the old gate).
+    */
+  val MinControls = 3
+
+  /** Shuffle-bytes tolerance: relative (AQE boundary wiggle) OR absolute
+    * (empty-ish queries); the r10/r11 driver runs were byte-identical on
+    * every comparable entry, so this is generous.
+    */
+  val PlanBytesRelTol = 0.05
+  val PlanBytesAbsTol = 32768L
+
+  /** One benched query: min-of-reps seconds, error marker, tallied
+    * per-execution shuffle-write bytes (None when the tally is disabled).
+    */
+  final case class Obs(name: String, sec: Double, err: Boolean,
+                       shuffleBytes: Option[Long])
+
+  final case class Result(
+      commonN: Int,
+      rawRatio: Double,
+      envRatio: Double,
+      controlsN: Int,
+      flagged: Seq[String],
+      planChanged: Seq[String],
+      planCheaper: Seq[String]) {
+    /** Calibrated aggregate — the run's sum ratio with the measured host
+      * factor divided out (informational; per-query flags gate).
+      */
+    def calRatio: Double = rawRatio / envRatio
+    def verdict: String =
+      if (flagged.nonEmpty || planChanged.nonEmpty) "regression"
+      else if (envRatio < EnvBand._1 || envRatio > EnvBand._2) "environmental"
+      else "ok"
+    /** "Did the code get slower?" — the driver-gate question. */
+    def ok: Boolean = flagged.isEmpty && planChanged.isEmpty
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Evaluate a run against the committed per-query records. Returns None
+    * below 20 common queries (a subset too small to judge, same floor as
+    * the old gate).
+    */
+  def evaluate(obs: Seq[Obs], refSec: Map[String, Double],
+               refBytes: Map[String, Long]): Option[Result] = {
+    val common = obs.filter(o => !o.err && refSec.contains(o.name))
+    if (common.size < 20) return None
+    val ctrlRatios = common.filter(o => Controls.contains(o.name))
+      .map(o => o.sec / refSec(o.name))
+    val envRatio = if (ctrlRatios.size >= MinControls) median(ctrlRatios) else 1.0
+    val rawRatio = common.map(_.sec).sum / common.map(o => refSec(o.name)).sum
+    val flagged = common.collect {
+      case o if o.sec > refSec(o.name) * envRatio * FlagRatio &&
+        o.sec - refSec(o.name) * envRatio > FlagAbsSec => o.name
+    }.sorted
+    def bytesDelta(o: Obs): Option[Long] = for {
+      b <- o.shuffleBytes
+      r <- refBytes.get(o.name)
+    } yield b - r
+    def tol(name: String): Long =
+      math.max(PlanBytesAbsTol, (refBytes(name) * PlanBytesRelTol).toLong)
+    val planChanged = common.collect {
+      case o if bytesDelta(o).exists(_ > tol(o.name)) => o.name
+    }.sorted
+    val planCheaper = common.collect {
+      case o if bytesDelta(o).exists(_ < -tol(o.name)) => o.name
+    }.sorted
+    Some(Result(common.size, rawRatio, envRatio, ctrlRatios.size,
+      flagged, planChanged, planCheaper))
+  }
+
+  /** Parse a "name value" record file (the committed bench references). */
+  def readRecord(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().flatMap { l =>
+      l.trim.split("\\s+") match {
+        case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+        case _ => None
+      }
+    }.toMap finally src.close()
+  }
+}

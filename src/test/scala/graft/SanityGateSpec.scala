@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bench.SanityGate
+import graft.bench.SanityGate.Obs
+
+/** The bench sanity verdict's attribution contract, proven by injection on
+  * synthetic runs (no Spark): a uniform host slowdown must read
+  * "environmental" with ZERO flagged queries, a targeted timing regression
+  * must flag exactly its query on a quiet AND on a throttled host, and a
+  * plan change must surface through the shuffle-bytes record even when its
+  * timing hides in noise. This is the r11 verdict's "done" criterion as a
+  * spec; the end-to-end pair (SPARK_GRAFT_BENCH_SLOW / _RESHUFFLE, and a
+  * CPU-starved run) exercises the same paths through graft.Bench itself.
+  */
+class SanityGateSpec extends AnyFunSuite {
+
+  // a 30-query reference: the six controls at realistic costs + 24 batch
+  // queries, all with committed shuffle bytes
+  private val ref: Map[String, Double] =
+    SanityGate.Controls.zip(Seq(0.37, 0.69, 0.67, 0.64, 0.94, 1.29)).toMap ++
+      (1 to 24).map(i => f"q9$i%02d_synth" -> (0.2 + 0.05 * i)).toMap
+  private val refBytes: Map[String, Long] =
+    ref.keys.map(k => k -> (1000000L + k.hashCode.abs % 1000000L)).toMap
+
+  private def run(scale: Double, over: Map[String, Double] = Map.empty,
+                  bytesOver: Map[String, Long] = Map.empty): Seq[Obs] =
+    ref.keys.toSeq.sorted.map { k =>
+      Obs(k, over.getOrElse(k, ref(k) * scale), err = false,
+        Some(bytesOver.getOrElse(k, refBytes(k))))
+    }
+
+  test("quiet host, unchanged code: verdict ok, nothing flagged") {
+    val r = SanityGate.evaluate(run(1.02), ref, refBytes).get
+    assert(r.verdict === "ok" && r.ok)
+    assert(r.flagged.isEmpty && r.planChanged.isEmpty && r.planCheaper.isEmpty)
+    assert(math.abs(r.envRatio - 1.02) < 0.01)
+  }
+
+  test("uniform 2x host slowdown: environmental, ZERO flagged (the r11 failure mode fixed)") {
+    val r = SanityGate.evaluate(run(2.0), ref, refBytes).get
+    assert(r.verdict === "environmental")
+    assert(r.ok, "a throttled host is not a code regression")
+    assert(r.flagged.isEmpty, s"nothing may flag under uniform throttle, got ${r.flagged}")
+    assert(math.abs(r.envRatio - 2.0) < 0.01)
+    assert(math.abs(r.calRatio - 1.0) < 0.01, "calibrated aggregate ~1 under pure weather")
+  }
+
+  test("targeted 3x timing regression on a quiet host: regression, exactly that query") {
+    val r = SanityGate.evaluate(
+      run(1.0, over = Map("q910_synth" -> ref("q910_synth") * 3)), ref, refBytes).get
+    assert(r.verdict === "regression" && !r.ok)
+    assert(r.flagged === Seq("q910_synth"))
+  }
+
+  test("targeted regression UNDER a 2x throttle still flags (calibration does not hide it)") {
+    // host 2x everywhere, and q910 additionally regressed 4x vs its ref
+    val r = SanityGate.evaluate(
+      run(2.0, over = Map("q910_synth" -> ref("q910_synth") * 4)), ref, refBytes).get
+    assert(r.flagged === Seq("q910_synth"))
+    assert(r.verdict === "regression")
+  }
+
+  test("plan change surfaces via shuffle bytes even when timing is unchanged") {
+    val r = SanityGate.evaluate(
+      run(1.0, bytesOver = Map("q905_synth" -> (refBytes("q905_synth") * 2))),
+      ref, refBytes).get
+    assert(r.planChanged === Seq("q905_synth"))
+    assert(r.verdict === "regression")
+  }
+
+  test("shuffle-bytes DECREASE reports planCheaper, not regression") {
+    val r = SanityGate.evaluate(
+      run(1.0, bytesOver = Map("q905_synth" -> (refBytes("q905_synth") / 4))),
+      ref, refBytes).get
+    assert(r.planCheaper === Seq("q905_synth"))
+    assert(r.planChanged.isEmpty && r.ok)
+    assert(r.verdict === "ok")
+  }
+
+  test("sub-tolerance byte wiggle and small-query jitter do not flag") {
+    val r = SanityGate.evaluate(
+      run(1.0,
+        over = Map("q901_synth" -> (ref("q901_synth") + 0.2)), // below 0.3s floor
+        bytesOver = Map("q903_synth" -> (refBytes("q903_synth") + 1000L))),
+      ref, refBytes).get
+    assert(r.verdict === "ok")
+  }
+
+  test("controls missing (dev subset): uncalibrated fallback, env_ratio = 1") {
+    val subset = run(2.0).filterNot(o => SanityGate.Controls.contains(o.name))
+    val r = SanityGate.evaluate(subset, ref, refBytes).get
+    assert(r.controlsN === 0 && r.envRatio === 1.0)
+    // without calibration a 2x run DOES flag — same behavior as the old gate
+    assert(r.flagged.nonEmpty)
+  }
+
+  test("fewer than 20 common queries: no verdict") {
+    assert(SanityGate.evaluate(run(1.0).take(10), ref, refBytes).isEmpty)
+  }
+
+  test("errored queries are excluded from calibration and flags") {
+    val obs = run(1.0).map(o =>
+      if (o.name == "q910_synth") o.copy(sec = 99.0, err = true) else o)
+    val r = SanityGate.evaluate(obs, ref, refBytes).get
+    assert(r.flagged.isEmpty && r.verdict === "ok")
+  }
+}
