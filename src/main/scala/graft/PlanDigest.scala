@@ -45,7 +45,8 @@ object PlanDigest {
     "q307_srp_gated_neardup", "q309_range_interval_join", "q310_outage_attribution",
     "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered",
     "q320_graded_linkage", "q321_srp64_gated_neardup", "q323_scd2_salted",
-    "q324_delta_gated_neardup", "q331_salted_adaptive", "q332_auto_gated_neardup")
+    "q324_delta_gated_neardup", "q331_salted_adaptive", "q332_auto_gated_neardup",
+    "q335_outage_hot_window", "q337_near_exact_gated")
 
   val snapshotDir = "src/test/resources/plans"
 
@@ -80,7 +81,14 @@ object PlanDigest {
       // number-run scrub would also mask SEMANTIC literal arrays (SRP/Weyl
       // plane constants, big IN-lists), silencing real drift in those
       .split("\n", -1).map { l =>
-        if (l.contains("__rb_")) l.replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+        if (l.contains("__rb_"))
+          l.replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+            // hot-bucket split literals are MEASURED from the same sampled
+            // quantiles (bucket id, salt factor, salt array) — placement
+            // only, like the bounds; pin the split's SHAPE, not the sample
+            .replaceAll("\\(__rb_([lr])# = \\d+\\)", "(__rb_$1# = <hot>)")
+            .replaceAll("(pmod\\(xxhash64\\([^)]*\\)), \\d+\\)", "$1, <k>)")
+            .replaceAll("\\[0,1,\\d[\\d,]*\\]", "[<salts>]")
         else l
       }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs

@@ -177,23 +177,27 @@ object SimilarityOps {
     val gate64conf = e0.sparkSession.conf.getOption(Srp64GateConf).map(_.toInt)
     require(gate16.isEmpty || gate64conf.isEmpty,
       "arm at most one SRP gate (16- or 64-bit) per session clone")
-    // Threshold-aware automatic width (the q322/q329 decision rule as code,
-    // not prose): with no explicit gate conf, [[srp64AutoWidth]] arms the
-    // 64-bit gate from θ alone when its safe width still cuts, and stays
-    // out of the plan otherwise — annNearDup(0.9) gets the paying gate,
-    // annNearDup(0.35) the byte-identical ungated plan, no session flags.
-    // `autoGate = false` is the measurement hook: q319 stays the ungated
-    // control the q321/q332 preservation proofs compare against.
-    val gate64 = gate64conf.orElse(
-      if (autoGate && gate16.isEmpty) srp64AutoWidth(threshold) else None)
+    // Threshold-aware automatic gate (the q322/q329 decision rule as code,
+    // not prose): with no explicit gate conf, [[srpAutoGate]] picks the
+    // CHEAPEST sketch whose safe width still cuts — 16-bit at near-exact
+    // thresholds (θ ≳ 0.998, q337), 64-bit at θ ≳ 0.88 (q332), none below
+    // — so annNearDup(0.9) gets the paying gate and annNearDup(0.35) the
+    // byte-identical ungated plan, no session flags. `autoGate = false` is
+    // the measurement hook: q319 stays the ungated control the q321/q332
+    // preservation proofs compare against.
+    val auto = if (autoGate && gate16.isEmpty && gate64conf.isEmpty)
+      srpAutoGate(threshold) else None
+    val gate64 = gate64conf.orElse(auto.collect { case (64, w) => w })
     val gateMaxH = gate16.orElse(gate64)
+      .orElse(auto.collect { case (16, w) => w })
+    val use16 = gate16.isDefined || auto.exists(_._1 == 16)
     // signature + norm computed once per vector; persisted: band explode and
     // both verify sides would re-derive 32 dot products per vector each
     val eBase = e0.select(col("vec_id"), col("embedding"),
         sigBits.reduce(_ + _).as("sig"),
         sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
     val e = (if (gate64.isDefined) withSrpSketch64(eBase)
-      else if (gate16.isDefined) withSrpSketch(eBase)
+      else if (use16) withSrpSketch(eBase)
       else eBase).persistTracked()
     // band keys: 4-bit slices of the signature; candidates share any band.
     // The join moves three longs per row (8 rows per vector), never vectors.
@@ -1363,28 +1367,65 @@ object SimilarityOps {
   private[graft] def withSrpSketch64(df: DataFrame): DataFrame =
     df.withColumn("srp", graft.functions.VectorFunctions.srp64(col("embedding")))
 
-  /** Threshold-driven automatic 64-bit gate width — the decision rule the
-    * q322/q329 measurements established, derived from θ alone so
-    * [[annNearDup]] callers get the right gate without session flags.
+  /** Output-preserving gate width for an `nBits`-plane SRP sketch at verify
+    * threshold θ: a TRUE pair at exactly θ flips each bit with probability
+    * p = acos(θ)/π (the random-hyperplane identity), so its sketch Hamming
+    * distance is Binom(nBits, p) and mean + 5σ bounds it to < 3·10⁻⁷
+    * per-pair breach odds.
+    */
+  private[graft] def srpSafeWidth(nBits: Int, threshold: Double): Int = {
+    val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    math.ceil(nBits * p + 5.0 * math.sqrt(nBits * p * (1.0 - p))).toInt
+  }
+
+  /** Arming cutoff for an `nBits` sketch, DERIVED from the noise binomial
+    * instead of a hand-carried literal (r11 advice: the literal 24 and the
+    * rationale could silently drift apart): uncorrelated candidates sit at
+    * H ~ Binom(nBits, ½) — mean nBits∕2, σ = √nBits∕2 — and a gate pays
+    * only if the safe width undercuts that mass by ≥ 2σ:
+    * cutoff = nBits∕2 − √nBits. At 64 bits this is 32 − 8 = 24, exactly
+    * the deployed [[Srp64GateMaxH]] (HardeningSpec pins the agreement); at
+    * 16 bits it is 8 − 4 = 4.
+    */
+  private[graft] def srpArmCutoff(nBits: Int): Int =
+    nBits / 2 - math.round(math.sqrt(nBits)).toInt
+
+  /** Threshold-driven automatic SRP gate — the decision rule the q322/q329
+    * measurements established, derived from θ alone so [[annNearDup]]
+    * callers get the right gate without session flags. Returns
+    * `(sketchBits, gateWidth)` for the CHEAPEST sketch whose safe width
+    * still cuts, or None:
     *
-    * A TRUE pair at exactly the verify threshold flips each SRP bit with
-    * probability p = acos(θ)/π (the random-hyperplane identity), so its
-    * sketch Hamming distance is Binom(64, p). The output-preserving width
-    * is mean + 5σ: at θ = 0.9 that is ⌈9.19 + 5·2.81⌉ = 24 — re-deriving
-    * the hand-calibrated [[Srp64GateMaxH]] exactly (measured true-pair
-    * maxima 12/11/14, q322; per-pair breach odds < 3·10⁻⁷). The gate PAYS
-    * only if that width undercuts where uncorrelated candidates live
-    * (H ≈ Binom(64, ½): mean 32, σ 4 — arm iff width ≤ 32 − 2σ = 24):
-    * at θ = 0.35 the safe width is 45 and a gate would keep ~90 % of
-    * candidates (q329's measured 89.9 %), so it correctly disarms. One
-    * closed-form rule reproducing both measured decisions.
+    *  - the 16-bit sketch costs ¼ the per-vector hyperplane dot products of
+    *    the 64-bit one, so it is tried first — but its cutoff (4) demands
+    *    p ≲ 0.02, i.e. θ ≳ 0.998: only near-exact duplicate regimes
+    *    (re-crawl / re-encode dedup) qualify. q337 exercises exactly that
+    *    corpus and plan-pins the 16-bit arm.
+    *  - the 64-bit sketch arms for θ ≳ 0.88: at θ = 0.9 the safe width is
+    *    ⌈9.19 + 5·2.81⌉ = 24, re-deriving the hand-calibrated
+    *    [[Srp64GateMaxH]] exactly (measured true-pair maxima 12/11/14,
+    *    q322).
+    *  - at θ = 0.35 the 64-bit safe width is 45 and a gate would keep
+    *    ~90 % of candidates (q329's measured 89.9 %) — disarm. The
+    *    mid-similarity band (θ ∈ [0.5, 0.8]) disarms BOTH widths: fewer
+    *    bits always separate LESS (safe width scales with n but the
+    *    noise-to-signal gap scales with √n), so "would 16 bits pay where
+    *    64 doesn't?" is answerable in closed form — no, and
+    *    [[srpWidthDecisionReport]] (q336) measures it on a θ = 0.65 corpus
+    *    rather than leaving the claim to algebra.
+    */
+  private[graft] def srpAutoGate(threshold: Double): Option[(Int, Int)] =
+    Seq(16, 64).collectFirst {
+      case n if srpSafeWidth(n, threshold) <= srpArmCutoff(n) =>
+        (n, srpSafeWidth(n, threshold))
+    }
+
+  /** 64-bit-only view of [[srpAutoGate]] (the q332 pin and the historical
+    * rule name): the width the auto rule would arm the 64-bit sketch at.
     */
   private[graft] def srp64AutoWidth(threshold: Double): Option[Int] = {
-    val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val mean = 64.0 * p
-    val sigma = math.sqrt(64.0 * p * (1.0 - p))
-    val width = math.ceil(mean + 5.0 * sigma).toInt
-    if (width <= 24) Some(width) else None
+    val w = srpSafeWidth(64, threshold)
+    if (w <= srpArmCutoff(64)) Some(w) else None
   }
 
   /** q332 — the automatic gate's registry consumer: [[annNearDupOn]] over
@@ -1415,11 +1456,21 @@ object SimilarityOps {
   val PerturbMults: IndexedSeq[Double] = (1 to 64).map(j => if (j % 2 == 1) 1.3 else 0.7)
 
   /** The perturbed re-observations alone — q324's "today's batch". */
-  private[graft] def perturbedDelta(spark: SparkSession, dir: String): DataFrame = {
-    val mults = array(PerturbMults.map(lit): _*)
+  private[graft] def perturbedDelta(spark: SparkSession, dir: String): DataFrame =
+    perturbedDeltaWith(spark, dir, PerturbMults, PerturbIdOffset)
+
+  /** Parametric form of [[perturbedDelta]]: every [[PerturbEvery]]-th vector
+    * re-observed with per-dimension multipliers `mults` under a fresh id
+    * space — the one constructed-truth generator behind all three derived
+    * regimes (θ ≈ 0.96 → [[PerturbMults]], θ ≈ 0.9998 →
+    * [[NearExactMults]], θ ≈ 0.65-0.86 → [[MidSimMults]]).
+    */
+  private[graft] def perturbedDeltaWith(spark: SparkSession, dir: String,
+      multsSeq: Seq[Double], idOffset: Long): DataFrame = {
+    val mults = array(multsSeq.map(lit): _*)
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % PerturbEvery === 0)
-      .select((col("vec_id") + PerturbIdOffset).as("vec_id"),
+      .select((col("vec_id") + idOffset).as("vec_id"),
         zip_with(col("embedding"), mults,
           (x, m) => (x.cast("double") * m).cast("float")).as("embedding"))
   }
@@ -1427,6 +1478,45 @@ object SimilarityOps {
   private[graft] def derivedDupCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .unionByName(perturbedDelta(spark, dir))
+
+  /** NEAR-EXACT duplicate corpus (the re-crawl/re-encode regime): ±2 %
+    * alternating per-dimension scaling. Writing odd-dim mass a, the derived
+    * pair's cosine is (0.98 + 0.04a)/√(0.9604 + 0.0808a) ≥ 1∕√1.0004 ≈
+    * 0.9998 for EVERY vector — comfortably above the 0.998 verify
+    * threshold, which is past the θ ≳ 0.998 line where [[srpAutoGate]]'s
+    * 16-bit arm genuinely pays (safe width 4 ≤ cutoff 4 at ¼ the 64-bit
+    * sketch's hyperplane work).
+    */
+  val NearExactMults: IndexedSeq[Double] = (1 to 64).map(j => if (j % 2 == 1) 1.02 else 0.98)
+  val NearExactIdOffset = 2000000000L
+  val NearExactThreshold = 0.998
+
+  /** MID-SIMILARITY corpus (θ band [0.5, 0.8] — the r11 "would 16 bits pay
+    * here?" question's test bed): strong alternating distortion ×3.0/×0.2
+    * puts the derived pair's cosine at (0.2 + 2.8a)/√(0.04 + 8.96a) ≈
+    * 0.63-0.86 across the odd-mass range, so the 0.65 verify threshold
+    * lands truth in the exact band where BOTH sketch widths' safe gates
+    * stop cutting.
+    */
+  val MidSimMults: IndexedSeq[Double] = (1 to 64).map(j => if (j % 2 == 1) 3.0 else 0.2)
+  val MidSimIdOffset = 3000000000L
+  val MidSimThreshold = 0.65
+
+  /** q337 — the 16-bit auto gate's registry consumer: [[annNearDupOn]] over
+    * the NEAR-EXACT corpus at θ = 0.998 with no session flags —
+    * [[srpAutoGate]] arms the 16-BIT sketch at width 4 (plan-pinned: the
+    * plan carries `graft_srp16`, not `graft_srp64`), the cheapest gate that
+    * still cuts, and the result hash-matches the ungated oracle at every
+    * SF (preservation: a true pair at cos ≥ 0.9998 flips each of 16 bits
+    * w.p. ≤ 0.0064 — P(H > 4) < 10⁻⁸ per pair).
+    */
+  def nearExactAutoGatedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annNearDupOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .unionByName(perturbedDeltaWith(spark, dir, NearExactMults, NearExactIdOffset)),
+      NearExactThreshold)
+  }
 
   /** q319 — ANN near-dup at the REAL dedup threshold (0.9) over the derived
     * duplicate corpus: the same band-OR blocking + exact-cosine verify as
@@ -1605,6 +1695,76 @@ object SimilarityOps {
     row.select(explode(array(outStructs: _*)).as("r"))
       .select(col("r.width"), col("r.max_true_h"), col("r.gate_max_h"),
         col("r.n_cands"), col("r.n_kept"),
+        OracleMath.stableRound(
+          col("r.n_kept").cast("double") / col("r.n_cands").cast("double"), 6).as("pct_kept"))
+      .orderBy(col("width"))
+  }
+
+  /** q336 — the [[srpAutoGate]] DECISION TABLE measured on the θ band the
+    * r11 verdict asked about (θ ∈ [0.5, 0.8]): one row per sketch width
+    * over the MID-SIMILARITY derived corpus ([[MidSimMults]], verify
+    * θ = 0.65), carrying the rule's own constants (safe width, arming
+    * cutoff, armed?) next to the measurement (candidate count, measured
+    * max true-pair Hamming, and the fraction the rule's safe width would
+    * keep). The table's message is that the rule's disarm is CORRECT here:
+    * at θ = 0.65 the 16-bit safe width is 14 of 16 and the 64-bit safe
+    * width is 36 of 64 — both sit past their noise cutoffs (4 / 24) and
+    * keep nearly all candidates, so a gate would add a sketch column and a
+    * bit_count to every band row for no cut. Fewer bits separate LESS
+    * (the signal-to-noise gap scales with √n), so no width pays where 64
+    * doesn't — measured, not just argued. The honest 16-bit regime is
+    * near-exact θ (q337).
+    */
+  def srpWidthDecisionReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val nBits = AnnBands * AnnRowsPerBand
+    val sigBits = (0 until nBits).map { i =>
+      when(dotp(col("embedding"), planeCol(i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .unionByName(perturbedDeltaWith(spark, dir, MidSimMults, MidSimIdOffset))
+      .select(col("vec_id"), col("embedding"), sigBits.reduce(_ + _).as("sig"))
+    val e = withSrpSketch64(withSrpSketch(base).withColumnRenamed("srp", "s16"))
+      .withColumnRenamed("srp", "s64")
+      .select(col("vec_id"), col("sig"), col("s16"), col("s64"),
+        col("embedding"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"))
+      .persistTracked()
+    val banded = e.select(col("vec_id"), col("s16"), col("s64"), explode(expr(
+        s"transform(sequence(0, ${AnnBands - 1}), b -> struct(b AS bk, shiftright(sig, CAST(b AS INT) * $AnnRowsPerBand) & ${(1 << AnnRowsPerBand) - 1} AS bv))")).as("b"))
+      .select(col("vec_id"), col("s16"), col("s64"), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val ch = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        call_function("bit_count", col("a.s16").bitwiseXOR(col("b.s16"))).as("h16"),
+        call_function("bit_count", col("a.s64").bitwiseXOR(col("b.s64"))).as("h64"))
+      .dropDuplicates("id_a", "id_b")
+      .persistTracked()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val withSim = ch.join(va, "id_a").join(vb, "id_b")
+      .select(col("h16"), col("h64"),
+        (dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+          >= MidSimThreshold).as("is_true"))
+    // rule constants as literals — single Scala source for plan AND oracle
+    val gates = Seq(16, 64).map(n => (n, srpSafeWidth(n, MidSimThreshold), srpArmCutoff(n)))
+    val aggCols = gates.flatMap { case (n, w, _) =>
+      val h = if (n == 16) col("h16") else col("h64")
+      Seq(sum(when(h <= lit(math.min(w, n)), 1L).otherwise(0L)).as(s"kept_$n"),
+        max(when(col("is_true"), h)).as(s"mt_$n"))
+    }
+    val row = withSim.agg(count(lit(1)).as("n_cands"), aggCols: _*)
+    val outStructs = gates.map { case (n, w, cut) =>
+      struct(lit(n).as("width"), lit(w).as("rule_width"), lit(cut).as("arm_cutoff"),
+        lit(w <= cut).as("armed"),
+        col(s"mt_$n").cast("int").as("max_true_h"),
+        col("n_cands").cast("long").as("n_cands"),
+        col(s"kept_$n").cast("long").as("n_kept"))
+    }
+    row.select(explode(array(outStructs: _*)).as("r"))
+      .select(col("r.width"), col("r.rule_width"), col("r.arm_cutoff"), col("r.armed"),
+        col("r.max_true_h"), col("r.n_cands"), col("r.n_kept"),
         OracleMath.stableRound(
           col("r.n_kept").cast("double") / col("r.n_cands").cast("double"), 6).as("pct_kept"))
       .orderBy(col("width"))
@@ -2072,12 +2232,18 @@ object SimilarityOps {
     * the exact decimal-literal multiplier, round back to REAL — both
     * engines' float cast is IEEE round-to-nearest).
     */
-  private def dcorpCteSql: String = {
-    val multsLit = PerturbMults.map(_.toString).mkString("[", ", ", "]")
+  private def dcorpCteSql: String = dcorpCteSqlWith(PerturbMults, PerturbIdOffset)
+
+  /** Parametric derived-corpus CTE — the SQL twin of
+    * [[perturbedDeltaWith]] ∪ originals, shared by the θ ≈ 0.96 (q319…),
+    * near-exact (q337) and mid-similarity (q336) regimes.
+    */
+  private def dcorpCteSqlWith(multsSeq: Seq[Double], idOffset: Long): String = {
+    val multsLit = multsSeq.map(_.toString).mkString("[", ", ", "]")
     s"""dcorp AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + $PerturbIdOffset AS vec_id,
+       |  SELECT vec_id + $idOffset AS vec_id,
        |    list_transform(generate_series(1, 64),
        |      i -> CAST(CAST(embedding[i] AS DOUBLE) * ($multsLit)[i] AS REAL)) AS embedding
        |  FROM embeddings WHERE vec_id % $PerturbEvery = 0)""".stripMargin
@@ -2086,8 +2252,17 @@ object SimilarityOps {
   /** The q319 twin — and, VERBATIM, the q321 twin (the gated run must
     * reproduce the ungated pair set bit-for-bit).
     */
-  val derivedNearDupOracle: String =
-    s"""WITH $dcorpCteSql,
+  val derivedNearDupOracle: String = derivedNearDupOracleWith(dcorpCteSql, 0.9)
+
+  /** The q337 twin — the UNGATED pair set over the near-exact corpus; the
+    * 16-bit auto-gated Spark run must hash-match it (same preservation
+    * argument as q321, at the width where the cheap sketch pays).
+    */
+  val nearExactNearDupOracle: String = derivedNearDupOracleWith(
+    dcorpCteSqlWith(NearExactMults, NearExactIdOffset), NearExactThreshold)
+
+  private def derivedNearDupOracleWith(corpusCte: String, threshold: Double): String =
+    s"""WITH $corpusCte,
        |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
        |$annCandSql,
        |ver AS (
@@ -2096,7 +2271,7 @@ object SimilarityOps {
        |  JOIN dcorp ea ON ea.vec_id = c.id_a
        |  JOIN dcorp eb ON eb.vec_id = c.id_b)
        |SELECT id_a, id_b, ${OracleMath.stableRoundSql("s", 6)} AS sim
-       |FROM ver WHERE s >= 0.9
+       |FROM ver WHERE s >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
   /** The 64×64 ±1 plane literal re-exported for the oracle (single source:
@@ -2190,6 +2365,69 @@ object SimilarityOps {
        |  SELECT CAST(64 AS INT), CAST(tp.m64 AS INT), CAST(tp.m64 + 1 AS INT),
        |    CAST(st.n_cands AS BIGINT), CAST(st.k64 AS BIGINT)
        |  FROM st CROSS JOIN tp)
+       |ORDER BY width""".stripMargin
+  }
+
+  /** The q336 twin — both sketch widths replayed over the MID-SIMILARITY
+    * derived corpus, truth at θ = 0.65, keep fractions at the RULE's safe
+    * widths (interpolated from the same [[srpSafeWidth]]/[[srpArmCutoff]]
+    * Scala source the plan uses — the rule and the oracle cannot drift).
+    */
+  val srpWidthDecisionReportOracle: String = {
+    val s16 = SrpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val s64 = SrpSigns64.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val gates = Seq(16, 64).map(n =>
+      (n, srpSafeWidth(n, MidSimThreshold), srpArmCutoff(n)))
+    val keptSel = gates.map { case (n, w, _) =>
+      s"sum(CASE WHEN ch.h$n <= ${math.min(w, n)} THEN 1 ELSE 0 END) AS k$n"
+    }.mkString(",\n    ")
+    val rows = gates.map { case (n, w, cut) =>
+      s"""SELECT CAST($n AS INT) AS width, CAST($w AS INT) AS rule_width,
+         |    CAST($cut AS INT) AS arm_cutoff, ${w <= cut} AS armed,
+         |    CAST(tp.m$n AS INT) AS max_true_h,
+         |    CAST(st.n_cands AS BIGINT) AS n_cands, CAST(st.k$n AS BIGINT) AS n_kept
+         |  FROM st CROSS JOIN tp""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${dcorpCteSqlWith(MidSimMults, MidSimIdOffset)},
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM dcorp),
+       |ex AS MATERIALIZED (SELECT vec_id, i, xq[i] AS x FROM e, generate_series(1, 64) u(i)),
+       |sgn16 AS MATERIALIZED (SELECT p, i, $s16[p][i] AS s
+       |  FROM generate_series(1, $SrpPlanes) t(p), generate_series(1, 64) u(i)),
+       |sgn64 AS MATERIALIZED (SELECT p, i, $s64[p][i] AS s
+       |  FROM generate_series(1, 64) t(p), generate_series(1, 64) u(i)),
+       |b16 AS MATERIALIZED (SELECT vec_id,
+       |    list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |  FROM (SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |        FROM ex JOIN sgn16 g USING (i) GROUP BY 1, 2) GROUP BY 1),
+       |b64 AS MATERIALIZED (SELECT vec_id,
+       |    list(CASE WHEN dot >= 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+       |  FROM (SELECT ex.vec_id, g.p, sum(g.s * ex.x) AS dot
+       |        FROM ex JOIN sgn64 g USING (i) GROUP BY 1, 2) GROUP BY 1),
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
+       |$annCandSql,
+       |ch AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(range(1, ${SrpPlanes + 1}), p -> xa.bits[p] <> xb.bits[p])) AS h16,
+       |    len(list_filter(range(1, 65), p -> ya.bits[p] <> yb.bits[p])) AS h64
+       |  FROM cand c
+       |  JOIN b16 xa ON xa.vec_id = c.id_a JOIN b16 xb ON xb.vec_id = c.id_b
+       |  JOIN b64 ya ON ya.vec_id = c.id_a JOIN b64 yb ON yb.vec_id = c.id_b),
+       |tp AS (SELECT max(ch.h16) AS m16, max(ch.h64) AS m64
+       |  FROM ch
+       |  JOIN e ea ON ea.vec_id = ch.id_a
+       |  JOIN e eb ON eb.vec_id = ch.id_b
+       |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $MidSimThreshold),
+       |st AS (SELECT count(*) AS n_cands,
+       |    $keptSel
+       |  FROM ch)
+       |SELECT width, rule_width, arm_cutoff, armed, max_true_h, n_cands, n_kept,
+       |  ${OracleMath.stableRoundSql(
+        "CAST(n_kept AS DOUBLE) / CAST(n_cands AS DOUBLE)", 6)} AS pct_kept
+       |FROM (
+       |  $rows)
        |ORDER BY width""".stripMargin
   }
 
@@ -2332,6 +2570,10 @@ object SimilarityOps {
     "q330_band_index_merge" -> deltaNearDupOracle,
     "q333_band_index_compact" -> deltaNearDupOracle,
     "q329_srp_width_report" -> srpWidthReportOracle,
+    "q336_srp_width_decision" -> srpWidthDecisionReportOracle,
+    // the 16-bit auto-gated run must equal the UNGATED near-exact pair set —
+    // the q321 preservation proof at the width where the cheap sketch pays
+    "q337_near_exact_gated" -> nearExactNearDupOracle,
     "q149_semantic_clusters" -> {
       // q135's band-candidate + exact-verify dataflow, closed transitively
       // with a recursive CTE (the embedding graph is pair-bounded at every SF)

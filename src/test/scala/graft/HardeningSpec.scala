@@ -186,6 +186,17 @@ class HardeningSpec extends AnyFunSuite {
     assert(SimilarityOps.srp64AutoWidth(0.35) === None)
     assert(SimilarityOps.srp64AutoWidth(0.5) === None)
     assert(SimilarityOps.srp64AutoWidth(0.8) === None)
+    // the arming cutoff is DERIVED from the noise binomial (n/2 − √n), not
+    // a carried literal — and must still equal the deployed 64-bit constant
+    assert(SimilarityOps.srpArmCutoff(64) === SimilarityOps.Srp64GateMaxH)
+    assert(SimilarityOps.srpArmCutoff(16) === 4)
+    // the generalized rule: cheapest sketch that still cuts — 16-bit only
+    // in the near-exact regime (q337), 64-bit at the dedup threshold
+    // (q332), none in the mid band (q336 measures why)
+    assert(SimilarityOps.srpAutoGate(SimilarityOps.NearExactThreshold) === Some((16, 4)))
+    assert(SimilarityOps.srpAutoGate(0.9) === Some((64, SimilarityOps.Srp64GateMaxH)))
+    assert(SimilarityOps.srpAutoGate(SimilarityOps.MidSimThreshold) === None)
+    assert(SimilarityOps.srpAutoGate(0.35) === None)
   }
 
   test("SRP gate margins hold: measured max true-pair Hamming stays below both gates") {
