@@ -339,6 +339,40 @@ object Steps {
       time("q315")(ops.LinkageOps.goldenRecords(spark, dir).collect())
       Thread.sleep(500)
       println("jobs: " + n.get)
+    case "q149parts" =>
+      graft.functions.VectorFunctions.register(spark)
+      val pairs = time("pairs")(ops.SimilarityOps.annNearDup(spark, dir)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      val edges = pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist()
+      println("edges: " + time("edges.count")(edges.count()))
+      val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
+      val lp = time("labelProp")(ops.DedupOps.labelPropagation(nodes, edges, 8))
+      println("labelProp converged: " + lp.isDefined)
+    case jq if jq.startsWith("jobtrace:") && SparkEntry.queries.contains(jq.drop(9)) =>
+      // per-job callsite trace — where does a loop query's job count go?
+      val name = jq.drop(9)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          println(s"[job ${e.jobId}] ${Option(e.properties.getProperty("callSite.short")).getOrElse("?")} (${e.stageInfos.size} stages)")
+        }
+      })
+      time(name)(SparkEntry.queries(name)(spark, dir).count())
+      Thread.sleep(500)
+    case jq if jq.startsWith("jobs:") && SparkEntry.queries.contains(jq.drop(5)) =>
+      // Spark-job count for any registry query — the wall-clock-independent
+      // round-economy metric (the q315 77→68 measurement generalized)
+      val name = jq.drop(5)
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = { n.incrementAndGet(); () }
+      })
+      time(name)(SparkEntry.queries(name)(spark, dir).count())
+      Thread.sleep(500)
+      println(s"jobs($name): " + n.get)
     case name if SparkEntry.queries.contains(name) =>
       val df = time(name)(SparkEntry.queries(name)(spark, dir))
       time(s"$name collect")(df.show(20, false))

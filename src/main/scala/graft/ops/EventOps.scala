@@ -1152,6 +1152,12 @@ object EventOps {
     // The narrowing lives on a session clone (DedupOps.loopFrames), never on
     // the shared session's conf.
     val nEdges = edges.count()
+    // q144 stays on the EXPLICIT distributed loop on purpose: every other
+    // CC consumer routes through DedupOps.ccLabels, whose measured cutover
+    // takes the single-task union-find at registry scales — something must
+    // keep the 100 TB loop path (label propagation + star fallback +
+    // narrowed-clone plumbing) oracle-exercised at every SF, and the user
+    // graph is the natural pin (largest component population of the family)
     val labels =
       try DedupOps.loopFrames(spark, nEdges, nodes, edges, pairs) {
         case (nodes2, edges2, pairs2) =>

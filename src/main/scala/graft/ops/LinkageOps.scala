@@ -245,11 +245,8 @@ object LinkageOps {
     val nodes = u.select(col("uid").as("doc_id"))
     val nEdges = edges.count()
     val labels =
-      try DedupOps.loopFrames(spark, nEdges, nodes, edges, matches) {
-        case (n2, e2, p2) =>
-          DedupOps.labelPropagation(n2, e2, DedupOps.LabelPropMaxRounds)
-            .getOrElse(DedupOps.starLabels(n2, p2))
-      } finally edges.unpersist()
+      try DedupOps.ccLabels(spark, nEdges, nodes, edges, matches)
+      finally edges.unpersist()
     u.join(labels.select(col("doc_id").as("uid"), col("label").as("cluster_id")), "uid")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_records"),

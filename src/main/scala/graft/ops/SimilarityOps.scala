@@ -270,11 +270,8 @@ object SimilarityOps {
     // the shared session's conf.
     val nEdges = edges.count()
     val labels =
-      try DedupOps.loopFrames(spark, nEdges, nodes, edges, pairs) {
-        case (nodes2, edges2, pairs2) =>
-          DedupOps.labelPropagation(nodes2, edges2, DedupOps.LabelPropMaxRounds)
-            .getOrElse(DedupOps.starLabels(nodes2, pairs2))
-      } finally edges.unpersist()
+      try DedupOps.ccLabels(spark, nEdges, nodes, edges, pairs)
+      finally edges.unpersist()
     labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

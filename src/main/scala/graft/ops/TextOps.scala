@@ -966,17 +966,44 @@ object TextOps {
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tokens"),
         lit(0L).as("n_removed"), lit(0L).as("n_rounds_touched"))
       .localCheckpoint()
+    // one doc frame → its (doc_id, pos, gram) rows — the round's expensive
+    // projection (per-doc explode + w-word concat)
+    def gramsOf(df: DataFrame): DataFrame = df.filter(size(col("ws")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), size(col("ws")).cast("long") - w),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
     var cur = base
+    // The gram table is CARRIED across rounds (r11 round-economy): a doc the
+    // round did not touch keeps its token array, hence exactly its gram
+    // rows — recomputing the explode+concat for the whole corpus every
+    // round paid the round's dominant cost for rows that provably cannot
+    // change (and the old lazy `grams` re-derived it TWICE per round: once
+    // under the df groupBy, once under the hits join). Cached, not
+    // checkpointed: an eager checkpoint would WRITE the wide gram strings
+    // every round, which measured slower than the recompute it saves; the
+    // cache fills on the round's first action and the previous generation
+    // is released as soon as the next is materialized.
+    var grams = gramsOf(cur).persistTracked()
+    // FRONTIER dup detection (rounds ≥ 2): a new duplicated gram must have
+    // ≥ 1 occurrence in a doc the previous round REBUILT. Proof: a doc left
+    // untouched by round r contains no round-r duplicated gram (hits cover
+    // every occurrence of every dup gram, and any doc holding one is
+    // touched), so two still-untouched docs sharing a gram in round r+1
+    // would already have shared it in round r — with df ≥ 2 — and both
+    // would have been touched. Contradiction. So the round-r+1 df scan only
+    // needs grams whose VALUE occurs in a rebuilt doc: the carried table is
+    // semi-joined on the (small) frontier gram set instead of re-aggregated
+    // wholesale, and the CONFIRMING round (the one that finds nothing)
+    // reads mostly-persisted data instead of re-deriving the corpus.
+    var frontier: DataFrame = null // null = round 1, everything is new
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val grams = cur.filter(size(col("ws")) >= w)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0L), size(col("ws")).cast("long") - w),
-            i => struct(i.as("pos"),
-              concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(w))).as("gram")))).as("pg"))
-        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-      val dup = grams.groupBy(col("gram"))
+      val dupBase = if (frontier == null) grams
+        else grams.join(frontier.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+      val dup = dupBase.groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select(col("gram"))
       val hits = grams.join(dup, "gram")
@@ -1007,11 +1034,24 @@ object TextOps {
             (col("n_rounds_touched") + when(col("rr").isNotNull, 1L).otherwise(0L))
               .as("n_rounds_touched"))
           .localCheckpoint()
-        hits.unpersist()
         cur = next
+        // carry untouched docs' gram rows verbatim; re-derive only rebuilt
+        // docs (their positions shifted) — these ARE the next frontier
+        val touched = rem.select(col("doc_id"))
+        val newGrams = gramsOf(cur.join(touched, Seq("doc_id"), "left_semi"))
+          .localCheckpoint()
+        val prev = grams
+        grams = prev.join(touched, Seq("doc_id"), "left_anti")
+          .unionByName(newGrams)
+          .persistTracked()
+        grams.count() // materialize the new generation off the old cache
+        prev.unpersist()
+        hits.unpersist()
+        frontier = newGrams
       }
       round += 1
     }
+    grams.unpersist()
     cur.select(col("doc_id"), col("n_tokens"), col("n_removed"), col("n_rounds_touched"),
         md5(concat_ws(" ", col("ws"))).as("cleaned_md5"))
       .orderBy(col("doc_id"))

@@ -622,6 +622,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert((0L to 30L).forall(star2(_) == 0L))
     assert((40L to 59L).forall(star2(_) == 40L))
     assert(star2(100L) === 100L)
+    // the single-task union-find (ccLabels' measured fast path) must agree
+    // with both distributed algorithms on the same graphs, singletons
+    // included — the three-way equivalence is what makes the edge-count
+    // cutover invisible to every oracle
+    val viaUf = DedupOps.singleTaskCC(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf === viaStar, "union-find must agree with star contraction")
+    val uf2 = DedupOps.singleTaskCC(nodes2, chain2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf2 === star2, "union-find must agree on multi-component + singleton")
+    // ccLabels routes by the measured edge count: tiny graph -> union-find
+    // result, and a forced loop (threshold 0 via huge nEdges) -> same labels
+    val viaCc = DedupOps.ccLabels(spark, nEdges = 118L, nodes, edgesSym, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCcLoop = DedupOps.ccLabels(spark,
+        nEdges = DedupOps.SingleTaskCCMaxEdges + 1, nodes, edgesSym, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCc === viaStar && viaCcLoop === viaStar)
   }
 
   test("ANN near-dup: exact precision and >=90% recall on a true near-dup corpus (q135)") {
