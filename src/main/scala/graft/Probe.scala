@@ -339,6 +339,42 @@ object Steps {
       time("q315")(ops.LinkageOps.goldenRecords(spark, dir).collect())
       Thread.sleep(500)
       println("jobs: " + n.get)
+    case "idxcurve" =>
+      // probe latency vs files-per-bucket at CONSTANT row count — the
+      // measurement behind SimilarityOps.CompactTriggerFilesPerBucket.
+      // The same band rows are rewritten with k×buckets upstream tasks:
+      // hash(bk,bv) spreads the 128 (bk,bv) combos over k×8 partitions and
+      // the V1 bucketed writer emits one file per (task × bucket it holds),
+      // so files-per-bucket grows ~k while total rows stay identical —
+      // isolating the small-files effect from data volume.
+      val s = spark.newSession()
+      graft.functions.VectorFunctions.register(s)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nb = ops.SimilarityOps.BandIndexBuckets
+      val tIdx = "graft_band_curve_probe"
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_bkt_curve_probe")
+      val rows = ops.SimilarityOps.explodeBands(ops.SimilarityOps.withBandSketch64(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))), Seq("srp"))
+      def files = Option(path.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+      Seq(1, 2, 4, 8, 16, 32).foreach { k =>
+        if (s.catalog.tableExists(tIdx)) s.sql(s"DROP TABLE $tIdx")
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+        }
+        rmrf(path)
+        rows.repartition(k * nb, col("bk"), col("bv"))
+          .write.format("parquet")
+          .bucketBy(nb, "bk", "bv").sortBy("bk", "bv")
+          .option("path", path.getAbsolutePath)
+          .mode("overwrite").saveAsTable(tIdx)
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          ops.SimilarityOps.probeIndex(s, dir, tIdx).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[idxcurve] k=$k%3d files=$files files_per_bucket=${files.toDouble / nb}%5.1f probe_min3=$t%6.3f s")
+      }
     case "q149parts" =>
       graft.functions.VectorFunctions.register(spark)
       val pairs = time("pairs")(ops.SimilarityOps.annNearDup(spark, dir)

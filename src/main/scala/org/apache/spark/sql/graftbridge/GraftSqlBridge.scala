@@ -45,6 +45,18 @@ object GraftSqlBridge {
   def rebind(df: DataFrame, spark: SparkSession): DataFrame =
     ofRows(spark, df.queryExecution.logical)
 
+  /** A catalog table's bucket spec: (numBuckets, bucketColumns, sortColumns).
+    * Lets index maintenance (compaction) DERIVE the layout from the table's
+    * own DDL instead of re-hardcoding the build constants — a future index
+    * with a different band count can never be silently compacted into the
+    * wrong spec.
+    */
+  def bucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String], Seq[String])] = {
+    val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+    state.catalog.getTableMetadata(state.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames, b.sortColumnNames))
+  }
+
   /** Drain the async listener bus (best-effort, bounded) — needed when a
     * SparkListener's counters are snapshotted between queries (the bench's
     * opt-in per-query shuffle attribution): task-end events are delivered

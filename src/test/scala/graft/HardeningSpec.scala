@@ -567,6 +567,100 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction swap is crash-safe at every step and mutators are mutually excluded") {
+    graft.functions.VectorFunctions.register(spark)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_idx_swap").toFile
+    val src = new java.io.File(sf, "embeddings.parquet").toPath
+    java.nio.file.Files.copy(src, new java.io.File(scratch, "embeddings.parquet").toPath)
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      val (tIdx, path, _) =
+        SimilarityOps.ensureBandIndex(s, scratch.getAbsolutePath, "idxs", None)
+      val rowsBefore = s.table(tIdx).count()
+      assert(rowsBefore > 0)
+      val staging = new java.io.File(path.getParentFile, path.getName + "__compact")
+      val old = new java.io.File(path.getParentFile, path.getName + "__old")
+
+      // --- torn swap, crash BETWEEN the two renames (the r11-advice hole):
+      // live index gone, complete staging left behind — recovery must
+      // finish the swap, never fall back to a rebuild
+      rm(staging)
+      org.apache.commons.io.FileUtils.copyDirectory(path, staging) // complete: has _GRAFT_SNAPSHOT
+      assert(path.renameTo(old)) // the rename-aside happened...
+      // ...and the process died here
+      SimilarityOps.recoverCompactSwap(path)
+      assert(path.exists() && !old.exists() && !staging.exists(),
+        "recovery must finish the swap and clear the leftovers")
+      s.sql(s"REFRESH TABLE $tIdx")
+      assert(s.table(tIdx).count() === rowsBefore, "no row may be lost by recovery")
+
+      // --- torn swap, crash AFTER the second rename (old dir left behind)
+      org.apache.commons.io.FileUtils.copyDirectory(path, old)
+      SimilarityOps.recoverCompactSwap(path)
+      assert(path.exists() && !old.exists())
+
+      // --- incomplete staging + rename-aside done: roll back to the old dir
+      rm(staging)
+      staging.mkdirs() // staged data dir WITHOUT the _GRAFT_SNAPSHOT marker
+      assert(path.renameTo(old))
+      SimilarityOps.recoverCompactSwap(path)
+      assert(path.exists() && !old.exists(), "incomplete staging must roll back")
+      s.sql(s"REFRESH TABLE $tIdx")
+      assert(s.table(tIdx).count() === rowsBefore)
+      rm(staging)
+
+      // --- mutator mutual exclusion: a merge attempting to append while a
+      // compaction holds the index lock must WAIT until the lock releases
+      // (an unlocked merge would append into a directory about to be
+      // unlinked by the swap)
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val inLock = new java.util.concurrent.CountDownLatch(1)
+      val t1 = new Thread(() => {
+        SimilarityOps.withIndexLock(path) {
+          order.add("compact-start"); inLock.countDown()
+          Thread.sleep(400)
+          order.add("compact-end")
+        }
+      })
+      val t2 = new Thread(() => {
+        inLock.await()
+        SimilarityOps.withIndexLock(path) { order.add("merge") }
+      })
+      t1.start(); t2.start(); t1.join(10000); t2.join(10000)
+      assert(order.toArray.toSeq === Seq("compact-start", "compact-end", "merge"),
+        s"merge must serialize behind the compaction lock, got $order")
+
+      // --- a real compact under the new swap: force the trigger with
+      // per-bucket splits, compact, and prove rows + markers survive
+      java.nio.file.Files.write(
+        new java.io.File(path, "_GRAFT_MERGED_swaptest").toPath, Array.emptyByteArray)
+      s.table(tIdx).repartition(32, org.apache.spark.sql.functions.col("bk"),
+          org.apache.spark.sql.functions.col("bv"))
+        .write.format("parquet")
+        .bucketBy(SimilarityOps.BandIndexBuckets, "bk", "bv").sortBy("bk", "bv")
+        .option("path", path.getAbsolutePath).mode("append").saveAsTable(tIdx)
+      val filesBefore = path.listFiles().count(_.getName.startsWith("part-"))
+      assert(filesBefore > SimilarityOps.BandIndexBuckets * SimilarityOps.CompactTriggerFilesPerBucket,
+        s"test setup must exceed the trigger, got $filesBefore files")
+      assert(SimilarityOps.compactBandIndex(s, tIdx, path))
+      assert(path.listFiles().count(_.getName.startsWith("part-"))
+        === SimilarityOps.BandIndexBuckets)
+      assert(s.table(tIdx).count() === rowsBefore * 2) // append doubled the rows
+      assert(new java.io.File(path, "_GRAFT_MERGED_swaptest").exists(),
+        "merge markers must survive the swap")
+      assert(new java.io.File(path, "_GRAFT_SNAPSHOT").exists())
+      // the bucket spec was DERIVED from the catalog, not re-hardcoded
+      val spec = org.apache.spark.sql.graftbridge.GraftSqlBridge.bucketSpec(s, tIdx)
+      assert(spec === Some((SimilarityOps.BandIndexBuckets, Seq("bk", "bv"), Seq("bk", "bv"))))
+      s.sql(s"DROP TABLE $tIdx")
+      rm(path)
+    } finally rm(scratch)
+  }
+
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {
     graft.functions.VectorFunctions.register(spark)
     val banded = SimilarityOps.annNearDup(spark, sf).collect().toSeq
