@@ -232,6 +232,7 @@ object Bench {
           def rnd(x: Double) = math.rint(x * 10000) / 10000
           s""","sanity_common_n":${r.commonN},"sanity_vs_ref":${rnd(r.rawRatio)}""" +
             s""","sanity_env_ratio":${rnd(r.envRatio)},"sanity_vs_ref_cal":${rnd(r.calRatio)}""" +
+            s""","sanity_ctrl_spread":${rnd(r.ctrlSpread)}""" +
             s""","sanity_controls_n":${r.controlsN},"sanity_flagged":${arr(r.flagged)}""" +
             s""","sanity_plan_changed":${arr(r.planChanged)}""" +
             s""","sanity_plan_cheaper":${arr(r.planCheaper)}""" +

@@ -103,6 +103,7 @@ object SanityGate {
       commonN: Int,
       rawRatio: Double,
       envRatio: Double,
+      ctrlSpread: Double,
       controlsN: Int,
       flagged: Seq[String],
       planChanged: Seq[String],
@@ -134,10 +135,21 @@ object SanityGate {
     if (common.size < 20) return None
     val ctrlRatios = common.filter(o => Controls.contains(o.name))
       .map(o => o.sec / refSec(o.name))
-    val envRatio = if (ctrlRatios.size >= MinControls) median(ctrlRatios) else 1.0
+    val calibrated = ctrlRatios.size >= MinControls
+    val envRatio = if (calibrated) median(ctrlRatios) else 1.0
+    // Load is rarely a clean scalar: concurrent jobs hit some queries 2x
+    // and others 4x. The SPREAD of the control panel (max control ratio
+    // over the median) measures exactly that non-uniformity, so the flag
+    // threshold widens with it — a quiet host keeps the full 1.5x
+    // sensitivity (spread ~1), a lumpy host flags only what exceeds even
+    // its own worst-hit control's band. Without this, a control itself can
+    // flag under load (observed: a 2.1x control vs a 1.4x median).
+    val ctrlSpread =
+      if (calibrated && envRatio > 0) ctrlRatios.max / envRatio else 1.0
+    val effRatio = FlagRatio * math.max(1.0, ctrlSpread)
     val rawRatio = common.map(_.sec).sum / common.map(o => refSec(o.name)).sum
     val flagged = common.collect {
-      case o if o.sec > refSec(o.name) * envRatio * FlagRatio &&
+      case o if o.sec > refSec(o.name) * envRatio * effRatio &&
         o.sec - refSec(o.name) * envRatio > FlagAbsSec => o.name
     }.sorted
     def bytesDelta(o: Obs): Option[Long] = for {
@@ -152,7 +164,7 @@ object SanityGate {
     val planCheaper = common.collect {
       case o if bytesDelta(o).exists(_ < -tol(o.name)) => o.name
     }.sorted
-    Some(Result(common.size, rawRatio, envRatio, ctrlRatios.size,
+    Some(Result(common.size, rawRatio, envRatio, ctrlSpread, ctrlRatios.size,
       flagged, planChanged, planCheaper))
   }
 

@@ -99,6 +99,24 @@ class SanityGateSpec extends AnyFunSuite {
     assert(SanityGate.evaluate(run(1.0).take(10), ref, refBytes).isEmpty)
   }
 
+  test("non-uniform load: control spread widens the flag band instead of false-flagging") {
+    // a lumpy host: most queries 1.3x, one CONTROL hit 2.6x (spread 2.0) and
+    // one non-control hit 2.5x — neither is a code regression, and with the
+    // spread-widened threshold (1.5 * 2.0 = 3.0x) neither flags
+    val lumpy = run(1.3, over = Map(
+      SanityGate.Controls.head -> ref(SanityGate.Controls.head) * 2.6,
+      "q912_synth" -> ref("q912_synth") * 2.5))
+    val r = SanityGate.evaluate(lumpy, ref, refBytes).get
+    assert(r.flagged.isEmpty, s"lumpy load must not flag, got ${r.flagged}")
+    assert(r.ctrlSpread > 1.5)
+    // a genuine regression still clears even the widened band
+    val withReg = run(1.3, over = Map(
+      SanityGate.Controls.head -> ref(SanityGate.Controls.head) * 2.6,
+      "q912_synth" -> ref("q912_synth") * 8.0))
+    val r2 = SanityGate.evaluate(withReg, ref, refBytes).get
+    assert(r2.flagged === Seq("q912_synth"))
+  }
+
   test("errored queries are excluded from calibration and flags") {
     val obs = run(1.0).map(o =>
       if (o.name == "q910_synth") o.copy(sec = 99.0, err = true) else o)
