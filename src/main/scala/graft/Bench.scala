@@ -174,15 +174,25 @@ object Bench {
         org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
       val bytes0 = shuffleBytes.get()
       var err = false
-      val times = (1 to reps).map { _ =>
+      var firstRepBytes = 0L
+      val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => err = true; -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query bytes = the FIRST rep only (cold: cache build included).
+        // Averaging across reps made the number depend on the reps setting
+        // for any query with an operator-internal persist (rep 1 shuffles
+        // the build, warm reps shuffle almost nothing), so a reps=1 record
+        // could never match a reps=3 run — first-rep attribution is
+        // deterministic and reps-independent, which the sanity gate's
+        // plan-change check requires.
+        if (r == 1 && tallyShuffle) {
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
+          firstRepBytes = shuffleBytes.get() - bytes0
+        }
+        dt
       }.sorted
-      val perExecBytes = if (tallyShuffle) {
-        org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
-        (shuffleBytes.get() - bytes0) / reps
-      } else 0L
+      val perExecBytes = firstRepBytes
       // drop operator-internal persisted intermediates between queries — a
       // 250-query bench must not accumulate one cached frame per
       // PrefixSum/dedup call (each rep rebuilds its DataFrame from scratch,

@@ -375,6 +375,17 @@ object Steps {
         }.min
         println(f"[idxcurve] k=$k%3d files=$files files_per_bucket=${files.toDouble / nb}%5.1f probe_min3=$t%6.3f s")
       }
+    case "q256reps" =>
+      // q256 variance adjudication: rep-by-rep timing in one session —
+      // does the min-to-median spread equal the cold `ids` persist build?
+      (1 to 5).foreach { i =>
+        time(s"q256 rep$i")(ops.DedupOps.containmentPairs(spark, dir).count())
+      }
+      ops.Caches.release()
+      (1 to 2).foreach { i =>
+        time(s"q256 cold$i")(ops.DedupOps.containmentPairs(spark, dir).count())
+        ops.Caches.release()
+      }
     case "q149parts" =>
       graft.functions.VectorFunctions.register(spark)
       val pairs = time("pairs")(ops.SimilarityOps.annNearDup(spark, dir)

@@ -616,6 +616,8 @@ object SparkEntry {
     "q336_srp_width_decision"  -> ((s, d) => SimilarityOps.srpWidthDecisionReport(s, d)),
     // -- 16-bit auto gate armed where it genuinely pays: near-exact θ=0.998 ------
     "q337_near_exact_gated"    -> ((s, d) => SimilarityOps.nearExactAutoGatedNearDup(s, d)),
+    // -- INCREMENTAL CC: delta edges contracted onto yesterday's labels ----------
+    "q338_incremental_cc"      -> ((s, d) => SimilarityOps.semanticClustersIncremental(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

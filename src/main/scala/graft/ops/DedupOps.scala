@@ -944,7 +944,7 @@ object DedupOps {
     // count-sized shuffle width lives on the clone's SQLConf, so a concurrent
     // query on the shared session can never observe — or be rescoped by —
     // the override, and there is nothing to restore on failure.
-    val labels = try ccLabels(spark, nEdges, reps, edges, pairs) finally {
+    val labels = try ccLabels(spark, nEdges, reps, edges) finally {
       // unpersist here, not after the consumers: a mid-loop failure must not
       // leak the cached edge set (labels are localCheckpoint'ed, so the
       // returned plan no longer depends on it)
@@ -1015,24 +1015,80 @@ object DedupOps {
     * call (q101/q149/q315/q317 via their ops; q144 deliberately stays on
     * the explicit loop — see [[graft.ops.EventOps]] — so the distributed
     * path remains oracle-exercised in the registry at every SF). Input:
-    * the measured directed edge count, the node set (`doc_id`), the
-    * symmetric edge frame (`src`/`dst`) and the canonical undirected pair
-    * frame (first two columns = the two ids). Output: (doc_id, label =
-    * component-minimum id) for every node — all three algorithms
-    * (union-find, min-label propagation, star contraction) provably
-    * produce exactly this labeling, so the choice is invisible to oracles.
+    * the measured directed edge count, the node set (`doc_id`) and the
+    * symmetric edge frame (`src`/`dst`) — which every consumer PERSISTS,
+    * so the canonical pair set both algorithms need is derived here as
+    * `src < dst` over the cached frame rather than taken as a third
+    * parameter: passing the consumer's original pair frame would
+    * re-execute its whole candidate pipeline a second time (measured on
+    * q149: +5 MB shuffle — the exact cost the persist exists to avoid).
+    * Output: (doc_id, label = component-minimum id) for every node — all
+    * three algorithms (union-find, min-label propagation, star
+    * contraction) provably produce exactly this labeling, so the choice
+    * is invisible to oracles.
     */
   private[graft] def ccLabels(spark: SparkSession, nEdges: Long,
-                              nodes: DataFrame, edges: DataFrame,
-                              pairs: DataFrame): DataFrame = {
-    val idCols = pairs.schema.fields.take(2)
-    val longIds = idCols.forall(_.dataType == org.apache.spark.sql.types.LongType)
+                              nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val pairs = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val longIds = edges.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (nEdges <= SingleTaskCCMaxEdges && longIds) singleTaskCC(nodes, pairs)
     else loopFrames(spark, nEdges, nodes, edges, pairs) {
       case (n2, e2, p2) =>
         labelPropagation(n2, e2, LabelPropMaxRounds)
           .getOrElse(starLabels(n2.select(col("doc_id")), p2))
     }
+  }
+
+  /** INCREMENTAL connected components — the daily-dedup primitive: given
+    * yesterday's component labels and today's DELTA edges, relabel without
+    * touching yesterday's edge set. Today's endpoints are projected onto
+    * label space (an id unseen yesterday labels itself), giving a
+    * CONTRACTED graph bounded by the delta size — each old component is
+    * one node — which [[ccLabels]] solves (union-find under the cutover,
+    * the loop past it); the solved roots then remap yesterday's corpus-
+    * sized label table with ONE join. Correctness: contracting a
+    * component to a vertex preserves connectivity, and since every old
+    * label is its component's minimum id, the contracted solution's root
+    * is the global minimum of the merged components — so the output is
+    * bit-identical to a full recompute over (old ∪ delta) edges (q338's
+    * oracle IS q149's full-recompute CTE). At 100 TB this is the
+    * difference between re-clustering billions of edges nightly and
+    * solving a delta-bounded graph + one broadcast-sized remap join.
+    */
+  private[graft] def incrementalCC(spark: SparkSession, oldLabels: DataFrame,
+      newNodes: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val Seq(ca, cb) = deltaPairs.columns.take(2).toSeq
+    val contracted = deltaPairs
+      .join(oldLabels.select(col("doc_id").as(ca), col("label").as("__la")), Seq(ca), "left")
+      .join(oldLabels.select(col("doc_id").as(cb), col("label").as("__lb")), Seq(cb), "left")
+      .select(coalesce(col("__la"), col(ca)).as("a"), coalesce(col("__lb"), col(cb)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
+    val cEdges = contracted.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persistTracked()
+    val nDelta = cEdges.count()
+    val cNodes = cEdges.select(col("src").as("doc_id")).distinct()
+    // roots of the contracted graph: old-label → merged component minimum.
+    // Checkpointed BEFORE the caches release: ccLabels' output plan still
+    // references its node frame (here derived from cEdges), so a lazy
+    // return would re-derive the contracted graph — and transitively the
+    // caller's whole pair pipeline — in the final action, after both
+    // caches are gone (measured: 2× the ann build, 40 vs 20 jobs on q338).
+    // The frame is delta-node-sized, so the eager cut is cheap.
+    val roots = try ccLabels(spark, nDelta, cNodes, cEdges).localCheckpoint()
+      finally cEdges.unpersist()
+    val rootMap = roots.select(col("doc_id").as("__from"), col("label").as("__root"))
+    val allNodes = oldLabels.select(col("doc_id"), col("label"))
+      .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("label")))
+    allNodes
+      .join(rootMap, allNodes("label") === rootMap("__from"), "left")
+      .select(col("doc_id"), coalesce(col("__root"), col("label")).as("label"))
   }
 
   /** Single-task union-find over the pair list (the [[ccLabels]] fast

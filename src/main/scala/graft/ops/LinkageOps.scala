@@ -245,7 +245,7 @@ object LinkageOps {
     val nodes = u.select(col("uid").as("doc_id"))
     val nEdges = edges.count()
     val labels =
-      try DedupOps.ccLabels(spark, nEdges, nodes, edges, matches)
+      try DedupOps.ccLabels(spark, nEdges, nodes, edges)
       finally edges.unpersist()
     u.join(labels.select(col("doc_id").as("uid"), col("label").as("cluster_id")), "uid")
       .groupBy(col("cluster_id"))

@@ -270,8 +270,50 @@ object SimilarityOps {
     // the shared session's conf.
     val nEdges = edges.count()
     val labels =
-      try DedupOps.ccLabels(spark, nEdges, nodes, edges, pairs)
+      try DedupOps.ccLabels(spark, nEdges, nodes, edges)
       finally edges.unpersist()
+    labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q338 — the SAME semantic clustering as q149, built INCREMENTALLY
+    * ([[DedupOps.incrementalCC]]): the even-id half of the corpus is
+    * "yesterday" (its pairs solved to labels), the odd ids arrive as
+    * "today", and only the DELTA edges (any pair touching an odd id) are
+    * contracted onto yesterday's label space and solved — yesterday's
+    * edge set is never revisited. Output hash-matches q149's FULL-
+    * recompute oracle verbatim: the incremental build is provably
+    * invisible. This is the nightly-dedup shape at 100 TB — the full pair
+    * graph is billions of edges, the daily delta is bounded by the
+    * arriving batch, and the remap is one join against the label table.
+    */
+  def semanticClustersIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = annNearDupOn(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .persistTracked()
+    def even(c: Column): Column = c % 2 === 0
+    val oldPairs = pairs.filter(even(col("doc_a")) && even(col("doc_b")))
+    val deltaPairs = pairs.filter(!(even(col("doc_a")) && even(col("doc_b"))))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val oldNodes = emb.filter(even(col("vec_id"))).select(col("vec_id").as("doc_id")).distinct()
+    val newNodes = emb.filter(!even(col("vec_id"))).select(col("vec_id").as("doc_id")).distinct()
+    val oldEdges = oldPairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persistTracked()
+    val nOld = oldEdges.count()
+    val oldLabels = try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
+      finally oldEdges.unpersist()
+    val labels = try DedupOps.incrementalCC(spark, oldLabels, newNodes, deltaPairs)
+      finally pairs.unpersist()
     labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -2613,6 +2655,35 @@ object SimilarityOps {
        |GROUP BY g.theta, g.gate_max_h
        |ORDER BY theta""".stripMargin
 
+  /** The q149 twin — band candidates + exact verify closed transitively
+    * with a recursive CTE (the embedding graph is pair-bounded at every
+    * SF). ALSO q338's oracle verbatim: the incremental contract-and-remap
+    * build must hash-match the full recompute, cross-engine.
+    */
+  val semanticClustersOracle: String = {
+
+      // q135's band-candidate + exact-verify dataflow, closed transitively
+      // with a recursive CTE (the embedding graph is pair-bounded at every SF)
+      s"""WITH RECURSIVE sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+         |$annCandSql,
+         |ver AS (
+         |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+         |pairs AS (SELECT id_a, id_b FROM ver WHERE s >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |vids AS (SELECT DISTINCT vec_id FROM embeddings),
+         |reach AS (SELECT vec_id AS node, vec_id AS r FROM vids
+         |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |cc AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT vec_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | vec_id = cluster_id AS keep
+         |FROM cc ORDER BY vec_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q293_pca_power" -> pcaPowerOracle,
     "q295_centroid_drift" -> centroidDriftOracle,
@@ -2674,28 +2745,8 @@ object SimilarityOps {
     // the 16-bit auto-gated run must equal the UNGATED near-exact pair set —
     // the q321 preservation proof at the width where the cheap sketch pays
     "q337_near_exact_gated" -> nearExactNearDupOracle,
-    "q149_semantic_clusters" -> {
-      // q135's band-candidate + exact-verify dataflow, closed transitively
-      // with a recursive CTE (the embedding graph is pair-bounded at every SF)
-      s"""WITH RECURSIVE sigs AS (SELECT vec_id, $annBandColsSql FROM embeddings),
-         |$annCandSql,
-         |ver AS (
-         |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.id_a
-         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
-         |pairs AS (SELECT id_a, id_b FROM ver WHERE s >= 0.35),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |vids AS (SELECT DISTINCT vec_id FROM embeddings),
-         |reach AS (SELECT vec_id AS node, vec_id AS r FROM vids
-         |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-         |cc AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
-         |SELECT vec_id, cluster_id,
-         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         | vec_id = cluster_id AS keep
-         |FROM cc ORDER BY vec_id""".stripMargin
-    },
+    "q149_semantic_clusters" -> semanticClustersOracle,
+    "q338_incremental_cc" -> semanticClustersOracle,
     "q109_sql_surface" ->
       s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2
          |FROM (SELECT label, vec_id,

@@ -634,12 +634,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(uf2 === star2, "union-find must agree on multi-component + singleton")
     // ccLabels routes by the measured edge count: tiny graph -> union-find
     // result, and a forced loop (threshold 0 via huge nEdges) -> same labels
-    val viaCc = DedupOps.ccLabels(spark, nEdges = 118L, nodes, edgesSym, chain)
+    val viaCc = DedupOps.ccLabels(spark, nEdges = 118L, nodes, edgesSym)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaCcLoop = DedupOps.ccLabels(spark,
-        nEdges = DedupOps.SingleTaskCCMaxEdges + 1, nodes, edgesSym, chain)
+        nEdges = DedupOps.SingleTaskCCMaxEdges + 1, nodes, edgesSym)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCc === viaStar && viaCcLoop === viaStar)
+    // incremental CC: yesterday = the two chains solved; today a bridge
+    // edge merges them, a new chain (200..202) arrives, and node 300 is an
+    // isolated newcomer — the contract-and-remap result must equal the
+    // full recompute over ALL edges
+    val oldLabels = DedupOps.singleTaskCC(nodes2, chain2)
+    val delta = Seq((30L, 40L), (200L, 201L), (201L, 202L), (5L, 202L))
+      .toDF("doc_a", "doc_b")
+    val newNodes = Seq(200L, 201L, 202L, 300L).toDF("doc_id")
+    val inc = DedupOps.incrementalCC(spark, oldLabels, newNodes, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullNodes = ((0L to 30L) ++ (40L to 59L) ++ Seq(100L, 200L, 201L, 202L, 300L)).toDF("doc_id")
+    val full = DedupOps.starLabels(fullNodes,
+        chain2.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "incremental CC must equal the full recompute")
+    assert(inc(300L) === 300L && inc(202L) === 0L && inc(45L) === 0L,
+      "bridge merges everything through the new chain into component 0; isolates self-label")
   }
 
   test("ANN near-dup: exact precision and >=90% recall on a true near-dup corpus (q135)") {
