@@ -618,6 +618,8 @@ object SparkEntry {
     "q337_near_exact_gated"    -> ((s, d) => SimilarityOps.nearExactAutoGatedNearDup(s, d)),
     // -- INCREMENTAL CC: delta edges contracted onto yesterday's labels ----------
     "q338_incremental_cc"      -> ((s, d) => SimilarityOps.semanticClustersIncremental(s, d)),
+    // -- the NIGHTLY pipeline composed: index probe → delta edges → incr. CC -----
+    "q339_nightly_dedup"       -> ((s, d) => SimilarityOps.nightlyDedupPipeline(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

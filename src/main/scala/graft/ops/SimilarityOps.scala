@@ -2177,6 +2177,76 @@ object SimilarityOps {
     probeIndex(s, dir, tIdx)
   }
 
+  /** q339 — the NIGHTLY DEDUP PIPELINE composed end-to-end, the query a
+    * training-data curator actually schedules: today's batch
+    * ([[perturbedDelta]]) → probe the STORED bucketed band index (q330's
+    * merged index — corpus side exchange-free, 64-bit gate inside the band
+    * join) for delta-vs-corpus near-dup edges → band today's batch against
+    * ITSELF for delta-vs-delta edges (the probe cannot see them; the batch
+    * is small, so this is the cheap side) → contract the delta edges onto
+    * yesterday's stored cluster labels ([[DedupOps.incrementalCC]]) →
+    * updated cluster table. Yesterday's corpus-sized edge set is never
+    * recomputed; the index is never rebuilt.
+    *
+    * Yesterday's label table is the corpus self-labeled — the raw corpus
+    * has no internal pairs at θ = 0.9 (its measured max pair cosine is
+    * < 0.5, q306/q308) — and this assumption is ORACLE-AUDITED, not
+    * trusted: the oracle recomputes the FULL truth over the derived corpus
+    * (band candidates of every kind, exact verify at 0.9, recursive-CTE
+    * closure), so a corpus-corpus pair the pipeline skipped would break
+    * the hash at that SF. Likewise the two gates (index probe's fixed
+    * [[Srp64GateMaxH]], the delta self-join's auto gate) must be
+    * output-preserving for the hash to survive — q339 is therefore also
+    * an end-to-end preservation proof for the composed pipeline.
+    */
+  def nightlyDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark.newSession() // shares the persistent catalog + context
+    graft.functions.VectorFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tIdx, _, _) = ensureBandIndex(s, dir, "idx", None)
+    val corpusDelta = probeIndex(s, dir, tIdx)
+      .select(col("id_c").as("doc_a"), col("id_d").as("doc_b"))
+    val deltaDelta = annNearDupOn(perturbedDelta(s, dir), 0.9)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val deltaPairs = corpusDelta.unionByName(deltaDelta)
+    val oldLabels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("vec_id").as("label"))
+    val newNodes = perturbedDelta(s, dir).select(col("vec_id").as("doc_id"))
+    DedupOps.incrementalCC(s, oldLabels, newNodes, deltaPairs)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The q339 twin — the FULL-recompute truth over the derived corpus:
+    * band candidates (all three kinds: corpus-corpus, corpus-delta,
+    * delta-delta), ungated exact verify at θ = 0.9, recursive-CTE
+    * closure, clusters keyed by the component minimum.
+    */
+  val nightlyDedupOracle: String =
+    s"""WITH RECURSIVE $dcorpCteSql,
+       |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
+       |$annCandSql,
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS s
+       |  FROM cand c
+       |  JOIN dcorp ea ON ea.vec_id = c.id_a
+       |  JOIN dcorp eb ON eb.vec_id = c.id_b),
+       |pairs AS (SELECT id_a, id_b FROM ver WHERE s >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |vids AS (SELECT DISTINCT vec_id FROM dcorp),
+       |reach AS (SELECT vec_id AS node, vec_id AS r FROM vids
+       |  UNION SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |cc AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT vec_id, cluster_id,
+       | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       | vec_id = cluster_id AS keep
+       |FROM cc ORDER BY vec_id""".stripMargin
+
   /** q322 — the 64-bit gate's measurement row over the derived corpus: band
     * candidate count, gate keep count/fraction at [[Srp64GateMaxH]],
     * constructed-truth banding recall, and the preservation evidence
@@ -2747,6 +2817,7 @@ object SimilarityOps {
     "q337_near_exact_gated" -> nearExactNearDupOracle,
     "q149_semantic_clusters" -> semanticClustersOracle,
     "q338_incremental_cc" -> semanticClustersOracle,
+    "q339_nightly_dedup" -> nightlyDedupOracle,
     "q109_sql_surface" ->
       s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2
          |FROM (SELECT label, vec_id,
