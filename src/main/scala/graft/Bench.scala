@@ -237,13 +237,44 @@ object Bench {
           graft.bench.SanityGate.Obs(k, mn, err,
             if (tallyShuffle) Some(b) else None)
         }
-        graft.bench.SanityGate.evaluate(obs, ref, refBytes).map { r =>
+        // AUTOMATIC RETEST of timing-flagged queries (the adjudication two
+        // judge rounds performed by hand, now part of the run): a violent
+        // throttle phase can inflate individual minima 5-30× past even
+        // their execution neighbors — indistinguishable from a regression
+        // by that run's timing alone. Throttle phases PASS within minutes;
+        // code regressions REPRODUCE. So each flagged query (capped — a
+        // mass flag event is left for the bytes check and the reader) is
+        // re-timed after the suite, and the verdict recomputes on
+        // min(original, retest): weather clears itself, a real regression
+        // (e.g. the SLOW injection, which wraps the query permanently)
+        // survives its retest and still flags.
+        val eval1 = graft.bench.SanityGate.evaluate(obs, ref, refBytes)
+        val retestCap = 40
+        val retested: Map[String, Double] = eval1 match {
+          case Some(r) if r.flagged.nonEmpty && r.flagged.size <= retestCap =>
+            selected.toMap.view.filterKeys(r.flagged.toSet).toMap.map { case (n, fn) =>
+              val t = (1 to reps).map { _ =>
+                val t0 = System.nanoTime()
+                try fn(spark, sfDir).count() catch { case _: Throwable => }
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              graft.ops.Caches.release()
+              n -> t
+            }
+          case _ => Map.empty
+        }
+        val obs2 = obs.map(o =>
+          retested.get(o.name).fold(o)(t => o.copy(sec = math.min(o.sec, t))))
+        graft.bench.SanityGate.evaluate(obs2, ref, refBytes).map { r =>
           def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
           def rnd(x: Double) = math.rint(x * 10000) / 10000
+          val cleared = eval1.map(_.flagged.filterNot(r.flagged.toSet)).getOrElse(Nil)
           s""","sanity_common_n":${r.commonN},"sanity_vs_ref":${rnd(r.rawRatio)}""" +
             s""","sanity_env_ratio":${rnd(r.envRatio)},"sanity_vs_ref_cal":${rnd(r.calRatio)}""" +
             s""","sanity_ctrl_spread":${rnd(r.ctrlSpread)}""" +
-            s""","sanity_controls_n":${r.controlsN},"sanity_flagged":${arr(r.flagged)}""" +
+            s""","sanity_controls_n":${r.controlsN}""" +
+            s""","sanity_retest_cleared":${arr(cleared)}""" +
+            s""","sanity_flagged":${arr(r.flagged)}""" +
             s""","sanity_plan_changed":${arr(r.planChanged)}""" +
             s""","sanity_plan_cheaper":${arr(r.planCheaper)}""" +
             s""","sanity_verdict":"${r.verdict}","sanity_ok":${r.ok}"""

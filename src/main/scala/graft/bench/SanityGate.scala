@@ -86,6 +86,21 @@ object SanityGate {
     */
   val MinControls = 3
 
+  /** Half-window (in execution positions) of the time-local calibration
+    * neighborhood: 31 queries ≈ a few minutes of run — wide enough that a
+    * single genuinely-regressed query cannot drag its own baseline up
+    * (one of 31 barely moves a median), narrow enough to track a throttle
+    * phase transition.
+    */
+  val NeighborHalfWindow = 15
+
+  /** The local baseline never drops below this fraction of the global
+    * control calibration — a window full of queries that all got FASTER
+    * than the record (plan wins landing together) must not mask a genuine
+    * regression sitting among them.
+    */
+  val EnvLocalFloorFrac = 0.5
+
   /** Shuffle-bytes tolerance: relative (AQE boundary wiggle) OR absolute
     * (empty-ish queries); the r10/r11 driver runs were byte-identical on
     * every comparable entry, so this is generous.
@@ -114,7 +129,12 @@ object SanityGate {
     def calRatio: Double = rawRatio / envRatio
     def verdict: String =
       if (flagged.nonEmpty || planChanged.nonEmpty) "regression"
-      else if (envRatio < EnvBand._1 || envRatio > EnvBand._2) "environmental"
+      // environmental when the controls read a loaded host OR the aggregate
+      // is off even though the controls look quiet (a throttle phase that
+      // started after the early-executing panel): timings are not
+      // record-quality, but nothing points at the code
+      else if (envRatio < EnvBand._1 || envRatio > EnvBand._2 ||
+        calRatio < EnvBand._1 || calRatio > EnvBand._2) "environmental"
       else "ok"
     /** "Did the code get slower?" — the driver-gate question. */
     def ok: Boolean = flagged.isEmpty && planChanged.isEmpty
@@ -148,9 +168,27 @@ object SanityGate {
       if (calibrated && envRatio > 0) ctrlRatios.max / envRatio else 1.0
     val effRatio = FlagRatio * math.max(1.0, ctrlSpread)
     val rawRatio = common.map(_.sec).sum / common.map(o => refSec(o.name)).sum
-    val flagged = common.collect {
-      case o if o.sec > refSec(o.name) * envRatio * effRatio &&
-        o.sec - refSec(o.name) * envRatio > FlagAbsSec => o.name
+    // TIME-LOCAL calibration (the phase-transition lesson: a throttle phase
+    // that begins mid-run inflates a CONTIGUOUS band of queries — observed:
+    // 41 flags, all in q257..q338, zero below — while the control panel,
+    // which executes early in sorted order, still reads the quiet phase).
+    // Each query therefore flags against the median ratio of its EXECUTION
+    // NEIGHBORS (obs arrive in execution order), who share its phase: under
+    // any host weather the neighborhood absorbs the shift, while a genuine
+    // single-query regression stands out against its own neighbors. A mass
+    // uniform timing regression with byte-identical plans is structurally
+    // indistinguishable from weather by timing alone — that case belongs to
+    // the shuffle-bytes check, which is load-immune.
+    val ratios = common.map(o => o.sec / refSec(o.name))
+    def envLocalAt(i: Int): Double = {
+      if (!calibrated) return 1.0
+      val lo = math.max(0, i - NeighborHalfWindow)
+      val hi = math.min(common.size - 1, i + NeighborHalfWindow)
+      math.max(envRatio * EnvLocalFloorFrac, median(ratios.slice(lo, hi + 1)))
+    }
+    val flagged = common.zipWithIndex.collect {
+      case (o, i) if o.sec > refSec(o.name) * envLocalAt(i) * effRatio &&
+        o.sec - refSec(o.name) * envLocalAt(i) > FlagAbsSec => o.name
     }.sorted
     def bytesDelta(o: Obs): Option[Long] = for {
       b <- o.shuffleBytes

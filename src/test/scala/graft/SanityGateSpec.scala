@@ -117,6 +117,51 @@ class SanityGateSpec extends AnyFunSuite {
     assert(r2.flagged === Seq("q912_synth"))
   }
 
+  test("mid-run throttle phase: a contiguous inflated band does not flag; a spike inside it does") {
+    // the observed failure mode: execution-ordered queries, quiet first
+    // half (controls run early and read ~1x), 2.5x throttle for the whole
+    // back half — position-fixed calibration flagged the entire band;
+    // time-local calibration must flag NOTHING
+    val names = ref.keys.toSeq.sorted // execution order
+    val half = names.size / 2
+    def phased(over: Map[String, Double]) = names.zipWithIndex.map { case (k, i) =>
+      val scale = if (i < half) 1.02 else 2.5
+      Obs(k, over.getOrElse(k, ref(k) * scale), err = false, Some(refBytes(k)))
+    }
+    val r = SanityGate.evaluate(phased(Map.empty), ref, refBytes).get
+    assert(r.flagged.isEmpty, s"a throttle phase must not flag, got ${r.flagged}")
+    assert(r.verdict === "environmental") // raw aggregate is well off
+    // a genuine regression INSIDE the slow phase still stands out against
+    // its phase-sharing neighbors
+    val spiked = names(names.size - 3)
+    val r2 = SanityGate.evaluate(
+      phased(Map(spiked -> ref(spiked) * 12.0)), ref, refBytes).get
+    assert(r2.flagged === Seq(spiked))
+    assert(r2.verdict === "regression")
+  }
+
+  test("a window of plan WINS cannot mask a regression (local floor)") {
+    // back half all runs 0.3x the record (legitimately faster code) except
+    // one query at 1.4x the record — faster neighbors would put the local
+    // median at 0.3 and flag everything ≥0.9x; the floor (half the global
+    // control calibration) keeps honest entries unflagged while the 1.4x
+    // query, being > 1.5 * max(0.3, 0.5*env≈1) ... stays unflagged too at
+    // only 1.4x — but a genuine 2x query among 0.3x neighbors flags
+    val names = ref.keys.toSeq.sorted
+    val half = names.size / 2
+    val reg = names.last
+    val obs = names.zipWithIndex.map { case (k, i) =>
+      val scale =
+        if (k == reg) 2.0
+        else if (i < half || SanityGate.Controls.contains(k)) 1.0
+        else 0.3
+      Obs(k, ref(k) * scale, err = false, Some(refBytes(k)))
+    }
+    val r = SanityGate.evaluate(obs, ref, refBytes).get
+    assert(r.flagged === Seq(reg),
+      s"the 2x query must flag against the floored local baseline, got ${r.flagged}")
+  }
+
   test("errored queries are excluded from calibration and flags") {
     val obs = run(1.0).map(o =>
       if (o.name == "q910_synth") o.copy(sec = 99.0, err = true) else o)
