@@ -46,7 +46,7 @@ object PlanDigest {
     "q312_record_linkage", "q316_png_roundtrip", "q318_interval_filtered",
     "q320_graded_linkage", "q321_srp64_gated_neardup", "q323_scd2_salted",
     "q324_delta_gated_neardup", "q331_salted_adaptive", "q332_auto_gated_neardup",
-    "q335_outage_hot_window", "q337_near_exact_gated")
+    "q335_outage_hot_window", "q337_near_exact_gated", "q340_near_exact_srp64")
 
   val snapshotDir = "src/test/resources/plans"
 
@@ -87,8 +87,15 @@ object PlanDigest {
             // quantiles (bucket id, salt factor, salt array) — placement
             // only, like the bounds; pin the split's SHAPE, not the sample
             .replaceAll("\\(__rb_([lr])# = \\d+\\)", "(__rb_$1# = <hot>)")
-            .replaceAll("(pmod\\(xxhash64\\([^)]*\\)), \\d+\\)", "$1, <k>)")
-            .replaceAll("\\[0,1,\\d[\\d,]*\\]", "[<salts>]")
+            // the salt modulus: GREEDY to the last ", <int>)" so embedded
+            // parens inside the hashed columns (casts etc.) cannot truncate
+            // the match and leak the sampled factor (r12 advice); and the
+            // salt array at ANY factor — k = 2 produces the bare [0,1] the
+            // old [0,1,d...] pattern missed. ≥ 2 elements required so the
+            // formatted plan's column-count brackets (`Output [3]:`) keep
+            // pinning plan structure; a salt array always has ≥ 2 salts.
+            .replaceAll("(pmod\\(xxhash64\\(.*\\), )\\d+\\)", "$1<k>)")
+            .replaceAll("\\[\\d+(,\\s*\\d+)+\\]", "[<salts>]")
         else l
       }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs

@@ -614,12 +614,14 @@ object SparkEntry {
     "q335_outage_hot_window"   -> ((s, d) => CoreOps.supplierOutageHotWindow(s, d)),
     // -- gate-width decision table MEASURED on the θ=0.65 band (both disarm) -----
     "q336_srp_width_decision"  -> ((s, d) => SimilarityOps.srpWidthDecisionReport(s, d)),
-    // -- 16-bit auto gate armed where it genuinely pays: near-exact θ=0.998 ------
+    // -- 16-bit auto gate armed where it meets the exact-tail standard: θ=0.9995 -
     "q337_near_exact_gated"    -> ((s, d) => SimilarityOps.nearExactAutoGatedNearDup(s, d)),
     // -- INCREMENTAL CC: delta edges contracted onto yesterday's labels ----------
     "q338_incremental_cc"      -> ((s, d) => SimilarityOps.semanticClustersIncremental(s, d)),
     // -- the NIGHTLY pipeline composed: index probe → delta edges → incr. CC -----
     "q339_nightly_dedup"       -> ((s, d) => SimilarityOps.nightlyDedupPipeline(s, d)),
+    // -- the r12-advice boundary: θ=0.998 now takes the 64-bit arm (width 9) -----
+    "q340_near_exact_srp64"    -> ((s, d) => SimilarityOps.nearExact998GatedNearDup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -86,6 +86,46 @@ object SanityGate {
     */
   val MinControls = 3
 
+  /** The post-suite retest's OWN calibration panel (r12 verdict #1 — the
+    * one defect that put a false "regression" in the r12 archive): the
+    * retest used to compare flagged queries against the RAW record, so a
+    * throttle phase still active at retest time re-confirmed its own false
+    * flags (q261/q262). The retest now re-times these cheap batch controls
+    * in the same breath and clears a flag only against the RETEST-TIME
+    * host factor. Batch shapes only: the streaming controls' fixed
+    * multi-second setup would triple the retest's cost for calibration the
+    * batch panel already provides.
+    */
+  val RetestControls: Seq[String] =
+    Seq("q02_priority_agg", "q03_revenue_by_nation", "q10_dedup_by_key")
+
+  /** Does a flagged query's retest CLEAR it, judged at the retest batch's
+    * own measured host factor? Mirrors the flag condition exactly — a
+    * retest survives (keeps the flag) only if it is still past
+    * [[FlagRatio]]× the retest-calibrated reference with more than
+    * [[FlagAbsSec]] absolute excess. A permanent regression (e.g. the
+    * SLOW injection's +1.2 s wrapper) stays past both bars at any honest
+    * host factor; an in-phase micro-stall retests at ≈ the phase factor,
+    * which is exactly what `retestEnv` measures, and clears.
+    */
+  def retestClears(refSec: Double, retestSec: Double, retestEnv: Double): Boolean =
+    !(retestSec > refSec * retestEnv * FlagRatio &&
+      retestSec - refSec * retestEnv > FlagAbsSec)
+
+  /** Which flagged queries to re-time: all of them up to `cap`, else a
+    * deterministic stride sample of `cap` (r12 advice: a mass flag event —
+    * the violent-throttle shape the retest exists to clear — used to skip
+    * retesting entirely and archive `sanity_ok=false` unexamined). The
+    * stride keeps the sample spread across the execution order, so a phase
+    * that hit one contiguous band is still sampled throughout.
+    */
+  def retestSample(flagged: Seq[String], cap: Int): Seq[String] =
+    if (flagged.size <= cap) flagged
+    else {
+      val stride = flagged.size.toDouble / cap
+      (0 until cap).map(i => flagged((i * stride).toInt))
+    }
+
   /** Half-window (in execution positions) of the time-local calibration
     * neighborhood: 31 queries ≈ a few minutes of run — wide enough that a
     * single genuinely-regressed query cannot drag its own baseline up

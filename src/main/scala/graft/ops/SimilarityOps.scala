@@ -294,31 +294,68 @@ object SimilarityOps {
       threshold: Double = 0.35): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
-    val pairs = annNearDupOn(
+    def even(c: Column): Column = c % 2 === 0
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val newNodes = emb.filter(!even(col("vec_id"))).select(col("vec_id").as("doc_id")).distinct()
+    // yesterday's labels are READ from the persisted nightly table, not
+    // re-solved per run (r12 verdict #3: a production nightly never revisits
+    // yesterday's edge set — q339 already reads stored labels; q338 now does
+    // too, paying the even-half solve exactly once per corpus generation)
+    val oldLabels = ensureYesterdayLabels(spark, dir, threshold)
+    val deltaPairs = annNearDupOn(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .persistTracked()
-    def even(c: Column): Column = c % 2 === 0
-    val oldPairs = pairs.filter(even(col("doc_a")) && even(col("doc_b")))
-    val deltaPairs = pairs.filter(!(even(col("doc_a")) && even(col("doc_b"))))
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
-    val oldNodes = emb.filter(even(col("vec_id"))).select(col("vec_id").as("doc_id")).distinct()
-    val newNodes = emb.filter(!even(col("vec_id"))).select(col("vec_id").as("doc_id")).distinct()
-    val oldEdges = oldPairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persistTracked()
-    val nOld = oldEdges.count()
-    val oldLabels = try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
-      finally oldEdges.unpersist()
-    val labels = try DedupOps.incrementalCC(spark, oldLabels, newNodes, deltaPairs)
-      finally pairs.unpersist()
+      .filter(!(even(col("doc_a")) && even(col("doc_b"))))
+    val labels = DedupOps.incrementalCC(spark, oldLabels, newNodes, deltaPairs)
     labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Build-or-read the persisted "yesterday" cluster-label table for
+    * [[semanticClustersIncremental]]: the even-id half of `dir`'s corpus
+    * solved to CC labels ONCE per corpus generation and stored as parquet
+    * (marker-last, the [[ensureBandIndex]] identity pattern — a
+    * [[corpusSnapshot]] mismatch or a torn write both read as "marker
+    * absent/stale" and trigger a rebuild). First build: band the even half
+    * against itself, solve with [[DedupOps.ccLabels]], and WRITE while the
+    * edge cache is still live (the r12 lesson: ccLabels' output is a lazy
+    * join against its node frame — unpersisting before the materializing
+    * action re-runs the whole upstream pipeline; the parquet write IS the
+    * materialization here). Every later run is a single parquet read —
+    * the shape a scheduled nightly actually has, where yesterday's labels
+    * are yesterday's OUTPUT.
+    */
+  private def ensureYesterdayLabels(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val thr = threshold.toString.replaceAll("[^0-9]", "_")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ylab_${thr}_$sfx")
+    val snap = corpusSnapshot(dir)
+    val markerF = new java.io.File(path, "_GRAFT_SNAPSHOT")
+    val markerOk = markerF.exists() &&
+      new String(java.nio.file.Files.readAllBytes(markerF.toPath), "UTF-8") == snap
+    if (!markerOk) {
+      def even(c: Column): Column = c % 2 === 0
+      val evens = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).filter(even(col("vec_id")))
+      val oldNodes = evens.select(col("vec_id").as("doc_id")).distinct()
+      val oldEdges = annNearDupOn(evens, threshold)
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persistTracked()
+      val nOld = oldEdges.count()
+      try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+      finally oldEdges.unpersist()
+      java.nio.file.Files.write(markerF.toPath, snap.getBytes("UTF-8"))
+    }
+    spark.read.parquet(path.getAbsolutePath)
   }
 
   /** Top-k per group via the custom [[graft.functions.TopKByScore]]
@@ -1406,16 +1443,60 @@ object SimilarityOps {
   private[graft] def withSrpSketch64(df: DataFrame): DataFrame =
     df.withColumn("srp", graft.functions.VectorFunctions.srp64(col("embedding")))
 
-  /** Output-preserving gate width for an `nBits`-plane SRP sketch at verify
-    * threshold θ: a TRUE pair at exactly θ flips each bit with probability
-    * p = acos(θ)/π (the random-hyperplane identity), so its sketch Hamming
-    * distance is Binom(nBits, p) and mean + 5σ bounds it to < 3·10⁻⁷
-    * per-pair breach odds.
+  /** The verify threshold the production 64-bit gate was CALIBRATED at:
+    * q322 measured true-pair Hamming maxima (12/11/14) against
+    * [[Srp64GateMaxH]] on the θ = 0.9 derived corpus — every other arming
+    * decision is held to the tail mass this point leaves.
     */
-  private[graft] def srpSafeWidth(nBits: Int, threshold: Double): Int = {
-    val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    math.ceil(nBits * p + 5.0 * math.sqrt(nBits * p * (1.0 - p))).toInt
+  val Srp64CalibrationTheta = 0.9
+
+  /** Exact per-pair breach probability P(H > width) for a TRUE pair at
+    * exactly θ under an `nBits`-plane SRP sketch: each bit flips with
+    * probability p = acos(θ)/π (the random-hyperplane identity), so
+    * H ~ Binom(nBits, p) and the breach mass is the exact upper binomial
+    * tail (log-space sum — n ≤ 64, so this is cheap and overflow-free).
+    *
+    * The r12 advice showed why the previous mean + 5σ surrogate cannot
+    * serve here: a normal tail bound degrades with n — at 64 bits and
+    * θ = 0.9 the 5σ width's true binomial mass is ≈ 1.1·10⁻⁶, but at
+    * 16 bits and θ = 0.998 the same "5σ" construction leaves ≈ 1.2·10⁻⁵ —
+    * an order of magnitude weaker preservation at the exact point the
+    * 16-bit sketch was being armed. Widths are now chosen by this exact
+    * tail ([[srpExactWidth]]), so every armed gate meets the SAME
+    * calibrated standard regardless of sketch width.
+    */
+  private[graft] def srpBreachProb(nBits: Int, width: Int, theta: Double): Double = {
+    val p = math.acos(math.min(1.0, math.max(-1.0, theta))) / math.Pi
+    if (p <= 0.0) return 0.0
+    val lf = new Array[Double](nBits + 1)
+    var i = 2
+    while (i <= nBits) { lf(i) = lf(i - 1) + math.log(i.toDouble); i += 1 }
+    val lp = math.log(p)
+    val lq = math.log1p(-p)
+    ((width + 1) to nBits).map(k =>
+      math.exp(lf(nBits) - lf(k) - lf(nBits - k) + k * lp + (nBits - k) * lq)).sum
   }
+
+  /** The per-pair breach budget every armed gate must meet: the exact tail
+    * mass the calibrated production gate itself leaves at its operating
+    * point — P(Binom(64, p(0.9)) > 24) ≈ 1.07·10⁻⁶ (HardeningSpec pins the
+    * value). Derived, not hand-carried: tightening [[Srp64GateMaxH]] or
+    * moving the calibration θ re-derives every other width automatically.
+    */
+  private[graft] lazy val SrpBreachStandard: Double =
+    srpBreachProb(64, Srp64GateMaxH, Srp64CalibrationTheta)
+
+  /** Output-preserving gate width for an `nBits`-plane SRP sketch at verify
+    * threshold θ: the SMALLEST Hamming cut whose exact per-pair breach
+    * probability ([[srpBreachProb]]) meets [[SrpBreachStandard]]. At the
+    * calibration point (64, 0.9) this reproduces [[Srp64GateMaxH]] = 24 by
+    * construction; everywhere else it replaces the old mean + 5σ surrogate
+    * whose true tail mass drifted with n (r12 advice — the 16-bit arm at
+    * θ = 0.998 under-covered ~11× and could silently drop true pairs).
+    */
+  private[graft] def srpExactWidth(nBits: Int, threshold: Double): Int =
+    (0 to nBits).find(w => srpBreachProb(nBits, w, threshold) <= SrpBreachStandard)
+      .getOrElse(nBits)
 
   /** Arming cutoff for an `nBits` sketch, DERIVED from the noise binomial
     * instead of a hand-carried literal (r11 advice: the literal 24 and the
@@ -1432,22 +1513,28 @@ object SimilarityOps {
   /** Threshold-driven automatic SRP gate — the decision rule the q322/q329
     * measurements established, derived from θ alone so [[annNearDup]]
     * callers get the right gate without session flags. Returns
-    * `(sketchBits, gateWidth)` for the CHEAPEST sketch whose safe width
-    * still cuts, or None:
+    * `(sketchBits, gateWidth)` for the CHEAPEST sketch whose exact-tail
+    * width ([[srpExactWidth]]) still cuts, or None:
     *
     *  - the 16-bit sketch costs ¼ the per-vector hyperplane dot products of
-    *    the 64-bit one, so it is tried first — but its cutoff (4) demands
-    *    p ≲ 0.02, i.e. θ ≳ 0.998: only near-exact duplicate regimes
-    *    (re-crawl / re-encode dedup) qualify. q337 exercises exactly that
-    *    corpus and plan-pins the 16-bit arm.
-    *  - the 64-bit sketch arms for θ ≳ 0.88: at θ = 0.9 the safe width is
-    *    ⌈9.19 + 5·2.81⌉ = 24, re-deriving the hand-calibrated
-    *    [[Srp64GateMaxH]] exactly (measured true-pair maxima 12/11/14,
-    *    q322).
-    *  - at θ = 0.35 the 64-bit safe width is 45 and a gate would keep
+    *    the 64-bit one, so it is tried first — but squeezing its exact-tail
+    *    width under the cutoff (4) demands θ ≳ 0.9993: only near-exact
+    *    duplicate regimes (re-crawl / re-encode dedup) qualify. q337
+    *    (θ = 0.9995) exercises exactly that corpus and plan-pins the
+    *    16-bit arm. The r12 advice's finding is why the boundary sits
+    *    there and not at 0.998 (the previous 5σ arm point): at θ = 0.998
+    *    the width-4 16-bit gate's exact breach mass is ≈ 1.2·10⁻⁵, ~11×
+    *    the calibrated standard — a user corpus with true pairs near 0.998
+    *    could silently lose pairs. At 0.998 the rule now hands out the
+    *    64-BIT sketch at width 9 instead (q340 pins that plan against the
+    *    same ungated oracle).
+    *  - the 64-bit sketch arms for θ ≥ 0.9: at the calibration point the
+    *    exact width IS the hand-calibrated [[Srp64GateMaxH]] = 24 by
+    *    construction (measured true-pair maxima 12/11/14, q322).
+    *  - at θ = 0.35 the 64-bit exact width is 43 and a gate would keep
     *    ~90 % of candidates (q329's measured 89.9 %) — disarm. The
     *    mid-similarity band (θ ∈ [0.5, 0.8]) disarms BOTH widths: fewer
-    *    bits always separate LESS (safe width scales with n but the
+    *    bits always separate LESS (width scales with n but the
     *    noise-to-signal gap scales with √n), so "would 16 bits pay where
     *    64 doesn't?" is answerable in closed form — no, and
     *    [[srpWidthDecisionReport]] (q336) measures it on a θ = 0.65 corpus
@@ -1455,15 +1542,15 @@ object SimilarityOps {
     */
   private[graft] def srpAutoGate(threshold: Double): Option[(Int, Int)] =
     Seq(16, 64).collectFirst {
-      case n if srpSafeWidth(n, threshold) <= srpArmCutoff(n) =>
-        (n, srpSafeWidth(n, threshold))
+      case n if srpExactWidth(n, threshold) <= srpArmCutoff(n) =>
+        (n, srpExactWidth(n, threshold))
     }
 
   /** 64-bit-only view of [[srpAutoGate]] (the q332 pin and the historical
     * rule name): the width the auto rule would arm the 64-bit sketch at.
     */
   private[graft] def srp64AutoWidth(threshold: Double): Option[Int] = {
-    val w = srpSafeWidth(64, threshold)
+    val w = srpExactWidth(64, threshold)
     if (w <= srpArmCutoff(64)) Some(w) else None
   }
 
@@ -1521,14 +1608,24 @@ object SimilarityOps {
   /** NEAR-EXACT duplicate corpus (the re-crawl/re-encode regime): ±2 %
     * alternating per-dimension scaling. Writing odd-dim mass a, the derived
     * pair's cosine is (0.98 + 0.04a)/√(0.9604 + 0.0808a) ≥ 1∕√1.0004 ≈
-    * 0.9998 for EVERY vector — comfortably above the 0.998 verify
-    * threshold, which is past the θ ≳ 0.998 line where [[srpAutoGate]]'s
-    * 16-bit arm genuinely pays (safe width 4 ≤ cutoff 4 at ¼ the 64-bit
-    * sketch's hyperplane work).
+    * 0.9998 for EVERY vector — comfortably above both near-exact verify
+    * thresholds exercised against it: [[NearExactThreshold]] = 0.9995,
+    * past the θ ≳ 0.9993 line where [[srpAutoGate]]'s 16-bit arm meets the
+    * calibrated breach standard (exact width 4 ≤ cutoff 4 at ¼ the 64-bit
+    * sketch's hyperplane work — q337), and 0.998, where the exact tail
+    * says 16 bits does NOT meet it and the rule hands out 64 bits at
+    * width 9 instead (q340; the r12-advice boundary).
     */
   val NearExactMults: IndexedSeq[Double] = (1 to 64).map(j => if (j % 2 == 1) 1.02 else 0.98)
   val NearExactIdOffset = 2000000000L
-  val NearExactThreshold = 0.998
+  val NearExactThreshold = 0.9995
+
+  /** The r12 advice's contested arm point: under the superseded 5σ rule
+    * the 16-bit sketch armed here with an under-covering gate; under the
+    * exact-tail rule it correctly falls through to the 64-bit sketch
+    * (width 9). q340 keeps this regime oracle-exercised.
+    */
+  val NearExact998Threshold = 0.998
 
   /** MID-SIMILARITY corpus (θ band [0.5, 0.8] — the r11 "would 16 bits pay
     * here?" question's test bed): strong alternating distortion ×3.0/×0.2
@@ -1542,12 +1639,15 @@ object SimilarityOps {
   val MidSimThreshold = 0.65
 
   /** q337 — the 16-bit auto gate's registry consumer: [[annNearDupOn]] over
-    * the NEAR-EXACT corpus at θ = 0.998 with no session flags —
-    * [[srpAutoGate]] arms the 16-BIT sketch at width 4 (plan-pinned: the
-    * plan carries `graft_srp16`, not `graft_srp64`), the cheapest gate that
-    * still cuts, and the result hash-matches the ungated oracle at every
-    * SF (preservation: a true pair at cos ≥ 0.9998 flips each of 16 bits
-    * w.p. ≤ 0.0064 — P(H > 4) < 10⁻⁸ per pair).
+    * the NEAR-EXACT corpus at θ = [[NearExactThreshold]] = 0.9995 with no
+    * session flags — [[srpAutoGate]] arms the 16-BIT sketch at width 4
+    * (plan-pinned: the plan carries `graft_srp16`, not `graft_srp64`), the
+    * cheapest gate that still cuts, and the result hash-matches the
+    * ungated oracle at every SF. Preservation now holds by the SAME exact
+    * binomial standard as the production 64-bit gate: a true pair at
+    * exactly θ = 0.9995 breaches width 4 with probability ≤ 1.07·10⁻⁶
+    * ([[SrpBreachStandard]]); the corpus's own pairs sit at cos ≥ 0.9998
+    * (breach < 10⁻⁸).
     */
   def nearExactAutoGatedNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -1555,6 +1655,25 @@ object SimilarityOps {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
         .unionByName(perturbedDeltaWith(spark, dir, NearExactMults, NearExactIdOffset)),
       NearExactThreshold)
+  }
+
+  /** q340 — the r12-advice boundary case kept oracle-exercised: the SAME
+    * near-exact corpus verified at θ = [[NearExact998Threshold]] = 0.998,
+    * the point where the superseded 5σ rule armed the 16-bit sketch with
+    * an exact breach mass ≈ 1.2·10⁻⁵ (~11× the calibrated standard).
+    * Under the exact-tail rule [[srpAutoGate]] hands out the 64-BIT sketch
+    * at width 9 here (plan-pinned: `graft_srp64`, `<= 9`), and the result
+    * hash-matches the ungated oracle at every SF — same answer as q337
+    * (every corpus pair sits at cos ≥ 0.9998 > both thresholds), reached
+    * through the OTHER arm of the decision rule: together q337/q340 are
+    * the preservation proof for both sides of the 16-vs-64 boundary.
+    */
+  def nearExact998GatedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annNearDupOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .unionByName(perturbedDeltaWith(spark, dir, NearExactMults, NearExactIdOffset)),
+      NearExact998Threshold)
   }
 
   /** q319 — ANN near-dup at the REAL dedup threshold (0.9) over the derived
@@ -1787,7 +1906,7 @@ object SimilarityOps {
         (dotp(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
           >= MidSimThreshold).as("is_true"))
     // rule constants as literals — single Scala source for plan AND oracle
-    val gates = Seq(16, 64).map(n => (n, srpSafeWidth(n, MidSimThreshold), srpArmCutoff(n)))
+    val gates = Seq(16, 64).map(n => (n, srpExactWidth(n, MidSimThreshold), srpArmCutoff(n)))
     val aggCols = gates.flatMap { case (n, w, _) =>
       val h = if (n == 16) col("h16") else col("h64")
       Seq(sum(when(h <= lit(math.min(w, n)), 1L).otherwise(0L)).as(s"kept_$n"),
@@ -1886,6 +2005,12 @@ object SimilarityOps {
     val tIdx = s"graft_band_${variant}_${bandIndexConstantsFp}_$sfx"
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bkt_${variant}_${bandIndexConstantsFp}_$sfx")
+    // MUTATOR: recovery + rebuild must hold the same lock the compactor's
+    // swap holds (r12 advice) — an unlocked ensureBandIndex observing the
+    // live dir missing MID-swap would "recover" by renaming staging into
+    // place (or start an overwrite rebuild) under the compactor's feet,
+    // failing its swap requires and defeating the mutual exclusion.
+    withIndexLock(path) {
     // a previous session may have died mid-compaction-swap — make the
     // directory state coherent before trusting (or rebuilding over) it
     recoverCompactSwap(path)
@@ -1918,6 +2043,7 @@ object SimilarityOps {
         |LOCATION '${path.getAbsolutePath}'""".stripMargin)
     }
     (tIdx, path, rebuild)
+    }
   }
 
   /** The probe half of [[indexProbeNearDup]] / [[indexMergeProbeNearDup]]:
@@ -1973,24 +2099,47 @@ object SimilarityOps {
     val batchMarker = new java.io.File(path, "_GRAFT_MERGED_oddhalf")
     if (!batchMarker.exists()) withIndexLock(path) {
       if (!batchMarker.exists()) {
-        explodeBands(withBandSketch64(
+        appendBandRows(s, explodeBands(withBandSketch64(
             Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-              .filter(col("vec_id") % 2 === 1)), Seq("srp"))
-          .repartition(BandIndexBuckets, col("bk"), col("bv"))
-          .write.format("parquet")
-          .bucketBy(BandIndexBuckets, "bk", "bv").sortBy("bk", "bv")
-          .option("path", path.getAbsolutePath)
-          .mode("append").saveAsTable(tIdx)
+              .filter(col("vec_id") % 2 === 1)), Seq("srp")), tIdx, path)
         java.nio.file.Files.write(batchMarker.toPath, Array.emptyByteArray)
       }
     }
     probeIndex(s, dir, tIdx)
   }
 
-  /** Bucket count every stored band index is BUILT with — the single
-    * source [[ensureBandIndex]] bakes into the DDL; maintenance
-    * (compaction) re-derives the live spec from the catalog instead of
-    * re-hardcoding this, so the constant appears exactly once.
+  /** Append arriving band rows into an EXISTING stored index under the
+    * index's OWN bucket spec, derived from the table's catalog DDL — never
+    * the build-time constant (r12 verdict #4: compaction already derived
+    * its spec, but the merge writers re-hardcoded [[BandIndexBuckets]], so
+    * a future index built under a different layout would be merged WRONG —
+    * rows hashed into the wrong bucket count are misrouted for every
+    * subsequent bucket-pruned probe). With this helper the build constant
+    * is referenced only at first creation ([[ensureBandIndex]]); every
+    * later writer inherits whatever spec the index actually carries.
+    * Callers must hold [[withIndexLock]].
+    */
+  private[graft] def appendBandRows(s: SparkSession, rows: DataFrame,
+      tIdx: String, path: java.io.File): Unit = {
+    val (nBuckets, bCols, sCols) =
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.bucketSpec(s, tIdx)
+        .getOrElse(throw new IllegalStateException(
+          s"$tIdx carries no bucket spec — refusing to append into a non-band-index table"))
+    rows.repartition(nBuckets, bCols.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(nBuckets, bCols.head, bCols.tail: _*)
+      .sortBy(sCols.head, sCols.tail: _*)
+      .option("path", path.getAbsolutePath)
+      .mode("append").saveAsTable(tIdx)
+  }
+
+  /** Bucket count a stored band index is FIRST CREATED with — the single
+    * source [[ensureBandIndex]] bakes into the DDL. Every later writer
+    * (merge appends via [[appendBandRows]], compaction via
+    * [[compactBandIndex]]) re-derives the LIVE spec from the table's own
+    * catalog DDL instead of re-hardcoding this, so the constant is
+    * referenced only at creation and an index built under a different
+    * layout can never be merged or compacted into the wrong one.
     */
   val BandIndexBuckets = 8
 
@@ -2022,23 +2171,80 @@ object SimilarityOps {
   private def oldDirOf(path: java.io.File) =
     new java.io.File(path.getParentFile, path.getName + "__old")
 
-  /** Mutual exclusion between index MUTATORS (merge append, compaction)
-    * sharing one index path: `createNewFile` is atomic, the lock lives
-    * NEXT TO the index dir (never inside — compaction renames the dir out
-    * from under its own lock otherwise), and a holder crash leaves a stale
-    * lock that times out loudly rather than deadlocking silently. A merge
-    * running während a compaction swap would append to a directory about
-    * to be unlinked — rows silently lost; this is the guard the r11
+  /** Ceiling on waiting behind a LIVE lock holder. A large index rewrite
+    * can legitimately run for many minutes at scale, so the old flat 120 s
+    * deadline threw for any waiter queued behind a long compaction and its
+    * error told the operator to delete a lock that was in fact live (r12
+    * advice). Stale holders are now detected by PID liveness instead of
+    * elapsed time, so this bound only catches a holder that is alive but
+    * wedged — generous by design.
+    */
+  val IndexLockWaitMaxMs: Long = 60L * 60 * 1000
+
+  /** A lock file whose holder PID has not been stamped yet (the write races
+    * the waiter's read) is presumed live for this long; past it an empty
+    * lock is treated as debris from a holder that died between
+    * `createNewFile` and the stamp.
+    */
+  val IndexLockStampGraceMs: Long = 60L * 1000
+
+  /** Mutual exclusion between index MUTATORS (merge append, compaction,
+    * and [[ensureBandIndex]]'s recover+rebuild path) sharing one index
+    * path: `createNewFile` is atomic, the lock lives NEXT TO the index dir
+    * (never inside — compaction renames the dir out from under its own
+    * lock otherwise), and the file carries the holder's PID so waiters can
+    * DISTINGUISH a stale holder from a slow one (the r12 advice: a flat
+    * deadline is a heuristic that misfires exactly when compaction is
+    * doing its job on a big index):
+    *
+    *  - holder PID dead → the lock is debris from a crash; the waiter
+    *    breaks it by RENAMING it aside first (atomic steal — two waiters
+    *    racing the same stale lock cannot both win, and neither can delete
+    *    a fresh lock the other just created) and retries;
+    *  - holder PID alive → wait, up to [[IndexLockWaitMaxMs]]; the timeout
+    *    error names the holder PID and lock age instead of telling the
+    *    operator to delete a live lock.
+    *
+    * A merge running during a compaction swap would append to a directory
+    * about to be unlinked — rows silently lost; this is the guard the r11
     * verdict asked to state and enforce.
     */
   private[graft] def withIndexLock[T](path: java.io.File)(body: => T): T = {
     val lf = new java.io.File(path.getParentFile, path.getName + "__lock")
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!lf.createNewFile()) {
-      if (System.nanoTime() > deadline)
-        throw new IllegalStateException(
-          s"band-index lock held too long: $lf — stale holder? delete to recover")
-      Thread.sleep(50)
+    def acquire(): Boolean = lf.createNewFile() && {
+      java.nio.file.Files.write(lf.toPath,
+        s"${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+      true
+    }
+    def holderPid(): Option[Long] =
+      try new String(java.nio.file.Files.readAllBytes(lf.toPath), "UTF-8")
+        .trim match {
+          case "" => None
+          case s  => scala.util.Try(s.toLong).toOption
+        }
+      catch { case _: java.io.IOException => None } // racing delete: retry
+    def stale(): Boolean = holderPid() match {
+      case Some(pid) => ProcessHandle.of(pid).isEmpty // holder process died
+      case None => // not stamped (yet?) — live within the stamp grace only
+        lf.exists() &&
+          System.currentTimeMillis() - lf.lastModified() > IndexLockStampGraceMs
+    }
+    val deadline = System.nanoTime() + IndexLockWaitMaxMs * 1000000L
+    while (!acquire()) {
+      if (stale()) {
+        // atomic steal: only one waiter's rename succeeds; the loser loops
+        val tomb = new java.io.File(lf.getParentFile,
+          lf.getName + ".stale." + System.nanoTime())
+        if (lf.renameTo(tomb)) { tomb.delete(); () }
+      } else {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"band-index lock $lf held by LIVE pid ${holderPid().getOrElse("?")} " +
+              s"for over ${IndexLockWaitMaxMs / 60000} min (lock age " +
+              s"${(System.currentTimeMillis() - lf.lastModified()) / 1000} s) — " +
+              "holder wedged? Inspect that process before breaking the lock")
+        Thread.sleep(50)
+      }
     }
     try body finally { lf.delete(); () }
   }
@@ -2161,14 +2367,9 @@ object SimilarityOps {
       val marker = new java.io.File(path, s"_GRAFT_MERGED_q$r")
       if (!marker.exists()) withIndexLock(path) {
         if (!marker.exists()) {
-          explodeBands(withBandSketch64(
+          appendBandRows(s, explodeBands(withBandSketch64(
               Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-                .filter(col("vec_id") % 4 === r)), Seq("srp"))
-            .repartition(BandIndexBuckets, col("bk"), col("bv"))
-            .write.format("parquet")
-            .bucketBy(BandIndexBuckets, "bk", "bv").sortBy("bk", "bv")
-            .option("path", path.getAbsolutePath)
-            .mode("append").saveAsTable(tIdx)
+                .filter(col("vec_id") % 4 === r)), Seq("srp")), tIdx, path)
           java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
         }
       }
@@ -2473,6 +2674,10 @@ object SimilarityOps {
   val nearExactNearDupOracle: String = derivedNearDupOracleWith(
     dcorpCteSqlWith(NearExactMults, NearExactIdOffset), NearExactThreshold)
 
+  /** q340's twin: same corpus CTE, verify at 0.998 (the other gate arm). */
+  val nearExact998NearDupOracle: String = derivedNearDupOracleWith(
+    dcorpCteSqlWith(NearExactMults, NearExactIdOffset), NearExact998Threshold)
+
   private def derivedNearDupOracleWith(corpusCte: String, threshold: Double): String =
     s"""WITH $corpusCte,
        |sigs AS (SELECT vec_id, $annBandColsSql FROM dcorp),
@@ -2582,14 +2787,14 @@ object SimilarityOps {
 
   /** The q336 twin — both sketch widths replayed over the MID-SIMILARITY
     * derived corpus, truth at θ = 0.65, keep fractions at the RULE's safe
-    * widths (interpolated from the same [[srpSafeWidth]]/[[srpArmCutoff]]
+    * widths (interpolated from the same [[srpExactWidth]]/[[srpArmCutoff]]
     * Scala source the plan uses — the rule and the oracle cannot drift).
     */
   val srpWidthDecisionReportOracle: String = {
     val s16 = SrpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val s64 = SrpSigns64.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val gates = Seq(16, 64).map(n =>
-      (n, srpSafeWidth(n, MidSimThreshold), srpArmCutoff(n)))
+      (n, srpExactWidth(n, MidSimThreshold), srpArmCutoff(n)))
     val keptSel = gates.map { case (n, w, _) =>
       s"sum(CASE WHEN ch.h$n <= ${math.min(w, n)} THEN 1 ELSE 0 END) AS k$n"
     }.mkString(",\n    ")
@@ -2815,6 +3020,7 @@ object SimilarityOps {
     // the 16-bit auto-gated run must equal the UNGATED near-exact pair set —
     // the q321 preservation proof at the width where the cheap sketch pays
     "q337_near_exact_gated" -> nearExactNearDupOracle,
+    "q340_near_exact_srp64" -> nearExact998NearDupOracle,
     "q149_semantic_clusters" -> semanticClustersOracle,
     "q338_incremental_cc" -> semanticClustersOracle,
     "q339_nightly_dedup" -> nightlyDedupOracle,

@@ -178,11 +178,14 @@ class HardeningSpec extends AnyFunSuite {
   }
 
   test("auto gate width re-derives the deployed constants from the threshold alone") {
-    // the closed-form binomial rule must reproduce both measured decisions:
-    // arm at the dedup threshold with exactly the hand-calibrated width,
-    // stay out of the plan at the weak corpus threshold and the mid-band
+    // the breach budget is the exact tail the calibrated production gate
+    // itself leaves — P(Binom(64, p(0.9)) > 24) ≈ 1.07e-6 — derived, not
+    // hand-carried; every other arming decision is held to it
+    assert(SimilarityOps.SrpBreachStandard > 1.0e-6
+      && SimilarityOps.SrpBreachStandard < 1.1e-6)
+    // at the calibration point the exact width IS the deployed constant
     assert(SimilarityOps.srp64AutoWidth(0.9) === Some(SimilarityOps.Srp64GateMaxH))
-    assert(SimilarityOps.srp64AutoWidth(0.95) === Some(19))
+    assert(SimilarityOps.srp64AutoWidth(0.95) === Some(20))
     assert(SimilarityOps.srp64AutoWidth(0.35) === None)
     assert(SimilarityOps.srp64AutoWidth(0.5) === None)
     assert(SimilarityOps.srp64AutoWidth(0.8) === None)
@@ -190,13 +193,27 @@ class HardeningSpec extends AnyFunSuite {
     // a carried literal — and must still equal the deployed 64-bit constant
     assert(SimilarityOps.srpArmCutoff(64) === SimilarityOps.Srp64GateMaxH)
     assert(SimilarityOps.srpArmCutoff(16) === 4)
-    // the generalized rule: cheapest sketch that still cuts — 16-bit only
-    // in the near-exact regime (q337), 64-bit at the dedup threshold
-    // (q332), none in the mid band (q336 measures why)
+    // the generalized rule: cheapest sketch whose EXACT-tail width still
+    // cuts — 16-bit only in the near-exact regime (q337), 64-bit at the
+    // dedup threshold (q332), none in the mid band (q336 measures why)
     assert(SimilarityOps.srpAutoGate(SimilarityOps.NearExactThreshold) === Some((16, 4)))
     assert(SimilarityOps.srpAutoGate(0.9) === Some((64, SimilarityOps.Srp64GateMaxH)))
     assert(SimilarityOps.srpAutoGate(SimilarityOps.MidSimThreshold) === None)
     assert(SimilarityOps.srpAutoGate(0.35) === None)
+    // the r12-advice boundary: at θ = 0.998 the width-4 16-bit gate's exact
+    // breach mass is ~1.2e-5 — ~11x the standard — so the 16-bit sketch
+    // must NOT arm there (its exact width, 5, exceeds the cutoff) and the
+    // rule hands out the 64-bit sketch at width 9 instead (q340's pin)
+    assert(SimilarityOps.srpBreachProb(16, 4, 0.998) > 1.1e-5
+      && SimilarityOps.srpBreachProb(16, 4, 0.998) < 1.3e-5)
+    assert(SimilarityOps.srpExactWidth(16, SimilarityOps.NearExact998Threshold) === 5)
+    assert(SimilarityOps.srpAutoGate(SimilarityOps.NearExact998Threshold) === Some((64, 9)))
+    // the 16-vs-64 boundary sits at θ ≈ 0.9993 under the exact tail
+    assert(SimilarityOps.srpAutoGate(0.9993) === Some((16, 4)))
+    assert(SimilarityOps.srpAutoGate(0.9992) === Some((64, 8)))
+    // monotone sanity: the armed width never breaches the standard
+    for (th <- Seq(0.9, 0.95, 0.998, 0.9995); (n, w) <- SimilarityOps.srpAutoGate(th))
+      assert(SimilarityOps.srpBreachProb(n, w, th) <= SimilarityOps.SrpBreachStandard)
   }
 
   test("SRP gate margins hold: measured max true-pair Hamming stays below both gates") {
@@ -659,6 +676,100 @@ class HardeningSpec extends AnyFunSuite {
       s.sql(s"DROP TABLE $tIdx")
       rm(path)
     } finally rm(scratch)
+  }
+
+  test("index lock: dead-holder locks are broken, unstamped debris ages out, fresh locks are honored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toFile
+    val path = new java.io.File(dir, "idx")
+    val lf = new java.io.File(dir, "idx__lock")
+    try {
+      // a holder that CRASHED leaves a lock stamped with a now-dead pid —
+      // the next mutator must break it and proceed (the r12 advice's
+      // stale-vs-slow distinction: pid liveness, not elapsed time)
+      val deadPid = Iterator.iterate(987654L)(_ + 7919)
+        .find(p => scala.util.Try(ProcessHandle.of(p).isPresent).toOption.contains(false)).get
+      java.nio.file.Files.write(lf.toPath, s"$deadPid\n".getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      val ran = SimilarityOps.withIndexLock(path) { "ran" }
+      assert(ran === "ran")
+      assert((System.nanoTime() - t0) / 1e9 < 30, "stale break must not wait out a deadline")
+      assert(!lf.exists(), "the broken + reacquired lock must be released")
+
+      // a holder that died between createNewFile and the pid stamp leaves
+      // an EMPTY lock: within the stamp grace it reads live (the stamping
+      // race), past it it is debris and must be broken
+      java.nio.file.Files.write(lf.toPath, Array.emptyByteArray)
+      assert(lf.setLastModified(
+        System.currentTimeMillis() - SimilarityOps.IndexLockStampGraceMs - 5000))
+      assert(SimilarityOps.withIndexLock(path) { 42 } === 42)
+      assert(!lf.exists())
+
+      // a LIVE holder (this JVM's pid) must be waited on, never broken —
+      // the second acquirer proceeds only once the holder releases
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val h = new Thread(() => SimilarityOps.withIndexLock(path) {
+        held.countDown(); Thread.sleep(300); order.add("holder-end"); ()
+      })
+      val w = new Thread(() => {
+        held.await()
+        SimilarityOps.withIndexLock(path) { order.add("waiter"); () }
+      })
+      h.start(); w.start(); h.join(10000); w.join(10000)
+      assert(order.toArray.toSeq === Seq("holder-end", "waiter"),
+        s"live holder must serialize, not be broken: $order")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("merge append derives the bucket spec from the catalog: a non-default index merges correctly") {
+    // r12 verdict #4: the merge writers re-hardcoded BandIndexBuckets, so an
+    // index built under any other layout would be appended WRONG (rows
+    // hashed over the wrong bucket count). appendBandRows must inherit the
+    // table's own spec — proven here on a 4-bucket index (≠ the build
+    // constant 8).
+    graft.functions.VectorFunctions.register(spark)
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    val nB = 4
+    assert(nB !== SimilarityOps.BandIndexBuckets)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_idx").toFile
+    val path = new java.io.File(dir, "idx4")
+    val t4 = "graft_band_nbtest4"
+    def bandRows(pred: org.apache.spark.sql.Column) =
+      SimilarityOps.explodeBands(SimilarityOps.withBandSketch64(
+        graft.Tables.embeddings(s, sf)
+          .select(col("vec_id"), col("embedding")).filter(pred)), Seq("srp"))
+    try {
+      if (s.catalog.tableExists(t4)) s.sql(s"DROP TABLE $t4")
+      val evens = bandRows(col("vec_id") % 2 === 0)
+      evens.repartition(nB, col("bk"), col("bv"))
+        .write.format("parquet").bucketBy(nB, "bk", "bv").sortBy("bk", "bv")
+        .option("path", path.getAbsolutePath).saveAsTable(t4)
+      val before = s.table(t4).count()
+      SimilarityOps.withIndexLock(path) {
+        SimilarityOps.appendBandRows(s, bandRows(col("vec_id") % 2 === 1), t4, path)
+      }
+      // the append wrote ONE file per catalog bucket (4), not per the
+      // build constant (8): total files = build 4 + append 4
+      val files = path.listFiles().count(_.getName.startsWith("part-"))
+      assert(files === nB * 2, s"append must write $nB files, saw ${files - nB}")
+      // spec unchanged, nothing lost, and the bucketed scan still answers
+      assert(org.apache.spark.sql.graftbridge.GraftSqlBridge.bucketSpec(s, t4)
+        === Some((nB, Seq("bk", "bv"), Seq("bk", "bv"))))
+      assert(s.table(t4).count() === before + bandRows(col("vec_id") % 2 === 1).count())
+      s.sql(s"DROP TABLE $t4")
+    } finally {
+      if (s.catalog.tableExists(t4)) s.sql(s"DROP TABLE $t4")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 
   test("embeddingNearDup degrades to the banded ANN path past the row cap (q42 scale guard)") {

@@ -36,4 +36,30 @@ class PlanDigestSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hot-split scrubs survive every sampled shape: k=2 salt arrays, cast-bearing pmod hashes") {
+    // r12 advice: the salt-array pattern [0,1,d...] missed a sampled factor
+    // of 2 (bare [0,1]) and the lazy pmod match broke on a ')' inside the
+    // hashed columns — either leaks a sample-dependent literal into a
+    // pinned digest and makes the pin flaky across approxQuantile samples
+    val pmodLine = "Output [4]: [a#3, __rb_l#7, CASE WHEN (__rb_l#7 = 7) THEN " +
+      "cast(pmod(xxhash64(cast(a#3 as bigint), b#4, 42), 3) as int) ELSE 0 END AS __rb_s#9]"
+    val n = PlanDigest.normalize(pmodLine, "/tmp/x")
+    assert(n.contains("(__rb_l# = <hot>)"), n)
+    assert(n.contains(", <k>) as int"), s"modulus must scrub despite the cast's ')': $n")
+    val salt2 = "Arguments: explode([0,1]), [x#1], false, [__rb_k#2]"
+    assert(PlanDigest.normalize(salt2, "/tmp/x").contains("[<salts>]"),
+      "a sampled salt factor of 2 must scrub like any other")
+    val salt5 = "Arguments: explode([0,1,2,3,4]), [x#1], false, [__rb_k#2]"
+    assert(PlanDigest.normalize(salt5, "/tmp/x").contains("[<salts>]"))
+    // non-__rb_ lines keep their semantic literal arrays (SRP planes,
+    // IN-lists) — the scrub must stay scoped
+    val semantic = "Arguments: filter([1,2,3], lambdafunction(x, x, false))"
+    assert(PlanDigest.normalize(semantic, "/tmp/x").contains("[1,2,3]"))
+    // the formatted plan's column-count brackets are STRUCTURE, not sample:
+    // `Output [3]:` on an __rb_ line must survive (a dropped or added
+    // column is exactly what the pin exists to catch)
+    val counted = "Output [3]: [a#1, b#2, __rb_l#7]"
+    assert(PlanDigest.normalize(counted, "/tmp/x").startsWith("Output [3]:"))
+  }
 }

@@ -168,4 +168,40 @@ class SanityGateSpec extends AnyFunSuite {
     val r = SanityGate.evaluate(obs, ref, refBytes).get
     assert(r.flagged.isEmpty && r.verdict === "ok")
   }
+
+  test("calibrated retest: an in-phase flag with an in-phase retest clears; a real regression survives") {
+    // the r12 archive's one defect, made structurally impossible: q261-shaped
+    // false flag — micro-stall put the min at 5x during the suite, the
+    // retest lands at the phase factor (1.9x) while the retest CONTROLS
+    // also read 1.9x. Against the raw record (retestEnv = 1) the old retest
+    // kept the flag; judged at the retest-time host factor it clears.
+    assert(!SanityGate.retestClears(refSec = 0.5, retestSec = 0.95, retestEnv = 1.0),
+      "the OLD uncalibrated comparison would have kept this flag (the r12 bug)")
+    assert(SanityGate.retestClears(refSec = 0.5, retestSec = 0.95, retestEnv = 1.9),
+      "judged at the retest-time host factor the in-phase flag must clear")
+    // a PERMANENT +1.2 s regression (the SLOW injection wrapper) stays past
+    // the calibrated bar even when retested inside the same 1.9x phase
+    assert(!SanityGate.retestClears(refSec = 0.2, retestSec = 0.2 * 1.9 + 1.2, retestEnv = 1.9),
+      "a permanent regression must survive its calibrated retest")
+    // the absolute-excess floor still applies: a cheap query within
+    // FlagAbsSec of its calibrated reference clears regardless of ratio
+    assert(SanityGate.retestClears(refSec = 0.1, retestSec = 0.3, retestEnv = 1.0))
+    // and a retest on a genuinely quiet host clears a weather flag outright
+    assert(SanityGate.retestClears(refSec = 0.5, retestSec = 0.55, retestEnv = 1.0))
+  }
+
+  test("mass flag events are stride-sampled for retest instead of skipped") {
+    // r12 advice #5: >cap flags (the violent-throttle shape) used to skip
+    // the retest entirely and archive sanity_ok=false unexamined
+    val flagged = (1 to 100).map(i => f"q$i%03d_x")
+    val s = SanityGate.retestSample(flagged, 40)
+    assert(s.size === 40)
+    assert(s.distinct.size === 40, "stride must not duplicate")
+    assert(s.toSet.subsetOf(flagged.toSet))
+    assert(s.head === flagged.head, "sample must start at the first flag")
+    assert(flagged.indexOf(s.last) >= 95, "sample must span the tail")
+    // at or under the cap: retest everything, no sampling
+    assert(SanityGate.retestSample(flagged.take(40), 40) === flagged.take(40))
+    assert(SanityGate.retestSample(Nil, 40) === Nil)
+  }
 }
