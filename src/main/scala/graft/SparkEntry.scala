@@ -622,6 +622,8 @@ object SparkEntry {
     "q339_nightly_dedup"       -> ((s, d) => SimilarityOps.nightlyDedupPipeline(s, d)),
     // -- the r12-advice boundary: θ=0.998 now takes the 64-bit arm (width 9) -----
     "q340_near_exact_srp64"    -> ((s, d) => SimilarityOps.nearExact998GatedNearDup(s, d)),
+    // -- incremental CC composes across nights: 2 chained deltas ≡ full truth ----
+    "q341_two_day_incremental" -> ((s, d) => SimilarityOps.semanticClustersTwoDay(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

@@ -358,6 +358,50 @@ object SimilarityOps {
     spark.read.parquet(path.getAbsolutePath)
   }
 
+  /** q341 — the incremental step COMPOSES across nights: two consecutive
+    * daily deltas applied through [[DedupOps.incrementalCC]] produce the
+    * same clustering as one full recompute (the oracle is q149's
+    * recursive-CTE twin, verbatim). Day 0 = even ids, read from the SAME
+    * persisted label table q338 uses; day 1 ingests ids ≡ 1 (mod 4) — its
+    * delta is every pair touching a day-1 id with both endpoints already
+    * arrived; day 2 ingests ids ≡ 3 (mod 4) — every remaining pair. The
+    * three pair sets partition the full pair graph (even-even pairs were
+    * solved into day 0's stored labels), so hash-equality proves the
+    * associativity a real nightly pipeline silently relies on: labels
+    * carried through N incremental nights never drift from the full
+    * truth. Day 1's output is materialized before day 2 starts (the
+    * nightly contract — each night reads the previous night's WRITTEN
+    * table), keeping the composition honest and the second contraction's
+    * input label-minimal as [[DedupOps.incrementalCC]] requires.
+    */
+  def semanticClustersTwoDay(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val l0 = ensureYesterdayLabels(spark, dir, threshold)
+    val pairs = annNearDupOn(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .persistTracked()
+    def m4(c: Column, r: Int): Column = c % 4 === r
+    def arrivedByDay1(c: Column): Column = c % 2 === 0 || m4(c, 1)
+    val d1Pairs = pairs.filter(
+      (m4(col("doc_a"), 1) || m4(col("doc_b"), 1)) &&
+        arrivedByDay1(col("doc_a")) && arrivedByDay1(col("doc_b")))
+    val d2Pairs = pairs.filter(m4(col("doc_a"), 3) || m4(col("doc_b"), 3))
+    val n1 = emb.filter(m4(col("vec_id"), 1)).select(col("vec_id").as("doc_id")).distinct()
+    val n2 = emb.filter(m4(col("vec_id"), 3)).select(col("vec_id").as("doc_id")).distinct()
+    val l1 = DedupOps.incrementalCC(spark, l0, n1, d1Pairs).localCheckpoint()
+    val l2 = try DedupOps.incrementalCC(spark, l1, n2, d2Pairs)
+      finally pairs.unpersist()
+    l2.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Top-k per group via the custom [[graft.functions.TopKByScore]]
     * `TypedImperativeAggregate`: nearest neighbours of the query vector
     * within each label, WITHOUT a full sort — each partition keeps a size-k
@@ -3023,6 +3067,7 @@ object SimilarityOps {
     "q340_near_exact_srp64" -> nearExact998NearDupOracle,
     "q149_semantic_clusters" -> semanticClustersOracle,
     "q338_incremental_cc" -> semanticClustersOracle,
+    "q341_two_day_incremental" -> semanticClustersOracle,
     "q339_nightly_dedup" -> nightlyDedupOracle,
     "q109_sql_surface" ->
       s"""SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, l2

@@ -657,6 +657,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(inc === full, "incremental CC must equal the full recompute")
     assert(inc(300L) === 300L && inc(202L) === 0L && inc(45L) === 0L,
       "bridge merges everything through the new chain into component 0; isolates self-label")
+    // CHAINED incremental (q341's synthetic twin): a SECOND night's delta
+    // applied onto the first incremental OUTPUT must still equal the full
+    // recompute — i.e. incrementalCC's output preserves the label-minimality
+    // invariant its own input contract demands, so nights compose
+    val incLabels1 = DedupOps.incrementalCC(spark, oldLabels, newNodes, delta)
+    val delta2 = Seq((100L, 300L), (400L, 401L)).toDF("doc_a", "doc_b")
+    val newNodes2 = Seq(400L, 401L).toDF("doc_id")
+    val inc2 = DedupOps.incrementalCC(spark, incLabels1, newNodes2, delta2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullNodes2 = ((0L to 30L) ++ (40L to 59L)
+      ++ Seq(100L, 200L, 201L, 202L, 300L, 400L, 401L)).toDF("doc_id")
+    val full2 = DedupOps.starLabels(fullNodes2,
+        chain2.unionByName(delta).unionByName(delta2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc2 === full2, "chained incremental CC must equal the full recompute")
+    assert(inc2(300L) === 100L && inc2(401L) === 400L,
+      "night-2 bridge merges night-1's newcomer with the old isolate; the new chain self-roots")
   }
 
   test("ANN near-dup: exact precision and >=90% recall on a true near-dup corpus (q135)") {
