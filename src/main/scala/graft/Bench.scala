@@ -151,9 +151,30 @@ object Bench {
     //    KB-sized aggregates). Must surface in sanity_plan_changed via the
     //    first-rep shuffle-bytes record even when its timing hides in host
     //    noise — the end-to-end proof of the bytes detector (r12 verdict #3).
+    //  - SPARK_GRAFT_BENCH_BURN=qNN,...: a pure-compute regression — ~32
+    //    tasks of codegen'd hashing run inside the query's timed/tallied
+    //    region, adding several seconds of executor CPU but only ~0.1-0.2 s
+    //    of wall (under the calibrated flag's absolute floor) and no
+    //    meaningful shuffle. Neither the timing flag nor the bytes check
+    //    can see it; it must surface in `sanity_cpu_changed` — the
+    //    end-to-end proof of the CPU third signal.
+    val burnSet = sys.env.get("SPARK_GRAFT_BENCH_BURN").map(_.split(",").toSet)
+    val selected4 = burnSet match {
+      case Some(names) => selected3.map { case (n, fn) =>
+        if (names.exists(n.startsWith))
+          n -> ((s: SparkSession, d: String) => {
+            s.range(0, 192L * 1000L * 1000L, 1, 32)
+              .selectExpr("max(xxhash64(xxhash64(xxhash64(id), id), id)) AS h")
+              .where("h IS NULL").count()
+            fn(s, d)
+          })
+        else n -> fn
+      }
+      case None => selected3
+    }
     val smjSet = sys.env.get("SPARK_GRAFT_BENCH_SMJ").map(_.split(",").toSet)
     val selected = smjSet match {
-      case Some(names) => selected3.map { case (n, fn) =>
+      case Some(names) => selected4.map { case (n, fn) =>
         if (names.exists(n.startsWith))
           n -> ((s: SparkSession, d: String) => {
             val s2 = org.apache.spark.sql.graftbridge.GraftSqlBridge.cloneSession(s)
@@ -163,7 +184,7 @@ object Bench {
           })
         else n -> fn
       }
-      case None => selected3
+      case None => selected4
     }
     // Per-query shuffle attribution (default ON; SPARK_GRAFT_BENCH_SHUFFLE=0
     // disables): a SparkListener tallies executor shuffle-write volume; the
@@ -173,11 +194,20 @@ object Bench {
     // cannot — so the round record always carries it.
     val tallyShuffle = !sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("0")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // Executor CPU tally (the CPU third signal, r13 — INFORMATIONAL, see
+    // SanityGate.evaluate's Scaladoc for the measured demotion: on this
+    // host a stalled query's thread-CPU inflates WITH its wall time, so
+    // the signal cannot attribute stalls; it rides the line as telemetry
+    // and names pure-compute regressions via `sanity_cpu_changed`).
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
     if (tallyShuffle) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            cpuNanos.addAndGet(m.executorCpuTime)
+          }
         }
       })
     }
@@ -197,6 +227,8 @@ object Bench {
       val bytes0 = shuffleBytes.get()
       var err = false
       var firstRepBytes = 0L
+      var prevCpu = cpuNanos.get()
+      val cpuReps = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => err = true; -1L }
@@ -208,32 +240,49 @@ object Bench {
         // could never match a reps=3 run — first-rep attribution is
         // deterministic and reps-independent, which the sanity gate's
         // plan-change check requires.
-        if (r == 1 && tallyShuffle) {
+        // per-query CPU = min over the WARM reps (2..n): rep 1's CPU
+        // includes interpreted/C1 execution before the JIT kicks in and
+        // any operator-internal cache build, both genuinely variable;
+        // warm-rep CPU is the plan-determined compute the CPU check needs.
+        if (tallyShuffle) {
           org.apache.spark.sql.graftbridge.GraftSqlBridge.waitListenerEmpty(spark)
-          firstRepBytes = shuffleBytes.get() - bytes0
+          val c = cpuNanos.get()
+          cpuReps += (c - prevCpu) / 1e9
+          prevCpu = c
+          if (r == 1) firstRepBytes = shuffleBytes.get() - bytes0
         }
         dt
       }.sorted
       val perExecBytes = firstRepBytes
+      val warmCpu: Option[Double] =
+        if (err || cpuReps.size < 2) None else Some(cpuReps.drop(1).min)
       // drop operator-internal persisted intermediates between queries — a
       // 250-query bench must not accumulate one cached frame per
       // PrefixSum/dedup call (each rep rebuilds its DataFrame from scratch,
       // so nothing released here is ever re-read)
       graft.ops.Caches.release()
-      (name, times.head, times(times.size / 2), err, perExecBytes)
+      (name, times.head, times(times.size / 2), err, perExecBytes, warmCpu)
     }
-    val qs = results.map { case (k, mn, _, _, _) => s"\"" + k + "\":" + mn }
+    val qs = results.map { case (k, mn, _, _, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, md, _, _) => s"\"" + k + "\":" + md }
+    val qsMed = results.map { case (k, _, md, _, _, _) => s"\"" + k + "\":" + md }
       .mkString("{", ",", "}")
     // a query that threw records its fail-fast time — MARKED, so it can
     // never silently shrink the headline total (the r4 artifact)
-    val errs = results.collect { case (k, _, _, true, _) => s"\"" + k + "\"" }
+    val errs = results.collect { case (k, _, _, true, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val shuffleField = if (tallyShuffle)
-      results.map { case (k, _, _, _, b) => s"\"" + k + "\":" + b }
+      results.map { case (k, _, _, _, b, _) => s"\"" + k + "\":" + b }
         .mkString(",\"queries_shuffle_bytes\":{", ",", "}")
     else ""
+    // warm-rep executor CPU seconds per query (reps >= 2 only): the raw
+    // material of the committed CPU record and the third-signal check
+    val cpuField = {
+      val defined = results.collect { case (k, _, _, _, _, Some(c)) =>
+        s"\"" + k + "\":" + (math.rint(c * 10000) / 10000) }
+      if (defined.isEmpty) ""
+      else defined.mkString(",\"queries_cpu_sec\":{", ",", "}")
+    }
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
     // SELF-ATTRIBUTING sanity verdict (the r10/r11 lesson: two consecutive
@@ -255,9 +304,12 @@ object Bench {
         val ref = graft.bench.SanityGate.readRecord(refPath)
         val refBytes = graft.bench.SanityGate.readRecord(bytesPath)
           .map { case (k, v) => k -> v.toLong }
-        val obs = results.map { case (k, mn, _, err, b) =>
+        val cpuPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPU_REF",
+          "tools/bench_cpu_ref_sf0.1.txt")
+        val refCpu = graft.bench.SanityGate.readRecord(cpuPath)
+        val obs = results.map { case (k, mn, _, err, b, c) =>
           graft.bench.SanityGate.Obs(k, mn, err,
-            if (tallyShuffle) Some(b) else None)
+            if (tallyShuffle) Some(b) else None, c)
         }
         // AUTOMATIC CALIBRATED RETEST of timing-flagged queries (the
         // adjudication three judge rounds performed by hand, now part of
@@ -278,7 +330,7 @@ object Bench {
         // calibrated, the event reads as weather for the unsampled rest
         // too (marked `sanity_retest_sampled` for the reader; a plan
         // regression is still caught by the load-immune bytes check).
-        val eval1 = graft.bench.SanityGate.evaluate(obs, ref, refBytes)
+        val eval1 = graft.bench.SanityGate.evaluate(obs, ref, refBytes, refCpu)
         val retestCap = 40
         val byName = selected.toMap
         def reTime(n: String): Double = {
@@ -315,6 +367,8 @@ object Bench {
             s""","sanity_retest_sampled":$sampled""" +
             s""","sanity_retest_cleared":${arr(r.flagged.filterNot(flagged2.toSet))}""" +
             s""","sanity_flagged":${arr(r2.flagged)}""" +
+            s""","sanity_cpu_env":${rnd(r2.cpuEnv)}""" +
+            s""","sanity_cpu_changed":${arr(r2.cpuChanged)}""" +
             s""","sanity_plan_changed":${arr(r2.planChanged)}""" +
             s""","sanity_plan_cheaper":${arr(r2.planCheaper)}""" +
             s""","sanity_verdict":"${r2.verdict}","sanity_ok":${r2.ok}"""
@@ -324,7 +378,7 @@ object Bench {
     // exactly ONE JSON line (the driver contract): per-query mins+medians
     // inline — the per-query map is what makes cross-round regression
     // attribution possible, so it must be on the line the driver captures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField$sanityField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField$cpuField$sanityField}""")
     spark.stop()
   }
 }

@@ -266,6 +266,17 @@ object Steps {
         }
       }
       walk(df.queryExecution.executedPlan)
+    // plan:<prefix> — executed plan of any registry query after one run
+    // (post-AQE: the plan the bench actually pays for)
+    case p if p.startsWith("plan:") =>
+      val pref = p.drop(5)
+      SparkEntry.queries.filter(_._1.startsWith(pref)).foreach { case (n, fn) =>
+        val q = fn(spark, dir)
+        println(s"===== $n")
+        time(n)(q.count())
+        println(q.queryExecution.executedPlan.toString.take(8000))
+        graft.ops.Caches.release()
+      }
     case "plans" =>
       for ((n, q) <- Seq[(String, org.apache.spark.sql.DataFrame)](
         ("q113", ops.CoreOps.scd2History(spark, dir)),

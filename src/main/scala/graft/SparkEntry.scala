@@ -624,6 +624,10 @@ object SparkEntry {
     "q340_near_exact_srp64"    -> ((s, d) => SimilarityOps.nearExact998GatedNearDup(s, d)),
     // -- incremental CC composes across nights: 2 chained deltas ≡ full truth ----
     "q341_two_day_incremental" -> ((s, d) => SimilarityOps.semanticClustersTwoDay(s, d)),
+    // -- MANIFEST-versioned index: pointer flip, predecessor retained, no swap ---
+    "q342_manifest_index"      -> ((s, d) => SimilarityOps.indexManifestProbeNearDup(s, d)),
+    // -- index-backed k-NN: top-k corpus neighbors per delta vector, exact twin --
+    "q343_index_knn"           -> ((s, d) => SimilarityOps.indexKnnDelta(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */

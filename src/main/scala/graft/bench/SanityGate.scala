@@ -148,11 +148,22 @@ object SanityGate {
   val PlanBytesRelTol = 0.05
   val PlanBytesAbsTol = 32768L
 
+  /** Absolute executor-CPU excess floor (seconds) for the CPU third signal
+    * — wider than [[FlagAbsSec]] because CPU is summed over up to 32
+    * concurrent task threads, so per-task scheduling jitter aggregates.
+    */
+  val CpuAbsSec = 0.5
+
   /** One benched query: min-of-reps seconds, error marker, tallied
-    * per-execution shuffle-write bytes (None when the tally is disabled).
+    * per-execution shuffle-write bytes (None when the tally is disabled),
+    * and warm-rep executor CPU seconds (None when reps < 2 — rep 1's CPU
+    * includes interpreted/C1 execution before JIT and operator-internal
+    * cache builds, so only warm reps give the stable plan-determined
+    * compute number the CPU check needs).
     */
   final case class Obs(name: String, sec: Double, err: Boolean,
-                       shuffleBytes: Option[Long])
+                       shuffleBytes: Option[Long],
+                       cpuSec: Option[Double] = None)
 
   final case class Result(
       commonN: Int,
@@ -162,7 +173,9 @@ object SanityGate {
       controlsN: Int,
       flagged: Seq[String],
       planChanged: Seq[String],
-      planCheaper: Seq[String]) {
+      planCheaper: Seq[String],
+      cpuEnv: Double = 1.0,
+      cpuChanged: Seq[String] = Nil) {
     /** Calibrated aggregate — the run's sum ratio with the measured host
       * factor divided out (informational; per-query flags gate).
       */
@@ -176,7 +189,10 @@ object SanityGate {
       else if (envRatio < EnvBand._1 || envRatio > EnvBand._2 ||
         calRatio < EnvBand._1 || calRatio > EnvBand._2) "environmental"
       else "ok"
-    /** "Did the code get slower?" — the driver-gate question. */
+    /** "Did the code get slower?" — the driver-gate question. The CPU
+      * third signal is deliberately NOT part of this (see [[evaluate]]):
+      * its load-immunity premise failed measurement on this host.
+      */
     def ok: Boolean = flagged.isEmpty && planChanged.isEmpty
   }
 
@@ -188,9 +204,33 @@ object SanityGate {
   /** Evaluate a run against the committed per-query records. Returns None
     * below 20 common queries (a subset too small to judge, same floor as
     * the old gate).
+    *
+    * `refCpu` (optional) enables the CPU THIRD SIGNAL (r13) —
+    * INFORMATIONAL ONLY, by measurement. The candidate hypothesis (STATUS
+    * r13 next-candidates) was that external host stalls inflate WALL time
+    * but not task-thread CPU time, so warm-rep executor CPU vs a committed
+    * record could attribute even a stall that reproduces inside the retest
+    * window. Measured on this host (two 24-query sf0.1 runs inside a
+    * throttle phase, 2026-08-16): a micro-stalled query's CPU inflates
+    * 22-30× TOGETHER with its wall time (q261 wall 0.69→15.4 s, cpu
+    * 0.82→18.3 s; q262 and q310 alike) — the guest's per-thread CPU
+    * accounting accrues through external preemption, so the signal has NO
+    * attribution power for exactly the stalls it was meant to attribute,
+    * and gating on it would ADD false-flag exposure during phases.
+    * [[Result.cpuChanged]] (CALIBRATED exactly like the wall check:
+    * control-median CPU factor, spread widening, time-local neighborhood)
+    * therefore rides the bench line as telemetry — it NAMES a genuine
+    * pure-compute regression (proven end-to-end by the
+    * `SPARK_GRAFT_BENCH_BURN` injection: several CPU-seconds of extra
+    * codegen'd hashing whose wall hides under [[FlagAbsSec]] and whose
+    * bytes are unchanged) — but does not gate `ok`/`verdict` until
+    * quiet-window cross-run variance data supports a gate (observed warm
+    * CPU run-to-run ratios up to 2.1× under weather — too wide to gate
+    * honestly today).
     */
   def evaluate(obs: Seq[Obs], refSec: Map[String, Double],
-               refBytes: Map[String, Long]): Option[Result] = {
+               refBytes: Map[String, Long],
+               refCpu: Map[String, Double] = Map.empty): Option[Result] = {
     val common = obs.filter(o => !o.err && refSec.contains(o.name))
     if (common.size < 20) return None
     val ctrlRatios = common.filter(o => Controls.contains(o.name))
@@ -242,8 +282,36 @@ object SanityGate {
     val planCheaper = common.collect {
       case o if bytesDelta(o).exists(_ < -tol(o.name)) => o.name
     }.sorted
+    // CPU third signal (informational — see the method Scaladoc for the
+    // measured demotion): same calibration architecture as wall time —
+    // control-median CPU factor, spread-widened threshold, time-local
+    // neighborhood over the defined subsequence in execution order. The
+    // record is warm-rep CPU, so entries are plan-determined compute.
+    val cpuDefined = common.flatMap(o => for {
+      v <- o.cpuSec; r <- refCpu.get(o.name) if r > 0
+    } yield (o.name, v, r))
+    val cpuCtrl = cpuDefined.collect {
+      case (n, v, r) if Controls.contains(n) => v / r }
+    val cpuCalibrated = cpuCtrl.size >= MinControls
+    val cpuEnv = if (cpuCalibrated) median(cpuCtrl) else 1.0
+    val cpuSpread =
+      if (cpuCalibrated && cpuEnv > 0) cpuCtrl.max / cpuEnv else 1.0
+    val cpuEff = FlagRatio * math.max(1.0, cpuSpread)
+    val cpuRatios = cpuDefined.map { case (_, v, r) => v / r }
+    def cpuLocalAt(i: Int): Double = {
+      if (!cpuCalibrated) return 1.0
+      val lo = math.max(0, i - NeighborHalfWindow)
+      val hi = math.min(cpuDefined.size - 1, i + NeighborHalfWindow)
+      math.max(cpuEnv * EnvLocalFloorFrac, median(cpuRatios.slice(lo, hi + 1)))
+    }
+    def cpuHot(i: Int): Boolean = {
+      val (_, v, r) = cpuDefined(i)
+      v > r * cpuLocalAt(i) * cpuEff && v - r * cpuLocalAt(i) > CpuAbsSec
+    }
+    val cpuChanged = cpuDefined.indices.collect {
+      case i if cpuHot(i) => cpuDefined(i)._1 }.sorted
     Some(Result(common.size, rawRatio, envRatio, ctrlSpread, ctrlRatios.size,
-      flagged, planChanged, planCheaper))
+      flagged, planChanged, planCheaper, cpuEnv, cpuChanged))
   }
 
   /** Parse a "name value" record file (the committed bench references). */

@@ -2422,6 +2422,305 @@ object SimilarityOps {
     probeIndex(s, dir, tIdx)
   }
 
+  // ================= manifest-versioned index lifecycle =================
+
+  /** The version-pointer (manifest) shape of the stored-index lifecycle —
+    * the OBJECT-STORE answer to the one reader-visibility gap the
+    * rename-aside swap design has (STATUS r13 candidate): between
+    * [[compactBandIndex]]'s two renames a CONCURRENT READER in another
+    * process can observe the live dir missing (in-process callers never
+    * can — every probe follows its mutators under one lock — but a real
+    * deployment has independent reader processes, and an object store has
+    * no atomic directory rename at all).
+    *
+    * Layout: `<root>/_GRAFT_MANIFEST` is a one-line pointer naming the
+    * ACTIVE version directory `<root>/v_NNNNNN/` (bucketed parquet files,
+    * `_GRAFT_SNAPSHOT`, merge markers — exactly the rename lifecycle's
+    * directory content, one level down). Invariants:
+    *
+    *  - the manifest is flipped only AFTER the named version dir is
+    *    COMPLETE (its snapshot marker is written/copied last), and the
+    *    flip itself is write-aside + atomic rename of the POINTER — a
+    *    reader resolving the manifest at any instant sees a whole index;
+    *  - compaction writes its rewrite DIRECTLY into the next version dir
+    *    (no staging rename), flips, re-registers the catalog table at the
+    *    new location, and RETAINS the predecessor version until the next
+    *    flip — an in-flight reader that resolved the old pointer keeps
+    *    reading intact files through the whole compaction (the grace the
+    *    rename design cannot offer: it unlinks the old dir in the same
+    *    mutation);
+    *  - crash recovery is a NO-OP by construction: a crash anywhere
+    *    leaves the pointer at the last complete version; a torn
+    *    next-version dir was never flipped to and is swept as debris by
+    *    the next mutation ([[gcVersions]]). Compare
+    *    [[recoverCompactSwap]]'s three crash-window replay — the manifest
+    *    design needs none of it, which is exactly why object-store table
+    *    formats flip manifests.
+    *
+    * At 100 TB the trade is: one extra small-file read per probe session
+    * (the pointer) and 2× transient index storage around a compaction,
+    * for zero reader stalls and no rename primitives required of the
+    * store. q342 runs build → merge → compact → probe through this
+    * lifecycle against the SAME full-recompute oracle as q330/q333, so a
+    * row lost or misrouted by the pointer machinery fails the pair-set
+    * hash; HardeningSpec proves the retention grace (a reader resolved
+    * pre-flip survives the compaction) and the debris sweep.
+    */
+  private def manifestOf(root: java.io.File) =
+    new java.io.File(root, "_GRAFT_MANIFEST")
+
+  private[graft] def activeVersionDir(root: java.io.File): Option[java.io.File] = {
+    val mf = manifestOf(root)
+    if (!mf.exists()) None
+    else {
+      val v = new String(
+        java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8").trim
+      val d = new java.io.File(root, v)
+      if (d.isDirectory) Some(d) else None
+    }
+  }
+
+  /** Atomic pointer flip: write aside, then move onto the manifest name.
+    * ATOMIC_MOVE on the same directory is a rename(2); a concurrent
+    * reader sees either the old pointer or the new one, never a torn
+    * write.
+    */
+  private def flipManifest(root: java.io.File, version: String): Unit = {
+    val tmp = new java.io.File(root, "_GRAFT_MANIFEST__next")
+    java.nio.file.Files.write(tmp.toPath, (version + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, manifestOf(root).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Next version name = max existing + 1 — debris from a crashed write
+    * (a v_* dir never flipped to) is skipped over, not reused, so a
+    * half-written dir can never be mistaken for fresh output.
+    */
+  private def nextVersionName(root: java.io.File): String = {
+    val n = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v_\\d{6}"))
+      .map(_.getName.drop(2).toInt).foldLeft(0)(math.max) + 1
+    f"v_$n%06d"
+  }
+
+  /** Sweep every version dir except `keep` (the new active + the retained
+    * predecessor): older versions have no readers left — a reader
+    * resolves the pointer at most one flip ago by the retention contract
+    * — and anything newer-numbered but unflipped is crash debris.
+    */
+  private def gcVersions(root: java.io.File, keep: Set[String]): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v_\\d{6}") &&
+        !keep(f.getName))
+      .foreach(rmrf)
+
+  /** [[ensureBandIndex]]'s manifest twin: resolve-or-build the active
+    * version, then sync the catalog entry to the manifest (another
+    * process may have flipped since this session registered the table —
+    * a catalog location pointing at a superseded version is re-registered,
+    * never trusted). Returns (table, root, whether this call built).
+    */
+  private[graft] def ensureManifestIndex(s: SparkSession, dir: String,
+      variant: String, subset: Option[Column]): (String, java.io.File, Boolean) = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tIdx = s"graft_band_${variant}_${bandIndexConstantsFp}_$sfx"
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mfx_${variant}_${bandIndexConstantsFp}_$sfx")
+    withIndexLock(root) {
+      root.mkdirs()
+      val snap = corpusSnapshot(dir)
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val rows = explodeBands(
+        withBandSketch64(subset.map(base.filter).getOrElse(base)), Seq("srp"))
+      val activeOk = activeVersionDir(root).filter { d =>
+        val m = new java.io.File(d, "_GRAFT_SNAPSHOT")
+        m.exists() && new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == snap
+      }
+      val (vDir, built) = activeOk match {
+        case Some(d) => (d, false)
+        case None =>
+          val prev = activeVersionDir(root).map(_.getName)
+          val vName = nextVersionName(root)
+          val d = new java.io.File(root, vName)
+          rmrf(d)
+          if (s.catalog.tableExists(tIdx)) s.sql(s"DROP TABLE $tIdx")
+          rows.repartition(BandIndexBuckets, col("bk"), col("bv"))
+            .write.format("parquet")
+            .bucketBy(BandIndexBuckets, "bk", "bv").sortBy("bk", "bv")
+            .option("path", d.getAbsolutePath)
+            .mode("overwrite").saveAsTable(tIdx)
+          java.nio.file.Files.write(
+            new java.io.File(d, "_GRAFT_SNAPSHOT").toPath, snap.getBytes("UTF-8"))
+          flipManifest(root, vName)
+          gcVersions(root, Set(vName) ++ prev)
+          (d, true)
+      }
+      if (!built) {
+        val registeredAt = if (s.catalog.tableExists(tIdx))
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.tableLocation(s, tIdx)
+            .map(u => new java.io.File(u).getAbsolutePath)
+        else None
+        if (!registeredAt.contains(vDir.getAbsolutePath)) {
+          if (s.catalog.tableExists(tIdx)) s.sql(s"DROP TABLE $tIdx")
+          s.sql(s"""CREATE TABLE $tIdx (${rows.schema.toDDL})
+            |USING parquet CLUSTERED BY (bk, bv) SORTED BY (bk, bv)
+            |INTO $BandIndexBuckets BUCKETS
+            |LOCATION '${vDir.getAbsolutePath}'""".stripMargin)
+        }
+      }
+      (tIdx, root, built)
+    }
+  }
+
+  /** [[compactBandIndex]]'s manifest twin: rewrite the active version to
+    * one file per bucket INTO the next version dir, flip the pointer,
+    * re-register, retain the predecessor for in-flight readers, sweep
+    * everything older. No rename of data directories, no recovery
+    * procedure — see the lifecycle Scaladoc above.
+    */
+  private[graft] def compactManifestIndex(s: SparkSession, tIdx: String,
+      root: java.io.File,
+      minFilesPerBucket: Int = CompactTriggerFilesPerBucket): Boolean =
+    withIndexLock(root) {
+      val vDir = activeVersionDir(root).getOrElse(throw new IllegalStateException(
+        s"no active manifest version under $root — build before compacting"))
+      val dataFiles = Option(vDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-"))
+      val (nBuckets, bCols, sCols) =
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.bucketSpec(s, tIdx)
+          .getOrElse(throw new IllegalStateException(
+            s"$tIdx carries no bucket spec — not a band index"))
+      if (dataFiles.length <= nBuckets.toLong * minFilesPerBucket) return false
+      val ddl = s.table(tIdx).schema.toDDL
+      val vName = nextVersionName(root)
+      val next = new java.io.File(root, vName)
+      rmrf(next)
+      val tTmp = tIdx + "_staging"
+      if (s.catalog.tableExists(tTmp)) s.sql(s"DROP TABLE $tTmp")
+      s.read.parquet(vDir.getAbsolutePath)
+        .repartition(nBuckets, bCols.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(nBuckets, bCols.head, bCols.tail: _*)
+        .sortBy(sCols.head, sCols.tail: _*)
+        .option("path", next.getAbsolutePath)
+        .mode("overwrite").saveAsTable(tTmp)
+      s.sql(s"DROP TABLE $tTmp") // external: DDL only, the staged files stay
+      // markers last, snapshot marker LAST of all: its presence is what
+      // marks the version complete, so it must land after every data file
+      Option(vDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("_GRAFT_"))
+        .sortBy(f => if (f.getName == "_GRAFT_SNAPSHOT") 1 else 0)
+        .foreach { m =>
+          java.nio.file.Files.copy(m.toPath,
+            new java.io.File(next, m.getName).toPath)
+        }
+      flipManifest(root, vName)
+      s.sql(s"DROP TABLE $tIdx")
+      s.sql(s"""CREATE TABLE $tIdx ($ddl)
+        |USING parquet CLUSTERED BY (${bCols.mkString(", ")})
+        |SORTED BY (${sCols.mkString(", ")}) INTO $nBuckets BUCKETS
+        |LOCATION '${next.getAbsolutePath}'""".stripMargin)
+      s.sql(s"REFRESH TABLE $tIdx")
+      gcVersions(root, Set(vName, vDir.getName))
+      true
+    }
+
+  /** q342 — the manifest lifecycle END-TO-END on the q330/q333 corpus
+    * construction: build the versioned index from the even half, merge
+    * the odd half into the ACTIVE version (same bucket-preserving append,
+    * marker-guarded exactly-once), compact — which here means write next
+    * version + atomic pointer flip + predecessor retention, not a
+    * directory swap — and probe. The probe must hash-match the same
+    * full-recompute oracle as the rename-lifecycle queries: the two
+    * designs are output-equivalent by construction, and this query is the
+    * executable proof.
+    */
+  def indexManifestProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tIdx, root, _) =
+      ensureManifestIndex(s, dir, "mfx", Some(col("vec_id") % 2 === 0))
+    withIndexLock(root) {
+      val vd = activeVersionDir(root).get
+      val marker = new java.io.File(vd, "_GRAFT_MERGED_oddhalf")
+      if (!marker.exists()) {
+        appendBandRows(s, explodeBands(withBandSketch64(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+              .filter(col("vec_id") % 2 === 1)), Seq("srp")), tIdx, vd)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    // force the compaction leg every first run (the merge added one file
+    // per bucket): the default trigger's fire path is q333's subject; this
+    // query's subject is the FLIP — pointer, retention, re-registration
+    compactManifestIndex(s, tIdx, root, minFilesPerBucket = 1)
+    probeIndex(s, dir, tIdx)
+  }
+
+  /** Neighbors returned per delta vector by [[indexKnnDelta]]. */
+  val KnnDeltaK = 3
+
+  /** q343 — index-backed incremental k-NN: every arriving (delta) vector
+    * gets its top-[[KnnDeltaK]] nearest CORPUS vectors through the standing
+    * band index — the retrieval query a training-data pipeline runs beside
+    * dedup (near-duplicate ATTRIBUTION: "which stored documents is this new
+    * one closest to", for provenance, contamination tracing, or
+    * routing-to-reviewer), distinct from the threshold probes (q327/q330/
+    * q333/q342) which only answer "is it a duplicate".
+    *
+    * ANN contract: top-k AMONG BAND CANDIDATES (vectors sharing ≥ 1 of the
+    * [[AnnBands]] SRP band keys) — the standard index-ANN semantic, and the
+    * oracle implements the identical candidate generation in SQL, so the
+    * comparison is exact, not recall-approximate. No Hamming pre-gate here:
+    * the gates are calibrated for the θ ≥ 0.9 dup regime, while a k-NN's
+    * 2nd/3rd neighbor legitimately sits at ANY cosine — a gate would prune
+    * true answers.
+    *
+    * Scale shape: corpus side is the stored bucketed index (zero exchange,
+    * same plan as the threshold probes), candidates are band-bounded
+    * (never delta × corpus), the exact re-rank joins only candidates, and
+    * the top-k window partitions by the DELTA id — fan-in proportional to
+    * each query's own candidate count. Ranking rounds the cosine FIRST
+    * ([[OracleMath.stableRound]] at 6 dp, ties broken by corpus id) so the
+    * order is decimal-exact across engines — the float-sum association gap
+    * between Spark and DuckDB lives below the rounding scale.
+    */
+  def indexKnnDelta(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tIdx, _, _) = ensureManifestIndex(s, dir, "knn", None)
+    val cBands = s.table(tIdx).select(col("vec_id").as("id_c"),
+      col("bk"), col("bv"))
+    val delta = withBandSketch64(perturbedDelta(s, dir)).persistTracked()
+    val dBands = explodeBands(delta, Seq.empty)
+      .select(col("vec_id").as("id_d"), col("bk"), col("bv"))
+    val cands = dBands.join(cBands, Seq("bk", "bv"))
+      .select(col("id_c"), col("id_d"))
+      .dropDuplicates("id_c", "id_d")
+    val vc = withBandSketch64(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("id_c"), col("embedding").as("emb_c"),
+        col("nrm").as("nrm_c"))
+    val vd = delta.select(col("vec_id").as("id_d"),
+      col("embedding").as("emb_d"), col("nrm").as("nrm_d"))
+    val simed = cands.join(vc, "id_c").join(vd, "id_d")
+      .withColumn("sim", OracleMath.stableRound(
+        dotp(col("emb_c"), col("emb_d")) / (col("nrm_c") * col("nrm_d")), 6))
+    import org.apache.spark.sql.expressions.Window
+    simed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id_d")).orderBy(col("sim").desc, col("id_c"))))
+      .filter(col("rank") <= KnnDeltaK)
+      .select(col("id_d"), col("rank").cast("long").as("rank"),
+        col("id_c"), col("sim"))
+      .orderBy(col("id_d"), col("rank"))
+  }
+
   /** q339 — the NIGHTLY DEDUP PIPELINE composed end-to-end, the query a
     * training-data curator actually schedules: today's batch
     * ([[perturbedDelta]]) → probe the STORED bucketed band index (q330's
@@ -2772,6 +3071,40 @@ object SimilarityOps {
        |ORDER BY id_c, id_d""".stripMargin
   }
 
+  /** q343's twin: the IDENTICAL band-candidate generation (the index-ANN
+    * contract is top-k among candidates, so the oracle reproduces the
+    * candidate set exactly — the comparison is exact, not
+    * recall-approximate), exact cosine re-rank, rounded-then-ranked
+    * ordering with the corpus id as tiebreak.
+    */
+  val indexKnnOracle: String = {
+    val multsLit = PerturbMults.map(_.toString).mkString("[", ", ", "]")
+    val unions = (0 until AnnBands).map { b =>
+      s"SELECT c.vec_id AS id_c, d.vec_id AS id_d\n" +
+        s"  FROM sigs_c c JOIN sigs_d d ON c.bv$b = d.bv$b"
+    }.mkString("\n  UNION\n  ")
+    s"""WITH delta AS MATERIALIZED (
+       |  SELECT vec_id + $PerturbIdOffset AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) * ($multsLit)[i] AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id % $PerturbEvery = 0),
+       |sigs_c AS (SELECT vec_id, $annBandColsSql FROM embeddings),
+       |sigs_d AS (SELECT vec_id, $annBandColsSql FROM delta),
+       |cand AS (
+       |  $unions),
+       |sims AS (
+       |  SELECT c.id_d, c.id_c,
+       |         ${OracleMath.stableRoundSql(cosSql("ec.embedding", "ed.embedding"), 6)} AS sim
+       |  FROM cand c
+       |  JOIN embeddings ec ON ec.vec_id = c.id_c
+       |  JOIN delta ed ON ed.vec_id = c.id_d)
+       |SELECT id_d, CAST(rn AS BIGINT) AS rank, id_c, sim FROM (
+       |  SELECT id_d, id_c, sim,
+       |         row_number() OVER (PARTITION BY id_d ORDER BY sim DESC, id_c) AS rn
+       |  FROM sims)
+       |WHERE rn <= $KnnDeltaK ORDER BY id_d, rank""".stripMargin
+  }
+
   /** The q329 twin — both sketch widths replayed over the ORIGINAL corpus,
     * the data-derived safe gate per width (max true-pair Hamming + 1), and
     * the keep fraction over the band candidates.
@@ -3059,6 +3392,10 @@ object SimilarityOps {
     // probe-after-merge must equal the full recompute — the merge proof
     "q330_band_index_merge" -> deltaNearDupOracle,
     "q333_band_index_compact" -> deltaNearDupOracle,
+    // the manifest lifecycle is output-equivalent to the rename lifecycle
+    // by construction — same full-recompute pair-set oracle proves it
+    "q342_manifest_index" -> deltaNearDupOracle,
+    "q343_index_knn" -> indexKnnOracle,
     "q329_srp_width_report" -> srpWidthReportOracle,
     "q336_srp_width_decision" -> srpWidthDecisionReportOracle,
     // the 16-bit auto-gated run must equal the UNGATED near-exact pair set —

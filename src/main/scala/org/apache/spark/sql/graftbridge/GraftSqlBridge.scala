@@ -57,6 +57,18 @@ object GraftSqlBridge {
       .bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames, b.sortColumnNames))
   }
 
+  /** A catalog table's storage location, if registered. Lets the
+    * manifest-versioned index lifecycle detect a catalog entry pointing at
+    * a SUPERSEDED version directory (another process flipped the manifest)
+    * and re-register instead of reading stale files.
+    */
+  def tableLocation(spark: SparkSession, table: String): Option[java.net.URI] = {
+    val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+    scala.util.Try(
+      state.catalog.getTableMetadata(
+        state.sqlParser.parseTableIdentifier(table)).location).toOption
+  }
+
   /** Drain the async listener bus (best-effort, bounded) — needed when a
     * SparkListener's counters are snapshotted between queries (the bench's
     * opt-in per-query shuffle attribution): task-end events are delivered

@@ -678,6 +678,78 @@ class HardeningSpec extends AnyFunSuite {
     } finally rm(scratch)
   }
 
+  test("manifest index: pointer flip retains the predecessor for in-flight readers; debris is swept; recovery is a no-op") {
+    graft.functions.VectorFunctions.register(spark)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_idx_mani").toFile
+    java.nio.file.Files.copy(new java.io.File(sf, "embeddings.parquet").toPath,
+      new java.io.File(scratch, "embeddings.parquet").toPath)
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      val (tIdx, root, built) =
+        SimilarityOps.ensureManifestIndex(s, scratch.getAbsolutePath, "mani", None)
+      assert(built)
+      val v1 = SimilarityOps.activeVersionDir(root).get
+      assert(v1.getName === "v_000001")
+      val rowsBefore = s.table(tIdx).count()
+      assert(rowsBefore > 0)
+
+      // THE case the rename-aside design structurally cannot pass: a reader
+      // in another "process" resolved the pointer BEFORE the compaction
+      // (its file listing is pinned to v1). The rename swap unlinks the old
+      // dir in the same mutation — this reader would hit ENOENT mid-scan.
+      // The manifest design retains the predecessor until the NEXT flip.
+      val pinnedReader = s.read.parquet(v1.getAbsolutePath)
+      assert(pinnedReader.inputFiles.nonEmpty) // listing resolved, pre-flip
+
+      assert(SimilarityOps.compactManifestIndex(s, tIdx, root,
+        minFilesPerBucket = 0))
+      val v2 = SimilarityOps.activeVersionDir(root).get
+      assert(v2.getName === "v_000002")
+      assert(v1.isDirectory, "predecessor must be RETAINED for in-flight readers")
+      assert(pinnedReader.count() === rowsBefore,
+        "a reader that resolved the old pointer must survive the flip intact")
+      assert(s.table(tIdx).count() === rowsBefore, "no row lost by the flip")
+      assert(new java.io.File(v2, "_GRAFT_SNAPSHOT").exists(),
+        "version markers must be carried to the new version")
+
+      // crash debris: a torn higher-numbered dir that was never flipped to
+      // must be SKIPPED for naming (never mistaken for fresh output) and
+      // swept by the next mutation's GC — and there is NO recovery
+      // procedure to run: the pointer still names a complete version
+      val debris = new java.io.File(root, "v_000007")
+      debris.mkdirs()
+      java.nio.file.Files.write(new java.io.File(debris, "part-junk").toPath,
+        Array[Byte](1, 2, 3))
+      assert(SimilarityOps.compactManifestIndex(s, tIdx, root,
+        minFilesPerBucket = 0))
+      val v8 = SimilarityOps.activeVersionDir(root).get
+      assert(v8.getName === "v_000008", "naming must skip past debris, not reuse it")
+      assert(!debris.exists(), "debris must be swept at the next flip")
+      assert(!v1.exists(), "versions older than the predecessor are GC'd")
+      assert(v2.isDirectory, "the immediate predecessor is retained")
+      assert(s.table(tIdx).count() === rowsBefore)
+
+      // catalog sync: a fresh registration (e.g. another JVM whose catalog
+      // entry points at a superseded version) is re-pointed at the active
+      // version WITHOUT a rebuild — the snapshot marker still matches
+      s.sql(s"DROP TABLE $tIdx")
+      val (_, _, built2) =
+        SimilarityOps.ensureManifestIndex(s, scratch.getAbsolutePath, "mani", None)
+      assert(!built2, "a valid manifest index must be re-registered, not rebuilt")
+      val loc = org.apache.spark.sql.graftbridge.GraftSqlBridge
+        .tableLocation(s, tIdx).map(u => new java.io.File(u).getAbsolutePath)
+      assert(loc === Some(v8.getAbsolutePath))
+      assert(s.table(tIdx).count() === rowsBefore)
+
+      s.sql(s"DROP TABLE $tIdx")
+      rm(root)
+    } finally rm(scratch)
+  }
+
   test("index lock: dead-holder locks are broken, unstamped debris ages out, fresh locks are honored") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lock").toFile
     val path = new java.io.File(dir, "idx")

@@ -190,6 +190,49 @@ class SanityGateSpec extends AnyFunSuite {
     assert(SanityGate.retestClears(refSec = 0.5, retestSec = 0.55, retestEnv = 1.0))
   }
 
+  test("cpu third signal is telemetry: names a pure-compute regression, never gates (measured demotion)") {
+    // the r13 measurement that demoted the signal: a stalled query's
+    // thread-CPU inflates WITH its wall (q261 wall 0.69→15.4 s, cpu
+    // 0.82→18.3 s), so cpu cannot attribute stalls and must not gate.
+    val refCpu = ref.map { case (k, v) => k -> v * 3.0 } // ~3 cpu-sec per wall-sec
+    def withCpu(obs: Seq[Obs], cpuScale: Double,
+                cpuOver: Map[String, Double] = Map.empty): Seq[Obs] =
+      obs.map(o => o.copy(cpuSec =
+        Some(cpuOver.getOrElse(o.name, refCpu(o.name) * cpuScale))))
+    // (a) BURN shape: wall + bytes quiet, one query's cpu 5x — NAMED in
+    // cpuChanged, but verdict stays ok (informational only)
+    val burn = withCpu(run(1.0), 1.0,
+      Map("q910_synth" -> refCpu("q910_synth") * 5))
+    val ra = SanityGate.evaluate(burn, ref, refBytes, refCpu).get
+    assert(ra.cpuChanged === Seq("q910_synth"))
+    assert(ra.verdict === "ok" && ra.ok,
+      "cpu telemetry must not gate the verdict")
+    // (b) frequency-scaled host: cpu inflates UNIFORMLY — the cpu control
+    // calibration absorbs it, nothing named
+    val freq = withCpu(run(1.0), 2.0)
+    val rb = SanityGate.evaluate(freq, ref, refBytes, refCpu).get
+    assert(rb.cpuChanged.isEmpty)
+    assert(math.abs(rb.cpuEnv - 2.0) < 0.01)
+    // (c) the measured stall shape: one query's wall AND cpu co-inflate
+    // 20x — the WALL path flags it (then the calibrated retest
+    // adjudicates); the cpu list reporting it too is consistent telemetry
+    val stall = withCpu(
+      run(1.0, over = Map("q910_synth" -> ref("q910_synth") * 20)), 1.0,
+      Map("q910_synth" -> refCpu("q910_synth") * 20))
+    val rc = SanityGate.evaluate(stall, ref, refBytes, refCpu).get
+    assert(rc.flagged === Seq("q910_synth") && rc.verdict === "regression")
+    assert(rc.cpuChanged === Seq("q910_synth"))
+    // (d) no cpu record committed (or reps=1 run): the signal is inert
+    val rd = SanityGate.evaluate(burn, ref, refBytes).get
+    assert(rd.cpuChanged.isEmpty && rd.cpuEnv === 1.0)
+    // (e) sub-floor cpu wiggle does not get named: CpuAbsSec absorbs
+    // per-task scheduling jitter aggregated over 32 threads
+    val wiggle = withCpu(run(1.0), 1.0,
+      Map("q901_synth" -> (refCpu("q901_synth") * 1.6).min(refCpu("q901_synth") + 0.4)))
+    val re = SanityGate.evaluate(wiggle, ref, refBytes, refCpu).get
+    assert(re.cpuChanged.isEmpty)
+  }
+
   test("mass flag events are stride-sampled for retest instead of skipped") {
     // r12 advice #5: >cap flags (the violent-throttle shape) used to skip
     // the retest entirely and archive sanity_ok=false unexamined

@@ -12,14 +12,19 @@ Usage: python3 tools/assemble_record.py out.txt run1.json [run2.json ...]
 Runs may include RocksDB-lane measurements: they are only ever SLOWER for
 the streaming family, so the min() merge cannot admit them unless they beat
 the default lane, which at worst tightens a batch entry.
+
+With --cpu, assembles the warm-rep executor-CPU record instead (key
+`queries_cpu_sec`, base tools/bench_cpu_ref_sf0.1.txt) under the same
+min-merge philosophy: a stall can only INFLATE thread-CPU (measured r13:
+co-inflation with wall), so min-of-runs converges on the quiet-host compute.
 """
 import json, sys
 
 
-def main(out, runs):
+def main(out, runs, key="queries", base="tools/bench_ref_sf0.1.txt"):
     old = {}
     try:
-        for line in open("tools/bench_ref_sf0.1.txt"):
+        for line in open(base):
             parts = line.split()
             if len(parts) == 2:
                 old[parts[0]] = float(parts[1])
@@ -28,7 +33,7 @@ def main(out, runs):
     obs = {}
     for r in runs:
         d = json.load(open(r))
-        for q, t in d["queries"].items():
+        for q, t in d.get(key, {}).items():
             obs.setdefault(q, []).append(float(t))
     names = sorted(set(obs) | set(old))  # carry unobserved old entries
     with open(out, "w") as f:
@@ -42,4 +47,9 @@ def main(out, runs):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--cpu"]
+    if "--cpu" in sys.argv:
+        main(args[0], args[1:], key="queries_cpu_sec",
+             base="tools/bench_cpu_ref_sf0.1.txt")
+    else:
+        main(args[0], args[1:])
