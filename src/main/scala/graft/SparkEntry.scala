@@ -628,6 +628,8 @@ object SparkEntry {
     "q342_manifest_index"      -> ((s, d) => SimilarityOps.indexManifestProbeNearDup(s, d)),
     // -- index-backed k-NN: top-k corpus neighbors per delta vector, exact twin --
     "q343_index_knn"           -> ((s, d) => SimilarityOps.indexKnnDelta(s, d)),
+    // -- SRP band-index recall@k vs exact top-k (the q161 audit, band family) ----
+    "q344_band_recall"         -> ((s, d) => SimilarityOps.bandIndexRecall(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver oracle). */
