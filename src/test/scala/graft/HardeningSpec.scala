@@ -678,6 +678,46 @@ class HardeningSpec extends AnyFunSuite {
     } finally rm(scratch)
   }
 
+  test("manifest index identity: regenerated corpus flips to a fresh version; merge state cannot leak across generations") {
+    graft.functions.VectorFunctions.register(spark)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_idx_mident").toFile
+    val dst = new java.io.File(scratch, "embeddings.parquet").toPath
+    java.nio.file.Files.copy(new java.io.File(sf, "embeddings.parquet").toPath, dst)
+    val s = spark.newSession()
+    graft.functions.VectorFunctions.register(s)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      val (t1, root, built1) =
+        SimilarityOps.ensureManifestIndex(s, scratch.getAbsolutePath, "mide", None)
+      assert(built1, "first call must build")
+      val (_, _, built2) =
+        SimilarityOps.ensureManifestIndex(s, scratch.getAbsolutePath, "mide", None)
+      assert(!built2, "unchanged corpus must resolve the active version")
+      val v1 = SimilarityOps.activeVersionDir(root).get
+      // a per-batch merge marker in the active version: the corpus
+      // regeneration below must leave it BEHIND in the superseded version
+      // — under the manifest design batch state is version-scoped, so a
+      // rebuild cannot inherit it (the rename design had to delete
+      // markers explicitly; here isolation is structural)
+      java.nio.file.Files.write(
+        new java.io.File(v1, "_GRAFT_MERGED_gen1").toPath, Array.emptyByteArray)
+      assert(dst.toFile.setLastModified(dst.toFile.lastModified() + 2000))
+      val (t3, _, built3) =
+        SimilarityOps.ensureManifestIndex(s, scratch.getAbsolutePath, "mide", None)
+      assert(built3, "regenerated corpus must force a rebuild")
+      assert(t1 === t3)
+      val v2 = SimilarityOps.activeVersionDir(root).get
+      assert(v2.getName !== v1.getName, "rebuild must land in a NEW version")
+      assert(!new java.io.File(v2, "_GRAFT_MERGED_gen1").exists(),
+        "old-generation merge state must not leak into the new version")
+      assert(s.table(t3).count() > 0)
+      s.sql(s"DROP TABLE $t3")
+      rm(root)
+    } finally rm(scratch)
+  }
+
   test("manifest index: pointer flip retains the predecessor for in-flight readers; debris is swept; recovery is a no-op") {
     graft.functions.VectorFunctions.register(spark)
     val scratch = java.nio.file.Files.createTempDirectory("graft_idx_mani").toFile
