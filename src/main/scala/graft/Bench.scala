@@ -356,6 +356,13 @@ object Bench {
           val flagged2 =
             if (sampled && cleared.size == sample.size) Nil // unanimous: weather
             else r.flagged.filterNot(cleared.toSet)
+          // names cleared by INFERENCE only (mass-flag event, never re-timed):
+          // emitted so a persistent straggler hiding in an unsampled clear is
+          // visible to the next round's reader (r13 advice — a timing-only
+          // regression confined to unsampled queries that coincides with a
+          // throttle phase would otherwise be archived as ok untraceably).
+          val uncovered =
+            if (sampled) r.flagged.filterNot(sample.toSet) else Nil
           val r2 = r.copy(flagged = flagged2)
           def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
           def rnd(x: Double) = math.rint(x * 10000) / 10000
@@ -366,6 +373,7 @@ object Bench {
             s""","sanity_retest_env":${rnd(retestEnv)}""" +
             s""","sanity_retest_sampled":$sampled""" +
             s""","sanity_retest_cleared":${arr(r.flagged.filterNot(flagged2.toSet))}""" +
+            s""","sanity_retest_uncovered":${arr(uncovered)}""" +
             s""","sanity_flagged":${arr(r2.flagged)}""" +
             s""","sanity_cpu_env":${rnd(r2.cpuEnv)}""" +
             s""","sanity_cpu_changed":${arr(r2.cpuChanged)}""" +

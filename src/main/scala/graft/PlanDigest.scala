@@ -81,22 +81,27 @@ object PlanDigest {
       // number-run scrub would also mask SEMANTIC literal arrays (SRP/Weyl
       // plane constants, big IN-lists), silencing real drift in those
       .split("\n", -1).map { l =>
-        if (l.contains("__rb_"))
-          l.replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
+        if (l.contains("__rb_")) {
+          var cur = l.replaceAll("-?\\d{6,}(,\\s*-?\\d{6,})+", "<bounds>")
             // hot-bucket split literals are MEASURED from the same sampled
             // quantiles (bucket id, salt factor, salt array) — placement
             // only, like the bounds; pin the split's SHAPE, not the sample
             .replaceAll("\\(__rb_([lr])# = \\d+\\)", "(__rb_$1# = <hot>)")
-            // the salt modulus: GREEDY to the last ", <int>)" so embedded
-            // parens inside the hashed columns (casts etc.) cannot truncate
-            // the match and leak the sampled factor (r12 advice); and the
-            // salt array at ANY factor — k = 2 produces the bare [0,1] the
-            // old [0,1,d...] pattern missed. ≥ 2 elements required so the
-            // formatted plan's column-count brackets (`Output [3]:`) keep
-            // pinning plan structure; a salt array always has ≥ 2 salts.
-            .replaceAll("(pmod\\(xxhash64\\(.*\\), )\\d+\\)", "$1<k>)")
-            .replaceAll("\\[\\d+(,\\s*\\d+)+\\]", "[<salts>]")
-        else l
+          // the salt modulus, scrubbed PER pmod OCCURRENCE by an explicit
+          // paren walk (r13 advice: the old greedy regex spanned to the
+          // LAST ", <int>)" on the line, so a line carrying two salted
+          // pmods leaked the earlier factor; a reluctant regex instead
+          // truncates at parens inside the hashed columns — the r12 bug.
+          // The walk finds each `pmod(xxhash64(` span's matching close and
+          // rewrites exactly its trailing ", <int>)", never a literal
+          // inside the hashed arguments).
+          cur = scrubPmodModuli(cur)
+          // the salt array at ANY factor — k = 2 produces the bare [0,1] the
+          // old [0,1,d...] pattern missed. ≥ 2 elements required so the
+          // formatted plan's column-count brackets (`Output [3]:`) keep
+          // pinning plan structure; a salt array always has ≥ 2 salts.
+          cur.replaceAll("\\[\\d+(,\\s*\\d+)+\\]", "[<salts>]")
+        } else l
       }.mkString("\n")
       // HOF lambda variable names carry a session-global counter (x_4 vs
       // x_130 depending on what ran before) — scrub the counter for the
@@ -107,6 +112,41 @@ object PlanDigest {
       // <bounds> scoping above closed).
       .replaceAll("\\b([xyz])_\\d+#", "$1_#")
       .replaceAll("(?m)\\s+$", "")
+
+  /** Scrub the sampled salt modulus of every `pmod(xxhash64(...), k)` on
+    * the line to `<k>`: for each occurrence, walk to the pmod's matching
+    * close paren and rewrite exactly the trailing `, <int>)` — inner
+    * literals (xxhash64 seeds, casts) are untouchable by construction.
+    */
+  private[graft] def scrubPmodModuli(l: String): String = {
+    val marker = "pmod(xxhash64("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < l.length) {
+      val at = l.indexOf(marker, i)
+      if (at < 0) { sb.append(l.substring(i)); i = l.length }
+      else {
+        sb.append(l.substring(i, at))
+        var depth = 0
+        var j = at + 4 // index of pmod's '('
+        var end = -1
+        while (j < l.length && end < 0) {
+          l.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (end < 0) { sb.append(l.substring(at)); i = l.length }
+        else {
+          sb.append(l.substring(at, end + 1).replaceAll(", \\d+\\)$", ", <k>)"))
+          i = end + 1
+        }
+      }
+    }
+    sb.toString
+  }
 
   /** The session shape the snapshots are pinned under — MUST match the test
     * session (`TestSpark`): partition counts appear inside Exchange nodes.

@@ -410,15 +410,120 @@ object Steps {
       val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
       val lp = time("labelProp")(ops.DedupOps.labelPropagation(nodes, edges, 8))
       println("labelProp converged: " + lp.isDefined)
+    case "streamprog" =>
+      // per-microbatch duration breakdown of a representative streaming query
+      import org.apache.spark.sql.streaming.Trigger
+      graft.streaming.EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2)
+      val nParts = sys.env.getOrElse("PROBE_STATE_PARTS", "2").toInt
+      (1 to 3).foreach { rep =>
+        val name = "graft_probe_sesswin_" + nParts + "_" + rep
+        graft.streaming.StreamJoinOps.withStatePartitions(spark, nParts) { s =>
+          val t0 = System.nanoTime()
+          val q = s.readStream
+            .schema(graft.streaming.SessionStream.rawSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(graft.streaming.EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2))
+            .withColumn("ts", date_trunc("second", timestamp_micros(col("ts"))))
+            .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("spend_cents"))
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          println(f"[stream] rep $rep total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          q.recentProgress.foreach { p =>
+            println(s"[batch ${p.batchId}] rows=${p.numInputRows} durationMs=${p.durationMs}")
+          }
+        }
+      }
+    case "ensureparts" =>
+      graft.functions.VectorFunctions.register(spark)
+      // warm everything once
+      time("q342 cold")(SparkEntry.queries("q342_manifest_index")(spark, dir).count())
+      (1 to 2).foreach { i =>
+        val s = spark.newSession()
+        graft.functions.VectorFunctions.register(s)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (tIdx, root, _) = time(s"ensureManifestIndex mfx $i")(
+          ops.SimilarityOps.ensureManifestIndex(s, dir, "mfx", Some(col("vec_id") % 2 === 0)))
+        time(s"probeIndex $i")(ops.SimilarityOps.probeIndex(s, dir, tIdx).count())
+      }
+      time("q342 warm")(SparkEntry.queries("q342_manifest_index")(spark, dir).count())
+      time("q343 warm")(SparkEntry.queries("q343_index_knn")(spark, dir).count())
+      time("q339 warm")(SparkEntry.queries("q339_nightly_dedup")(spark, dir).count())
+    case "q341parts" =>
+      graft.functions.VectorFunctions.register(spark)
+      import graft.ops.SimilarityOps
+      // warm the caches/codegen once
+      time("q341 cold")(SparkEntry.queries("q341_two_day_incremental")(spark, dir).count())
+      time("q341 warm")(SparkEntry.queries("q341_two_day_incremental")(spark, dir).count())
+      // phase decomposition (warm): ann pairs, per-day incrementalCC, window
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+      time("ylab read")(println("ylab rows=" +
+        spark.read.parquet(new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_ylab_0_35_" + "x").getParentFile.listFiles()
+          .filter(_.getName.startsWith("graft_ylab_0_35_")).head.getAbsolutePath).count()))
+      val pairs = ops.SimilarityOps.annNearDup(spark, dir, 0.35)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).persist()
+      time("ann pairs materialize")(println("pairs=" + pairs.count()))
+      time("ann pairs again")(pairs.count())
+      time("q341 warm2")(SparkEntry.queries("q341_two_day_incremental")(spark, dir).count())
+      time("q341 warm3")(SparkEntry.queries("q341_two_day_incremental")(spark, dir).count())
+    case jq if jq.startsWith("plansdump:") =>
+      // plansdump:<outdir>:<suffix>:<prefix,prefix,...> — write each query's
+      // POST-EXECUTION .explain("formatted") (the AQE-final plan) to
+      // <outdir>/<name>_<suffix>.txt (the r14 optimization-evidence files)
+      val Array(outDir, suffix, prefixStr) = jq.drop(10).split(":", 3)
+      val prefixes = prefixStr.split(",")
+      val od = new java.io.File(outDir); od.mkdirs()
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => prefixes.exists(n.startsWith)).foreach { n =>
+          val df = SparkEntry.queries(n)(spark, dir)
+          df.count() // execute so AQE finalizes
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val f = new java.io.File(od, s"${n}_$suffix.txt")
+          val w = new java.io.PrintWriter(f, "UTF-8")
+          try w.write(plan) finally w.close()
+          println(s"[plansdump] wrote ${f.getPath} (${plan.length} chars)")
+          ops.Caches.release()
+        }
+    case jq if jq.startsWith("warm:") =>
+      // warm-vs-cold timing for a comma-separated prefix list, one JVM
+      val prefixes = jq.drop(5).split(",")
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => prefixes.exists(n.startsWith))
+      names.foreach { n =>
+        time(s"$n cold")(SparkEntry.queries(n)(spark, dir).count())
+        time(s"$n warm")(SparkEntry.queries(n)(spark, dir).count())
+        time(s"$n warm2")(SparkEntry.queries(n)(spark, dir).count())
+        ops.Caches.release()
+      }
     case jq if jq.startsWith("jobtrace:") && SparkEntry.queries.contains(jq.drop(9)) =>
-      // per-job callsite trace — where does a loop query's job count go?
+      // per-job callsite + duration trace — where does a loop query's job
+      // count (and wall) go? Second run is traced (warm: caches + codegen).
       val name = jq.drop(9)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      @volatile var trace = false
+      @volatile var traceT0 = 0L
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          println(s"[job ${e.jobId}] ${Option(e.properties.getProperty("callSite.short")).getOrElse("?")} (${e.stageInfos.size} stages)")
+          if (trace) {
+            val cs = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
+            starts.put(e.jobId, (System.nanoTime(), cs, e.stageInfos.size)); ()
+          }
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (trace) Option(starts.get(e.jobId)).foreach { case (t0, cs, ns) =>
+            println(f"[job ${e.jobId}%3d] t=${(t0 - traceT0) / 1e9}%7.3f +${(System.nanoTime() - t0) / 1e9}%6.3f s  $ns%2d stages  $cs")
+          }
         }
       })
-      time(name)(SparkEntry.queries(name)(spark, dir).count())
+      time(s"$name cold")(SparkEntry.queries(name)(spark, dir).count())
+      trace = true
+      traceT0 = System.nanoTime()
+      time(s"$name warm")(SparkEntry.queries(name)(spark, dir).count())
       Thread.sleep(500)
     case jq if jq.startsWith("jobs:") && SparkEntry.queries.contains(jq.drop(5)) =>
       // Spark-job count for any registry query — the wall-clock-independent

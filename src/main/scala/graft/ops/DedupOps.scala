@@ -450,9 +450,19 @@ object DedupOps {
     val cands = aPref.join(postings, "tok")
       .filter(col("doc_a") =!= col("doc_b") && col("sz_b") * tDen >= col("sz_a") * tNum)
       .select(col("doc_a"), col("doc_b")).distinct()
+    // verify sides PINNED through the measured byte gate like every other
+    // near-dup verify join (q38/q39's discipline) — r14: leaving them to
+    // AQE's runtime size estimates made the plan BIMODAL (the estimate sat
+    // near the broadcast threshold, so reps flipped BHJ↔SMJ: first-rep
+    // shuffle bytes 251,160 vs 1,334,645 — the record-pairing artifact
+    // behind three consecutive false "regression" archives). One scalar agg
+    // on the cached ids makes the choice deterministic at every SF.
+    val est = estIdBytes(ids)
     cands
-      .join(ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sza")), "doc_a")
-      .join(ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("szb")), "doc_b")
+      .join(gatedVerifySide(
+        ids.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sza")), est), "doc_a")
+      .join(gatedVerifySide(
+        ids.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("szb")), est), "doc_b")
       .withColumn("inter", sortedIntersectSize(col("ws_a"), col("ws_b")).cast("long"))
       .filter(col("inter") * tDen >= col("sza") * tNum)
       .withColumn("c_r", OracleMath.stableRound(col("inter").cast("double") / col("sza"), 4))
@@ -1067,22 +1077,35 @@ object DedupOps {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
       .distinct()
-    val cEdges = contracted.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persistTracked()
-    val nDelta = cEdges.count()
-    val cNodes = cEdges.select(col("src").as("doc_id")).distinct()
+    // CANONICAL pairs are persisted/counted (not the symmetric explode, r14:
+    // the explode doubled the cached rows and the union-find path — the one
+    // every delta under [[SingleTaskCCMaxEdges]] takes — immediately
+    // filtered it back to src < dst; only the distributed loop needs
+    // symmetric edges, so they are derived on demand in that branch).
+    val nPairs = contracted.count()
+    val longIds = contracted.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     // roots of the contracted graph: old-label → merged component minimum.
-    // Checkpointed BEFORE the caches release: ccLabels' output plan still
-    // references its node frame (here derived from cEdges), so a lazy
-    // return would re-derive the contracted graph — and transitively the
-    // caller's whole pair pipeline — in the final action, after both
-    // caches are gone (measured: 2× the ann build, 40 vs 20 jobs on q338).
-    // The frame is delta-node-sized, so the eager cut is cheap.
-    val roots = try ccLabels(spark, nDelta, cNodes, cEdges).localCheckpoint()
-      finally cEdges.unpersist()
+    // Checkpointed BEFORE the caches release: a lazy return would re-derive
+    // the contracted graph — and transitively the caller's whole pair
+    // pipeline — in the final action, after the cache is gone (measured: 2×
+    // the ann build, 40 vs 20 jobs on q338). The frame is delta-node-sized,
+    // so the eager cut is cheap. On the union-find path the node set is
+    // EXACTLY the pair endpoints (contracted nodes exist only inside pairs),
+    // so [[singleTaskCC]]'s singleton join-back is the identity here —
+    // [[singleTaskUF]] skips it and its extra checkpoint job outright.
+    val roots = try {
+      if (nPairs * 2 <= SingleTaskCCMaxEdges && longIds) singleTaskUF(contracted)
+      else {
+        val cEdges = contracted.select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val cNodes = cEdges.select(col("src").as("doc_id")).distinct()
+        ccLabels(spark, nPairs * 2, cNodes, cEdges).localCheckpoint()
+      }
+    } finally contracted.unpersist()
     val rootMap = roots.select(col("doc_id").as("__from"), col("label").as("__root"))
     val allNodes = oldLabels.select(col("doc_id"), col("label"))
       .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("label")))
@@ -1103,10 +1126,25 @@ object DedupOps {
     * identical to the loop's fixpoint.
     */
   private[graft] def singleTaskCC(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val lbl = singleTaskUF(pairs)
+    nodes.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+  }
+
+  /** The union-find core of [[singleTaskCC]]: component-minimum labels for
+    * every PAIR ENDPOINT, localCheckpoint'ed (delta-sized, eager by
+    * design). Callers whose node set is exactly the endpoints — the
+    * [[incrementalCC]] contraction, where every contracted node exists only
+    * because it sits inside a pair — use this directly and skip the
+    * singleton join-back (which is the identity there) plus its extra
+    * checkpoint job.
+    */
+  private[graft] def singleTaskUF(pairs: DataFrame): DataFrame = {
     val sess = pairs.sparkSession
     import sess.implicits._
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
-    val lbl = pairs.select(col(ca), col(cb)).as[(Long, Long)]
+    pairs.select(col(ca), col(cb)).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -1128,9 +1166,6 @@ object DedupOps {
       }
       .toDF("doc_id", "label")
       .localCheckpoint()
-    nodes.select(col("doc_id"))
-      .join(lbl, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** Min-label propagation with pointer jumping over a symmetric edge set.

@@ -405,7 +405,7 @@ object EventOps {
     * operator; a cached mutated table would break re-runs.
     */
   def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val base = sys.props("java.io.tmpdir") + s"/graft_dynpo_${math.abs(dir.hashCode)}"
+    val base = Staging.perRunRoot + s"/graft_dynpo_${math.abs(dir.hashCode)}"
     val tbl = base + "/events_days"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

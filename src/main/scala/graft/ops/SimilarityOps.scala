@@ -332,28 +332,38 @@ object SimilarityOps {
       threshold: Double): DataFrame = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
     val thr = threshold.toString.replaceAll("[^0-9]", "_")
+    // [[bandIndexConstantsFp]] in the path (r13 advice): the labels are
+    // solved over [[annNearDupOn]]'s banding, so a sketch-constant change
+    // must invalidate them exactly as it invalidates the band indexes —
+    // the snapshot marker alone only covers the CORPUS, not the banding.
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ylab_${thr}_$sfx")
+      s"graft_ylab_${thr}_${bandIndexConstantsFp}_$sfx")
     val snap = corpusSnapshot(dir)
     val markerF = new java.io.File(path, "_GRAFT_SNAPSHOT")
-    val markerOk = markerF.exists() &&
+    def markerOk = markerF.exists() &&
       new String(java.nio.file.Files.readAllBytes(markerF.toPath), "UTF-8") == snap
-    if (!markerOk) {
-      def even(c: Column): Column = c % 2 === 0
-      val evens = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).filter(even(col("vec_id")))
-      val oldNodes = evens.select(col("vec_id").as("doc_id")).distinct()
-      val oldEdges = annNearDupOn(evens, threshold)
-        .select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persistTracked()
-      val nOld = oldEdges.count()
-      try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
-        .write.mode("overwrite").parquet(path.getAbsolutePath)
-      finally oldEdges.unpersist()
-      java.nio.file.Files.write(markerF.toPath, snap.getBytes("UTF-8"))
+    // rebuild-check + write under the index lock (r13 advice: this was the
+    // one tmp-index mutator not serialized — two processes could overwrite
+    // or read the parquet mid-write); re-check under the lock so the loser
+    // of the race reads the winner's table instead of rebuilding it.
+    if (!markerOk) withIndexLock(path) {
+      if (!markerOk) {
+        def even(c: Column): Column = c % 2 === 0
+        val evens = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding")).filter(even(col("vec_id")))
+        val oldNodes = evens.select(col("vec_id").as("doc_id")).distinct()
+        val oldEdges = annNearDupOn(evens, threshold)
+          .select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .persistTracked()
+        val nOld = oldEdges.count()
+        try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
+          .write.mode("overwrite").parquet(path.getAbsolutePath)
+        finally oldEdges.unpersist()
+        java.nio.file.Files.write(markerF.toPath, snap.getBytes("UTF-8"))
+      }
     }
     spark.read.parquet(path.getAbsolutePath)
   }
@@ -380,10 +390,17 @@ object SimilarityOps {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
     val l0 = ensureYesterdayLabels(spark, dir, threshold)
-    val pairs = annNearDupOn(
+    // persist (reps re-read the verified pair set through the cache) AND
+    // localCheckpoint (r14): the pair set feeds BOTH days' contractions, so
+    // five downstream actions used to re-ANALYZE the whole banding+verify
+    // tree (~0.1-0.3 s of driver planning each on a plan this wide) — the
+    // eager cut replaces that with one cache-read job and makes every
+    // downstream plan delta-sized.
+    val pairs0 = annNearDupOn(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .persistTracked()
+    val pairs = pairs0.localCheckpoint()
     def m4(c: Column, r: Int): Column = c % 4 === r
     def arrivedByDay1(c: Column): Column = c % 2 === 0 || m4(c, 1)
     val d1Pairs = pairs.filter(
@@ -394,7 +411,7 @@ object SimilarityOps {
     val n2 = emb.filter(m4(col("vec_id"), 3)).select(col("vec_id").as("doc_id")).distinct()
     val l1 = DedupOps.incrementalCC(spark, l0, n1, d1Pairs).localCheckpoint()
     val l2 = try DedupOps.incrementalCC(spark, l1, n2, d2Pairs)
-      finally pairs.unpersist()
+      finally pairs0.unpersist()
     l2.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -2077,7 +2094,12 @@ object SimilarityOps {
     */
   private[graft] lazy val bandIndexConstantsFp: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"bands=$AnnBands;rpb=$AnnRowsPerBand;".getBytes("UTF-8"))
+    // BandIndexBuckets is part of the identity (r13 advice): the manifest
+    // re-register path bakes the CURRENT constant into CREATE TABLE DDL, so
+    // a bucket-count change re-registering old files under a new count would
+    // silently mis-prune probes unless the count changes the index NAME too.
+    md.update(s"bands=$AnnBands;rpb=$AnnRowsPerBand;buckets=$BandIndexBuckets;"
+      .getBytes("UTF-8"))
     (0 until AnnBands * AnnRowsPerBand).foreach { i =>
       hyperplane(i).foreach(x =>
         md.update(java.lang.Double.toString(x).getBytes("UTF-8")))
@@ -2183,9 +2205,14 @@ object SimilarityOps {
         col("srp_c").bitwiseXOR(col("srp_d"))) <= lit(Srp64GateMaxH))
       .select(col("id_c"), col("id_d"))
       .dropDuplicates("id_c", "id_d")
-    val vc = withBandSketch64(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .select(col("vec_id").as("id_c"), col("embedding").as("emb_c"), col("nrm").as("nrm_c"))
+    // corpus verify side needs ONLY (embedding, norm) — the band keys and
+    // SRP sketch come from the stored index rows, so running the 32-plane
+    // signature + 64-bit sketch over the whole corpus here (r14 finding:
+    // withBandSketch64 did exactly that) was pure wasted compute, ~33
+    // dot-products per corpus vector per probe.
+    val vc = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id_c"), col("embedding").as("emb_c"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm_c"))
     val vd = delta.select(col("vec_id").as("id_d"),
       col("embedding").as("emb_d"), col("nrm").as("nrm_d"))
     cands.join(vc, "id_c").join(vd, "id_d")
@@ -2779,10 +2806,11 @@ object SimilarityOps {
     val cands = dBands.join(cBands, Seq("bk", "bv"))
       .select(col("id_c"), col("id_d"))
       .dropDuplicates("id_c", "id_d")
-    val vc = withBandSketch64(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    // only (embedding, norm) — band keys come from the stored index (same
+    // r14 wasted-compute finding as [[probeIndex]])
+    val vc = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id_c"), col("embedding").as("emb_c"),
-        col("nrm").as("nrm_c"))
+        sqrt(dotp(col("embedding"), col("embedding"))).as("nrm_c"))
     val vd = delta.select(col("vec_id").as("id_d"),
       col("embedding").as("emb_d"), col("nrm").as("nrm_d"))
     val simed = cands.join(vc, "id_c").join(vd, "id_d")

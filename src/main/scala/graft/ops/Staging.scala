@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Staging {
 
+  /** Root for PER-RUN scratch output (deleted and rewritten every call —
+    * q100's sink+checkpoint, q130's overwrite table): tmpfs when the host
+    * offers it, else `java.io.tmpdir` — the same placement decision the
+    * streaming checkpoints already make (StreamJoinOps: "checkpoint to the
+    * fast reliable store"). Idempotent STAGED dirs deliberately stay under
+    * `java.io.tmpdir`: they persist across runs and tmpfs does not.
+    */
+  lazy val perRunRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm" else sys.props("java.io.tmpdir")
+  }
+
   /** Run `write` unless `base` already holds a completed stage; returns
     * `base`. `dataPaths` are base-relative paths that must exist for the
     * stage to count as complete (the marker alone is not trusted).

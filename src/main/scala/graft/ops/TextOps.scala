@@ -986,6 +986,13 @@ object TextOps {
     // cache fills on the round's first action and the previous generation
     // is released as soon as the next is materialized.
     var grams = gramsOf(cur).persistTracked()
+    // materialize generation 1 EAGERLY (r14): the first round's action plan
+    // references `grams` twice (the df agg subtree and the hits join side),
+    // and AQE runs those shuffle stages CONCURRENTLY — on a cold cache both
+    // race to build it and the expensive explode+concat projection runs
+    // twice (measured: two parallel ~1 s jobs doing identical work). One
+    // count fills the cache once; every later generation already does this.
+    grams.count()
     // FRONTIER dup detection (rounds ≥ 2): a new duplicated gram must have
     // ≥ 1 occurrence in a doc the previous round REBUILT. Proof: a doc left
     // untouched by round r contains no round-r duplicated gram (hits cover
@@ -1011,7 +1018,11 @@ object TextOps {
         .distinct()
         .persistTracked()
       val rem = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("rr"))
-      if (hits.isEmpty) {
+      // count(), not isEmpty() (r14): isEmpty is a limit-1 that materializes
+      // ONE cache partition; the rebuild's three concurrent AQE stages then
+      // raced to fill the rest, re-running the hits distinct in parallel.
+      // A full count fills the cache in one job and the branch is the same.
+      if (hits.count() == 0L) {
         converged = true
         hits.unpersist()
       } else {

@@ -301,11 +301,11 @@ object StreamJoinOps {
     * oracled).
     */
   private[graft] def sinkOutDir(dir: String): String =
-    sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}/out"
+    graft.ops.Staging.perRunRoot + s"/graft_ssink_${math.abs(dir.hashCode)}/out"
 
   def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
     val srcDir = stageStreamDirMulti(spark, dir)
-    val base = sys.props("java.io.tmpdir") + s"/graft_ssink_${math.abs(dir.hashCode)}"
+    val base = graft.ops.Staging.perRunRoot + s"/graft_ssink_${math.abs(dir.hashCode)}"
     val out = sinkOutDir(dir)
     val chk = base + "/_chk"
     val fs = new org.apache.hadoop.fs.Path(base)

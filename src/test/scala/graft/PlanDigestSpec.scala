@@ -61,5 +61,14 @@ class PlanDigestSpec extends AnyFunSuite {
     // column is exactly what the pin exists to catch)
     val counted = "Output [3]: [a#1, b#2, __rb_l#7]"
     assert(PlanDigest.normalize(counted, "/tmp/x").startsWith("Output [3]:"))
+    // r13 advice: a line carrying TWO salted pmods (left- and right-side
+    // salt columns in one Project) must scrub BOTH moduli — the greedy
+    // single pass only replaced the last one, leaking the earlier factor
+    val twoPmod = "Output [5]: [a#3, __rb_l#7, " +
+      "pmod(xxhash64(cast(a#3 as bigint), 42), 3) AS __rb_sl#9, " +
+      "pmod(xxhash64(b#4, 42), 5) AS __rb_sr#10]"
+    val n2 = PlanDigest.normalize(twoPmod, "/tmp/x")
+    assert("<k>\\)".r.findAllIn(n2).size == 2,
+      s"both salt moduli must scrub on a two-pmod line: $n2")
   }
 }
