@@ -365,7 +365,13 @@ object Bench {
             if (sampled) r.flagged.filterNot(sample.toSet) else Nil
           val r2 = r.copy(flagged = flagged2)
           def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-          def rnd(x: Double) = math.rint(x * 10000) / 10000
+          // finite-guard (r15): a NaN/Infinity ratio (conceivable only if a
+          // record file went empty or a control hit zero) would emit a bare
+          // NaN token — the one way a Double corrupts the JSON line
+          def rnd(x: Double) = {
+            val r = math.rint(x * 10000) / 10000
+            if (java.lang.Double.isFinite(r)) r else -1.0
+          }
           s""","sanity_common_n":${r2.commonN},"sanity_vs_ref":${rnd(r2.rawRatio)}""" +
             s""","sanity_env_ratio":${rnd(r2.envRatio)},"sanity_vs_ref_cal":${rnd(r2.calRatio)}""" +
             s""","sanity_ctrl_spread":${rnd(r2.ctrlSpread)}""" +
@@ -385,8 +391,14 @@ object Bench {
     }
     // exactly ONE JSON line (the driver contract): per-query mins+medians
     // inline — the per-query map is what makes cross-round regression
-    // attribution possible, so it must be on the line the driver captures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField$cpuField$sanityField}""")
+    // attribution possible, so it must be on the line the driver captures.
+    // The line is strict-parse-validated before printing (r13 archived
+    // parsed:null for a whole round; see graft.bench.ContractLine) — on
+    // failure a Jackson-built minimal line ships instead.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_median":$totalMed,"queries_median":$qsMed,"errors":$errs$shuffleField$cpuField$sanityField}"""
+    println(graft.bench.ContractLine.ensureParseable(line,
+      graft.bench.ContractLine.fallback(total, results.map(r => r._1 -> r._2),
+        sfDir, reps, results.collect { case (k, _, _, true, _, _) => k })))
     spark.stop()
   }
 }

@@ -138,7 +138,14 @@ object PlanDigest {
           }
           j += 1
         }
-        if (end < 0) { sb.append(l.substring(at)); i = l.length }
+        // unterminated span (wrapped/truncated explain line): still scrub
+        // any ", <int>)" in the remainder — over-scrubbing degrades to a
+        // stable digest, passing the modulus through flags spurious drift
+        // (r14 advice)
+        if (end < 0) {
+          sb.append(l.substring(at).replaceAll(", \\d+\\)", ", <k>)"))
+          i = l.length
+        }
         else {
           sb.append(l.substring(at, end + 1).replaceAll(", \\d+\\)$", ", <k>)"))
           i = end + 1

@@ -18,6 +18,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Enroll a `localCheckpoint()`ed frame's backing RDD for the next
+    * [[release]]: checkpoint blocks live outside the CacheManager, so
+    * `df.unpersist()` cannot reach them, and a warm bench loop (3 reps per
+    * query) would otherwise accumulate one persisted RDD per rep released
+    * only by GC — invisible to the cache-leak accounting (r14 advice).
+    * SHARPER contract than plain persist tracking: a released CHECKPOINT
+    * cannot be recomputed (the lineage was truncated), so the enrolled
+    * frame — and every plan derived from it — must never be executed after
+    * [[release]]. Both Verify and Bench rebuild each query's DataFrame from
+    * scratch per execution, which is exactly that.
+    */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.checkpointRdd(df)
+      .foreach(trackedRdds.add(_))
+    df
+  }
 
   /** `df.persist(MEMORY_AND_DISK)` + enrollment for the next [[release]]. */
   def persistTracked(df: DataFrame): DataFrame = {
@@ -37,6 +56,11 @@ object Caches {
     while (d != null) {
       d.unpersist(blocking = false)
       d = tracked.poll()
+    }
+    var r = trackedRdds.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = trackedRdds.poll()
     }
   }
 }

@@ -919,16 +919,14 @@ object DedupOps {
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
       .persistTracked()
     val reps = groups.select(col("rep").as("doc_id"), col("ws0"))
+    // CANONICAL pairs persisted (r15, the r14 incrementalCC restructure
+    // ported per verdict #5): the symmetric explode used to be cached and
+    // counted here, doubling the cached rows — the union-find path (every
+    // graph under the cutover) immediately filtered it back to src < dst.
+    // ccLabelsFromPairs derives symmetric edges on demand in the loop
+    // branch only (a narrow explode per read of this cache).
     val pairs = nearDupPairsOn(spark, reps, threshold)
       .select(col("doc_a"), col("doc_b"))
-    // Both edge directions from ONE evaluation of the pair join: a
-    // self-union would execute the (expensive) near-dup join once per
-    // branch — measured 3.2 s vs 1.6 s at sf0.1 — so emit {(a,b),(b,a)}
-    // with a per-row explode instead.
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persistTracked()
     // One round = propagate (min label over the neighborhood) then
     // pointer-jump (label ← label(label), path halving). The jump turns
@@ -939,13 +937,13 @@ object DedupOps {
     // so the propagate-only fixpoint argument still applies.
     //
     // The loop's joins move |edges| rows — size the loop's shuffles from the
-    // MEASURED edge count (the persist above makes this count free) rather
+    // MEASURED pair count (the persist above makes this count free) rather
     // than the session default: the contracted rep graph is orders of
     // magnitude smaller than the corpus, and running 5 rounds × 3 shuffles
     // of a 57k-row graph through the full-width partitioning is pure
     // scheduling overhead. ~2M edges per partition, floor 2; at a true
     // 100 TB edge set this formula widens right back out.
-    val nEdges = edges.count()
+    val nPairs = pairs.count()
     // propagate+jump is the fast path (near-dup components are quasi-cliques,
     // 2-4 rounds); a pathological high-diameter graph that has not converged
     // in LabelPropMaxRounds falls back to the alternating large-star/
@@ -954,11 +952,11 @@ object DedupOps {
     // count-sized shuffle width lives on the clone's SQLConf, so a concurrent
     // query on the shared session can never observe — or be rescoped by —
     // the override, and there is nothing to restore on failure.
-    val labels = try ccLabels(spark, nEdges, reps, edges) finally {
+    val labels = try ccLabelsFromPairs(spark, nPairs, reps, pairs) finally {
       // unpersist here, not after the consumers: a mid-loop failure must not
-      // leak the cached edge set (labels are localCheckpoint'ed, so the
+      // leak the cached pair set (labels are localCheckpoint'ed, so the
       // returned plan no longer depends on it)
-      edges.unpersist()
+      pairs.unpersist()
     }
     // expand reps back to member docs; a component's min doc IS a rep
     // (group rep = min of group), so the propagated min-rep label is the
@@ -1041,13 +1039,38 @@ object DedupOps {
                               nodes: DataFrame, edges: DataFrame): DataFrame = {
     val pairs = edges.filter(col("src") < col("dst"))
       .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-    val longIds = edges.schema.fields.take(2)
+    // ceil: an ODD symmetric count past the cutover must stay on the loop
+    // (floor would round 2M+1 edges down to exactly the union-find bound)
+    ccLabelsFromPairs(spark, (nEdges + 1) / 2, nodes, pairs)
+  }
+
+  /** Pairs-based twin of [[ccLabels]] — the entry point for consumers that
+    * build CANONICAL pairs (`doc_a < doc_b`): persisting/counting the pair
+    * set instead of its symmetric explode halves the cached rows and the
+    * count action's scan, and the union-find fast path consumes pairs
+    * directly; only the distributed loop needs symmetric edges, so they are
+    * derived on demand in that branch (a narrow explode per read of the
+    * caller's persisted pairs). The r14 [[incrementalCC]] restructure,
+    * ported to the initial-CC entry point (r14 verdict #5) — q101, q149,
+    * q315 and the q338/q341 yesterday-labels build all enter here.
+    */
+  private[graft] def ccLabelsFromPairs(spark: SparkSession, nPairs: Long,
+                                       nodes: DataFrame, pairs0: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs0.columns.take(2).toSeq
+    val pairs = pairs0.select(col(ca).as("doc_a"), col(cb).as("doc_b"))
+    val longIds = pairs0.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (nEdges <= SingleTaskCCMaxEdges && longIds) singleTaskCC(nodes, pairs)
-    else loopFrames(spark, nEdges, nodes, edges, pairs) {
-      case (n2, e2, p2) =>
-        labelPropagation(n2, e2, LabelPropMaxRounds)
-          .getOrElse(starLabels(n2.select(col("doc_id")), p2))
+    if (nPairs * 2 <= SingleTaskCCMaxEdges && longIds) singleTaskCC(nodes, pairs)
+    else {
+      val edges = pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      loopFrames(spark, nPairs * 2, nodes, edges, pairs) {
+        case (n2, e2, p2) =>
+          labelPropagation(n2, e2, LabelPropMaxRounds)
+            .getOrElse(starLabels(n2.select(col("doc_id")), p2))
+      }
     }
   }
 

@@ -234,19 +234,20 @@ object LinkageOps {
   def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
     val u = sideA(spark, dir).unionByName(sideB(spark, dir)).persistTracked()
     val cand = candidates(spark, dir).persistTracked()
+    // canonical pairs, not the symmetric explode (r15, verdict #5). uid_a
+    // is the A-side record, not the smaller id — least/greatest
+    // canonicalizes (union-find is order-blind, but the loop fallback's
+    // star contraction assumes doc_a < doc_b).
     val matches = scoredPairs(cand)
       .filter(col("score") >= lit(MatchThreshold).cast(d186))
-      .select(col("uid_a").as("doc_a"), col("uid_b").as("doc_b"))
-    val edges = matches.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(least(col("uid_a"), col("uid_b")).as("doc_a"),
+        greatest(col("uid_a"), col("uid_b")).as("doc_b"))
       .persistTracked()
     val nodes = u.select(col("uid").as("doc_id"))
-    val nEdges = edges.count()
+    val nPairs = matches.count()
     val labels =
-      try DedupOps.ccLabels(spark, nEdges, nodes, edges)
-      finally edges.unpersist()
+      try DedupOps.ccLabelsFromPairs(spark, nPairs, nodes, matches)
+      finally matches.unpersist()
     u.join(labels.select(col("doc_id").as("uid"), col("label").as("cluster_id")), "uid")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_records"),

@@ -253,25 +253,24 @@ object SimilarityOps {
   def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
+    // CANONICAL pairs persisted (r15, verdict #5 — the r14 incrementalCC
+    // restructure ported to the initial CC): the cache used to hold the
+    // symmetric explode (2× rows) that the union-find path immediately
+    // filtered back; the loop branch re-derives symmetric edges on demand
+    // from this cache (so the band join + cosine verify still execute once).
     val pairs = annNearDupOn(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    // persist: the label-prop loop re-reads the edge set twice per round —
-    // without this the band join + cosine verify re-execute each round
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persistTracked()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")).distinct()
-    // loop shuffles sized from the measured edge count (q101's rationale):
+    // loop shuffles sized from the measured pair count (q101's rationale):
     // the pair graph is candidate-bounded, far below the session default.
     // The narrowing lives on a session clone (DedupOps.loopFrames), never on
     // the shared session's conf.
-    val nEdges = edges.count()
+    val nPairs = pairs.count()
     val labels =
-      try DedupOps.ccLabels(spark, nEdges, nodes, edges)
-      finally edges.unpersist()
+      try DedupOps.ccLabelsFromPairs(spark, nPairs, nodes, pairs)
+      finally pairs.unpersist()
     labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -328,16 +327,26 @@ object SimilarityOps {
     * the shape a scheduled nightly actually has, where yesterday's labels
     * are yesterday's OUTPUT.
     */
-  private def ensureYesterdayLabels(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
+  /** The exact on-disk location of the q338/q341 yesterday-labels table for
+    * `(dir, threshold)` — the single source of truth for the path formula,
+    * so diagnostics (Probe) resolve the same file the operator writes
+    * instead of prefix-globbing the tmpdir (r14 advice: a glob can pick a
+    * stale pre-fingerprint dir or a leftover lock file).
+    */
+  private[graft] def yesterdayLabelsPath(dir: String, threshold: Double): java.io.File = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
     val thr = threshold.toString.replaceAll("[^0-9]", "_")
     // [[bandIndexConstantsFp]] in the path (r13 advice): the labels are
     // solved over [[annNearDupOn]]'s banding, so a sketch-constant change
     // must invalidate them exactly as it invalidates the band indexes —
     // the snapshot marker alone only covers the CORPUS, not the banding.
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
+    new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ylab_${thr}_${bandIndexConstantsFp}_$sfx")
+  }
+
+  private def ensureYesterdayLabels(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val path = yesterdayLabelsPath(dir, threshold)
     val snap = corpusSnapshot(dir)
     val markerF = new java.io.File(path, "_GRAFT_SNAPSHOT")
     def markerOk = markerF.exists() &&
@@ -345,27 +354,29 @@ object SimilarityOps {
     // rebuild-check + write under the index lock (r13 advice: this was the
     // one tmp-index mutator not serialized — two processes could overwrite
     // or read the parquet mid-write); re-check under the lock so the loser
-    // of the race reads the winner's table instead of rebuilding it.
-    if (!markerOk) withIndexLock(path) {
+    // of the race reads the winner's table instead of rebuilding it. The
+    // READ also happens inside the lock (r14 advice): `spark.read.parquet`
+    // captures the file listing eagerly, and doing that while holding the
+    // lock means a concurrent process whose marker mismatches cannot
+    // overwrite the parquet between a reader's validation and its listing.
+    withIndexLock(path) {
       if (!markerOk) {
         def even(c: Column): Column = c % 2 === 0
         val evens = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding")).filter(even(col("vec_id")))
         val oldNodes = evens.select(col("vec_id").as("doc_id")).distinct()
-        val oldEdges = annNearDupOn(evens, threshold)
-          .select(explode(array(
-            struct(col("id_a").as("src"), col("id_b").as("dst")),
-            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // canonical pairs, not the symmetric explode (r15, verdict #5)
+        val oldPairs = annNearDupOn(evens, threshold)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           .persistTracked()
-        val nOld = oldEdges.count()
-        try DedupOps.ccLabels(spark, nOld, oldNodes, oldEdges)
+        val nOld = oldPairs.count()
+        try DedupOps.ccLabelsFromPairs(spark, nOld, oldNodes, oldPairs)
           .write.mode("overwrite").parquet(path.getAbsolutePath)
-        finally oldEdges.unpersist()
+        finally oldPairs.unpersist()
         java.nio.file.Files.write(markerF.toPath, snap.getBytes("UTF-8"))
       }
+      spark.read.parquet(path.getAbsolutePath)
     }
-    spark.read.parquet(path.getAbsolutePath)
   }
 
   /** q341 — the incremental step COMPOSES across nights: two consecutive
@@ -400,7 +411,10 @@ object SimilarityOps {
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .persistTracked()
-    val pairs = pairs0.localCheckpoint()
+    // trackCheckpoint (r14 advice): the checkpointed RDD is outside the
+    // CacheManager, so without enrollment each warm rep leaked one persisted
+    // pair-set RDD until GC.
+    val pairs = Caches.trackCheckpoint(pairs0.localCheckpoint())
     def m4(c: Column, r: Int): Column = c % 4 === r
     def arrivedByDay1(c: Column): Column = c % 2 === 0 || m4(c, 1)
     val d1Pairs = pairs.filter(

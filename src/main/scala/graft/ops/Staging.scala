@@ -21,8 +21,19 @@ object Staging {
     * `java.io.tmpdir`: they persist across runs and tmpfs does not.
     */
   lazy val perRunRoot: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm" else sys.props("java.io.tmpdir")
+    // Deployment knob (r14 verdict #8): per-run scratch placement is an
+    // explicit choice, not a silent local assumption — a cluster points
+    // SPARK_GRAFT_SCRATCH at its fast staging store (HDFS/S3/local NVMe).
+    // Default: tmpfs only when it is present AND has headroom — tmpfs is
+    // RAM-backed and typically capped at 50% RAM, so a larger scale factor's
+    // sink/overwrite scratch must degrade to java.io.tmpdir instead of
+    // hitting ENOSPC or memory pressure (r14 advice).
+    sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      val minFreeBytes = 8L << 30
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > minFreeBytes) "/dev/shm"
+      else sys.props("java.io.tmpdir")
+    }
   }
 
   /** Run `write` unless `base` already holds a completed stage; returns

@@ -48,6 +48,16 @@ object StreamJoinOps {
     * only on data). Append-mode windows (q131) and event-time timeouts
     * (q80) NEED the finalize batch and must not set it.
     */
+  /** Diagnostics-only hook (Probe `streamfloor`): a listener enrolled here is
+    * added to every graft streaming query's CLONED session before `f` runs,
+    * so per-batch progress (durationMs phases, state-operator commit times)
+    * of the REAL registry queries is observable without touching their
+    * dataflow. Never set by Verify/Bench.
+    */
+  private[graft] val probeListener =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.streaming.StreamingQueryListener](null)
+
   private[graft] def withStatePartitions[T](spark: SparkSession, n: Int,
                                             skipFinalize: Boolean = false)
                                            (f: SparkSession => T): T = {
@@ -82,6 +92,7 @@ object StreamJoinOps {
       if (shm.isDirectory && shm.canWrite) Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
       else None
     ckptBase.foreach(s.conf.set("spark.sql.streaming.checkpointLocation", _))
+    Option(probeListener.get()).foreach(s.streams.addListener)
     try f(s) finally {
       ckptBase.foreach { base =>
         val p = new org.apache.hadoop.fs.Path(base)

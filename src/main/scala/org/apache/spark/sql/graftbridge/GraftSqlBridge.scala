@@ -69,6 +69,16 @@ object GraftSqlBridge {
         state.sqlParser.parseTableIdentifier(table)).location).toOption
   }
 
+  /** The persisted RDD backing a `localCheckpoint()`ed frame, if any.
+    * Checkpoint blocks live OUTSIDE the CacheManager (`df.unpersist()` cannot
+    * reach them), so releasing one requires the RDD handle itself — see
+    * [[graft.ops.Caches.trackCheckpoint]].
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   /** Drain the async listener bus (best-effort, bounded) — needed when a
     * SparkListener's counters are snapshotted between queries (the bench's
     * opt-in per-query shuffle attribution): task-end events are delivered

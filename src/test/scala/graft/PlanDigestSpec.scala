@@ -70,5 +70,13 @@ class PlanDigestSpec extends AnyFunSuite {
     val n2 = PlanDigest.normalize(twoPmod, "/tmp/x")
     assert("<k>\\)".r.findAllIn(n2).size == 2,
       s"both salt moduli must scrub on a two-pmod line: $n2")
+    // r14 advice: an UNTERMINATED pmod span (wrapped/truncated explain
+    // output never balances its parens on the line) must still scrub every
+    // trailing ", <int>)" in the remainder — over-scrubbing degrades to a
+    // stable digest; passing the modulus through flags spurious plan drift
+    val wrapped = "Output [4]: [a#3, pmod(xxhash64(substr(a#3, 1, (b#4, 42), 3) AS __rb_s#9"
+    val n3 = PlanDigest.normalize(wrapped, "/tmp/x")
+    assert(!n3.contains(", 42)") && !n3.contains(", 3)"),
+      s"an unterminated span must not leak int literals shaped like moduli: $n3")
   }
 }
