@@ -259,8 +259,11 @@ object Bench {
       // drop operator-internal persisted intermediates between queries — a
       // 250-query bench must not accumulate one cached frame per
       // PrefixSum/dedup call (each rep rebuilds its DataFrame from scratch,
-      // so nothing released here is ever re-read)
-      graft.ops.Caches.release()
+      // so nothing released here is ever re-read). releaseAll (r15) also
+      // sweeps untrackable localCheckpoint RDDs: left to ContextCleaner
+      // (periodic GC default 30 min) they measurably throttled the late
+      // suite — q256 warm 1.45 s isolated vs 5.1 s after 300 queries.
+      graft.ops.Caches.releaseAll()
       (name, times.head, times(times.size / 2), err, perExecBytes, warmCpu)
     }
     val qs = results.map { case (k, mn, _, _, _, _) => s"\"" + k + "\":" + mn }
@@ -339,7 +342,7 @@ object Bench {
             try byName(n)(spark, sfDir).count() catch { case _: Throwable => }
             (System.nanoTime() - t0) / 1e9
           }.min
-          graft.ops.Caches.release()
+          graft.ops.Caches.releaseAll()
           t
         }
         eval1.map { r =>

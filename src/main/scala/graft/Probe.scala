@@ -437,6 +437,47 @@ object Steps {
           }
         }
       }
+    case "streamreuse" =>
+      // r14 verdict #3's "reuse one cloned session" suggestion, measured:
+      // same q240 shape as `streamprog`, but ONE clone serves all reps —
+      // does the first-batch queryPlanning (~0.2-0.7 s/rep fresh) or the
+      // per-rep compile count drop when the session is warm?
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.metrics.source.CodegenMetrics
+      val srcDirR = graft.streaming.EventsStream.stageStreamDirMulti(spark, dir, nFiles = 2)
+      val s = spark.newSession()
+      s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      (1 to 4).foreach { rep =>
+        val name = "graft_probe_reuse_" + rep
+        val ckpt = s"/dev/shm/graft_probe_ck_$rep"
+        s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+        val c0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+        val t0 = System.nanoTime()
+        val q = s.readStream
+          .schema(graft.streaming.SessionStream.rawSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDirR)
+          .withColumn("ts", date_trunc("second", timestamp_micros(col("ts"))))
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("spend_cents"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val c1 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+        println(f"[reuse] rep $rep wall=$dt%7.3f s compiles=${c1 - c0}")
+        q.recentProgress.foreach { p =>
+          println(s"  [batch ${p.batchId}] rows=${p.numInputRows} dur=${p.durationMs}")
+        }
+        s.catalog.dropTempView(name)
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        val pth = new org.apache.hadoop.fs.Path(ckpt)
+        pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+        ()
+      }
     case "ensureparts" =>
       graft.functions.VectorFunctions.register(spark)
       // warm everything once

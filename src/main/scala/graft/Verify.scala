@@ -31,7 +31,8 @@ object Verify {
       }
       // drop operator-internal persisted intermediates — a full-registry
       // sweep must not accumulate one cached frame per PrefixSum/dedup call
-      finally graft.ops.Caches.release()
+      // (releaseAll: localCheckpoint RDDs too, see Bench)
+      finally graft.ops.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -434,6 +434,13 @@ object DedupOps {
     // a web-scale vocabulary never collapses into one window task)
     val (ranks, vocabRows) = PrefixSum.rarityRanksCounted(
       all.select(explode(col("ws0")).as("word")), "word")
+    // persist, NOT localCheckpoint (r15, measured): a checkpoint leaf here
+    // would cut ~0.8 s of driver re-analysis gaps, but it also erases the
+    // id table's statistics — the candidate join re-planned against a
+    // stats-less LogicalRDD leaf and collapsed into a 14 s two-stage job
+    // (8× the persisted plan's whole wall). The lineage-bearing persist is
+    // what keeps the prefix-join planning right; the driver gaps are the
+    // price and stay.
     val ids = all.select(col("doc_id"), explode(col("ws0")).as("word"))
       .join(gatedDictSide(ranks, vocabRows), "word")
       .groupBy(col("doc_id"))

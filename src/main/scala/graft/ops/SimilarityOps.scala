@@ -1354,8 +1354,19 @@ object SimilarityOps {
     // the previous rounds' plans inside every max-renormalizer subquery —
     // measured 64 s vs 2.4 s for the checkpointed loop at sf0.1
     for (_ <- 1 to PcaRounds) {
+      // w is checkpointed BEFORE its two consumers (r15, measured): the
+      // max-renormalizer aggregate and the next-v projection are separate
+      // ACTIONS, and exchange reuse does not span actions — every round
+      // used to execute the whole matvec pipeline twice (jobtrace: two
+      // parallel 3-stage jobs per round carrying ~80% of the query's
+      // wall; same-session wall 2.56 s vs 3.6-6.3 s, controls quoted in
+      // OPTIMIZATION_r15.md). An explicit broadcast(v) was ALSO tried and
+      // REVERTED: it fanned the partial aggregate across the 32 cached sn
+      // partitions (bytes 97 kB → 742 kB) and read slower than letting AQE
+      // coalesce the tiny shuffle join.
       val w = sn.join(v, sn("j") === v("d"))
         .groupBy(col("i")).agg(sum(col("sn") * col("v")).as("w"))
+        .localCheckpoint()
       val wmax = w.agg(max(abs(col("w"))).as("wmax"))
       v = w.crossJoin(broadcast(wmax))
         .select(col("i").as("d"),

@@ -78,7 +78,16 @@ object StreamJoinOps {
     s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
     spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.get("GRAFT_STREAM_STATE_PARTS").getOrElse(n.toString))
+    // measurement knob (r15 streamfloor): every warm rep of a streaming
+    // query recompiles 25-37 codegen units (~16-25 ms each) — per-batch
+    // plans carry fresh literals, so the codegen cache can never amortize
+    // them. "off" runs the microbatches interpreted for comparison.
+    sys.env.get("GRAFT_STREAM_CODEGEN").filter(_ == "off").foreach { _ =>
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
     if (skipFinalize) s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // Checkpoints (offset log + state-store deltas, fsynced per microbatch)
     // go to RAM when the host has a tmpfs: an AvailableNow run over K files
